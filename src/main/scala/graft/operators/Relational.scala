@@ -1,0 +1,376 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The relational query surface of the reference (README.md "joins,
+  * group by"; TODO.md select/count/projection) expressed as idiomatic
+  * DataFrame plans over the star schema, at TPC-H-query complexity.
+  *
+  * Scale notes: dimension joins (`region nation supplier part customer`)
+  * are broadcast — the fact table is never shuffled for a small dim;
+  * aggregates rely on Catalyst's partial (map-side) aggregation; all
+  * float aggregates are rounded identically on both the Spark and the
+  * DuckDB oracle side so value hashes compare exactly.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** TPC-H Q1-style pricing summary: scan + filter + 8-way aggregate. */
+  val q1Agg: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+             round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q3-style shipping priority: 3-way join + agg + top-N. */
+  val q3Shipping: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    oracle = Some("""
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate  > TIMESTAMP '1995-03-15'
+      GROUP BY l_orderkey
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q5-style local supplier volume: 6-way join + agg. */
+  val q5Local: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1994-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    oracle = Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1994-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""))
+
+  /** Window function: top-3 orders per customer by total price. */
+  val qTopnWindow: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders)
+      WHERE rnk <= 3
+      ORDER BY o_custkey, rnk, o_orderkey"""))
+
+  /** Rollup aggregation with grouping id (nulls-first ordering pinned). */
+  val qRollup: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+             count(lit(1)).as("n"),
+             grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first),
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4) AS sum_qty,
+             count(*) AS n,
+             GROUPING(l_returnflag, l_linestatus) AS gid
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  /** Cube aggregation over order status/priority. */
+  val qCube: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("o_totalprice")), 4).as("total"),
+             grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first),
+    oracle = Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n,
+             round(sum(o_totalprice), 4) AS total,
+             GROUPING(o_orderstatus, o_orderpriority) AS gid
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** Distinct counting per group. */
+  val qDistinct: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** Left-semi + left-anti join: customers with/without orders. */
+  val qSemiAnti: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("has_order", lit(true))
+      val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("has_order", lit(false))
+      semi.unionByName(anti)
+        .groupBy(col("has_order"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("c_acctbal")), 4).as("bal"))
+        .orderBy(col("has_order"))
+    },
+    oracle = Some("""
+      SELECT has_order, count(*) AS n, round(sum(c_acctbal), 4) AS bal
+      FROM (SELECT c_acctbal,
+                   EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_order
+            FROM customer)
+      GROUP BY has_order
+      ORDER BY has_order"""))
+
+  /** Union of two sources with dedup (nations present in cust or supp). */
+  val qUnion: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nk")).withColumn("src", lit("cust")).distinct()
+      val sp = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nk")).withColumn("src", lit("supp")).distinct()
+      c.unionByName(sp)
+        .join(broadcast(t(s, dir, "nation")), col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("src"))
+        .orderBy(col("n_name"), col("src"))
+    },
+    oracle = Some("""
+      SELECT n_name, src
+      FROM (SELECT DISTINCT c_nationkey AS nk, 'cust' AS src FROM customer
+            UNION
+            SELECT DISTINCT s_nationkey AS nk, 'supp' AS src FROM supplier) u
+      JOIN nation ON nk = n_nationkey
+      ORDER BY n_name, src"""))
+
+  /** Broadcast dim join: revenue by part brand (plan must broadcast part). */
+  val qBroadcastJoin: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("p_brand")),
+    oracle = Some("""
+      SELECT p_brand,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
+  /** Scalar expression battery: strings, dates, arithmetic. */
+  val qScalarFuncs: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderstatus")).as("status_u"),
+          length(col("o_orderpriority")).as("prio_len"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          round(col("o_totalprice") * 1.1, 2).as("gross"),
+          round(abs(col("o_totalprice") - 100000.0), 2).as("dist"))
+        .orderBy(col("o_orderkey"))
+        .limit(500),
+    oracle = Some("""
+      SELECT o_orderkey,
+             upper(o_orderstatus) AS status_u,
+             length(o_orderpriority) AS prio_len,
+             substring(o_orderpriority, 1, 1) AS prio_code,
+             concat(o_orderstatus, '-', o_orderpriority) AS tag,
+             year(o_orderdate) AS yr,
+             month(o_orderdate) AS mo,
+             round(o_totalprice * 1.1, 2) AS gross,
+             round(abs(o_totalprice - 100000.0), 2) AS dist
+      FROM orders
+      ORDER BY o_orderkey
+      LIMIT 500"""))
+
+  /** Group-by + HAVING. */
+  val qHaving: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 4).as("spend"))
+        .filter(col("n_orders") >= 3)
+        .orderBy(col("o_custkey")),
+    oracle = Some("""
+      SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS spend
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) >= 3
+      ORDER BY o_custkey"""))
+
+  /** Multi-key ordering with explicit null placement. */
+  val qOrderbyMulti: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          // inject NULLs deterministically to exercise null ordering
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(round(col("c_acctbal"), 2)).as("bal"))
+        .orderBy(col("c_mktsegment").asc,
+                 col("bal").desc_nulls_last,
+                 col("c_custkey").asc)
+        .limit(200),
+    oracle = Some("""
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS bal
+      FROM customer
+      ORDER BY c_mktsegment ASC, bal DESC NULLS LAST, c_custkey ASC
+      LIMIT 200"""))
+
+  /** Correlated NOT EXISTS: customers with no finished ('F') order. */
+  val qExistsSubquery: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      cust.join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
+  /** Exact interpolated percentiles + spread stats per group. */
+  val qPercentiles: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"),
+          round(min(col("l_quantity")), 4).as("min_qty"),
+          round(max(col("l_quantity")), 4).as("max_qty"),
+          round(stddev(col("l_extendedprice")), 4).as("sd_price"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+             round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+             round(min(l_quantity), 4) AS min_qty,
+             round(max(l_quantity), 4) AS max_qty,
+             round(stddev_samp(l_extendedprice), 4) AS sd_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_shipping" -> q3Shipping,
+    "q5_local" -> q5Local,
+    "q_topn_window" -> qTopnWindow,
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_distinct" -> qDistinct,
+    "q_semi_anti" -> qSemiAnti,
+    "q_union" -> qUnion,
+    "q_broadcast_join" -> qBroadcastJoin,
+    "q_scalar_funcs" -> qScalarFuncs,
+    "q_having" -> qHaving,
+    "q_orderby_multi" -> qOrderbyMulti,
+    "q_exists_subquery" -> qExistsSubquery,
+    "q_percentiles" -> qPercentiles)
+}

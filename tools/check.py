@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local driver-sim: run DuckDB oracle SQL vs Verify's parquet dumps.
+
+Mirrors (as closely as we can infer) the driver's t2 check: for each
+query, load Spark's result parquet and the oracle result, sort columns
+by name, sort rows, and compare values. Dev-only tool (driver-side
+python has duckdb; our shipped Scala code never uses this).
+
+Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize ints/floats so int32 vs int64 etc. don't false-alarm
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = norm(pd.concat([pd.read_parquet(f) for f in files]))
+            exp = norm(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            n_bad += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_bad += 1; continue
+        try:
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                          check_exact=True)
+            print(f"ok   {name} ({len(got)} rows)"); n_ok += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: {str(e)[:500]}"); n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} fail")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
