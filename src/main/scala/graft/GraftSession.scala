@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with graft's required/tuned configuration.
+  *
+  * - `nanosAsLong`: the events table carries true-nanosecond parquet
+  *   timestamps, which Spark only reads as longs.
+  * - AQE on: runtime coalescing + skew-join splitting at scale.
+  * - shuffle partitions sized to cores (local); on a cluster this is
+  *   expected to be overridden to ~2-3x total executor cores.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

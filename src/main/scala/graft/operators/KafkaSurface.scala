@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{avro, AvroCodec, MessageLog, SchemaRegistry}
+
+/** The reference's Kafka-backed-table query surface (README.md create
+  * table + TODO.md: select *, count(*), projection, filters, joins,
+  * group by), re-expressed over graft's message-log source.
+  *
+  * Oracles recompute the deterministic producer model (partition =
+  * key % 8, offset = arrival row_number) in DuckDB window SQL, so the
+  * whole encode->decode->query pipeline is hash-checked end to end.
+  */
+object KafkaSurface {
+
+  /** select * from kafka_table: full decode + metadata columns. */
+  val kScanAll: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.eventsScan(s, dir)
+        .withColumn("key_str", col("user_id").cast("string"))
+        .orderBy(col("event_id")),
+    oracle = Some("""
+      SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value, props,
+             'events' AS topic,
+             CAST(user_id % 8 AS INTEGER) AS partition,
+             row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS offset,
+             CAST(user_id AS VARCHAR) AS key_str
+      FROM events
+      ORDER BY event_id"""))
+
+  /** select count(*) from kafka_table. */
+  val kCount: QueryDef = QueryDef(
+    fn = (s, dir) => MessageLog.eventsTopic(s, dir).agg(count(lit(1)).as("n")),
+    oracle = Some("SELECT count(*) AS n FROM events"))
+
+  /** Column projection: only two payload fields survive the scan. */
+  val kProjection: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.eventsScan(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")),
+    oracle = Some("""
+      SELECT event_id, event_type, value
+      FROM events
+      ORDER BY event_id"""))
+
+  /** Offset-range scan on one partition (the reference's split model:
+    * KafkaRecordReader consumes [beginOffset, lastOffset) of a
+    * partition). */
+  val kFilterOffset: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.eventsScan(s, dir)
+        .filter(col("partition") === 3 && col("offset") >= 100 && col("offset") < 300)
+        .select(col("partition"), col("offset"), col("event_id"), col("event_type"))
+        .orderBy(col("offset")),
+    oracle = Some("""
+      SELECT partition, "offset", event_id, event_type
+      FROM (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+                   row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS "offset",
+                   event_id, event_type
+            FROM events)
+      WHERE partition = 3 AND "offset" >= 100 AND "offset" < 300
+      ORDER BY "offset""""))
+
+  /** Time-bounded pull (kafka.max.historical.days semantics,
+    * KafkaInputFormat.java:64): only messages from the trailing 7 days
+    * of the topic. */
+  val kFilterTime: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val scan = MessageLog.eventsScan(s, dir)
+      val mx = scan.agg(max(col("ts_ms")).as("mx"))
+      scan.crossJoin(broadcast(mx))
+        .filter(col("ts_ms") >= col("mx") - lit(7L * 86400000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, count(*) AS n
+      FROM events, (SELECT max(epoch_ms(ts)) AS mx FROM events) m
+      WHERE epoch_ms(ts) >= mx - 7 * 86400000
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Whitelist with several topics (kafka.whitelist.topics): union,
+    * topic column retained. */
+  val kMultiTopic: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.topics(s, dir, Seq("events", "documents"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("partition")).as("n_partitions"))
+        .orderBy(col("topic")),
+    oracle = Some("""
+      SELECT topic, count(*) AS n, count(DISTINCT partition) AS n_partitions
+      FROM (SELECT 'events' AS topic, CAST(user_id % 8 AS INTEGER) AS partition FROM events
+            UNION ALL
+            SELECT 'documents' AS topic, CAST(doc_id % 8 AS INTEGER) AS partition FROM documents)
+      GROUP BY topic
+      ORDER BY topic"""))
+
+  /** Nested-record serde round-trip: order + its lineitems as an Avro
+    * record with an array field, encoded then decoded then aggregated.
+    */
+  val kAvroRoundtrip: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val itemType = ArrayType(StructType(Seq(
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType))))
+      val payloadType = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("items", itemType)))
+      val schemaJson = AvroCodec.avroSchemaFor(payloadType, "OrderWithItems").toString
+
+      val li = Tables.load(s, dir, "lineitem")
+      val items = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("items"))
+      val enc = Tables.load(s, dir, "orders")
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(avro.to_avro(
+          struct(col("o_orderkey"), col("o_totalprice"), col("items")).cast(payloadType),
+          "OrderWithItems").as("v"))
+      enc.select(avro.from_avro(col("v"), schemaJson).as("r"))
+        .select(
+          col("r.o_orderkey").as("o_orderkey"),
+          size(col("r.items")).cast("long").as("n_items"),
+          round(aggregate(col("r.items"), lit(0.0),
+            (acc, x) => acc + x.getField("l_quantity")), 4).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, count(*) AS n_items, round(sum(l_quantity), 4) AS sum_qty
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey
+      ORDER BY o_orderkey"""))
+
+  /** Kafka-backed fact joined to a dimension table (TODO.md "joins"). */
+  val kJoinDim: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.eventsScan(s, dir)
+        .join(broadcast(Tables.load(s, dir, "customer")),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("c_mktsegment")),
+    oracle = Some("""
+      SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""))
+
+  /** group by over topic data (TODO.md "group by"). */
+  val kGroupby: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.eventsScan(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")),
+    oracle = Some("""
+      SELECT event_type, count(*) AS n,
+             round(sum(value), 4) AS sum_value,
+             round(avg(value), 4) AS avg_value,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** KafkaKey surface (camus/KafkaKey.java): per topic-partition
+    * begin/last offsets, message count, last message time. Aggregates
+    * map-side — no extra shuffle beyond the source's own layout. */
+  val kKeyMetadata: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.topics(s, dir, Seq("events", "documents"))
+        .groupBy(col("topic"), col("partition"))
+        .agg(min(col("offset")).as("begin_offset"),
+          max(col("offset")).as("last_offset"),
+          count(lit(1)).as("n"),
+          max(unix_millis(col("timestamp"))).as("last_ts_ms"))
+        .orderBy(col("topic"), col("partition")),
+    oracle = Some("""
+      WITH ev AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+                         row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS "offset",
+                         epoch_ms(ts) AS ts_ms
+                  FROM events),
+           dc AS (SELECT CAST(doc_id % 8 AS INTEGER) AS partition,
+                         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1 AS "offset",
+                         (1704067200 + doc_id * 60) * 1000 AS ts_ms
+                  FROM documents)
+      SELECT topic, partition, min("offset") AS begin_offset, max("offset") AS last_offset,
+             count(*) AS n, max(ts_ms) AS last_ts_ms
+      FROM (SELECT 'events' AS topic, * FROM ev UNION ALL SELECT 'documents' AS topic, * FROM dc)
+      GROUP BY topic, partition
+      ORDER BY topic, partition"""))
+
+  /** Write path (KafkaOutputFormat.java, demoproducer/BaseProducer.java):
+    * produce the documents topic to a broker-style segment layout, read
+    * it back, decode, and summarize. Rows-only check (Avro byte sizes
+    * aren't SQL-reproducible). */
+  val kSinkLog: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink/${new java.io.File(dir).getName}/documents"
+      MessageLog.writeLog(MessageLog.documentsTopic(s, dir), path)
+      MessageLog.readLog(s, path)
+        .withColumn("v", avro.from_topic(col("value"), "documents"))
+        .groupBy(col("topic"), col("partition"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("value"))).as("value_bytes"),
+          max(col("v.n_chars")).as("max_chars"))
+        .orderBy(col("topic"), col("partition"))
+    },
+    oracle = None)
+
+  val defs: Map[String, QueryDef] = Map(
+    "k_scan_all" -> kScanAll,
+    "k_count" -> kCount,
+    "k_projection" -> kProjection,
+    "k_filter_offset" -> kFilterOffset,
+    "k_filter_time" -> kFilterTime,
+    "k_multi_topic" -> kMultiTopic,
+    "k_avro_roundtrip" -> kAvroRoundtrip,
+    "k_join_dim" -> kJoinDim,
+    "k_groupby" -> kGroupby,
+    "k_key_metadata" -> kKeyMetadata,
+    "k_sink_log" -> kSinkLog)
+}

@@ -1,0 +1,264 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Binary-Avro <-> Catalyst serde built directly on avro-core.
+  *
+  * The Spark-native equivalent of the reference's message decode path
+  * (camus/KafkaAvroMessageDecoder.java, KafkaSerDe.java): a Kafka
+  * message's `value: binary` column decodes to a typed struct via a
+  * schema obtained from a file or registry, and the producer path
+  * encodes typed rows back to Avro binary
+  * (demoproducer/BaseProducer.java).
+  *
+  * Implemented as Catalyst `Expression`s (not UDFs) so null handling,
+  * serialization and per-task instance isolation follow engine rules;
+  * the per-instance reused encoder/decoder buffers mirror how Spark's
+  * own avro expressions avoid per-row allocation.
+  */
+object AvroCodec {
+
+  /** Spark StructType -> Avro record schema (nullable field = union[null, T]).
+    * TimestampType maps to long micros (Catalyst's internal representation).
+    */
+  def avroSchemaFor(dt: StructType, recordName: String): Schema =
+    toAvro(dt, nullable = false, recordName)
+
+  private def toAvro(dt: DataType, nullable: Boolean, name: String): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
+      case LongType | TimestampType | TimestampNTZType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType => Schema.create(Schema.Type.INT)
+      case st: StructType =>
+        val fields = st.fields.zipWithIndex.map { case (f, i) =>
+          new Schema.Field(f.name, toAvro(f.dataType, f.nullable, s"${name}_${f.name}"),
+            null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+        }.toList.asJava
+        Schema.createRecord(name, null, "graft", false, fields)
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(toAvro(et, containsNull, s"${name}_item"))
+      case MapType(StringType, vt, vcn) =>
+        Schema.createMap(toAvro(vt, vcn, s"${name}_value"))
+      case other =>
+        throw new IllegalArgumentException(s"graft avro: unsupported type $other")
+    }
+    if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
+  }
+
+  /** Catalyst internal value -> Avro datum, driven by the Spark type. */
+  private[sources] def catalystToAvro(dt: DataType, schema: Schema): Any => Any = {
+    val s = if (schema.getType == Schema.Type.UNION) schema.getTypes.get(1) else schema
+    dt match {
+      case StringType => v => v.toString
+      case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case st: StructType =>
+        val convs = st.fields.zipWithIndex.map { case (f, i) =>
+          (i, f.dataType, catalystToAvro(f.dataType, s.getFields.get(i).schema()))
+        }
+        v => {
+          val row = v.asInstanceOf[InternalRow]
+          val rec = new GenericData.Record(s)
+          convs.foreach { case (i, fdt, c) =>
+            rec.put(i, if (row.isNullAt(i)) null else c(row.get(i, fdt)))
+          }
+          rec
+        }
+      case ArrayType(et, _) =>
+        val c = catalystToAvro(et, s.getElementType)
+        v => {
+          val ad = v.asInstanceOf[ArrayData]
+          val out = new java.util.ArrayList[Any](ad.numElements())
+          var i = 0
+          while (i < ad.numElements()) {
+            out.add(if (ad.isNullAt(i)) null else c(ad.get(i, et)))
+            i += 1
+          }
+          out
+        }
+      case MapType(StringType, vt, _) =>
+        val c = catalystToAvro(vt, s.getValueType)
+        v => {
+          val md = v.asInstanceOf[MapData]
+          val out = new java.util.HashMap[String, Any](md.numElements())
+          val keys = md.keyArray()
+          val vals = md.valueArray()
+          var i = 0
+          while (i < md.numElements()) {
+            out.put(keys.getUTF8String(i).toString,
+              if (vals.isNullAt(i)) null else c(vals.get(i, vt)))
+            i += 1
+          }
+          out
+        }
+      case _ => identity // primitives: Catalyst boxing matches Avro's
+    }
+  }
+
+  /** Avro schema -> (Spark type, Avro datum -> Catalyst internal value). */
+  private[sources] def avroToCatalyst(schema: Schema): (DataType, Any => Any) =
+    schema.getType match {
+      case Schema.Type.UNION =>
+        val branches = schema.getTypes.asScala
+        require(branches.size == 2 && branches.head.getType == Schema.Type.NULL,
+          s"graft avro: only union[null, T] supported, got $schema")
+        val (dt, c) = avroToCatalyst(branches(1))
+        (dt, v => if (v == null) null else c(v))
+      case Schema.Type.BOOLEAN => (BooleanType, identity)
+      case Schema.Type.INT => (IntegerType, identity)
+      case Schema.Type.LONG => (LongType, identity)
+      case Schema.Type.FLOAT => (FloatType, identity)
+      case Schema.Type.DOUBLE => (DoubleType, identity)
+      case Schema.Type.STRING | Schema.Type.ENUM =>
+        (StringType, v => UTF8String.fromString(v.toString))
+      case Schema.Type.BYTES =>
+        (BinaryType, v => {
+          val bb = v.asInstanceOf[ByteBuffer].duplicate()
+          val arr = new Array[Byte](bb.remaining())
+          bb.get(arr)
+          arr
+        })
+      case Schema.Type.FIXED =>
+        (BinaryType, v => v.asInstanceOf[GenericFixed].bytes().clone())
+      case Schema.Type.RECORD =>
+        val fcs = schema.getFields.asScala.map(f => (f.name(), avroToCatalyst(f.schema()))).toArray
+        val st = StructType(fcs.map { case (n, (dt, _)) => StructField(n, dt, nullable = true) })
+        (st, v => {
+          val rec = v.asInstanceOf[GenericRecord]
+          val vals = new Array[Any](fcs.length)
+          var i = 0
+          while (i < fcs.length) {
+            val raw = rec.get(i)
+            vals(i) = if (raw == null) null else fcs(i)._2._2(raw)
+            i += 1
+          }
+          new GenericInternalRow(vals)
+        })
+      case Schema.Type.ARRAY =>
+        val (et, c) = avroToCatalyst(schema.getElementType)
+        (ArrayType(et, containsNull = true), v => {
+          val col = v.asInstanceOf[java.util.Collection[Any]]
+          val out = new Array[Any](col.size())
+          val it = col.iterator()
+          var i = 0
+          while (it.hasNext) {
+            val e = it.next()
+            out(i) = if (e == null) null else c(e)
+            i += 1
+          }
+          new GenericArrayData(out)
+        })
+      case Schema.Type.MAP =>
+        val (vt, c) = avroToCatalyst(schema.getValueType)
+        (MapType(StringType, vt, valueContainsNull = true), v => {
+          val m = v.asInstanceOf[java.util.Map[Any, Any]].asScala
+          val keys = new Array[Any](m.size)
+          val vals = new Array[Any](m.size)
+          var i = 0
+          m.foreach { case (k, mv) =>
+            keys(i) = UTF8String.fromString(k.toString)
+            vals(i) = if (mv == null) null else c(mv)
+            i += 1
+          }
+          ArrayBasedMapData(keys, vals)
+        })
+      case other =>
+        throw new IllegalArgumentException(s"graft avro: unsupported avro type $other")
+    }
+}
+
+/** struct -> binary Avro (producer/serialize path). */
+case class AvroEncode(child: Expression, recordName: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_to_avro"
+
+  @transient private lazy val structType = child.dataType.asInstanceOf[StructType]
+  @transient private lazy val schema = AvroCodec.avroSchemaFor(structType, recordName)
+  @transient private lazy val conv = AvroCodec.catalystToAvro(structType, schema)
+  @transient private lazy val writer = new GenericDatumWriter[Any](schema)
+  @transient private lazy val baos = new ByteArrayOutputStream(256)
+  @transient private var encoder: BinaryEncoder = _
+
+  override protected def nullSafeEval(input: Any): Any = {
+    baos.reset()
+    encoder = EncoderFactory.get().directBinaryEncoder(baos, encoder)
+    writer.write(conv(input), encoder)
+    encoder.flush()
+    baos.toByteArray
+  }
+  override protected def withNewChildInternal(c: Expression): AvroEncode = copy(child = c)
+}
+
+/** binary Avro -> struct (consumer/deserialize path). */
+case class AvroDecode(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val typeAndConv = AvroCodec.avroToCatalyst(schema)
+  override def dataType: DataType = typeAndConv._1
+  override def prettyName: String = "graft_from_avro"
+
+  @transient private lazy val reader = new GenericDatumReader[Any](schema)
+  @transient private var decoder: BinaryDecoder = _
+  @transient private var reuse: Any = _
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
+    reuse = reader.read(reuse, decoder)
+    typeAndConv._2(reuse)
+  }
+  override protected def withNewChildInternal(c: Expression): AvroDecode = copy(child = c)
+}
+
+/** Topic -> schema registry; the in-memory/cached/file trio of the
+  * reference (camus/MemorySchemaRegistry.java, CachedSchemaRegistry.java,
+  * kafka.avro.schema.file in KafkaBackedTableProperties.java:37).
+  */
+object SchemaRegistry {
+  private val byTopic = TrieMap.empty[String, String]
+
+  def register(topic: String, schemaJson: String): Unit = byTopic.put(topic, schemaJson)
+
+  /** `kafka.avro.schema.file` equivalent: load an .avsc from disk. */
+  def registerFile(topic: String, avscPath: String): Unit =
+    register(topic, new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(avscPath)), java.nio.charset.StandardCharsets.UTF_8))
+
+  def schemaFor(topic: String): String =
+    byTopic.getOrElse(topic, throw new NoSuchElementException(
+      s"graft: no schema registered for topic '$topic'"))
+}
+
+/** Column-level API. */
+object avro {
+  def to_avro(c: Column, recordName: String = "record"): Column =
+    Bridge.column(AvroEncode(Bridge.expression(c), recordName))
+
+  def from_avro(c: Column, schemaJson: String): Column =
+    Bridge.column(AvroDecode(Bridge.expression(c), schemaJson))
+
+  /** Decode using the schema registered for `topic`. */
+  def from_topic(c: Column, topic: String): Column =
+    from_avro(c, SchemaRegistry.schemaFor(topic))
+}
