@@ -13,7 +13,8 @@ object SparkEntry {
   /** All operator modules contributing queries (SURVEY.md §2 blocks). */
   private lazy val modules: Seq[Map[String, QueryDef]] = Seq(
     operators.Relational.defs,
-    operators.KafkaSurface.defs)
+    operators.KafkaSurface.defs,
+    operators.Pipeline.defs)
 
   private lazy val defs: Map[String, QueryDef] =
     modules.reduce(_ ++ _)

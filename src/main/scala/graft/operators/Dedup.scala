@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.functions.{MinHash, TextFunctions => TF}
+import graft.plans.{CosineSim, HyperplaneSig, SimHash64}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Deduplication operators for training-data curation, each designed
+  * around one shuffle-bounded candidate-generation strategy — never an
+  * O(n^2) cross product:
+  *
+  *  - exact:   one hash-partitioned group-by on content hash.
+  *  - minhash: LSH banding — candidates share a (band, bandkey)
+  *    bucket; shuffle cardinality is rows x bands, pairs only form
+  *    inside buckets (tunable precision/recall via bands x rows).
+  *  - simhash: 64-bit signature, banded into 4 x 16-bit sub-keys;
+  *    Hamming-<=3 pairs must collide on at least one sub-key
+  *    (pigeonhole), then verified with bit_count(xor).
+  *  - ngram:   cheapest-minhash blocking, then exact character-n-gram
+  *    Jaccard on candidates only.
+  *  - embedding: random-hyperplane LSH buckets, cosine-verified.
+  *
+  * At 100 TB each strategy's shuffle is linear in input (+bucket
+  * fanout); skew from hot buckets is handled by AQE skew-join.
+  */
+object Dedup {
+
+  private def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Content-hash dedup: flags every row whose exact text appeared
+    * on a lower id. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val w = Window.partitionBy(h).orderBy(col(idCol))
+    df.select(col(idCol), h.as("content_hash"),
+      (row_number().over(w) > 1).as("is_dup"))
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) for pairs >= `threshold`. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sh = df.select(col(idCol).as("id"),
+      TF.wordShingles(col(textCol), shingleK).as("sh"))
+    val banded = sh
+      .select(col("id"), explode(MinHash.bandKeys(
+        MinHash.signature(col("sh"), numHashes), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: (id_a, id_b, hamming) with Hamming
+    * distance <= `maxHamming` over 64-bit token-vote signatures. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      Bridge.column(SimHash64(Bridge.expression(TF.tokens(col(textCol))))).as("sig"))
+    // 4 sub-keys of 16 bits: any pair within Hamming 3 shares one intact
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xffffL).as("bkey"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact character-n-gram Jaccard pairs, blocked by the single
+    * cheapest MinHash (docs sharing the global-min n-gram hash). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      TF.charNgrams(col(textCol), n).as("g"))
+    val blocked = grams.withColumn("blk",
+      array_min(transform(col("g"), g => pmod(xxhash64(g), lit(MinHash.prime)))))
+    blocked.as("l")
+      .join(blocked.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(size(array_intersect(col("l.g"), col("r.g"))).cast("double") /
+          (size(col("l.g")) + size(col("r.g")) -
+            size(array_intersect(col("l.g"), col("r.g")))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs: multi-table hyperplane-LSH candidate
+    * buckets, then cosine verification. Returns (id_a, id_b, cos)
+    * with cosine >= `minCos`. Recall rises with `tables` (union of
+    * independent bucketings); candidate volume per table is
+    * ~n^2 / 2^bits spread over buckets — linear shuffles only. */
+  def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+      minCos: Double = 0.35, tables: Int = 16, bits: Int = 6,
+      seed: Long = 7000L): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("table"),
+          Bridge.column(HyperplaneSig(Bridge.expression(col(vecCol)), bits, seed + t)).as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    sig.as("l").join(sig.as("r"),
+        col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(cosine(col("l.v"), col("r.v")), 4).as("cos"))
+      .dropDuplicates(Seq("id_a", "id_b"))
+      .filter(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.plans.{CosineSim, HyperplaneSig}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - bruteTopK: exact baseline — broadcast the (small) query set, one
+  *   codegen'd cosine per (query, row), per-query top-k via window.
+  *   Linear scan of the corpus, zero corpus shuffle: at 100 TB this is
+  *   the map-side-only plan you want for a handful of queries.
+  * - lshTopK: scale path — L independent hyperplane tables; a corpus
+  *   row is scored only if it shares a bucket with the query in some
+  *   table, cutting scored candidates to ~corpus/2^bits x L.
+  */
+object Similarity {
+
+  private def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  private def sig(c: Column, bits: Int, seed: Long): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(c), bits, seed))
+
+  /** (query_id, neighbor_id, cos, rnk<=k), exact. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** LSH-bucketed ANN: same shape as bruteTopK, approximate. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int = 5,
+      tables: Int = 8, bits: Int = 6): DataFrame = {
+    val withSigs = (df: DataFrame, id: String, vec: String) =>
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("table"), sig(col(vecCol), bits, 1000L + t).as("bucket"))): _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val c = withSigs(corpus, "neighbor_id", "cv")
+    val q = withSigs(queries, "query_id", "qv")
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates(Seq("query_id", "neighbor_id"))
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

@@ -238,6 +238,9 @@ case class AvroDecode(child: Expression, schemaJson: String)
 object SchemaRegistry {
   private val byTopic = TrieMap.empty[String, String]
 
+  // force MessageLog's built-in topic registrations before any lookup
+  private lazy val bootstrap: Unit = { MessageLog.eventSchemaJson; () }
+
   def register(topic: String, schemaJson: String): Unit = byTopic.put(topic, schemaJson)
 
   /** `kafka.avro.schema.file` equivalent: load an .avsc from disk. */
@@ -245,9 +248,11 @@ object SchemaRegistry {
     register(topic, new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(avscPath)), java.nio.charset.StandardCharsets.UTF_8))
 
-  def schemaFor(topic: String): String =
+  def schemaFor(topic: String): String = {
+    bootstrap
     byTopic.getOrElse(topic, throw new NoSuchElementException(
       s"graft: no schema registered for topic '$topic'"))
+  }
 }
 
 /** Column-level API. */

@@ -1,0 +1,10 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM, forked by sbt). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("8")
+  val sf: String = "/root/testdata/sf0.001"
+}

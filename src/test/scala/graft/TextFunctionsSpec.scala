@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import graft.plans.{RollingFingerprint, SimHash64, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c).head.get(0)
+  }
+
+  test("langId picks marker-dominant language, und on no hits") {
+    assert(one("the cat and the dog is here", TF.langId(col("text"))) === "en")
+    assert(one("der hund und die katze und der vogel", TF.langId(col("text"))) === "de")
+    assert(one("le chat et la maison", TF.langId(col("text"))) === "fr")
+    assert(one("el perro y los gatos", TF.langId(col("text"))) === "es")
+    assert(one("xyzzy plugh", TF.langId(col("text"))) === "und")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    assert(one("a b  c", TF.tokenCountWs(col("text"))) === 3L)
+    // "don't stop1" -> don | ' | t | stop | 1
+    assert(one("don't stop1", TF.tokenCountBpe(col("text"))) === 5L)
+  }
+
+  test("shingles: distinct word trigrams") {
+    val got = one("a b c d a b c d", TF.wordShingles(col("text"), 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(got.toSet === Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("quality metrics bounded and deterministic") {
+    val q = one("the quick brown fox jumps over the lazy dog", TF.qualityScore(col("text")))
+      .asInstanceOf[Double]
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("simhash: identical texts equal, disjoint texts differ") {
+    val a = one("alpha beta gamma delta", Bridge.column(SimHash64(Bridge.expression(TF.tokens(col("text"))))))
+    val b = one("alpha beta gamma delta", Bridge.column(SimHash64(Bridge.expression(TF.tokens(col("text"))))))
+    val c = one("one two three four", Bridge.column(SimHash64(Bridge.expression(TF.tokens(col("text"))))))
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("rolling fingerprint: equality on dup, stability on kernel") {
+    assert(TextOps.rollingFingerprint(UTF8String.fromString("hello world, hello"), 8) ===
+      TextOps.rollingFingerprint(UTF8String.fromString("hello world, hello"), 8))
+    val x = one("some document text here", Bridge.column(
+      RollingFingerprint(Bridge.expression(col("text")), 16)))
+    assert(x.isInstanceOf[Long])
+  }
+}
