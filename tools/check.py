@@ -37,7 +37,7 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
