@@ -1,47 +1,45 @@
 package graft.functions
 
+import graft.plans.{HashedCharNgrams, HashedWordShingles, JaccardLong, MinHashBandKeys}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
-/** MinHash signatures via codegen'd higher-order functions: no UDFs,
-  * no row explosion — one `transform`/`array_min` pass per document.
+/** MinHash-LSH column API, backed by codegen'd kernel expressions
+  * (graft.plans.TextOps). Higher-order functions (`transform` /
+  * `array_min`) are NOT whole-stage-codegen'd in Spark — a nested
+  * interpreted transform made the original formulation ~100x slower —
+  * so all per-document loops live in primitive kernels instead.
   *
-  * sig_i(doc) = min over shingles s of ((a_i * x64(s) + b_i) mod p),
-  * the classic universal-hash family over a 61-bit Mersenne prime.
+  * sig_j(doc) = min over shingle-hashes h of ((a_j * h' + b_j) mod p),
+  * the classic universal-hash family over the 61-bit Mersenne prime;
+  * band key b = 64-bit fold of sig[b*rows .. b*rows+rows) with b mixed
+  * in, so different bands never share keys.
   */
 object MinHash {
 
   val prime: Long = (1L << 61) - 1
 
-  /** Base-hash domain: 31 bits, so a_i * h stays under 2^62 and never
-    * overflows a long under ANSI arithmetic. */
-  val hashDomain: Long = 1L << 31
+  /** Distinct hashed word k-shingles (array<long>) — MinHash input. */
+  def hashedWordShingles(text: Column, k: Int): Column =
+    Bridge.column(HashedWordShingles(Bridge.expression(text), k))
 
-  /** Deterministic (a_i, b_i) coefficient pairs, seed-fixed, < 2^31. */
-  def coefficients(numHashes: Int, seed: Long = 42L): (Seq[Long], Seq[Long]) = {
-    val rnd = new java.util.Random(seed)
-    def next(): Long = { val v = rnd.nextLong() % (hashDomain - 1); math.abs(v) + 1 }
-    (Seq.fill(numHashes)(next()), Seq.fill(numHashes)(next()))
-  }
+  /** Distinct hashed character n-grams (array<long>). */
+  def hashedCharNgrams(text: Column, n: Int): Column =
+    Bridge.column(HashedCharNgrams(Bridge.expression(text), n))
 
-  /** array<long> signature of length `numHashes` for a shingle array. */
-  def signature(shingles: Column, numHashes: Int = 64): Column = {
-    val (as, bs) = coefficients(numHashes)
-    val aCol = typedLit(as)
-    val bCol = typedLit(bs)
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shingles, s =>
-        pmod(element_at(aCol, i + lit(1)) * pmod(xxhash64(s), lit(hashDomain)) +
-          element_at(bCol, i + lit(1)), lit(prime)))))
-  }
+  /** LSH band keys (array<long> of length `bands`): docs sharing any
+    * key are candidate pairs. S-curve midpoint ~ (1/bands)^(1/rows). */
+  def bandKeys(hashedShingles: Column, bands: Int, rows: Int,
+      seed: Long = 42L): Column =
+    Bridge.column(MinHashBandKeys(Bridge.expression(hashedShingles), bands, rows, seed))
 
-  /** LSH band keys: `bands` hashes, each over `rows`-long signature
-    * slices. Docs sharing any (band, key) are candidate pairs. */
-  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"), xxhash64(b, array_join(slice(sig, b * lit(rows) + lit(1), lit(rows)), ",")).as("bkey")))
+  /** Exact set Jaccard of two hashed-shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    Bridge.column(JaccardLong(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Estimated Jaccard from two signatures: fraction of equal minima. */
+  /** Estimated Jaccard from two equal-length signatures: fraction of
+    * equal minima. */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
     (size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / numHashes)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.{MinHash, TextFunctions => TF}
-import graft.plans.{CosineSim, HyperplaneSig, SimHash64}
+import graft.functions.{TextFunctions => TF}
+import graft.plans.{CosineSim, HashedCharNgrams, HashedWordShingles, HyperplaneSig, JaccardLong, MinHashBandKeys, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,32 +39,42 @@ object Dedup {
       (row_number().over(w) > 1).as("is_dup"))
   }
 
-  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
-    * Returns (id_a, id_b, jaccard) for pairs >= `threshold`. */
-  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
-      TF.wordShingles(col(textCol), shingleK).as("sh"))
-    val banded = sh
-      .select(col("id"), explode(MinHash.bandKeys(
-        MinHash.signature(col("sh"), numHashes), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  /** LSH blocking + exact-Jaccard verification shared by the minhash
+    * and ngram dedup paths. `sh` must be (id, sh: array<long>) — the
+    * hashed shingle/gram set. All heavy per-document work is a single
+    * codegen'd kernel call; band keys already encode the band index,
+    * so the candidate join is a one-key equi-join. */
+  private def lshJaccardPairs(sh: DataFrame, bands: Int, rows: Int,
+      threshold: Double, seed: Long): DataFrame = {
+    val banded = sh.select(col("id"),
+      explode(Bridge.column(MinHashBandKeys(
+        Bridge.expression(col("sh")), bands, rows, seed))).as("bkey"))
     val cand = banded.as("l")
       .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.id") < col("r.id"))
+        col("l.bkey") === col("r.bkey") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b")))), 4).as("jaccard"))
+        round(Bridge.column(JaccardLong(
+          Bridge.expression(col("sh_a")), Bridge.expression(col("sh_b")))), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) for word-shingle Jaccard >=
+    * `threshold`. 16 bands x 4 rows -> S-curve midpoint
+    * (1/16)^(1/4) = 0.5 = the default threshold. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      Bridge.column(HashedWordShingles(
+        Bridge.expression(col(textCol)), shingleK)).as("sh"))
+    lshJaccardPairs(sh, bands, numHashes / bands, threshold, seed)
   }
 
   /** SimHash near-dup pairs: (id_a, id_b, hamming) with Hamming
@@ -89,21 +99,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact character-n-gram Jaccard pairs, blocked by the single
-    * cheapest MinHash (docs sharing the global-min n-gram hash). */
+  /** Exact character-n-gram Jaccard pairs, MinHash-LSH blocked.
+    * Character n-grams over a shared vocabulary give unrelated docs a
+    * high background Jaccard (~0.3 on the synthetic corpus), so the
+    * blocking needs a steep S-curve: 12 bands x 6 rows puts the
+    * midpoint at (1/12)^(1/6) = 0.66 — near-zero candidates from the
+    * 0.3 background, >0.997 recall for true near-dups (J >= 0.9).
+    * A single-min-gram block (the naive choice) degenerates here: the
+    * globally-cheapest common gram forms one mega-block whose pair
+    * count grows quadratically with corpus size. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 4, threshold: Double = 0.7): DataFrame = {
+      n: Int = 4, threshold: Double = 0.7, bands: Int = 12, rows: Int = 6,
+      seed: Long = 77L): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
-      TF.charNgrams(col(textCol), n).as("g"))
-    val blocked = grams.withColumn("blk",
-      array_min(transform(col("g"), g => pmod(xxhash64(g), lit(MinHash.prime)))))
-    blocked.as("l")
-      .join(blocked.as("r"), col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(size(array_intersect(col("l.g"), col("r.g"))).cast("double") /
-          (size(col("l.g")) + size(col("r.g")) -
-            size(array_intersect(col("l.g"), col("r.g")))), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      Bridge.column(HashedCharNgrams(
+        Bridge.expression(col(textCol)), n)).as("sh"))
+    lshJaccardPairs(grams, bands, rows, threshold, seed)
   }
 
   /** Embedding near-dup pairs: multi-table hyperplane-LSH candidate

@@ -44,6 +44,163 @@ object TextOps {
     sig
   }
 
+  /** SplitMix64 finalizer: decorrelates raw shingle hashes before the
+    * universal-hash minhash family is applied on top. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def fnv1aString(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i).toInt
+      h ^= (c & 0xffL); h *= 0x100000001b3L
+      h ^= ((c >>> 8) & 0xffL); h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** In-place sort + dedup -> sorted distinct prefix copied out. */
+  private def sortedDistinct(buf: Array[Long], n: Int): ArrayData = {
+    java.util.Arrays.sort(buf, 0, n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(buf, w))
+  }
+
+  /** Distinct hashed word `k`-shingles of lower(trim(text)), split on
+    * whitespace — set-equivalent to hashing TextFunctions.wordShingles
+    * (same tokens, same "w1 w2 w3" byte content) but one primitive pass.
+    * Fewer than `k` tokens -> the whole token string as one shingle. */
+  def hashedWordShingles(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString.trim.toLowerCase
+    val toks = s.split("\\s+")
+    if (toks.length < k)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(fnv1aString(toks.mkString(" "), 0, toks.mkString(" ").length)))
+    val n = toks.length - k + 1
+    val buf = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // fnv over "tok_i tok_{i+1} ... tok_{i+k-1}" without building it
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        if (j > 0) { h ^= (' '.toInt & 0xffL); h *= 0x100000001b3L; h *= 0x100000001b3L }
+        val t = toks(i + j)
+        var c = 0
+        while (c < t.length) {
+          val ch = t.charAt(c).toInt
+          h ^= (ch & 0xffL); h *= 0x100000001b3L
+          h ^= ((ch >>> 8) & 0xffL); h *= 0x100000001b3L
+          c += 1
+        }
+        j += 1
+      }
+      buf(i) = h
+      i += 1
+    }
+    sortedDistinct(buf, n)
+  }
+
+  /** Distinct hashed character `n`-grams of the raw string. Shorter
+    * than `n` chars -> the whole string as one gram. */
+  def hashedCharNgrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(fnv1aString(s, 0, s.length)))
+    val m = s.length - n + 1
+    val buf = new Array[Long](m)
+    var i = 0
+    while (i < m) { buf(i) = fnv1aString(s, i, i + n); i += 1 }
+    sortedDistinct(buf, m)
+  }
+
+  /** Deterministic universal-hash coefficients (a_j, b_j) < 2^31. */
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  private def coefFor(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent((numHashes, seed), { _ =>
+      val rnd = new java.util.Random(seed)
+      def next(): Long = math.abs(rnd.nextLong() % ((1L << 31) - 1)) + 1
+      (Array.fill(numHashes)(next()), Array.fill(numHashes)(next()))
+    })
+
+  private val MersennePrime: Long = (1L << 61) - 1
+
+  /** MinHash-LSH band keys from a hashed-shingle set: `bands * rows`
+    * signature minima (sig_j = min over shingles of (a_j*h'+b_j) mod
+    * (2^61-1), h' = 31-bit mixed shingle hash), folded per `rows`-slice
+    * into one 64-bit key with the band index mixed in — so keys from
+    * different bands never equi-join. One primitive pass per document:
+    * O(shingles x numHashes) multiplies, no allocation beyond the
+    * output array. */
+  def minhashBandKeys(hashes: ArrayData, bands: Int, rows: Int, seed: Long): ArrayData = {
+    val numHashes = bands * rows
+    val (as, bs) = coefFor(numHashes, seed)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val base = mix64(hashes.getLong(i)) & 0x7fffffffL
+      var j = 0
+      while (j < numHashes) {
+        val v = (as(j) * base + bs(j)) % MersennePrime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var r = 0
+      while (r < rows) { h = (h ^ sig(b * rows + r)) * 0x100000001b3L; r += 1 }
+      keys(b) = mix64(h)
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(keys)
+  }
+
+  /** Exact Jaccard of two long-array sets (sorts local copies, then a
+    * single merge — no hash set, no per-element boxing). */
+  def jaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toLongArray(); val y = b.toLongArray()
+    java.util.Arrays.sort(x); java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var inter = 0; var union = 0
+    while (i < x.length && j < y.length) {
+      // count each distinct value once even if an input had duplicates
+      val c = java.lang.Long.compare(x(i), y(j))
+      if (c == 0) {
+        val v = x(i); inter += 1; union += 1
+        while (i < x.length && x(i) == v) i += 1
+        while (j < y.length && y(j) == v) j += 1
+      } else if (c < 0) {
+        val v = x(i); union += 1
+        while (i < x.length && x(i) == v) i += 1
+      } else {
+        val v = y(j); union += 1
+        while (j < y.length && y(j) == v) j += 1
+      }
+    }
+    while (i < x.length) { val v = x(i); union += 1; while (i < x.length && x(i) == v) i += 1 }
+    while (j < y.length) { val v = y(j); union += 1; while (j < y.length && y(j) == v) j += 1 }
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** Winnowing-style document fingerprint: minimum Karp-Rabin rolling
     * hash over all `k`-byte windows (equal documents -> equal
     * fingerprint; appended/prefixed variants usually keep it).
@@ -80,6 +237,57 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.simhash64($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** hashed_word_shingles(string, k) -> array<long> (sorted distinct). */
+case class HashedWordShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hashed_word_shingles"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.hashedWordShingles(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.hashedWordShingles($c, $k)")
+  override protected def withNewChildInternal(c: Expression): HashedWordShingles = copy(child = c)
+}
+
+/** hashed_char_ngrams(string, n) -> array<long> (sorted distinct). */
+case class HashedCharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hashed_char_ngrams"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.hashedCharNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.hashedCharNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): HashedCharNgrams = copy(child = c)
+}
+
+/** minhash_band_keys(array<long>, bands, rows, seed) -> array<long>. */
+case class MinHashBandKeys(child: Expression, bands: Int, rows: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_band_keys"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.minhashBandKeys(v.asInstanceOf[ArrayData], bands, rows, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.minhashBandKeys($c, $bands, $rows, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashBandKeys = copy(child = c)
+}
+
+/** jaccard(array<long>, array<long>) -> double, exact set Jaccard. */
+case class JaccardLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.jaccardLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.TextOps.jaccardLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardLong =
+    copy(left = l, right = r)
 }
 
 /** rolling_fingerprint(string) -> long (window of `k` bytes). */

@@ -47,6 +47,42 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a !== c)
   }
 
+  test("hashed shingle kernels agree with the string-set formulation") {
+    import graft.functions.MinHash
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox leaps over the lazy dog again and again"
+    // exact string-set word-trigram jaccard, computed in plain Scala
+    def shingles(s: String): Set[String] =
+      s.trim.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val expected = shingles(a).intersect(shingles(b)).size.toDouble /
+      shingles(a).union(shingles(b)).size
+    import spark.implicits._
+    val got = Seq((a, b)).toDF("ta", "tb")
+      .select(MinHash.jaccard(
+        MinHash.hashedWordShingles(col("ta"), 3),
+        MinHash.hashedWordShingles(col("tb"), 3)))
+      .head.getDouble(0)
+    assert(got === expected)
+    // char-ngram kernel: identical -> 1.0, short-text fallback works
+    val same = Seq(("abcdef", "abcdef")).toDF("ta", "tb")
+      .select(MinHash.jaccard(
+        MinHash.hashedCharNgrams(col("ta"), 4),
+        MinHash.hashedCharNgrams(col("tb"), 4))).head.getDouble(0)
+    assert(same === 1.0)
+    val short = Seq(("ab", "ab")).toDF("ta", "tb")
+      .select(MinHash.jaccard(
+        MinHash.hashedCharNgrams(col("ta"), 4),
+        MinHash.hashedCharNgrams(col("tb"), 4))).head.getDouble(0)
+    assert(short === 1.0)
+    // band keys: deterministic, length = bands, equal sets -> equal keys
+    val keys = Seq((a, a)).toDF("ta", "tb")
+      .select(MinHash.bandKeys(MinHash.hashedWordShingles(col("ta"), 3), 16, 4),
+        MinHash.bandKeys(MinHash.hashedWordShingles(col("tb"), 3), 16, 4))
+      .head
+    assert(keys.getSeq[Long](0).length === 16)
+    assert(keys.getSeq[Long](0) === keys.getSeq[Long](1))
+  }
+
   test("rolling fingerprint: equality on dup, stability on kernel") {
     assert(TextOps.rollingFingerprint(UTF8String.fromString("hello world, hello"), 8) ===
       TextOps.rollingFingerprint(UTF8String.fromString("hello world, hello"), 8))
