@@ -127,37 +127,40 @@ object TextOps {
     sortedDistinct(buf, m)
   }
 
-  /** Deterministic universal-hash coefficients (a_j, b_j) < 2^31. */
-  private val coefCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
-  private def coefFor(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
-    coefCache.computeIfAbsent((numHashes, seed), { _ =>
-      val rnd = new java.util.Random(seed)
-      def next(): Long = math.abs(rnd.nextLong() % ((1L << 31) - 1)) + 1
-      (Array.fill(numHashes)(next()), Array.fill(numHashes)(next()))
+  /** Per-function xor keys, derived from the seed. */
+  private val fnKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+  private def fnKeysFor(numHashes: Int, seed: Long): Array[Long] =
+    fnKeyCache.computeIfAbsent((numHashes, seed), { _ =>
+      Array.tabulate(numHashes)(j => mix64(seed * 0x9e3779b97f4a7c15L + j))
     })
 
-  private val MersennePrime: Long = (1L << 61) - 1
-
   /** MinHash-LSH band keys from a hashed-shingle set: `bands * rows`
-    * signature minima (sig_j = min over shingles of (a_j*h'+b_j) mod
-    * (2^61-1), h' = 31-bit mixed shingle hash), folded per `rows`-slice
-    * into one 64-bit key with the band index mixed in — so keys from
-    * different bands never equi-join. One primitive pass per document:
-    * O(shingles x numHashes) multiplies, no allocation beyond the
-    * output array. */
+    * signature minima (sig_j = min over shingles of mix64(h ^ key_j)),
+    * folded per `rows`-slice into one 64-bit key with the band index
+    * mixed in — so keys from different bands never equi-join.
+    *
+    * Each hash function is an independent full-width bijection of the
+    * shingle hash. A universal family ((a*h'+b) mod p) over a domain
+    * much narrower than p is NOT usable here: products wrap mod p at
+    * most once, so the minimum is often the gram with the globally
+    * smallest h' — the SAME gram for every j — and signatures collapse
+    * (measured: 9 of 12 bands sharing one 2538-doc bucket).
+    *
+    * One primitive pass per document: O(shingles x numHashes) mixes,
+    * no allocation beyond the output array. */
   def minhashBandKeys(hashes: ArrayData, bands: Int, rows: Int, seed: Long): ArrayData = {
     val numHashes = bands * rows
-    val (as, bs) = coefFor(numHashes, seed)
+    val keysJ = fnKeysFor(numHashes, seed)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val base = mix64(hashes.getLong(i)) & 0x7fffffffL
+      val h = hashes.getLong(i)
       var j = 0
       while (j < numHashes) {
-        val v = (as(j) * base + bs(j)) % MersennePrime
+        val v = mix64(h ^ keysJ(j))
         if (v < sig(j)) sig(j) = v
         j += 1
       }

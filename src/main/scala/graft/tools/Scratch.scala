@@ -17,19 +17,16 @@ object Scratch {
       println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    val sh = docs.select(col("doc_id").as("id"),
-      MinHash.hashedWordShingles(col("text"), 3).as("sh"))
-    time("hashed shingles")(sh.count())
-    val banded = sh.select(col("id"),
-      explode(MinHash.bandKeys(col("sh"), 16, 4)).as("bkey"))
-    time("banded")(banded.count())
+    val grams = docs.select(col("doc_id").as("id"),
+      MinHash.hashedCharNgrams(col("text"), 4).as("sh"))
+    val banded = grams.select(col("id"),
+      explode(MinHash.bandKeys(col("sh"), 12, 6, 77L)).as("bkey"))
     val cand = banded.as("l").join(banded.as("r"),
         col("l.bkey") === col("r.bkey") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
-    time("candidates")(cand.count())
-    time("minhashPairs full")(Dedup.minhashPairs(docs, "text", "doc_id").count())
-    time("ngramJaccardPairs full")(Dedup.ngramJaccardPairs(docs, "text", "doc_id").count())
-    time("simhashPairs full")(Dedup.simhashPairs(docs, "text", "doc_id").count())
+    time("ngram candidates")(cand.count())
+    time("ngram full")(Dedup.ngramJaccardPairs(docs, "text", "doc_id").count())
+    time("minhash full")(Dedup.minhashPairs(docs, "text", "doc_id").count())
     spark.stop()
   }
 }
