@@ -117,6 +117,49 @@ object Dedup {
     lshJaccardPairs(grams, bands, rows, threshold, seed)
   }
 
+  /** Connected components over a near-dup pair list: every id that
+    * appears in `pairs` gets the minimum id reachable from it as its
+    * `cluster_id`; `is_canonical` marks the cluster representative
+    * (the keeper in a keep-one-per-cluster dedup).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; rounds are
+    * distributed joins (no driver-side data), converging in
+    * graph-diameter rounds — near-dup clusters are small and dense, so
+    * this is 2-4 rounds in practice. `localCheckpoint` cuts lineage so
+    * plans stay flat across iterations. Singleton documents (no pair)
+    * are not emitted — union them in as their own cluster if needed.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_canonical"))
+  }
+
   /** Embedding near-dup pairs: multi-table hyperplane-LSH candidate
     * buckets, then cosine verification. Returns (id_a, id_b, cos)
     * with cosine >= `minCos`. Recall rises with `tables` (union of

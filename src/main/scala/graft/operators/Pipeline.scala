@@ -141,6 +141,15 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b")),
     oracle = None)
 
+  /** Near-dup clusters: connected components over the MinHash pair
+    * list; one canonical keeper per cluster. */
+  val dDedupClusters: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Dedup.clusters(
+        Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id"))
+        .orderBy(col("id")),
+    oracle = None)
+
   val dDedupEmbed: QueryDef = QueryDef(
     fn = (s, dir) =>
       Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"), "embedding", "vec_id")
@@ -181,6 +190,7 @@ object Pipeline {
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,
     "d_dedup_ngram" -> dDedupNgram,
+    "d_dedup_clusters" -> dDedupClusters,
     "d_dedup_embed" -> dDedupEmbed,
     "d_ann_brute" -> dAnnBrute,
     "d_ann_lsh" -> dAnnLsh,

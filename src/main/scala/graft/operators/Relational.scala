@@ -357,7 +357,100 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** As-of join (custom operator — Spark has no native one): each
+    * event picks up the most recent order of the same customer at or
+    * before the event time, via the one-shuffle union/carry-forward
+    * plan in [[AsOfJoin]]. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val qAsofJoin: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000").as("ts_ms"))
+      // unique (custkey, orderdate): keep the max orderkey and its price
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+        .select(col("o_custkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
+          col("o_orderkey"), col("o_totalprice"))
+      AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts_ms", "ord_ms",
+          Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("asof_o_orderkey"),
+          round(col("asof_o_totalprice"), 4).as("asof_o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      WITH o AS (
+        SELECT o_custkey, epoch_ms(o_orderdate) AS ord_ms,
+               max(o_orderkey) AS o_orderkey,
+               max_by(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY 1, 2
+      )
+      SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+             o.o_orderkey AS asof_o_orderkey,
+             round(o.o_totalprice, 4) AS asof_o_totalprice
+      FROM events e
+      ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND epoch_ms(e.ts) >= o.ord_ms
+      ORDER BY e.event_id"""))
+
+  /** Pivot: order volume per priority x order-year matrix. */
+  val qPivot: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy(col("o_orderpriority"))
+        .pivot("yr", (1992 to 1998).map(Integer.valueOf))
+        .agg(round(sum(col("o_totalprice")), 4))
+        .orderBy(col("o_orderpriority")),
+    oracle = Some {
+      val cells = (1992 to 1998).map(y =>
+        s"""round(sum(CASE WHEN year(o_orderdate) = $y THEN o_totalprice END), 4) AS "$y"""")
+        .mkString(",\n             ")
+      s"""
+      SELECT o_orderpriority,
+             $cells
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+    })
+
+  /** Window-function battery: lag/lead/ntile/dense_rank/cume_dist plus
+    * a partition-aggregate delta, per customer order history. */
+  val qWindowFuncs: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = Window.partitionBy(col("o_custkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          dense_rank().over(w).as("seq"),
+          round(cume_dist().over(w), 4).as("cd"),
+          // max, not avg: float summation order differs across engines,
+          // so an avg-based delta flips round-4 boundaries vs the oracle
+          round(col("o_totalprice") - max(col("o_totalprice")).over(wAll), 4).as("delta_max"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey, o_custkey,
+             lag(o_totalprice, 1) OVER w AS prev_price,
+             lead(o_totalprice, 1) OVER w AS next_price,
+             ntile(4) OVER w AS quartile,
+             dense_rank() OVER w AS seq,
+             round(cume_dist() OVER w, 4) AS cd,
+             round(o_totalprice - max(o_totalprice) OVER (PARTITION BY o_custkey), 4) AS delta_max
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_orderkey"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_asof_join" -> qAsofJoin,
+    "q_pivot" -> qPivot,
+    "q_window_funcs" -> qWindowFuncs,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,
     "q5_local" -> q5Local,

@@ -43,6 +43,33 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(2) >= 0.7))
   }
 
+  test("clusters: transitive closure with minimum-id canonical") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a chain, {10,11}, pair order mixed
+    val pairs = Seq((2L, 3L, 0.9), (1L, 2L, 0.9), (3L, 4L, 0.9), (11L, 10L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = operators.Dedup.clusters(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("asOf join carries the latest at-or-before row per key") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 10L), (4L, 100L, 5L))
+      .toDF("lid", "k", "t")
+    val right = Seq((100L, 10L, "a"), (100L, 20L, "b"), (300L, 5L, "z"))
+      .toDF("k", "t", "v")
+    val got = operators.AsOfJoin.asOf(left, right, "k", "k", "t", "t", Seq("v"))
+      .select("lid", "asof_v").orderBy("lid").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    // lid=1: t=10 matches right t=10 (inclusive); lid=2: t=25 -> "b";
+    // lid=3: other key, no rows; lid=4: t=5 before all -> null
+    assert(got.toSeq === Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, None)))
+  }
+
   test("embedding LSH pairs are cosine-verified above threshold") {
     val emb = Tables.load(spark, sf, "embeddings")
     val got = Dedup.embeddingPairs(emb, "embedding", "vec_id").collect()
