@@ -197,6 +197,37 @@ object KafkaSurface {
       GROUP BY topic, partition
       ORDER BY topic, partition"""))
 
+  /** Resume-from-committed-offsets (KafkaInputFormat.java resume model
+    * + kafka.move.to.last.offset.list): a committed checkpoint per
+    * partition (here: half of each partition's last offset), then a
+    * scan of strictly-newer messages only. The checkpoint map is tiny
+    * -> broadcast; the backlog scan prunes on the offset predicate. */
+  val kResume: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val log = MessageLog.eventsTopic(s, dir)
+      val committed = log.groupBy(col("partition"))
+        .agg((max(col("offset")) / 2).cast("long").as("committed"))
+      log.join(broadcast(committed), "partition")
+        .filter(col("offset") > col("committed"))
+        .groupBy(col("partition"))
+        .agg(min(col("offset")).as("resume_from"),
+          max(col("offset")).as("last_offset"),
+          count(lit(1)).as("backlog"))
+        .orderBy(col("partition"))
+    },
+    oracle = Some("""
+      WITH log AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+                          row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS "offset"
+                   FROM events),
+           ck AS (SELECT partition, CAST(floor(max("offset") / 2) AS BIGINT) AS committed
+                  FROM log GROUP BY partition)
+      SELECT log.partition, min("offset") AS resume_from,
+             max("offset") AS last_offset, count(*) AS backlog
+      FROM log JOIN ck ON log.partition = ck.partition
+      WHERE "offset" > committed
+      GROUP BY log.partition
+      ORDER BY log.partition"""))
+
   /** Write path (KafkaOutputFormat.java, demoproducer/BaseProducer.java):
     * produce the documents topic to a broker-style segment layout, read
     * it back, decode, and summarize. Rows-only check (Avro byte sizes
@@ -226,5 +257,6 @@ object KafkaSurface {
     "k_join_dim" -> kJoinDim,
     "k_groupby" -> kGroupby,
     "k_key_metadata" -> kKeyMetadata,
+    "k_resume" -> kResume,
     "k_sink_log" -> kSinkLog)
 }
