@@ -210,15 +210,26 @@ case class AvroEncode(child: Expression, recordName: String)
   override protected def withNewChildInternal(c: Expression): AvroEncode = copy(child = c)
 }
 
-/** binary Avro -> struct (consumer/deserialize path). */
-case class AvroDecode(child: Expression, schemaJson: String)
+/** binary Avro -> struct (consumer/deserialize path).
+  *
+  * `writerSchemaJson` (when set) enables Avro schema resolution: bytes
+  * written under the old writer schema decode under the new reader
+  * `schemaJson` — added fields take their defaults, removed fields are
+  * skipped, field order is matched by name. This is the evolution
+  * contract a versioned schema registry provides.
+  */
+case class AvroDecode(child: Expression, schemaJson: String,
+    writerSchemaJson: Option[String] = None)
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val typeAndConv = AvroCodec.avroToCatalyst(schema)
   override def dataType: DataType = typeAndConv._1
   override def prettyName: String = "graft_from_avro"
 
-  @transient private lazy val reader = new GenericDatumReader[Any](schema)
+  @transient private lazy val reader = writerSchemaJson match {
+    case Some(w) => new GenericDatumReader[Any](new Schema.Parser().parse(w), schema)
+    case None => new GenericDatumReader[Any](schema)
+  }
   @transient private var decoder: BinaryDecoder = _
   @transient private var reuse: Any = _
 
@@ -236,22 +247,38 @@ case class AvroDecode(child: Expression, schemaJson: String)
   * kafka.avro.schema.file in KafkaBackedTableProperties.java:37).
   */
 object SchemaRegistry {
-  private val byTopic = TrieMap.empty[String, String]
+  private val byTopic = TrieMap.empty[String, scala.collection.immutable.TreeMap[Int, String]]
 
   // force MessageLog's built-in topic registrations before any lookup
   private lazy val bootstrap: Unit = { MessageLog.eventSchemaJson; () }
 
-  def register(topic: String, schemaJson: String): Unit = byTopic.put(topic, schemaJson)
+  /** Register the next version of a topic's schema; returns the id. */
+  def register(topic: String, schemaJson: String): Int = synchronized {
+    val versions = byTopic.getOrElse(topic, scala.collection.immutable.TreeMap.empty[Int, String])
+    val id = versions.lastOption.map(_._1 + 1).getOrElse(1)
+    byTopic.put(topic, versions + (id -> schemaJson))
+    id
+  }
+
+  /** getSchemaByID equivalent. */
+  def schemaFor(topic: String, version: Int): String = {
+    bootstrap
+    byTopic.get(topic).flatMap(_.get(version)).getOrElse(
+      throw new NoSuchElementException(
+        s"graft: no schema v$version registered for topic '$topic'"))
+  }
 
   /** `kafka.avro.schema.file` equivalent: load an .avsc from disk. */
   def registerFile(topic: String, avscPath: String): Unit =
     register(topic, new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(avscPath)), java.nio.charset.StandardCharsets.UTF_8))
 
+  /** getLatestSchemaByTopic equivalent. */
   def schemaFor(topic: String): String = {
     bootstrap
-    byTopic.getOrElse(topic, throw new NoSuchElementException(
-      s"graft: no schema registered for topic '$topic'"))
+    byTopic.get(topic).flatMap(_.lastOption).map(_._2).getOrElse(
+      throw new NoSuchElementException(
+        s"graft: no schema registered for topic '$topic'"))
   }
 }
 
@@ -263,7 +290,18 @@ object avro {
   def from_avro(c: Column, schemaJson: String): Column =
     Bridge.column(AvroDecode(Bridge.expression(c), schemaJson))
 
-  /** Decode using the schema registered for `topic`. */
+  /** Schema-resolving decode: bytes written under `writerSchemaJson`
+    * read under `readerSchemaJson` (evolution path). */
+  def from_avro(c: Column, readerSchemaJson: String, writerSchemaJson: String): Column =
+    Bridge.column(AvroDecode(Bridge.expression(c), readerSchemaJson, Some(writerSchemaJson)))
+
+  /** Decode using the latest schema registered for `topic`. */
   def from_topic(c: Column, topic: String): Column =
     from_avro(c, SchemaRegistry.schemaFor(topic))
+
+  /** Decode messages written under schema `writerVersion` of `topic`
+    * with the topic's latest schema. */
+  def from_topic(c: Column, topic: String, writerVersion: Int): Column =
+    from_avro(c, SchemaRegistry.schemaFor(topic),
+      SchemaRegistry.schemaFor(topic, writerVersion))
 }

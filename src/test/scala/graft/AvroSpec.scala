@@ -32,6 +32,36 @@ class AvroSpec extends SparkSpec {
     assert(back.collect().toSet === df.collect().toSet)
   }
 
+  test("schema evolution: v1 bytes decode under v2 reader with defaults") {
+    import spark.implicits._
+    val v1Type = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    // v2 reorders, drops `name`, adds a nullable (null-default) field
+    val v2Type = StructType(Seq(
+      StructField("rating", DoubleType),
+      StructField("id", LongType, nullable = false)))
+    val v1Json = AvroCodec.avroSchemaFor(v1Type, "Evo").toString
+    val v2Json = AvroCodec.avroSchemaFor(v2Type, "Evo").toString
+
+    val topic = "evo_topic_" + System.nanoTime()
+    val v1 = SchemaRegistry.register(topic, v1Json)
+    SchemaRegistry.register(topic, v2Json)
+    assert(v1 === 1)
+    assert(SchemaRegistry.schemaFor(topic) === v2Json)
+    assert(SchemaRegistry.schemaFor(topic, 1) === v1Json)
+
+    val got = Seq((5L, "five"), (6L, "six")).toDF("id", "name")
+      .select(avro.to_avro(
+        struct(col("id"), col("name")).cast(v1Type), "Evo").as("v"))
+      .select(avro.from_topic(col("v"), topic, writerVersion = 1).as("r"))
+      .select("r.*")
+      .orderBy("id")
+      .collect()
+      .map(r => (Option(r.get(0)), r.getLong(1)))
+    assert(got.toSeq === Seq((None, 5L), (None, 6L)))
+  }
+
   test("registry: file + memory registration resolve, unknown topic throws") {
     val p = java.nio.file.Files.createTempFile("graft", ".avsc")
     val json = AvroCodec.avroSchemaFor(

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Relational, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale properties SURVEY.md §4 claims
+  * (pushdown, pruning, broadcast, no corpus shuffle) are checked here,
+  * not just eyeballed. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q1: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan(Relational.q1Agg.fn(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // pruned: no l_comment / l_shipmode etc in the read schema
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"))
+  }
+
+  test("q3/q5: dimension joins broadcast; no shuffle of dims") {
+    val p3 = plan(Relational.q3Shipping.fn(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"))
+    val p5 = plan(Relational.q5Local.fn(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"))
+    assert(p5.contains("BroadcastExchange"))
+  }
+
+  test("brute-force ANN: query set broadcast, corpus never exchanged") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = plan(Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    // partial top-k runs map-side before any shuffle (WindowGroupLimit
+    // below the Exchange), and the only non-broadcast exchanges are the
+    // per-query window shuffle + the presentation sort — count them in
+    // the tree section only (details repeat each node once more)
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    val exchanges = tree.count(l =>
+      l.contains("- Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 2, s"corpus should not shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"), "expected map-side partial top-k")
+  }
+
+  test("scalar pipeline stays in whole-stage codegen") {
+    val df = Tables.load(spark, sf, "documents")
+      .select(functions.MinHash.hashedWordShingles(col("text"), 3).as("sh"))
+      .select(functions.MinHash.bandKeys(col("sh"), 16, 4).as("bk"))
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen subtrees"), p)
+    assert(!p.contains("Found 0 WholeStageCodegen"), p)
+  }
+}
