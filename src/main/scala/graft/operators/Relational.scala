@@ -447,7 +447,30 @@ object Relational {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       ORDER BY o_orderkey"""))
 
+  /** SQL-text front end: the same engine surface through
+    * spark.sql(...) over registered views — the literal "run your Hive
+    * SQL unchanged" path. Oracle is character-identical SQL. */
+  val qSqlText: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 4) AS total_bal,
+               round(max(s_acctbal), 4) AS max_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name""")
+    },
+    oracle = Some("""
+      SELECT n_name, count(*) AS n_suppliers,
+             round(sum(s_acctbal), 4) AS total_bal,
+             round(max(s_acctbal), 4) AS max_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_sql_text" -> qSqlText,
     "q_asof_join" -> qAsofJoin,
     "q_pivot" -> qPivot,
     "q_window_funcs" -> qWindowFuncs,
