@@ -165,6 +165,13 @@ object Pipeline {
     },
     oracle = None)
 
+  val dAnnIvf: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id")
+    },
+    oracle = None)
+
   val dAnnLsh: QueryDef = QueryDef(
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -194,5 +201,6 @@ object Pipeline {
     "d_dedup_embed" -> dDedupEmbed,
     "d_ann_brute" -> dAnnBrute,
     "d_ann_lsh" -> dAnnLsh,
+    "d_ann_ivf" -> dAnnIvf,
     "m_modal_meta" -> mModalMeta)
 }

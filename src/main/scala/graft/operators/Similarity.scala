@@ -39,6 +39,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF(-flat) ANN: the inverted-file scale path. A small coarse
+    * quantizer (nlist centroid vectors, deterministically sampled)
+    * partitions the corpus into inverted lists; a query scores only
+    * the vectors in its `nprobe` nearest lists.
+    *
+    * Plan shape at scale: list assignment is a pure map-side
+    * projection (centroids inlined as literals — nlist cosines per
+    * row, argmax, NO shuffle of the corpus); search is one equi-join
+    * on list_id with the (query x probe) side broadcast, so the
+    * corpus is streamed exactly once and only ~nprobe/nlist of it is
+    * scored. Centroid refinement (Lloyd iterations) is an optional
+    * offline aggregate — the sampled quantizer is deliberate: index
+    * build stays one pass.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    // deterministic tiny sample as the coarse quantizer
+    val centroids: Array[Seq[Float]] = corpus
+      .select(col(vecCol)).orderBy(col(idCol)).limit(nlist)
+      .collect().map { case Row(v: scala.collection.Seq[_]) =>
+        v.map(_.asInstanceOf[Float]).toSeq }
+    def centroidCos(v: Column): Seq[Column] =
+      centroids.toSeq.map(c => cosine(v, typedlit(c)))
+    def nearestList(v: Column): Column = {
+      val cs = array(centroidCos(v): _*)
+      (array_position(cs, array_max(cs)) - 1).cast("int")
+    }
+    val indexed = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), nearestList(col(vecCol)).as("list_id"))
+    // per query: nprobe nearest centroids -> (query, list_id) fanout
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(slice(reverse(array_sort(arrays_zip(
+          array(centroidCos(col(vecCol)): _*).as("cos"),
+          sequence(lit(0), lit(nlist - 1)).as("lid")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("col.lid").as("list_id"))
+    val scored = indexed.join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** LSH-bucketed ANN: same shape as bruteTopK, approximate. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
