@@ -45,6 +45,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "expected map-side partial top-k")
   }
 
+  test("salted join equals plain join and keys the shuffle on (key, salt)") {
+    import spark.implicits._
+    // skewed big side: one hot key carrying most rows
+    val big = (1L to 2000L).map(i => (if (i % 10 == 0) i else 7L, i))
+      .toDF("k", "payload")
+    val small = Seq((7L, "hot"), (20L, "a"), (30L, "b")).toDF("sk", "v")
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "payload", "v").collect().toSet
+    val salted = operators.SkewJoin.saltedJoin(big, small, "k", "sk", salt = 8)
+      .select("k", "payload", "v").collect().toSet
+    assert(salted === plain)
+    assert(plain.count(_.getString(2) == "hot") > 0)
+  }
+
   test("scalar pipeline stays in whole-stage codegen") {
     val df = Tables.load(spark, sf, "documents")
       .select(functions.MinHash.hashedWordShingles(col("text"), 3).as("sh"))
