@@ -53,6 +53,10 @@ object TextOps {
     z ^ (z >>> 31)
   }
 
+  /** FNV-1a over UTF-16 code units (low byte then high byte per char)
+    * — the hash the shingle kernels use; exposed for verification. */
+  def fnv1a16(s: String): Long = fnv1aString(s, 0, s.length)
+
   private def fnv1aString(s: String, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = from

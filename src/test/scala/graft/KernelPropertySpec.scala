@@ -1,0 +1,92 @@
+package graft
+
+import graft.plans.TextOps
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded property tests for the primitive kernels (no Spark session:
+  * kernels are plain static functions). */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(12345)
+  private def arr(xs: Seq[Long]): ArrayData = ArrayData.toArrayData(xs.toArray)
+
+  test("jaccardLong matches the set-based definition, incl. duplicates") {
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong)
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong)
+      val sa = a.toSet; val sb = b.toSet
+      val expected =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      val got = TextOps.jaccardLong(arr(a), arr(b))
+      assert(got === expected, s"a=$a b=$b")
+      assert(got === TextOps.jaccardLong(arr(b), arr(a)), "symmetry")
+    }
+  }
+
+  test("minhashBandKeys is input-order invariant and deterministic") {
+    for (_ <- 1 to 100) {
+      val xs = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextLong())
+      val k1 = TextOps.minhashBandKeys(arr(xs), 12, 6, 77L).toLongArray().toSeq
+      val k2 = TextOps.minhashBandKeys(arr(rnd.shuffle(xs)), 12, 6, 77L).toLongArray().toSeq
+      assert(k1 === k2, "order invariance")
+      assert(k1.length === 12)
+      // different seed -> different keys (w.h.p.)
+      val k3 = TextOps.minhashBandKeys(arr(xs), 12, 6, 78L).toLongArray().toSeq
+      assert(k1 !== k3)
+    }
+  }
+
+  test("minhash band collision rate tracks Jaccard (S-curve sanity)") {
+    // two sets with controlled overlap; high-J pairs must collide on
+    // some band, disjoint sets on none
+    val base = Seq.tabulate(200)(i => rnd.nextLong())
+    val nearDup = base.drop(4) ++ Seq.fill(4)(rnd.nextLong()) // J ~ 0.96
+    val disjoint = Seq.fill(200)(rnd.nextLong())
+    def keys(xs: Seq[Long]) = TextOps.minhashBandKeys(arr(xs), 12, 6, 77L).toLongArray().toSet
+    assert(keys(base).intersect(keys(nearDup)).nonEmpty, "near-dup must collide")
+    assert(keys(base).intersect(keys(disjoint)).isEmpty, "disjoint must not collide")
+  }
+
+  test("hashedCharNgrams: cardinality bound, equality, short-text fallback") {
+    for (_ <- 1 to 200) {
+      val s = rnd.alphanumeric.take(rnd.nextInt(80)).mkString
+      val n = rnd.nextInt(5) + 2
+      val g = TextOps.hashedCharNgrams(UTF8String.fromString(s), n).toLongArray()
+      if (s.length < n) assert(g.length === 1)
+      else {
+        assert(g.length <= s.length - n + 1 && g.length >= 1)
+        assert(g.toSeq === g.toSeq.sorted && g.distinct.length === g.length)
+      }
+      val g2 = TextOps.hashedCharNgrams(UTF8String.fromString(s), n).toLongArray()
+      assert(g.toSeq === g2.toSeq)
+    }
+  }
+
+  test("hashedWordShingles equals hashing the string shingles") {
+    for (_ <- 1 to 200) {
+      val words = Seq.fill(rnd.nextInt(20) + 1)(
+        rnd.alphanumeric.take(rnd.nextInt(6) + 1).mkString.toLowerCase)
+      val text = words.mkString(" ")
+      val k = rnd.nextInt(3) + 2
+      val kernel = TextOps.hashedWordShingles(UTF8String.fromString(text), k)
+        .toLongArray().toSet
+      val viaStrings: Set[Long] =
+        if (words.length < k) Set(TextOps.fnv1a16(words.mkString(" ")))
+        else words.sliding(k).map(g => TextOps.fnv1a16(g.mkString(" "))).toSet
+      assert(kernel === viaStrings, s"text='$text' k=$k")
+    }
+  }
+
+  test("simhash: zero distance on self, <= 64 bits, token-order invariant") {
+    for (_ <- 1 to 100) {
+      val toks = Seq.fill(rnd.nextInt(30) + 1)(
+        UTF8String.fromString(rnd.alphanumeric.take(5).mkString))
+      val h1 = TextOps.simhash64(ArrayData.toArrayData(toks.toArray))
+      val h2 = TextOps.simhash64(ArrayData.toArrayData(rnd.shuffle(toks).toArray))
+      assert(h1 === h2, "bag-of-tokens order invariance")
+    }
+  }
+}
