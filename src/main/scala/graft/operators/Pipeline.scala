@@ -188,6 +188,20 @@ object Pipeline {
         .orderBy(col("doc_id")),
     oracle = None)
 
+  val mModalResize: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Multimodal.resizeMedia(s, Multimodal.fakeMediaTable(s, dir))
+        .toDF()
+        .orderBy(col("doc_id")),
+    oracle = None)
+
+  val mModalFrames: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Multimodal.sampleFrames(s, Multimodal.fakeMediaTable(s, dir))
+        .toDF()
+        .orderBy(col("doc_id")),
+    oracle = None)
+
   val defs: Map[String, QueryDef] = Map(
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
@@ -202,5 +216,7 @@ object Pipeline {
     "d_ann_brute" -> dAnnBrute,
     "d_ann_lsh" -> dAnnLsh,
     "d_ann_ivf" -> dAnnIvf,
-    "m_modal_meta" -> mModalMeta)
+    "m_modal_meta" -> mModalMeta,
+    "m_modal_resize" -> mModalResize,
+    "m_modal_frames" -> mModalFrames)
 }

@@ -22,4 +22,30 @@ class MultimodalSpec extends SparkSpec {
       assert(m.mean_luma > 0)
     }
   }
+
+  test("resize stage bounds geometry and subsamples the payload") {
+    val media = Multimodal.fakeMediaTable(spark, sf)
+    val rows = Multimodal.resizeMedia(spark, media, maxSide = 64).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(math.max(r.out_width, r.out_height) <= 64)
+      assert(r.out_width >= 1 && r.out_height >= 1)
+      // aspect preserved within integer truncation
+      val inAspect = r.width.toDouble / r.height
+      val outAspect = r.out_width.toDouble / r.out_height
+      assert(math.abs(inAspect - outAspect) / inAspect < 0.25)
+      assert(r.n_bytes > 0)
+    }
+  }
+
+  test("frame sampling keeps every stride-th frame") {
+    val media = Multimodal.fakeMediaTable(spark, sf)
+    val rows = Multimodal.sampleFrames(spark, media, frameBytes = 32, stride = 4)
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.sampled === (r.n_frames + 3) / 4)
+      assert(r.mean_luma > 0)
+    }
+  }
 }
