@@ -469,7 +469,54 @@ object Relational {
       GROUP BY n_name
       ORDER BY n_name"""))
 
+  /** Full outer join with null-coalesced sides: customers without
+    * orders survive with zeroed aggregates. */
+  val qOuterJoin: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val co = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("spend"))
+      t(s, dir, "customer")
+        .join(co, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          round(coalesce(col("spend"), lit(0.0)), 4).as("spend"))
+        .orderBy(col("custkey"))
+    },
+    oracle = Some("""
+      SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+             coalesce(n_orders, 0) AS n_orders,
+             round(coalesce(spend, 0.0), 4) AS spend
+      FROM customer
+      FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders,
+                              round(sum(o_totalprice), 4) AS spend
+                       FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+      ORDER BY custkey"""))
+
+  /** Ordered set aggregation: nations per region as a sorted CSV
+    * (collect_list -> sort -> join keeps the comparison scalar). */
+  val qCollectAgg: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(countDistinct(col("n_name")).as("n_nations"),
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("r_name")),
+    oracle = Some("""
+      SELECT r_name, count(DISTINCT n_name) AS n_nations,
+             string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_outer_join" -> qOuterJoin,
+    "q_collect_agg" -> qCollectAgg,
     "q_sql_text" -> qSqlText,
     "q_asof_join" -> qAsofJoin,
     "q_pivot" -> qPivot,
