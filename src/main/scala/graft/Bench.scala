@@ -12,14 +12,21 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val spark = GraftSession.local()
+    // noop sink, not count(): count() lets Catalyst prune projections,
+    // so scan-shaped queries would skip e.g. their Avro decode and
+    // report times for work they didn't do.
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String, name: String): Unit =
+      try fn(spark, dir).write.mode("overwrite").format("noop").save()
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      ordered.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case NonFatal(_) => () }
-      }
+      ordered.foreach { case (name, fn) => run(fn, warmDir, name) }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case NonFatal(_) => () }
+      run(fn, sfDir, name)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
