@@ -51,11 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         longArg(args(3), "graft_minhash_band_keys", 3)) },
     "graft_jaccard" -> { args => JaccardLong(args(0), args(1)) })
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     fns.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // projection pruning through Avro decode (see AvroProjectionPruning)
+    ext.injectOptimizerRule(_ => AvroProjectionPruning)
+  }
 }
