@@ -55,13 +55,8 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Row
-    // deterministic tiny sample as the coarse quantizer
-    val centroids: Array[Seq[Float]] = corpus
-      .select(col(vecCol)).orderBy(col(idCol)).limit(nlist)
-      .collect().map { case Row(v: scala.collection.Seq[_]) =>
-        v.map(_.asInstanceOf[Float]).toSeq }
+      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
+    val centroids = trainQuantizer(corpus, vecCol, idCol, nlist, lloydIters)
     def centroidCos(v: Column): Seq[Column] =
       centroids.toSeq.map(c => cosine(v, typedlit(c)))
     def nearestList(v: Column): Column = {
@@ -84,6 +79,44 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Coarse-quantizer training: deterministic seed sample + `iters`
+    * Lloyd rounds. Each round is one distributed pass: assign every
+    * vector to its nearest centroid (map-side — centroids are plan
+    * literals), then recompute centroids as per-list means via
+    * posexplode + groupBy(list, dim) — a rows x dim shuffle, the
+    * standard distributed k-means step. Empty lists keep their old
+    * centroid. Returns nlist dense centroid vectors (driver-side:
+    * nlist x dim floats, a few KB). */
+  private[operators] def trainQuantizer(corpus: DataFrame, vecCol: String,
+      idCol: String, nlist: Int, iters: Int): Array[Seq[Float]] = {
+    import org.apache.spark.sql.Row
+    var centroids: Array[Seq[Float]] = corpus
+      .select(col(vecCol)).orderBy(col(idCol)).limit(nlist)
+      .collect().map { case Row(v: scala.collection.Seq[_]) =>
+        v.map(_.asInstanceOf[Float]).toSeq }
+    for (_ <- 1 to iters) {
+      val cos = centroids.toSeq.map(c => cosine(col(vecCol), typedlit(c)))
+      val arr = array(cos: _*)
+      val assigned = corpus.select(col(vecCol).as("v"),
+        (array_position(arr, array_max(arr)) - 1).cast("int").as("list_id"))
+      val means = assigned
+        .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("list_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("list_id"),
+          transform(col("dm"), e => e.getField("m").cast("float")).as("c"))
+        .collect()
+      val next = centroids.clone()
+      means.foreach { r =>
+        next(r.getInt(0)) = r.getSeq[Float](1).toSeq
+      }
+      centroids = next
+    }
+    centroids
   }
 
   /** LSH-bucketed ANN: same shape as bruteTopK, approximate. */

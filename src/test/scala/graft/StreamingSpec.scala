@@ -44,6 +44,36 @@ class StreamingSpec extends SparkSpec {
     assert(viaState.nonEmpty)
   }
 
+  test("stream resumes incrementally as new segments arrive") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val t0 = 1704067200000L
+    def seg(n: Int, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("ts_ms", "event_type", "value")
+        .select(timestamp_millis(col("ts_ms")).as("ts"), col("event_type"), col("value"))
+        .write.parquet(s"$path/seg$n")
+
+    seg(1, Seq((t0, "a", 1.0), (t0 + 1000, "b", 2.0)))
+    val src = spark.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .parquet(path + "/*")
+    val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("inc_out").start()
+    q.processAllAvailable()
+    val before = spark.table("inc_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before === Map("a" -> 1L, "b" -> 1L))
+
+    // the "producer" appends a new segment; the same query picks it up
+    seg(2, Seq((t0 + 2000, "a", 3.0), (t0 + 3000, "c", 4.0)))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("inc_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("late data beyond watermark is dropped in append mode") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_late").toString
