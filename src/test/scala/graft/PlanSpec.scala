@@ -45,6 +45,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "expected map-side partial top-k")
   }
 
+  test("as-of join is one shuffle on the key — no range cross product") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L)).toDF("lid", "k", "t")
+    val right = Seq((100L, 5L, "x")).toDF("k", "t", "v")
+    val p = plan(operators.AsOfJoin.asOf(left, right, "k", "k", "t", "t", Seq("v")))
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("- Exchange")) === 1,
+      s"expected exactly the window's key shuffle:\n$p")
+  }
+
   test("salted join equals plain join and keys the shuffle on (key, salt)") {
     import spark.implicits._
     // skewed big side: one hot key carrying most rows
