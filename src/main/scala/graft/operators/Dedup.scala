@@ -18,12 +18,16 @@ import org.apache.spark.sql.graft.Bridge
   *  - simhash: 64-bit signature, banded into 4 x 16-bit sub-keys;
   *    Hamming-<=3 pairs must collide on at least one sub-key
   *    (pigeonhole), then verified with bit_count(xor).
-  *  - ngram:   cheapest-minhash blocking, then exact character-n-gram
-  *    Jaccard on candidates only.
+  *  - ngram:   steep-S-curve minhash-LSH blocking (sized for the high
+  *    background Jaccard of shared-vocabulary char n-grams), then
+  *    exact n-gram Jaccard on candidates only.
   *  - embedding: random-hyperplane LSH buckets, cosine-verified.
+  *  - clusters: connected components over any pair list (iterative
+  *    min-label propagation), for keep-one-per-cluster dedup.
   *
   * At 100 TB each strategy's shuffle is linear in input (+bucket
-  * fanout); skew from hot buckets is handled by AQE skew-join.
+  * fanout); skew from hot buckets is handled by AQE skew-join. All
+  * per-document hashing runs in codegen'd kernels (graft.plans).
   */
 object Dedup {
 
