@@ -102,6 +102,32 @@ object Pipeline {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** PII-style scrub: mask email-shaped tokens and digit runs — the
+    * redaction pass a training-data pipeline runs before tokenizing.
+    * Pure regexp_replace (codegen'd), identical regex both engines. */
+  val tRedact: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "[0-9]+", "#").as("redacted"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+            .as("n_digits"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]+', '#', 'g') AS redacted,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+               AS n_digits
+      FROM documents
+      ORDER BY doc_id"""))
+
   val tFingerprint: QueryDef = QueryDef(
     fn = (s, dir) =>
       Tables.load(s, dir, "documents")
@@ -207,6 +233,7 @@ object Pipeline {
     "t_quality" -> tQuality,
     "t_tokens" -> tTokens,
     "t_fingerprint" -> tFingerprint,
+    "t_redact" -> tRedact,
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,

@@ -514,7 +514,31 @@ object Relational {
       GROUP BY r_name
       ORDER BY r_name"""))
 
+  /** GROUPING SETS distinct from rollup/cube: chosen group combos
+    * only, with grouping() flags disambiguating the null rows. */
+  val qGroupingSets: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               count(*) AS n, round(sum(o_totalprice), 4) AS spend
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus""")
+    },
+    oracle = Some("""
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+             CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             count(*) AS n, round(sum(o_totalprice), 4) AS spend
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_grouping_sets" -> qGroupingSets,
     "q_outer_join" -> qOuterJoin,
     "q_collect_agg" -> qCollectAgg,
     "q_sql_text" -> qSqlText,
