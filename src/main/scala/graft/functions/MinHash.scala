@@ -38,8 +38,16 @@ object MinHash {
   def jaccard(a: Column, b: Column): Column =
     Bridge.column(JaccardLong(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Raw MinHash signature (length `numHashes`): the sketch for
+    * estimated-similarity pipelines. P(sig_j equal) = Jaccard. */
+  def signature(hashedShingles: Column, numHashes: Int = 64,
+      seed: Long = 42L): Column =
+    Bridge.column(graft.plans.MinHashSignature(
+      Bridge.expression(hashedShingles), numHashes, seed))
+
   /** Estimated Jaccard from two equal-length signatures: fraction of
-    * equal minima. */
+    * equal minima. Cold path (interpreted HOF) — fine for sketch
+    * comparison where the sets themselves are no longer available. */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
     (size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / numHashes)
 }

@@ -182,6 +182,28 @@ object TextOps {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(keys)
   }
 
+  /** Raw MinHash signature (the minima themselves, not band keys):
+    * sig_j = min over shingle-hashes of mix64(h ^ key_j). Basis for
+    * sketch-based similarity estimation — P(sig_j equal) = Jaccard. */
+  def minhashSignature(hashes: ArrayData, numHashes: Int, seed: Long): ArrayData = {
+    val keysJ = fnKeysFor(numHashes, seed)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = mix64(h ^ keysJ(j))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sig)
+  }
+
   /** Exact Jaccard of two long-array sets (sorts local copies, then a
     * single merge — no hash set, no per-element boxing). */
   def jaccardLong(a: ArrayData, b: ArrayData): Double = {
@@ -281,6 +303,19 @@ case class MinHashBandKeys(child: Expression, bands: Int, rows: Int, seed: Long)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.minhashBandKeys($c, $bands, $rows, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): MinHashBandKeys = copy(child = c)
+}
+
+/** minhash_signature(array<long>, n, seed) -> array<long> minima. */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_signature"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.minhashSignature(v.asInstanceOf[ArrayData], numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.minhashSignature($c, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
 /** jaccard(array<long>, array<long>) -> double, exact set Jaccard. */

@@ -50,6 +50,20 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(keys(base).intersect(keys(disjoint)).isEmpty, "disjoint must not collide")
   }
 
+  test("signature minima estimate Jaccard within sketch error") {
+    for (trial <- 1 to 20) {
+      val shared = Seq.fill(100)(rnd.nextLong())
+      val a = shared ++ Seq.fill(50)(rnd.nextLong())
+      val b = shared ++ Seq.fill(50)(rnd.nextLong())
+      val trueJ = TextOps.jaccardLong(arr(a), arr(b)) // = 0.5
+      val sa = TextOps.minhashSignature(arr(a), 256, 9L).toLongArray()
+      val sb = TextOps.minhashSignature(arr(b), 256, 9L).toLongArray()
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+      // 256 hashes -> se = sqrt(J(1-J)/256) ~ 0.031; allow 4 sigma
+      assert(math.abs(est - trueJ) < 0.13, s"trial $trial est=$est true=$trueJ")
+    }
+  }
+
   test("hashedCharNgrams: cardinality bound, equality, short-text fallback") {
     for (_ <- 1 to 200) {
       val s = rnd.alphanumeric.take(rnd.nextInt(80)).mkString
