@@ -228,6 +228,36 @@ object KafkaSurface {
       GROUP BY log.partition
       ORDER BY log.partition"""))
 
+  /** The DataSourceV2 path: produce broker-style binary segments, scan
+    * them through format("graft-log") — one input partition per
+    * topic-partition with source-side partition/offset pruning (the
+    * reference's KafkaInputFormat split model as a native connector) —
+    * decode, and aggregate. */
+  val kSegmentScan: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_seg/${new java.io.File(dir).getName}/events"
+      graft.sources.LogSegments.write(MessageLog.eventsTopic(s, dir), path)
+      s.read.format("graft-log").load(path)
+        .filter(col("offset") < 500)
+        .withColumn("v", avro.from_topic(col("value"), "events"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          max(col("offset")).as("max_offset"),
+          round(sum(col("v.value")), 4).as("sum_value"))
+        .orderBy(col("partition"))
+    },
+    oracle = Some("""
+      WITH log AS (SELECT CAST(user_id % 8 AS INTEGER) AS partition,
+                          row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS "offset",
+                          value
+                   FROM events)
+      SELECT partition, count(*) AS n, max("offset") AS max_offset,
+             round(sum(value), 4) AS sum_value
+      FROM log
+      WHERE "offset" < 500
+      GROUP BY partition
+      ORDER BY partition"""))
+
   /** Write path (KafkaOutputFormat.java, demoproducer/BaseProducer.java):
     * produce the documents topic to a broker-style segment layout, read
     * it back, decode, and summarize. Rows-only check (Avro byte sizes
@@ -258,5 +288,6 @@ object KafkaSurface {
     "k_groupby" -> kGroupby,
     "k_key_metadata" -> kKeyMetadata,
     "k_resume" -> kResume,
+    "k_segment_scan" -> kSegmentScan,
     "k_sink_log" -> kSinkLog)
 }

@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.io.File
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector over [[LogSegments]] directories — the
+  * reference's Hadoop scan model (`KafkaInputFormat.java`: one input
+  * split per topic-partition, each bounded by `[beginOffset,
+  * lastOffset)`; `camus/KafkaSplit.java`) expressed as a native Spark
+  * source:
+  *
+  *  - `planInputPartitions`: one [[SegmentPartition]] per
+  *    topic-partition directory;
+  *  - pushed `topic`/`partition` equality prunes whole directories at
+  *    planning time, pushed `offset` bounds skip records inside the
+  *    reader — the split-pruning semantics of the reference's
+  *    offset-range requests;
+  *  - schema is the public spark-sql-kafka layout, so downstream
+  *    operators are identical whichever source produced the frame.
+  *
+  * Usage: `spark.read.format("graft-log").load(path)`.
+  */
+class LogSegmentSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-log"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LogSegmentSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SegmentTable(properties.get("path"))
+}
+
+object LogSegmentSource {
+  val schema: StructType = graft.streaming.Streaming.logSchema
+}
+
+private[sources] class SegmentTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-log: .load(path) is required")
+  override def name(): String = s"graft-log:$path"
+  override def schema(): StructType = LogSegmentSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SegmentScanBuilder(path)
+}
+
+private[sources] class SegmentScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("topic" | "partition", _) => true
+      case In("topic" | "partition", _) => true
+      case GreaterThan("offset", _) | GreaterThanOrEqual("offset", _) => true
+      case LessThan("offset", _) | LessThanOrEqual("offset", _) => true
+      case _ => false
+    }
+    filters // Spark re-evaluates everything; pruning is a fast path
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new SegmentScan(path, pushed)
+}
+
+private[sources] class SegmentScan(path: String, pushed: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = LogSegmentSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-log $path pushed=[${pushed.mkString(", ")}]"
+
+  private def keep(topic: String, part: Int): Boolean = pushed.forall {
+    case EqualTo("topic", t) => topic == t
+    case In("topic", ts) => ts.contains(topic)
+    case EqualTo("partition", p) => part == p.asInstanceOf[Number].intValue()
+    case In("partition", ps) => ps.exists(_.asInstanceOf[Number].intValue() == part)
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new File(path)
+    val dirs = for {
+      t <- Option(root.listFiles()).getOrElse(Array.empty[File]).toSeq
+      if t.isDirectory && t.getName.startsWith("topic=")
+      p <- Option(t.listFiles()).getOrElse(Array.empty[File]).toSeq
+      if p.isDirectory && p.getName.startsWith("partition=")
+      topic = t.getName.stripPrefix("topic=")
+      part = p.getName.stripPrefix("partition=").toInt
+      if keep(topic, part)
+    } yield SegmentPartition(p.getPath, topic, part, offsetLo, offsetHi)
+    dirs.toArray
+  }
+
+  /** Offset bounds from pushed filters: [lo, hi] inclusive. */
+  private def offsetLo: Long = pushed.collect {
+    case GreaterThan("offset", v) => v.asInstanceOf[Number].longValue() + 1
+    case GreaterThanOrEqual("offset", v) => v.asInstanceOf[Number].longValue()
+  }.foldLeft(Long.MinValue)(math.max)
+  private def offsetHi: Long = pushed.collect {
+    case LessThan("offset", v) => v.asInstanceOf[Number].longValue() - 1
+    case LessThanOrEqual("offset", v) => v.asInstanceOf[Number].longValue()
+  }.foldLeft(Long.MaxValue)(math.min)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new SegmentReader(p.asInstanceOf[SegmentPartition])
+    }
+}
+
+private[sources] case class SegmentPartition(dir: String, topic: String,
+    partition: Int, offsetLo: Long, offsetHi: Long) extends InputPartition
+
+private[sources] class SegmentReader(p: SegmentPartition)
+    extends PartitionReader[InternalRow] {
+  private val files = Option(new File(p.dir).listFiles())
+    .getOrElse(Array.empty[java.io.File])
+    .filter(_.getName.endsWith(".gseg")).sortBy(_.getName)
+  private val it = files.iterator.flatMap(LogSegments.readFile)
+    .filter { case (_, _, offset, _) => offset >= p.offsetLo && offset <= p.offsetHi }
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (!it.hasNext) false
+    else {
+      val (k, v, offset, tsMs) = it.next()
+      row = new GenericInternalRow(Array[Any](
+        k, v, UTF8String.fromString(p.topic), p.partition, offset, tsMs * 1000L))
+      true
+    }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
