@@ -236,6 +236,11 @@ object KafkaSurface {
   val kSegmentScan: QueryDef = QueryDef(
     fn = (s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_seg/${new java.io.File(dir).getName}/events"
+      // segment writes append (the log model) — start from a clean dir
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
       graft.sources.LogSegments.write(MessageLog.eventsTopic(s, dir), path)
       s.read.format("graft-log").load(path)
         .filter(col("offset") < 500)

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -51,7 +52,7 @@ private[sources] class SegmentTable(path: String) extends Table with SupportsRea
   override def name(): String = s"graft-log:$path"
   override def schema(): StructType = LogSegmentSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegmentScanBuilder(path)
 }
@@ -113,10 +114,85 @@ private[sources] class SegmentScan(path: String, pushed: Array[Filter])
   }.foldLeft(Long.MaxValue)(math.min)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new SegmentReader(p.asInstanceOf[SegmentPartition])
-    }
+    SegmentReaderFactory
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SegmentMicroBatchStream(path)
+}
+
+private[sources] object SegmentReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SegmentReader(p.asInstanceOf[SegmentPartition])
+}
+
+/** Streaming over the segment log: the Camus loop
+  * (KafkaRecordReader.java: pull `[committed, latest)` per partition,
+  * persist new offsets, repeat) natively — each micro-batch covers the
+  * offset delta per topic-partition since the last checkpointed
+  * Offset. `latestOffset` scans segment records for the current high
+  * watermark (a real broker serves this from its index; the scan is
+  * the file-backed stand-in). */
+private[sources] class SegmentMicroBatchStream(path: String) extends MicroBatchStream {
+
+  private def partDirs(): Seq[(String, Int, File)] = {
+    val root = new File(path)
+    for {
+      t <- Option(root.listFiles()).getOrElse(Array.empty[File]).toSeq
+      if t.isDirectory && t.getName.startsWith("topic=")
+      p <- Option(t.listFiles()).getOrElse(Array.empty[File]).toSeq
+      if p.isDirectory && p.getName.startsWith("partition=")
+    } yield (t.getName.stripPrefix("topic="),
+      p.getName.stripPrefix("partition=").toInt, p)
+  }
+
+  /** next-offset-to-read per topic-partition */
+  private def highWatermarks(): Map[(String, Int), Long] =
+    partDirs().map { case (topic, part, dir) =>
+      val files = Option(dir.listFiles()).getOrElse(Array.empty[File])
+        .filter(_.getName.endsWith(".gseg"))
+      val hi = files.iterator.flatMap(LogSegments.readFile)
+        .foldLeft(-1L) { case (m, (_, _, off, _)) => math.max(m, off) }
+      (topic, part) -> (hi + 1)
+    }.toMap
+
+  override def initialOffset(): Offset = SegmentOffsets(Map.empty)
+  override def latestOffset(): Offset = SegmentOffsets(highWatermarks())
+  override def deserializeOffset(json: String): Offset = SegmentOffsets.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SegmentOffsets].next
+    val e = end.asInstanceOf[SegmentOffsets].next
+    partDirs().flatMap { case (topic, part, dir) =>
+      val lo = s.getOrElse((topic, part), 0L)
+      val hi = e.getOrElse((topic, part), 0L) - 1
+      if (hi < lo) None
+      else Some(SegmentPartition(dir.getPath, topic, part, lo, hi))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = SegmentReaderFactory
+}
+
+/** Checkpointable per-topic-partition next offsets; json is a flat
+  * `topic/partition -> next` object. */
+private[sources] case class SegmentOffsets(next: Map[(String, Int), Long]) extends Offset {
+  override def json(): String = next.toSeq.sortBy(_._1)
+    .map { case ((t, p), n) => s""""$t/$p":$n""" }.mkString("{", ",", "}")
+}
+
+private[sources] object SegmentOffsets {
+  def fromJson(json: String): SegmentOffsets = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) SegmentOffsets(Map.empty)
+    else SegmentOffsets(body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":")
+      val key = k.trim.stripPrefix("\"").stripSuffix("\"")
+      val i = key.lastIndexOf('/')
+      (key.substring(0, i), key.substring(i + 1).toInt) -> v.trim.toLong
+    }.toMap)
+  }
 }
 
 private[sources] case class SegmentPartition(dir: String, topic: String,

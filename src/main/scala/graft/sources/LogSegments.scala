@@ -32,16 +32,29 @@ object LogSegments {
       .repartition(col("topic"), col("partition"))
       .sortWithinPartitions(col("topic"), col("partition"), col("offset"))
       .foreachPartition { it: Iterator[(Array[Byte], Array[Byte], String, Int, Long, Long)] =>
+        // write to .tmp, rename on close: concurrent readers (a live
+        // micro-batch stream) must never see a half-written segment
         var out: DataOutputStream = null
+        var tmp: File = null
+        def sealSegment(): Unit = if (out != null) {
+          out.close()
+          val fin = new File(tmp.getPath.stripSuffix(".tmp"))
+          if (!tmp.renameTo(fin)) throw new java.io.IOException(
+            s"graft: could not publish segment $fin")
+          out = null; tmp = null
+        }
         var current: (String, Int) = null
         for ((k, v, topic, part, offset, tsMs) <- it) {
           if (current != (topic, part)) {
-            if (out != null) out.close()
+            sealSegment()
             val dir = new File(s"$path/topic=$topic/partition=$part")
             dir.mkdirs()
+            // unique per write so appended batches never clobber files
             val taskId = org.apache.spark.TaskContext.getPartitionId()
+            val unique = java.util.UUID.randomUUID().toString.take(8)
+            tmp = new File(dir, f"part-$taskId%05d-$unique.gseg.tmp")
             out = new DataOutputStream(new BufferedOutputStream(
-              new FileOutputStream(new File(dir, f"part-$taskId%05d.gseg"))))
+              new FileOutputStream(tmp)))
             out.writeInt(Magic)
             current = (topic, part)
           }
@@ -51,7 +64,7 @@ object LogSegments {
           bytes(k); bytes(v)
           out.writeLong(offset); out.writeLong(tsMs)
         }
-        if (out != null) out.close()
+        sealSegment()
       }
     path
   }

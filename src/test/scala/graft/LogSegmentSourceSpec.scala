@@ -46,6 +46,31 @@ class LogSegmentSourceSpec extends SparkSpec {
     assert(rows.length === full)
   }
 
+  test("micro-batch stream consumes the offset delta per partition") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = java.nio.file.Files.createTempDirectory("graft_seg_stream").toString
+    val log = MessageLog.eventsTopic(spark, sf)
+    LogSegments.write(log.filter(col("offset") < 50), path)
+
+    val q = spark.readStream.format("graft-log").load(path)
+      .groupBy(col("partition")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("seg_stream").start()
+    q.processAllAvailable()
+    val before = spark.table("seg_stream").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(before.values.sum === log.filter(col("offset") < 50).count())
+
+    // producer appends higher offsets; the stream pulls only the delta
+    LogSegments.write(log.filter(col("offset") >= 50 && col("offset") < 80), path)
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("seg_stream").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(after.values.sum === log.filter(col("offset") < 80).count())
+    assert(after.keySet === before.keySet)
+  }
+
   test("decode chain works over the v2 source") {
     val n = spark.read.format("graft-log").load(segDir)
       .select(graft.sources.avro.from_topic(col("value"), "events").as("v"))
