@@ -202,19 +202,26 @@ private[sources] class SegmentReader(p: SegmentPartition)
     extends PartitionReader[InternalRow] {
   private val files = Option(new File(p.dir).listFiles())
     .getOrElse(Array.empty[java.io.File])
-    .filter(_.getName.endsWith(".gseg")).sortBy(_.getName)
-  private val it = files.iterator.flatMap(LogSegments.readFile)
-    .filter { case (_, _, offset, _) => offset >= p.offsetLo && offset <= p.offsetHi }
+    .filter(_.getName.endsWith(".gseg")).sortBy(_.getName).iterator
+  private var current: LogSegments.RecordIterator = _
   private var row: InternalRow = _
 
-  override def next(): Boolean =
-    if (!it.hasNext) false
-    else {
-      val (k, v, offset, tsMs) = it.next()
-      row = new GenericInternalRow(Array[Any](
-        k, v, UTF8String.fromString(p.topic), p.partition, offset, tsMs * 1000L))
-      true
-    }
+  @annotation.tailrec
+  private def advance(): Boolean =
+    if (current != null && current.hasNext) {
+      val (k, v, offset, tsMs) = current.next()
+      if (offset < p.offsetLo || offset > p.offsetHi) advance()
+      else {
+        row = new GenericInternalRow(Array[Any](
+          k, v, UTF8String.fromString(p.topic), p.partition, offset, tsMs * 1000L))
+        true
+      }
+    } else if (files.hasNext) {
+      current = LogSegments.readFile(files.next())
+      advance()
+    } else false
+
+  override def next(): Boolean = advance()
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = if (current != null) current.close()
 }

@@ -69,11 +69,16 @@ object LogSegments {
     path
   }
 
-  /** Iterate one segment file's records. */
-  def readFile(f: File): Iterator[(Array[Byte], Array[Byte], Long, Long)] = {
+  /** A segment-record iterator that can be closed mid-stream (a scan
+    * under a limit stops early; the input must not leak). */
+  trait RecordIterator extends Iterator[(Array[Byte], Array[Byte], Long, Long)]
+      with AutoCloseable
+
+  /** Iterate one segment file's records. Closes itself at EOF. */
+  def readFile(f: File): RecordIterator = {
     val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(f)))
     require(in.readInt() == Magic, s"graft: ${f.getPath} is not a segment file")
-    new Iterator[(Array[Byte], Array[Byte], Long, Long)] {
+    new RecordIterator {
       private var nextRec: (Array[Byte], Array[Byte], Long, Long) = _
       private var done = false
       private def advance(): Unit =
@@ -91,6 +96,7 @@ object LogSegments {
       override def next(): (Array[Byte], Array[Byte], Long, Long) = {
         val r = nextRec; advance(); r
       }
+      override def close(): Unit = if (!done) { done = true; in.close() }
     }
   }
 }
