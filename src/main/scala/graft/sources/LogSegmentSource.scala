@@ -177,12 +177,12 @@ private[sources] class SegmentMicroBatchStream(path: String) extends MicroBatchS
 
 /** Checkpointable per-topic-partition next offsets; json is a flat
   * `topic/partition -> next` object. */
-private[sources] case class SegmentOffsets(next: Map[(String, Int), Long]) extends Offset {
+private[graft] case class SegmentOffsets(next: Map[(String, Int), Long]) extends Offset {
   override def json(): String = next.toSeq.sortBy(_._1)
     .map { case ((t, p), n) => s""""$t/$p":$n""" }.mkString("{", ",", "}")
 }
 
-private[sources] object SegmentOffsets {
+private[graft] object SegmentOffsets {
   def fromJson(json: String): SegmentOffsets = {
     val body = json.trim.stripPrefix("{").stripSuffix("}").trim
     if (body.isEmpty) SegmentOffsets(Map.empty)

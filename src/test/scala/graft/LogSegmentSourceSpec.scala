@@ -71,6 +71,15 @@ class LogSegmentSourceSpec extends SparkSpec {
     assert(after.keySet === before.keySet)
   }
 
+  test("offset checkpoints roundtrip through json") {
+    import graft.sources.SegmentOffsets
+    val o = SegmentOffsets(Map(("events", 0) -> 12L, ("events", 7) -> 0L,
+      ("documents", 3) -> 999L))
+    assert(SegmentOffsets.fromJson(o.json()) === o)
+    assert(SegmentOffsets.fromJson(SegmentOffsets(Map.empty).json()) ===
+      SegmentOffsets(Map.empty))
+  }
+
   test("decode chain works over the v2 source") {
     val n = spark.read.format("graft-log").load(segDir)
       .select(graft.sources.avro.from_topic(col("value"), "events").as("v"))
