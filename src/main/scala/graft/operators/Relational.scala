@@ -332,18 +332,23 @@ object Relational {
                         WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')
       ORDER BY c_custkey"""))
 
-  /** Exact interpolated percentiles + spread stats per group. */
+  /** Exact interpolated percentiles + spread stats per group. The two
+    * l_quantity percentiles share ONE buffer via the array form —
+    * separate percentile() calls each buffer the full column. */
   val qPercentiles: QueryDef = QueryDef(
     fn = (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          expr("percentile(l_quantity, array(0.5, 0.9))").as("p_qty"),
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"),
           round(min(col("l_quantity")), 4).as("min_qty"),
           round(max(col("l_quantity")), 4).as("max_qty"),
           round(stddev(col("l_extendedprice")), 4).as("sd_price"))
+        .select(col("l_returnflag"),
+          round(element_at(col("p_qty"), 1), 4).as("p50_qty"),
+          round(element_at(col("p_qty"), 2), 4).as("p90_qty"),
+          col("p99_price"), col("min_qty"), col("max_qty"), col("sd_price"))
         .orderBy(col("l_returnflag")),
     oracle = Some("""
       SELECT l_returnflag,
