@@ -32,7 +32,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Fallback for drivers that scrape a file instead of (or after) stdout:
+    // sbt's log decoration ("[info] {...}") broke stdout parsing in round 1.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+    catch { case NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -27,7 +27,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Emit each oracle under BOTH "<name>" and "<name>.parquet": the
+    // driver keys its correctness map by the dump directory name
+    // (q1_agg.parquet), so a bare-name-only map misses every lookup.
+    // The superset is harmless under either convention.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

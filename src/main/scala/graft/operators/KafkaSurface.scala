@@ -139,8 +139,10 @@ object KafkaSurface {
   /** Kafka-backed fact joined to a dimension table (TODO.md "joins"). */
   val kJoinDim: QueryDef = QueryDef(
     fn = (s, dir) =>
+      // customer scales with SF — no broadcast hint; AQE broadcasts it
+      // while small and shuffles when it outgrows the threshold.
       MessageLog.eventsScan(s, dir)
-        .join(broadcast(Tables.load(s, dir, "customer")),
+        .join(Tables.load(s, dir, "customer"),
           col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))

@@ -60,8 +60,11 @@ object Relational {
         .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+      // No broadcast hint on customer: it scales with SF (≈TBs at 100 TB),
+      // so a forced broadcast OOMs at scale. AQE broadcasts it at small SF
+      // anyway and falls back to shuffle joins when it grows.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -90,9 +93,11 @@ object Relational {
         .filter(col("o_orderdate") >= to_timestamp(lit("1994-01-01")) &&
                 col("o_orderdate") < to_timestamp(lit("1997-01-01")))
       val li = t(s, dir, "lineitem")
+      // customer/supplier scale with SF → no broadcast hint (AQE decides);
+      // nation/region are bounded dims → explicit broadcast stays.
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp),
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp,
           col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -332,24 +337,42 @@ object Relational {
                         WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')
       ORDER BY c_custkey"""))
 
-  /** Exact interpolated percentiles + spread stats per group. The two
-    * l_quantity percentiles share ONE buffer via the array form —
-    * separate percentile() calls each buffer the full column. */
+  /** Exact + approx percentiles per group, 100 TB-safe: the exact path
+    * is [[Percentiles.histQuantiles]] (distributed value histogram —
+    * memory bounded by distinct values, never a full-column buffer);
+    * the approx path is approx_percentile (GK sketch, bounded memory),
+    * oracle-checked as a sandwich between exact p98 and max since the
+    * sketch value itself isn't engine-reproducible. */
   val qPercentiles: QueryDef = QueryDef(
-    fn = (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    fn = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qty = Percentiles.histQuantiles(li, "l_returnflag", "l_quantity",
+        Seq("p50_qty_raw" -> 0.5, "p90_qty_raw" -> 0.9))
+      val price = Percentiles.histQuantiles(li, "l_returnflag", "l_extendedprice",
+        Seq("p98_price_raw" -> 0.98, "p99_price_raw" -> 0.99))
+        .withColumnRenamed("l_returnflag", "flag_p")
+      val base = li.groupBy(col("l_returnflag").as("flag_b"))
         .agg(
-          expr("percentile(l_quantity, array(0.5, 0.9))").as("p_qty"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"),
           round(min(col("l_quantity")), 4).as("min_qty"),
           round(max(col("l_quantity")), 4).as("max_qty"),
-          round(stddev(col("l_extendedprice")), 4).as("sd_price"))
+          max(col("l_extendedprice")).as("max_price_raw"),
+          round(stddev(col("l_extendedprice")), 4).as("sd_price"),
+          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99"))
+      qty
+        .join(price, col("l_returnflag") === col("flag_p"))
+        .join(base, col("l_returnflag") === col("flag_b"))
         .select(col("l_returnflag"),
-          round(element_at(col("p_qty"), 1), 4).as("p50_qty"),
-          round(element_at(col("p_qty"), 2), 4).as("p90_qty"),
-          col("p99_price"), col("min_qty"), col("max_qty"), col("sd_price"))
-        .orderBy(col("l_returnflag")),
+          round(col("p50_qty_raw"), 4).as("p50_qty"),
+          round(col("p90_qty_raw"), 4).as("p90_qty"),
+          round(col("p99_price_raw"), 4).as("p99_price"),
+          col("min_qty"), col("max_qty"), col("sd_price"),
+          // GK with accuracy 10000 bounds rank error by n/10000, so the
+          // approx p99 must land in [exact p98, max] — hash-comparable
+          // even though the sketch value itself is not.
+          (col("ap99") >= col("p98_price_raw") &&
+           col("ap99") <= col("max_price_raw")).cast("int").as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    },
     oracle = Some("""
       SELECT l_returnflag,
              round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
@@ -357,7 +380,8 @@ object Relational {
              round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
              round(min(l_quantity), 4) AS min_qty,
              round(max(l_quantity), 4) AS max_qty,
-             round(stddev_samp(l_extendedprice), 4) AS sd_price
+             round(stddev_samp(l_extendedprice), 4) AS sd_price,
+             CAST(1 AS INTEGER) AS approx_ok
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))

@@ -21,7 +21,11 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"))
   }
 
-  test("q3/q5: dimension joins broadcast; no shuffle of dims") {
+  test("q3/q5: small dims still broadcast WITHOUT a hint on scaling tables") {
+    // customer/supplier carry no broadcast() hint (they scale with SF —
+    // a forced broadcast OOMs at 100 TB); at test SF the size-based
+    // planner/AQE still picks broadcast, and bounded dims (nation,
+    // region) stay explicitly hinted.
     val p3 = plan(Relational.q3Shipping.fn(spark, sf))
     assert(p3.contains("BroadcastHashJoin"))
     val p5 = plan(Relational.q5Local.fn(spark, sf))

@@ -33,6 +33,9 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify emits each oracle under both "<name>" and "<name>.parquet"
+    # (driver keys by dump dir name) — dedupe to bare names here.
+    oracle = {k.removesuffix(".parquet"): v for k, v in oracle.items()}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
