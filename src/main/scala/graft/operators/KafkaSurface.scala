@@ -283,7 +283,76 @@ object KafkaSurface {
     },
     oracle = None)
 
+  /** Corrupt-message tolerance (camus/ExceptionWritable.java +
+    * KafkaRecordReader.java skip counters): a topic whose every 50th
+    * offset carries a truncated payload scans end-to-end under
+    * permissive decode — bad records survive as flagged all-null rows
+    * instead of the first one killing the job. */
+  val kScanBad: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val log = MessageLog.eventsTopic(s, dir)
+        .withColumn("value",
+          when(col("offset") % 50 === 0, expr("substring(value, 1, 3)"))
+            .otherwise(col("value")))
+      log.withColumn("v", avro.from_topic_permissive(col("value"), "events"))
+        .groupBy(col("v._corrupt").as("corrupt"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("v.event_type")).as("n_types"),
+          round(sum(col("v.value")), 4).as("sum_value"))
+        .orderBy(col("corrupt"))
+    },
+    oracle = Some("""
+      WITH log AS (SELECT *, row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS "offset"
+                   FROM events)
+      SELECT ("offset" % 50 = 0) AS corrupt, count(*) AS n,
+             count(DISTINCT CASE WHEN "offset" % 50 <> 0 THEN event_type END) AS n_types,
+             round(sum(CASE WHEN "offset" % 50 <> 0 THEN value END), 4) AS sum_value
+      FROM log
+      GROUP BY corrupt
+      ORDER BY corrupt"""))
+
+  /** kafka.blacklist.topics: all known topics minus the blacklist. */
+  val kBlacklist: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.topics(s, dir, Seq.empty, Seq("documents"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("partition")).as("n_partitions"))
+        .orderBy(col("topic")),
+    oracle = Some("""
+      SELECT 'events' AS topic, count(*) AS n,
+             count(DISTINCT user_id % 8) AS n_partitions
+      FROM events"""))
+
+  /** kafka.move.to.last.offset.list: the events topic is forced to its
+    * tail (start = last offset + 1, zero backlog) while documents
+    * consumes from the head — a pure metadata aggregate, no payload
+    * shuffle. */
+  val kMoveToLast: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.consumptionPlan(
+        MessageLog.topics(s, dir, Seq("events", "documents")),
+        moveToLast = Seq("events"))
+        .orderBy(col("topic"), col("partition")),
+    oracle = Some("""
+      WITH log AS (
+        SELECT 'events' AS topic, CAST(user_id % 8 AS INTEGER) AS partition,
+               row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS "offset"
+        FROM events
+        UNION ALL
+        SELECT 'documents', CAST(doc_id % 8 AS INTEGER),
+               row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+        FROM documents)
+      SELECT topic, partition, max("offset") AS last_offset,
+             CASE WHEN topic = 'events' THEN max("offset") + 1 ELSE 0 END AS start_offset,
+             CASE WHEN topic = 'events' THEN 0 ELSE count(*) END AS backlog
+      FROM log
+      GROUP BY topic, partition
+      ORDER BY topic, partition"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "k_scan_bad" -> kScanBad,
+    "k_blacklist" -> kBlacklist,
+    "k_move_to_last" -> kMoveToLast,
     "k_scan_all" -> kScanAll,
     "k_count" -> kCount,
     "k_projection" -> kProjection,

@@ -29,20 +29,33 @@ object AvroProjectionPruning extends Rule[LogicalPlan] {
 
   private def parse(json: String): Schema = new Schema.Parser().parse(json)
 
-  /** Pruned copy of `d` keeping `ords` (sorted) of its reader fields;
-    * the previous reader becomes the writer so decode skips the rest. */
-  private def prune(d: AvroDecode, ords: Seq[Int]): AvroDecode = {
+  /** Pruned copy of `d` keeping `ords` (sorted) of its OUTPUT fields,
+    * with the old->new ordinal remap; the previous reader becomes the
+    * writer so decode skips the rest byte-wise. For a permissive decode
+    * the synthetic `_corrupt` output ordinal (== reader field count) is
+    * not an Avro field: it is filtered from the pruned reader schema and
+    * remapped to the tail of the pruned output. */
+  private def prune(d: AvroDecode, ords: Seq[Int]): (AvroDecode, Map[Int, Int]) = {
     val reader = parse(d.schemaJson)
+    val n = reader.getFields.size()
+    val payload = ords.filter(_ < n)
     val sub = Schema.createRecord(reader.getName, reader.getDoc,
       reader.getNamespace, false,
-      ords.map { i =>
+      payload.map { i =>
         val f = reader.getFields.get(i)
         new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal())
       }.asJava)
-    AvroDecode(d.child, sub.toString, d.writerSchemaJson.orElse(Some(d.schemaJson)))
+    val pruned = AvroDecode(d.child, sub.toString,
+      d.writerSchemaJson.orElse(Some(d.schemaJson)), d.permissive)
+    val remap = payload.zipWithIndex.toMap ++
+      (if (d.permissive) Map(n -> payload.size) else Map.empty)
+    (pruned, remap)
   }
 
-  private def numFields(d: AvroDecode): Int = parse(d.schemaJson).getFields.size()
+  /** Width of the decode's OUTPUT struct (reader fields + the
+    * permissive flag when present). */
+  private def outWidth(d: AvroDecode): Int =
+    parse(d.schemaJson).getFields.size() + (if (d.permissive) 1 else 0)
 
   /** Case 1: collapsed — GetStructField directly over AvroDecode. */
   private def pruneDirect(p: Project): Project = {
@@ -58,12 +71,12 @@ object AvroProjectionPruning extends Rule[LogicalPlan] {
     }
     p.projectList.foreach(scan)
     val prunable = used.filter { case (d, ords) =>
-      !whole.contains(d) && ords.size < numFields(d)
+      !whole.contains(d) && ords.size < outWidth(d)
     }
     if (prunable.isEmpty) p
     else {
       val rewritten = prunable.map { case (d, ords) =>
-        d -> (prune(d, ords.toSeq), ords.toSeq.zipWithIndex.toMap)
+        d -> prune(d, ords.toSeq)
       }.toMap
       val newList = p.projectList.map(_.transformDown {
         case GetStructField(d: AvroDecode, ord, name) if rewritten.contains(d) =>
@@ -93,16 +106,17 @@ object AvroProjectionPruning extends Rule[LogicalPlan] {
       }
       p.projectList.foreach(scan)
       val prunable = used.filter { case (id, ords) =>
-        !whole.contains(id) && ords.size < numFields(decodeAliases(id)._2)
+        !whole.contains(id) && ords.size < outWidth(decodeAliases(id)._2)
       }
       if (prunable.isEmpty) p
       else {
         val newAliases: Map[ExprId, (Alias, Map[Int, Int])] = prunable.map {
           case (id, ords) =>
             val (a, d) = decodeAliases(id)
-            val na = Alias(prune(d, ords.toSeq), a.name)(exprId = a.exprId,
+            val (pruned, remap) = prune(d, ords.toSeq)
+            val na = Alias(pruned, a.name)(exprId = a.exprId,
               qualifier = a.qualifier, explicitMetadata = a.explicitMetadata)
-            id -> (na, ords.toSeq.zipWithIndex.toMap)
+            id -> (na, remap)
         }.toMap
         val newLower = cp.projectList.map {
           case a: Alias if newAliases.contains(a.exprId) => newAliases(a.exprId)._1

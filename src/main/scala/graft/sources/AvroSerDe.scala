@@ -217,13 +217,26 @@ case class AvroEncode(child: Expression, recordName: String)
   * `schemaJson` — added fields take their defaults, removed fields are
   * skipped, field order is matched by name. This is the evolution
   * contract a versioned schema registry provides.
+  *
+  * `permissive` mirrors the reference's corrupt-message tolerance
+  * (camus/ExceptionWritable.java, MessageDecoderException.java, and the
+  * skip counters in KafkaRecordReader.java): instead of one malformed
+  * payload killing the whole scan, the decoded struct gains a trailing
+  * `_corrupt: boolean` field; undecodable records yield all-null payload
+  * fields with `_corrupt = true` and the job survives. Requires a
+  * top-level record schema. Permissive mode also rejects records whose
+  * bytes parse but leave trailing garbage (a partial/overlaid write).
   */
 case class AvroDecode(child: Expression, schemaJson: String,
-    writerSchemaJson: Option[String] = None)
+    writerSchemaJson: Option[String] = None, permissive: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
   @transient private lazy val typeAndConv = AvroCodec.avroToCatalyst(schema)
-  override def dataType: DataType = typeAndConv._1
+  @transient private lazy val payloadType = typeAndConv._1.asInstanceOf[StructType]
+  override def dataType: DataType =
+    if (permissive) StructType(payloadType.fields :+
+      StructField("_corrupt", BooleanType, nullable = false))
+    else typeAndConv._1
   override def prettyName: String = "graft_from_avro"
 
   @transient private lazy val reader = writerSchemaJson match {
@@ -233,11 +246,38 @@ case class AvroDecode(child: Expression, schemaJson: String,
   @transient private var decoder: BinaryDecoder = _
   @transient private var reuse: Any = _
 
+  private def withFlag(row: InternalRow, corrupt: Boolean): InternalRow = {
+    val n = payloadType.length
+    val out = new Array[Any](n + 1)
+    if (row != null) {
+      var i = 0
+      while (i < n) { out(i) = row.get(i, payloadType(i).dataType); i += 1 }
+    }
+    out(n) = corrupt
+    new GenericInternalRow(out)
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
-    reuse = reader.read(reuse, decoder)
-    typeAndConv._2(reuse)
+    if (!permissive) {
+      decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
+      reuse = reader.read(reuse, decoder)
+      typeAndConv._2(reuse)
+    } else {
+      try {
+        decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
+        reuse = reader.read(reuse, decoder)
+        if (!decoder.isEnd) withFlag(null, corrupt = true)
+        else withFlag(typeAndConv._2(reuse).asInstanceOf[InternalRow], corrupt = false)
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          // a failed partial read may leave the reused datum and the
+          // decoder in an undefined state — drop both
+          reuse = null
+          decoder = null
+          withFlag(null, corrupt = true)
+      }
+    }
   }
   override protected def withNewChildInternal(c: Expression): AvroDecode = copy(child = c)
 }
@@ -295,9 +335,18 @@ object avro {
   def from_avro(c: Column, readerSchemaJson: String, writerSchemaJson: String): Column =
     Bridge.column(AvroDecode(Bridge.expression(c), readerSchemaJson, Some(writerSchemaJson)))
 
+  /** Corrupt-tolerant decode: payload fields + `_corrupt` flag; bad
+    * bytes yield a flagged all-null row instead of failing the scan. */
+  def from_avro_permissive(c: Column, schemaJson: String): Column =
+    Bridge.column(AvroDecode(Bridge.expression(c), schemaJson, None, permissive = true))
+
   /** Decode using the latest schema registered for `topic`. */
   def from_topic(c: Column, topic: String): Column =
     from_avro(c, SchemaRegistry.schemaFor(topic))
+
+  /** Corrupt-tolerant [[from_topic]]. */
+  def from_topic_permissive(c: Column, topic: String): Column =
+    from_avro_permissive(c, SchemaRegistry.schemaFor(topic))
 
   /** Decode messages written under schema `writerVersion` of `topic`
     * with the topic's latest schema. */

@@ -99,6 +99,9 @@ object MessageLog {
         timestamp_millis(col("ts_ms")).as("timestamp"))
   }
 
+  /** Every topic this log knows how to materialize. */
+  val knownTopics: Seq[String] = Seq("documents", "events")
+
   /** Whitelist resolution (kafka.whitelist.topics): topics by name. */
   def topics(spark: SparkSession, sfDir: String, names: Seq[String]): DataFrame =
     names.map {
@@ -106,6 +109,35 @@ object MessageLog {
       case "documents" => documentsTopic(spark, sfDir)
       case other => throw new NoSuchElementException(s"graft: unknown topic '$other'")
     }.reduce(_ unionByName _)
+
+  /** Whitelist minus blacklist (kafka.blacklist.topics,
+    * KafkaInputFormat.java:52 with the filter at :254-263). An empty
+    * whitelist means "all known topics", as the reference treats an
+    * unset kafka.whitelist.topics.
+    */
+  def topics(spark: SparkSession, sfDir: String,
+      whitelist: Seq[String], blacklist: Seq[String]): DataFrame = {
+    val base = if (whitelist.isEmpty) knownTopics else whitelist
+    val sel = base.filterNot(blacklist.toSet)
+    require(sel.nonEmpty, s"graft: no topics left after blacklist $blacklist")
+    topics(spark, sfDir, sel)
+  }
+
+  /** Consumption plan under kafka.move.to.last.offset.list
+    * (KafkaInputFormat.java:55): per topic-partition, the start offset
+    * is forced to the tail (last offset + 1 — skip the whole backlog)
+    * for listed topics and the log head otherwise, with the backlog
+    * that remains from that start. Aggregate-only — never shuffles the
+    * message payloads, so it scales as a metadata query.
+    */
+  def consumptionPlan(log: DataFrame, moveToLast: Seq[String]): DataFrame =
+    log.groupBy(col("topic"), col("partition"))
+      .agg(max(col("offset")).as("last_offset"), count(lit(1)).as("n_total"))
+      .withColumn("start_offset",
+        when(col("topic").isin(moveToLast: _*), col("last_offset") + 1L)
+          .otherwise(lit(0L)))
+      .withColumn("backlog", col("n_total") - col("start_offset"))
+      .drop("n_total")
 
   /** `events` topic decoded and flattened: payload columns + metadata.
     * The `select *` surface of a Kafka-backed table.

@@ -46,6 +46,23 @@ class AvroPruningSpec extends SparkSpec {
       new org.apache.avro.Schema.Parser().parse(d.schemaJson).getFields.size() === 6))
   }
 
+  test("permissive decode prunes payload fields and keeps the _corrupt flag") {
+    val df = MessageLog.eventsTopic(spark, sf)
+      .select(avro.from_topic_permissive(col("value"), "events").as("v"))
+      .select(col("v.event_type"), col("v._corrupt"))
+    val decodes = decodesIn(df)
+    assert(decodes.nonEmpty)
+    decodes.foreach { d =>
+      assert(d.permissive, "pruning must not drop the permissive flag")
+      val fields = new org.apache.avro.Schema.Parser().parse(d.schemaJson)
+        .getFields.asScala.map(_.name()).toSet
+      assert(fields === Set("event_type"), fields)
+    }
+    // and the pruned plan still evaluates: all records clean here
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(r => !r.getBoolean(1) && r.getString(0) != null))
+  }
+
   private implicit class JavaListOps[A](l: java.util.List[A]) {
     def asScala: scala.collection.mutable.Buffer[A] =
       scala.jdk.CollectionConverters.ListHasAsScala(l).asScala

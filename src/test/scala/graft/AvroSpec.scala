@@ -62,6 +62,49 @@ class AvroSpec extends SparkSpec {
     assert(got.toSeq === Seq((None, 5L), (None, 6L)))
   }
 
+  test("permissive decode: garbage bytes survive as flagged nulls") {
+    import spark.implicits._
+    val pt = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val json = AvroCodec.avroSchemaFor(pt, "P").toString
+    val good = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .select(avro.to_avro(struct(col("id"), col("name")).cast(pt), "P").as("v"))
+    val garbage = Seq(
+      Array[Byte](),                       // empty
+      Array[Byte](-1, -1, -1, -1, -1, -1), // varint runs off the end
+      null).toDF("v")                      // null payload stays null
+    // strict mode dies on the same input; permissive survives
+    intercept[Exception] { // raw EOFException locally, SparkException on a cluster
+      good.unionByName(garbage)
+        .select(avro.from_avro(col("v"), json).as("r")).collect()
+    }
+    val rows = good.unionByName(garbage)
+      .select(avro.from_avro_permissive(col("v"), json).as("r"))
+      .select(col("r.id"), col("r.name"), col("r._corrupt"))
+      .collect()
+    def corrupt(r: Row) = !r.isNullAt(2) && r.getBoolean(2)
+    assert(rows.count(corrupt) === 2)
+    assert(rows.filter(corrupt).forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    assert(rows.filter(r => !r.isNullAt(0)).map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b")))
+    // null input row: whole struct null, not counted corrupt
+    assert(rows.length === 5)
+  }
+
+  test("permissive decode: trailing garbage after a clean parse is corrupt") {
+    import spark.implicits._
+    val pt = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val json = AvroCodec.avroSchemaFor(pt, "T").toString
+    val withTail = Seq(Tuple1(7L)).toDF("id")
+      .select(concat(
+        avro.to_avro(struct(col("id")).cast(pt), "T"),
+        lit(Array[Byte](9, 9, 9))).as("v"))
+    val r = withTail.select(avro.from_avro_permissive(col("v"), json).as("r"))
+      .select(col("r._corrupt")).head()
+    assert(r.getBoolean(0))
+  }
+
   test("registry: file + memory registration resolve, unknown topic throws") {
     val p = java.nio.file.Files.createTempFile("graft", ".avsc")
     val json = AvroCodec.avroSchemaFor(
