@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,11 +53,13 @@ private[sources] class SegmentTable(path: String) extends Table with SupportsRea
   override def schema(): StructType = LogSegmentSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SegmentScanBuilder(path)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxPerTrigger = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
+    new SegmentScanBuilder(path, maxPerTrigger)
+  }
 }
 
-private[sources] class SegmentScanBuilder(path: String)
+private[sources] class SegmentScanBuilder(path: String, maxPerTrigger: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -71,10 +73,11 @@ private[sources] class SegmentScanBuilder(path: String)
     filters // Spark re-evaluates everything; pruning is a fast path
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new SegmentScan(path, pushed)
+  override def build(): Scan = new SegmentScan(path, pushed, maxPerTrigger)
 }
 
-private[sources] class SegmentScan(path: String, pushed: Array[Filter])
+private[sources] class SegmentScan(path: String, pushed: Array[Filter],
+    maxPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = LogSegmentSource.schema
   override def toBatch: Batch = this
@@ -117,7 +120,7 @@ private[sources] class SegmentScan(path: String, pushed: Array[Filter])
     SegmentReaderFactory
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SegmentMicroBatchStream(path)
+    new SegmentMicroBatchStream(path, maxPerTrigger)
 }
 
 private[sources] object SegmentReaderFactory extends PartitionReaderFactory {
@@ -131,8 +134,27 @@ private[sources] object SegmentReaderFactory extends PartitionReaderFactory {
   * offset delta per topic-partition since the last checkpointed
   * Offset. `latestOffset` scans segment records for the current high
   * watermark (a real broker serves this from its index; the scan is
-  * the file-backed stand-in). */
-private[sources] class SegmentMicroBatchStream(path: String) extends MicroBatchStream {
+  * the file-backed stand-in).
+  *
+  * `maxPerTrigger` is pull-budget admission control — the
+  * `kafka.max.pull.hrs` / `kafka.max.pull.minutes.per.task` analogue
+  * (KafkaInputFormat.java:60-61) in Spark's native form
+  * (maxOffsetsPerTrigger-style [[SupportsAdmissionControl]]): each
+  * trigger admits at most that many records, distributed across
+  * topic-partitions proportionally to their backlog, and the stream
+  * catches up over successive bounded batches instead of one
+  * unboundedly large first batch. */
+private[sources] class SegmentMicroBatchStream(path: String,
+    maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow (the Camus-shaped "drain the backlog as a
+    * bounded job" mode): pin the end of the run to the watermarks seen
+    * at start, so segments appended mid-run wait for the next run. */
+  private var pinnedEnd: Option[Map[(String, Int), Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = Some(highWatermarks())
 
   private def partDirs(): Seq[(String, Int, File)] = {
     val root = new File(path)
@@ -157,6 +179,32 @@ private[sources] class SegmentMicroBatchStream(path: String) extends MicroBatchS
 
   override def initialOffset(): Offset = SegmentOffsets(Map.empty)
   override def latestOffset(): Offset = SegmentOffsets(highWatermarks())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled high watermark: cap this trigger's end
+    * offsets so the total admitted record count stays within the
+    * budget, splitting it across partitions proportionally to backlog
+    * (every non-empty backlog admits at least one record, so the
+    * stream always progresses). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val hw = pinnedEnd.getOrElse(highWatermarks())
+    limit match {
+      case r: ReadMaxRows =>
+        val s = start.asInstanceOf[SegmentOffsets].next
+        val backlog = hw.map { case (tp, hi) => tp -> math.max(0L, hi - s.getOrElse(tp, 0L)) }
+        val total = backlog.values.sum
+        val budget = r.maxRows()
+        if (total <= budget) SegmentOffsets(hw)
+        else SegmentOffsets(backlog.map { case (tp, b) =>
+          val share = if (b == 0) 0L else math.max(1L, b * budget / total)
+          tp -> (s.getOrElse(tp, 0L) + math.min(b, share))
+        })
+      case _ => SegmentOffsets(hw)
+    }
+  }
+
   override def deserializeOffset(json: String): Offset = SegmentOffsets.fromJson(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -10,16 +10,54 @@ import org.apache.spark.sql.functions._
   * partition log, written one directory per topic-partition
   * (`topic=<t>/partition=<p>/part-*.gseg`), records offset-ordered.
   *
-  * Record layout (DataOutputStream big-endian):
-  * `[keyLen int][key][valLen int][value][offset long][tsMillis long]`
-  * with keyLen/valLen = -1 encoding null. The format exists so
-  * [[LogSegmentSource]] can demonstrate the reference's scan model
-  * (KafkaInputFormat.java: one split per topic-partition bounded by
-  * offsets) as a native DataSourceV2 connector.
+  * Record layout (DataOutputStream big-endian, format v2):
+  * `[keyLen int][key][valLen int][value][offset long][tsMillis long][crc int]`
+  * with keyLen/valLen = -1 encoding null and `crc` the CRC32 of all
+  * preceding record bytes — the per-message checksum the reference
+  * carries in its metadata key (camus/KafkaKey.java:29,64) and
+  * validates on read (camus/KafkaReader.java:124). Without it, segment
+  * corruption only surfaces when a length field happens to go wild;
+  * with it, any flipped byte is detected at the exact record. v1 files
+  * (magic "GSEG", no crc) still read.
+  *
+  * The format exists so [[LogSegmentSource]] can demonstrate the
+  * reference's scan model (KafkaInputFormat.java: one split per
+  * topic-partition bounded by offsets) as a native DataSourceV2
+  * connector.
   */
 object LogSegments {
 
-  val Magic: Int = 0x47534547 // "GSEG"
+  val Magic: Int = 0x47534547 // "GSEG" — v1, records carry no checksum
+  val Magic2: Int = 0x47534732 // "GSG2" — v2, per-record CRC32
+
+  /** A record whose stored CRC32 disagrees with its bytes. */
+  final class CorruptRecordException(path: String, recordIndex: Long,
+      stored: Int, computed: Int)
+    extends java.io.IOException(
+      s"graft: corrupt segment record #$recordIndex in $path " +
+        f"(stored crc 0x$stored%08x, computed 0x$computed%08x)")
+
+  /** Incremental CRC32 over the exact on-disk record encoding.
+    * One instance per segment file — allocation-free per record. */
+  private final class RecordCrc {
+    private val crc = new java.util.zip.CRC32()
+    private val buf = new Array[Byte](8)
+    private def addInt(i: Int): Unit = {
+      buf(0) = (i >>> 24).toByte; buf(1) = (i >>> 16).toByte
+      buf(2) = (i >>> 8).toByte; buf(3) = i.toByte
+      crc.update(buf, 0, 4)
+    }
+    private def addLong(l: Long): Unit = {
+      addInt((l >>> 32).toInt); addInt(l.toInt)
+    }
+    def of(k: Array[Byte], v: Array[Byte], offset: Long, tsMs: Long): Int = {
+      crc.reset()
+      if (k == null) addInt(-1) else { addInt(k.length); crc.update(k) }
+      if (v == null) addInt(-1) else { addInt(v.length); crc.update(v) }
+      addLong(offset); addLong(tsMs)
+      crc.getValue.toInt
+    }
+  }
 
   /** Write a message-log DataFrame (spark-sql-kafka schema) as segment
     * dirs. One shuffle: co-locate each topic-partition, offset-sorted. */
@@ -36,6 +74,7 @@ object LogSegments {
         // micro-batch stream) must never see a half-written segment
         var out: DataOutputStream = null
         var tmp: File = null
+        val crc = new RecordCrc
         def sealSegment(): Unit = if (out != null) {
           out.close()
           val fin = new File(tmp.getPath.stripSuffix(".tmp"))
@@ -55,7 +94,7 @@ object LogSegments {
             tmp = new File(dir, f"part-$taskId%05d-$unique.gseg.tmp")
             out = new DataOutputStream(new BufferedOutputStream(
               new FileOutputStream(tmp)))
-            out.writeInt(Magic)
+            out.writeInt(Magic2)
             current = (topic, part)
           }
           def bytes(b: Array[Byte]): Unit =
@@ -63,6 +102,7 @@ object LogSegments {
             else { out.writeInt(b.length); out.write(b) }
           bytes(k); bytes(v)
           out.writeLong(offset); out.writeLong(tsMs)
+          out.writeInt(crc.of(k, v, offset, tsMs))
         }
         sealSegment()
       }
@@ -74,11 +114,18 @@ object LogSegments {
   trait RecordIterator extends Iterator[(Array[Byte], Array[Byte], Long, Long)]
       with AutoCloseable
 
-  /** Iterate one segment file's records. Closes itself at EOF. */
+  /** Iterate one segment file's records, validating per-record CRCs on
+    * v2 files ([[CorruptRecordException]] pinpoints the bad record).
+    * Closes itself at EOF. */
   def readFile(f: File): RecordIterator = {
     val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(f)))
-    require(in.readInt() == Magic, s"graft: ${f.getPath} is not a segment file")
+    val magic = in.readInt()
+    require(magic == Magic || magic == Magic2,
+      s"graft: ${f.getPath} is not a segment file")
+    val checked = magic == Magic2
     new RecordIterator {
+      private val crc = new RecordCrc
+      private var recordIndex = -1L
       private var nextRec: (Array[Byte], Array[Byte], Long, Long) = _
       private var done = false
       private def advance(): Unit =
@@ -89,7 +136,17 @@ object LogSegments {
             else { val b = new Array[Byte](n); in.readFully(b); b }
           }
           val k = bytes(); val v = bytes()
-          nextRec = (k, v, in.readLong(), in.readLong())
+          val offset = in.readLong(); val tsMs = in.readLong()
+          recordIndex += 1
+          if (checked) {
+            val stored = in.readInt()
+            val computed = crc.of(k, v, offset, tsMs)
+            if (stored != computed) {
+              done = true; in.close()
+              throw new CorruptRecordException(f.getPath, recordIndex, stored, computed)
+            }
+          }
+          nextRec = (k, v, offset, tsMs)
         } catch { case _: EOFException => done = true; in.close() }
       advance()
       override def hasNext: Boolean = !done

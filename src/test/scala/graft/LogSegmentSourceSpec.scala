@@ -71,6 +71,58 @@ class LogSegmentSourceSpec extends SparkSpec {
     assert(after.keySet === before.keySet)
   }
 
+  test("flipped byte in a segment record is caught by the per-record crc") {
+    val path = java.nio.file.Files.createTempDirectory("graft_seg_crc").toString
+    LogSegments.write(
+      MessageLog.eventsTopic(spark, sf).filter(col("partition") === 0), path)
+    val seg = new java.io.File(s"$path/topic=events/partition=0").listFiles()
+      .filter(_.getName.endsWith(".gseg")).head
+    // clean read first
+    val it0 = LogSegments.readFile(seg)
+    val nClean = it0.size
+    assert(nClean > 0)
+    // flip the file's last byte — inside the final record's stored crc,
+    // so parsing still succeeds and only the checksum can catch it
+    val raf = new java.io.RandomAccessFile(seg, "rw")
+    try {
+      raf.seek(raf.length() - 1)
+      val b = raf.readByte()
+      raf.seek(raf.length() - 1)
+      raf.writeByte(b ^ 0x40)
+    } finally raf.close()
+    val ex = intercept[LogSegments.CorruptRecordException] {
+      val it = LogSegments.readFile(seg)
+      try it.foreach(_ => ()) finally it.close()
+    }
+    assert(ex.getMessage.contains(s"#${nClean - 1}"), ex.getMessage)
+  }
+
+  test("stream with maxRecordsPerTrigger catches up in bounded batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = java.nio.file.Files.createTempDirectory("graft_seg_budget").toString
+    val log = MessageLog.eventsTopic(spark, sf)
+    LogSegments.write(log.filter(col("offset") < 100), path)
+    val total = spark.read.format("graft-log").load(path).count()
+    assert(total > 100, s"need a real backlog, got $total")
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-log")
+      .option("maxRecordsPerTrigger", "200")
+      .load(path)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }; ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sizes = batchSizes.synchronized(batchSizes.toSeq).filter(_ > 0)
+    assert(sizes.sum === total, s"all records must arrive: $sizes")
+    assert(sizes.length > 1, s"budget must split the backlog: $sizes")
+    // proportional split can overshoot by at most one record per partition
+    assert(sizes.forall(_ <= 200 + 8), s"each batch bounded by the budget: $sizes")
+  }
+
   test("offset checkpoints roundtrip through json") {
     import graft.sources.SegmentOffsets
     val o = SegmentOffsets(Map(("events", 0) -> 12L, ("events", 7) -> 0L,
