@@ -149,11 +149,43 @@ object Pipeline {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Shared oracle fragment: brute-force word-3-shingle Jaccard pairs
+    * at threshold 0.5 via an inverted shingle index. The hashed-shingle
+    * Jaccard the Spark kernel computes equals string-shingle Jaccard
+    * (64-bit fnv1a collisions aside), and the LSH blocking must reach
+    * 100% recall on the planted near-dups for the hash check to pass —
+    * the oracle verifies recall, not just precision. */
+  private val shinglePairsSql: String = """t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct([toks[CAST(x AS INT)] || ' ' || toks[CAST(x AS INT)+1] || ' ' || toks[CAST(x AS INT)+2]
+                                        for x in range(1, len(toks) - 1)]) END AS sh
+        FROM t),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      sizes AS (SELECT doc_id, len(sh) AS sz FROM g),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jpairs AS (
+        SELECT id_a, id_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5)"""
+
   val dDedupMinhash: QueryDef = QueryDef(
     fn = (s, dir) =>
       Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("id_a"), col("id_b")),
-    oracle = None)
+    oracle = Some(s"""
+      WITH $shinglePairsSql
+      SELECT id_a, id_b, jaccard FROM jpairs
+      ORDER BY id_a, id_b"""))
 
   val dDedupSimhash: QueryDef = QueryDef(
     fn = (s, dir) =>
@@ -161,20 +193,59 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b")),
     oracle = None)
 
+  /** Oracle is brute-force exact: every pair with char-4-gram Jaccard
+    * >= 0.7 via an inverted gram index (n_inter from a gram equi-join,
+    * union from set sizes). The LSH-blocked Spark plan must therefore
+    * hit 100% recall on the test corpora — which the 12x6 S-curve
+    * delivers for the J >= 0.9 near-dups the generator plants (the
+    * hashed-gram Jaccard equals string-gram Jaccard modulo 64-bit
+    * collisions, i.e. exactly). */
   val dDedupNgram: QueryDef = QueryDef(
     fn = (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("id_a"), col("id_b")),
-    oracle = None)
+    oracle = Some("""
+      WITH g AS (
+        SELECT doc_id,
+               CASE WHEN length(text) < 4 THEN [text]
+                    ELSE list_distinct([substring(text, CAST(x AS INT), 4)
+                                        for x in range(1, length(text) - 2)]) END AS grams
+        FROM documents),
+      e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      sizes AS (SELECT doc_id, len(grams) AS sz FROM g),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.7
+      ORDER BY id_a, id_b"""))
 
   /** Near-dup clusters: connected components over the MinHash pair
-    * list; one canonical keeper per cluster. */
+    * list; one canonical keeper per cluster. Oracle: recursive
+    * transitive closure over the same brute-force pair list, label =
+    * min reachable id. */
   val dDedupClusters: QueryDef = QueryDef(
     fn = (s, dir) =>
       Dedup.clusters(
         Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id"))
         .orderBy(col("id")),
-    oracle = None)
+    oracle = Some(s"""
+      WITH RECURSIVE $shinglePairsSql,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+                UNION SELECT id_b, id_a FROM jpairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src)
+      SELECT src AS id, least(src, min(dst)) AS cluster_id,
+             src = least(src, min(dst)) AS is_canonical
+      FROM reach GROUP BY src
+      ORDER BY id"""))
 
   val dDedupEmbed: QueryDef = QueryDef(
     fn = (s, dir) =>
@@ -184,12 +255,33 @@ object Pipeline {
 
   // ---- similarity search ----
 
+  /** Exact top-k is plain SQL: the oracle recomputes every cosine in
+    * double (positional unnest-zip of the two float lists) and ranks
+    * by the ROUNDED score + neighbor id, exactly as the Spark side
+    * does — so the window tie-break is engine-independent. */
   val dAnnBrute: QueryDef = QueryDef(
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id")
     },
-    oracle = None)
+    oracle = Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      elems AS (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(unnest(q.qv) AS DOUBLE) AS qe, CAST(unnest(c.cv) AS DOUBLE) AS ce
+        FROM q, c
+        WHERE c.neighbor_id <> q.query_id),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               round(SUM(qe*ce) / (sqrt(SUM(qe*qe)) * sqrt(SUM(ce*ce))), 4) AS cos
+        FROM elems GROUP BY query_id, neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
 
   val dAnnIvf: QueryDef = QueryDef(
     fn = (s, dir) => {
