@@ -130,19 +130,25 @@ object Dedup {
     * smallest label among itself and its neighbors; rounds are
     * distributed joins (no driver-side data), converging in
     * graph-diameter rounds — near-dup clusters are small and dense, so
-    * this is 2-4 rounds in practice. `localCheckpoint` cuts lineage so
-    * plans stay flat across iterations. Singleton documents (no pair)
+    * this is 2-4 rounds in practice. Lineage is cut every round so
+    * plans stay flat across iterations: `reliableCheckpoint = true`
+    * writes to the session's checkpoint dir (fault-tolerant — set it
+    * on a real cluster), false keeps the executor-memory-resident
+    * `localCheckpoint` (fine for tests/single-node). The convergence
+    * probe (an extra job) runs every second round: min-labels decrease
+    * monotonically, so probing late costs at most one extra cheap
+    * round and halves the probe jobs. Singleton documents (no pair)
     * are not emitted — union them in as their own cluster if needed.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      maxIter: Int = 20, reliableCheckpoint: Boolean = false): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint(true)
+    val edges = cut(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -150,13 +156,13 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels
+      val next = cut(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+      converged = (i % 2 == 1 || i == maxIter - 1) &&
+        next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).isEmpty
       labels = next
       i += 1
     }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.{CosineSim, HyperplaneSig}
+import graft.plans.{CentroidCosines, CosineSim, HyperplaneSig, NearestCentroid}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,30 +45,30 @@ object Similarity {
     * the vectors in its `nprobe` nearest lists.
     *
     * Plan shape at scale: list assignment is a pure map-side
-    * projection (centroids inlined as literals — nlist cosines per
-    * row, argmax, NO shuffle of the corpus); search is one equi-join
-    * on list_id with the (query x probe) side broadcast, so the
-    * corpus is streamed exactly once and only ~nprobe/nlist of it is
-    * scored. Centroid refinement (Lloyd iterations) is an optional
-    * offline aggregate — the sampled quantizer is deliberate: index
-    * build stays one pass.
+    * projection — a single [[NearestCentroid]] kernel per row (the
+    * centroid matrix rides as ONE plan reference object, not nlist
+    * inlined literals, so nlist can be thousands without bloating the
+    * plan or the generated code), argmax, NO shuffle of the corpus;
+    * search is one equi-join on list_id with the (query x probe) side
+    * broadcast, so the corpus is streamed exactly once and only
+    * ~nprobe/nlist of it is scored. Centroid refinement (Lloyd
+    * iterations) is an optional offline aggregate — the sampled
+    * quantizer is deliberate: index build stays one pass.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
     val centroids = trainQuantizer(corpus, vecCol, idCol, nlist, lloydIters)
-    def centroidCos(v: Column): Seq[Column] =
-      centroids.toSeq.map(c => cosine(v, typedlit(c)))
-    def nearestList(v: Column): Column = {
-      val cs = array(centroidCos(v): _*)
-      (array_position(cs, array_max(cs)) - 1).cast("int")
-    }
+    val centSeq: Seq[Seq[Float]] = centroids.toSeq.map(_.toSeq)
+    def nearestList(v: Column): Column =
+      Bridge.column(NearestCentroid(Bridge.expression(v), centSeq))
     val indexed = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), nearestList(col(vecCol)).as("list_id"))
-    // per query: nprobe nearest centroids -> (query, list_id) fanout
+    // per query: nprobe nearest centroids -> (query, list_id) fanout;
+    // the interpreted sort/slice runs on the few query rows only
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         posexplode(slice(reverse(array_sort(arrays_zip(
-          array(centroidCos(col(vecCol)): _*).as("cos"),
+          Bridge.column(CentroidCosines(Bridge.expression(col(vecCol)), centSeq)).as("cos"),
           sequence(lit(0), lit(nlist - 1)).as("lid")))), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("col.lid").as("list_id"))
     val scored = indexed.join(broadcast(probes), Seq("list_id"))
@@ -97,10 +97,9 @@ object Similarity {
       .collect().map { case Row(v: scala.collection.Seq[_]) =>
         v.map(_.asInstanceOf[Float]).toSeq }
     for (_ <- 1 to iters) {
-      val cos = centroids.toSeq.map(c => cosine(col(vecCol), typedlit(c)))
-      val arr = array(cos: _*)
       val assigned = corpus.select(col(vecCol).as("v"),
-        (array_position(arr, array_max(arr)) - 1).cast("int").as("list_id"))
+        Bridge.column(NearestCentroid(Bridge.expression(col(vecCol)),
+          centroids.toSeq.map(_.toSeq))).as("list_id"))
       val means = assigned
         .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("list_id"), col("dim"))

@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big` (skewed) with `small`, salted `salt` ways.
-    * Salt is derived from the whole big-side row (deterministic, no
-    * rand()), so repeated runs produce identical partitioning. */
+    * Salt is hash(key, row position): deterministic (no rand()), and —
+    * unlike hashing the whole row — costs O(1) per row no matter how
+    * wide the payload is. Any salt assignment is correct (each big row
+    * meets every small replica of its key once); position just spreads
+    * a hot key's rows evenly. */
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salt: Int): DataFrame = {
     val saltCol: Column =
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt))
+      pmod(xxhash64(col(bigKey), monotonically_increasing_id()), lit(salt))
     val b = big.withColumn("__salt", saltCol.cast("int"))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1)).cast("array<int>")))

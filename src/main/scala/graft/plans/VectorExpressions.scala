@@ -58,6 +58,98 @@ object VectorOps {
       val rnd = new java.util.Random(seed)
       Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
     })
+
+  /** Cosine of `v` against every row of a centroid matrix, one pass,
+    * centroid norms precomputed by the caller. */
+  def centroidCosines(v: ArrayData, cents: Array[Array[Float]],
+      centNorms: Array[Double]): ArrayData = {
+    val dim = v.numElements()
+    val x = new Array[Double](dim)
+    var nv = 0.0
+    var i = 0
+    while (i < dim) { val e = v.getFloat(i).toDouble; x(i) = e; nv += e * e; i += 1 }
+    nv = math.sqrt(nv)
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(dim, cv.length)
+      var dp = 0.0
+      var j = 0
+      while (j < n) { dp += x(j) * cv(j); j += 1 }
+      val d = nv * centNorms(c)
+      out(c) = if (d == 0.0) 0.0 else dp / d
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Index of the max-cosine centroid (argmin ties -> lowest index). */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Float]],
+      centNorms: Array[Double]): Int = {
+    val cos = centroidCosines(v, cents, centNorms)
+    var best = 0
+    var bestV = cos.getDouble(0)
+    var i = 1
+    while (i < cos.numElements()) {
+      val x = cos.getDouble(i)
+      if (x > bestV) { bestV = x; best = i }
+      i += 1
+    }
+    best
+  }
+
+  def norms(cents: Array[Array[Float]]): Array[Double] =
+    cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+}
+
+/** Cosines of a vector against a fixed centroid matrix —
+  * `array<double>` of length nlist. The matrix rides in the expression
+  * as a plan reference object (serialized once per task, a byte buffer
+  * at any nlist), NOT as nlist inlined array literals: at nlist >= 4k
+  * the literal form bloats the plan and the generated code past
+  * compilable size, this form stays O(1) plan-side. */
+case class CentroidCosines(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_centroid_cosines"
+  @transient private lazy val mat: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val matNorms: Array[Double] = VectorOps.norms(mat)
+  def kernel(v: ArrayData): ArrayData = VectorOps.centroidCosines(v, mat, matNorms)
+  override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidCosines", this, classOf[CentroidCosines].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): CentroidCosines =
+    copy(child = c)
+}
+
+/** argmax-cosine centroid index for a vector — `int`. Same reference-
+  * object design as [[CentroidCosines]]; the corpus-side IVF list
+  * assignment stays a pure map with no per-row array materialized. */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+  @transient private lazy val mat: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val matNorms: Array[Double] = VectorOps.norms(mat)
+  def kernel(v: ArrayData): Int = VectorOps.nearestCentroid(v, mat, matNorms)
+  override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
 }
 
 /** dot(array<float>, array<float>) -> double, whole-stage-codegen'd. */
