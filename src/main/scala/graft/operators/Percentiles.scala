@@ -10,11 +10,16 @@ import org.apache.spark.sql.expressions.Window
   * a group in one executor's memory — at 100 TB one group holds
   * billions of doubles and OOMs. This operator computes the same
   * interpolated order statistics from `groupBy(value).count()`:
-  * executor memory is bounded by the number of DISTINCT values, the
-  * heavy lifting is an ordinary partial-aggregated shuffle over
-  * (group, value), and the per-group cumulative walk is a window over
-  * distinct values only. For quantized domains (quantities, prices in
-  * cents) distinct counts stay small no matter how many rows feed in.
+  * executor memory is bounded by DISTINCT values per range slice, and
+  * the cumulative ranks come from a distributed prefix sum rather than
+  * a per-group window — a `Window.partitionBy(group)` would serialize
+  * each group into one partition (parallelism = #groups, the wrong
+  * shape when a billion-row group has millions of distinct values).
+  *
+  * Plan shape: partial-agg histogram shuffle -> range repartition by
+  * (group, value) -> per-slice local cumsum (window keyed by slice id,
+  * so every slice runs in parallel) -> broadcast join of per-slice
+  * offsets (#slices x #groups rows) -> one final tiny re-aggregation.
   */
 object Percentiles {
 
@@ -31,28 +36,48 @@ object Percentiles {
       .filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).cast("double").as("_v"))
       .agg(count(lit(1)).as("_c"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
-    val wAll = Window.partitionBy(col(groupCol))
-    val cum = hist
-      .withColumn("_cum", sum(col("_c")).over(w)) // 1-indexed end rank of _v
-      .withColumn("_n", sum(col("_c")).over(wAll))
-      .withColumn("_next", lead(col("_v"), 1).over(w))
-    // x_k lives on the row where _cum-_c <= k < _cum; x_{k+1} is the same
-    // value unless k+1 == _cum (then it's the next distinct value). Each
-    // fraction hits exactly one row per group, so a max(when(hit,..))
-    // re-aggregation collapses the histogram without a join per fraction.
-    val qCols = ps.map { case (name, p) =>
-      val h = lit(p) * (col("_n") - 1).cast("double")
-      val k = floor(h)
-      val frac = h - k.cast("double")
-      val xk = col("_v")
-      val xk1 = when(k + 1 < col("_cum"), col("_v")).otherwise(col("_next"))
-      val hit = (col("_cum") - col("_c") <= k) && (k < col("_cum"))
-      // frac == 0 must not touch xk1: at p = 1.0 (or exact ranks) the
-      // next value may be null and 0 * null would null the result.
-      val v = when(frac > 0, xk + frac * (xk1 - xk)).otherwise(xk)
-      max(when(hit, v)).as(name)
+    // Distributed prefix sum: range partitioning guarantees slice i
+    // holds only (group, value) pairs ordered before slice i+1, so
+    // global rank = rank within the slice + total count of the group's
+    // earlier slices. The slice-local window parallelizes across
+    // (slice, group); the offset table is tiny and broadcast.
+    val parts = hist.repartitionByRange(col(groupCol), col("_v"))
+      .withColumn("_pid", spark_partition_id())
+    val wSlice = Window.partitionBy(col("_pid"), col(groupCol)).orderBy(col("_v"))
+    val localCum = parts.withColumn("_lcum", sum(col("_c")).over(wSlice))
+    val totals = parts.groupBy(col("_pid"), col(groupCol)).agg(sum(col("_c")).as("_pt"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum(col("_pt")).over(wOff), lit(0L)))
+      .drop("_pt")
+    val ns = totals.groupBy(col(groupCol)).agg(sum(col("_pt")).as("_n"))
+    val cum = localCum
+      .join(broadcast(offsets), Seq("_pid", groupCol))
+      .join(broadcast(ns), Seq(groupCol))
+      .withColumn("_cum", col("_lcum") + col("_off"))
+    // The order statistics x_k and x_{k+1} each live on exactly one
+    // histogram row (the one whose rank range [_cum-_c, _cum) covers
+    // them), so a max(when(hit,..)) re-aggregation collapses the
+    // histogram without a join or lead() per fraction.
+    def h(p: Double) = lit(p) * (col("_n") - 1).cast("double")
+    val aggs = ps.flatMap { case (name, p) =>
+      val k = floor(h(p))
+      def hit(rank: org.apache.spark.sql.Column) =
+        (col("_cum") - col("_c") <= rank) && (rank < col("_cum"))
+      Seq(max(when(hit(k), col("_v"))).as(s"_${name}_lo"),
+        max(when(hit(k + 1), col("_v"))).as(s"_${name}_hi"))
+    } :+ first(col("_n")).as("_n")
+    val agged = cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val outCols = col(groupCol) +: ps.map { case (name, p) =>
+      val k = floor(h(p))
+      val frac = h(p) - k.cast("double")
+      val lo = col(s"_${name}_lo")
+      val hi = col(s"_${name}_hi")
+      // frac == 0 must not touch hi: at p = 1.0 no row holds rank k+1
+      // and 0 * null would null the result.
+      when(frac > 0, lo + frac * (hi - lo)).otherwise(lo).as(name)
     }
-    cum.groupBy(col(groupCol)).agg(qCols.head, qCols.tail: _*)
+    agged.select(outCols: _*)
   }
 }
