@@ -21,7 +21,12 @@ object Bench {
       catch { case NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+    // SPARK_GRAFT_ONLY=q1_agg,q3_shipping isolates queries when
+    // profiling locally; the driver leaves it unset (full run).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       ordered.foreach { case (name, fn) => run(fn, warmDir, name) }
     val results = ordered.map { case (name, fn) =>

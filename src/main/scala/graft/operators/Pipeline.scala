@@ -128,6 +128,70 @@ object Pipeline {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Deterministic train/val/test assignment + an independent 10%
+    * sample flag, keyed on md5 of the salted id — the reproducible,
+    * engine-independent way to split a 100 TB corpus (no RNG state, no
+    * shuffle; any worker can recompute any row's split). Buckets are
+    * 2-hex-char md5 prefixes: lexicographic order equals numeric order
+    * over [0-9a-f], so range predicates define the splits identically
+    * in every engine. */
+  val tSample: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val bucket = substring(
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < "d0", "train")
+            .when(col("bucket") < "e8", "val")
+            .otherwise("test"))
+        .withColumn("in_10pct", col("bucket") < "1a")
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH b AS (
+        SELECT doc_id,
+               substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 'd0' THEN 'train'
+                  WHEN bucket < 'e8' THEN 'val'
+                  ELSE 'test' END AS split,
+             bucket < '1a' AS in_10pct
+      FROM b
+      ORDER BY doc_id"""))
+
+  /** Greedy contiguous sequence packing: documents in id order fill
+    * fixed 512-token packs; a doc's pack is its exclusive running token
+    * total div the budget. The running total is [[PrefixSum]] — range
+    * repartition + slice-local cumsum + broadcast slice offsets — NOT a
+    * global `sum() OVER (ORDER BY)` window, which would serialize the
+    * whole corpus through one task. All-integer arithmetic, so the
+    * oracle compares exactly. */
+  val tPack: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCountWs(col("text")).as("n_tokens"))
+      PrefixSum.runningTotal(docs, "doc_id", "n_tokens", "cum_tokens")
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("n_tokens")) / lit(512.0)).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM t)
+      SELECT doc_id, n_tokens, cum_tokens,
+             CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id
+      FROM c
+      ORDER BY doc_id"""))
+
   val tFingerprint: QueryDef = QueryDef(
     fn = (s, dir) =>
       Tables.load(s, dir, "documents")
@@ -325,6 +389,8 @@ object Pipeline {
     "t_quality" -> tQuality,
     "t_tokens" -> tTokens,
     "t_fingerprint" -> tFingerprint,
+    "t_sample" -> tSample,
+    "t_pack" -> tPack,
     "t_redact" -> tRedact,
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_minhash" -> dDedupMinhash,

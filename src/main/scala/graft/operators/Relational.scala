@@ -543,6 +543,40 @@ object Relational {
       GROUP BY r_name
       ORDER BY r_name"""))
 
+  /** Sketch-based distinct counting: `approx_count_distinct` (HLL++,
+    * one pass, constant memory per group) is the 100 TB path where
+    * exact `count(DISTINCT)` needs a full shuffle of every key. The
+    * oracle can't replay Spark's HLL bit-for-bit, so the driver-checked
+    * contract is the tolerance assertion: exact counts must hash-match
+    * AND the sketch must land within 5% (rsd=0.01, so ~1% expected) —
+    * the boolean column only matches the oracle's literal TRUE if the
+    * sketch is actually accurate. */
+  val qApproxDistinct: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // The two counts run as SEPARATE aggregations: mixing a distinct
+      // aggregate with a sketch in one Aggregate makes Spark's distinct
+      // rewrite group the partial by (flag, l_orderkey, gid), building
+      // and shuffling a full HLL buffer PER ORDERKEY (~21 KB x 150k
+      // groups at sf0.1 — measured 100 s and GC-poisoned the session).
+      // Split, each plans its natural shape; the join is 3 rows.
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_cnt"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("_approx"))
+      exact.join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_cnt"),
+          (abs(col("_approx") - col("exact_cnt")).cast("double") /
+            col("exact_cnt") <= 0.05).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_cnt,
+             TRUE AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   /** GROUPING SETS distinct from rollup/cube: chosen group combos
     * only, with grouping() flags disambiguating the null rows. */
   val qGroupingSets: QueryDef = QueryDef(
@@ -570,6 +604,7 @@ object Relational {
     "q_grouping_sets" -> qGroupingSets,
     "q_outer_join" -> qOuterJoin,
     "q_collect_agg" -> qCollectAgg,
+    "q_approx_distinct" -> qApproxDistinct,
     "q_sql_text" -> qSqlText,
     "q_asof_join" -> qAsofJoin,
     "q_pivot" -> qPivot,
