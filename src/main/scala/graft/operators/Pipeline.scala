@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => TF}
 import graft.plans.RollingFingerprint
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
@@ -160,6 +161,68 @@ object Pipeline {
              bucket < '1a' AS in_10pct
       FROM b
       ORDER BY doc_id"""))
+
+  /** Gopher-style repetition signals: repeated-token fraction and the
+    * share of all word 2-grams taken by the most frequent one — the
+    * standard cheap filters for boilerplate/spam before training. Per-
+    * doc distincts are array ops; the top-bigram mode goes through an
+    * explode + two-level aggregation (the scale shape: a billion docs
+    * never collect per-doc maps on one node). All-integer numerators
+    * and denominators, fracs floor-scaled to 4dp, so the oracle
+    * compares exactly. */
+  val tRepetition: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val tokStats = toks.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
+      val bigrams = toks.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bigram"))
+      val bigramStats = bigrams
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("_c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("_c")).as("top_bigram_n"), sum(col("_c")).as("n_bigrams"))
+      tokStats.join(bigramStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          (floor((col("n_tokens") - col("n_distinct_tokens")) /
+            col("n_tokens") * 10000) / 10000).as("dup_token_frac"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          when(col("n_bigrams") > 0,
+            floor(col("top_bigram_n") / col("n_bigrams") * 10000) / 10000)
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      ts AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+        FROM t),
+      bg AS (
+        SELECT doc_id,
+               unnest([toks[CAST(x AS INT)] || ' ' || toks[CAST(x AS INT) + 1]
+                       for x in range(1, len(toks))]) AS bigram
+        FROM t),
+      bs AS (
+        SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+        FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+        GROUP BY doc_id)
+      SELECT ts.doc_id, n_tokens, n_distinct_tokens,
+             floor((n_tokens - n_distinct_tokens) / n_tokens * 10000) / 10000
+               AS dup_token_frac,
+             coalesce(top_bigram_n, 0) AS top_bigram_n,
+             coalesce(n_bigrams, 0) AS n_bigrams,
+             CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN floor(top_bigram_n / n_bigrams * 10000) / 10000
+                  ELSE 0.0 END AS top_bigram_frac
+      FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+      ORDER BY ts.doc_id"""))
 
   /** Greedy contiguous sequence packing: documents in id order fill
     * fixed 512-token packs; a doc's pack is its exclusive running token
@@ -361,6 +424,56 @@ object Pipeline {
     },
     oracle = None)
 
+  /** Driver-checkable aggregate recall for an approximate top-k vs the
+    * exact brute-force baseline. An approximate index's exact output
+    * can't be replayed in SQL, but its CONTRACT can: total hits /
+    * total exact neighbors >= `minRecall`, deterministic because every
+    * ingredient (centroid seeds, hyperplanes, tie-breaks) is. The
+    * oracle's literal TRUE only matches when the index actually
+    * delivers. */
+  private def annRecall(approx: DataFrame, exact: DataFrame,
+      minRecall: Double): DataFrame = {
+    val hits = approx.as("a").join(exact.as("e"),
+        col("a.query_id") === col("e.query_id") &&
+          col("a.neighbor_id") === col("e.neighbor_id"))
+      .groupBy(col("a.query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(coalesce(col("n_hits"), lit(0L))).cast("double") /
+          sum(col("n_exact")) >= minRecall).as("recall_ok"))
+  }
+
+  private val recallOracleSql: String = """
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+      FROM embeddings WHERE vec_id < 10"""
+
+  val dAnnIvfRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(Similarity.ivfTopK(emb, q, "embedding", "vec_id"),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.6)
+    },
+    oracle = Some(recallOracleSql))
+
+  /** The default (8x6) LSH shape targets high-cosine dedup hits; this
+    * corpus's exact top-5 sit at background similarity (~0.3-0.4 cos),
+    * where 6-bit buckets rarely collide (measured recall 0.32). The
+    * recall contract uses the dense 24-table x 4-bit configuration —
+    * collision probability 0.6^4 per table, ~0.95+ recall over 24
+    * tables — the knob a user turns when low-similarity neighbors
+    * matter more than scan fraction. */
+  val dAnnLshRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.lshTopK(emb, q, "embedding", "vec_id", tables = 24, bits = 4),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.6)
+    },
+    oracle = Some(recallOracleSql))
+
   // ---- multimodal ----
 
   val mModalMeta: QueryDef = QueryDef(
@@ -401,6 +514,9 @@ object Pipeline {
     "d_ann_brute" -> dAnnBrute,
     "d_ann_lsh" -> dAnnLsh,
     "d_ann_ivf" -> dAnnIvf,
+    "d_ann_ivf_recall" -> dAnnIvfRecall,
+    "d_ann_lsh_recall" -> dAnnLshRecall,
+    "t_repetition" -> tRepetition,
     "m_modal_meta" -> mModalMeta,
     "m_modal_resize" -> mModalResize,
     "m_modal_frames" -> mModalFrames)

@@ -577,6 +577,38 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** No-equi-key interval join via [[RangeJoin]]: each error event
+    * opens a 10-minute incident window; count and total (in exact
+    * cents — float sums are order-dependent across engines) the events
+    * landing inside each window. Spark's native plan for this
+    * predicate is BroadcastNestedLoopJoin — O(points x intervals) and
+    * an OOM at scale; the bucketed rewrite is a linear equi-join. */
+  val qRangeJoin: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      // events.ts is a nanosecond parquet timestamp — Spark surfaces it
+      // as LONG nanos; truncate to micros like DuckDB's implicit cast
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val windows = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("window_id"), col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("t1"))
+      RangeJoin.pointInInterval(ev.select(col("ts"), col("value")),
+          windows, "ts", "t0", "t1")
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("window_id"))
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT event_id AS window_id, ts AS t0, ts + INTERVAL 10 MINUTE AS t1
+        FROM events WHERE event_type = 'error')
+      SELECT window_id, count(*) AS n_events,
+             sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+      FROM w JOIN events e ON e.ts >= w.t0 AND e.ts < w.t1
+      GROUP BY window_id
+      ORDER BY window_id"""))
+
   /** GROUPING SETS distinct from rollup/cube: chosen group combos
     * only, with grouping() flags disambiguating the null rows. */
   val qGroupingSets: QueryDef = QueryDef(
@@ -605,6 +637,7 @@ object Relational {
     "q_outer_join" -> qOuterJoin,
     "q_collect_agg" -> qCollectAgg,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_range_join" -> qRangeJoin,
     "q_sql_text" -> qSqlText,
     "q_asof_join" -> qAsofJoin,
     "q_pivot" -> qPivot,
