@@ -62,8 +62,28 @@ object StreamQueries {
       GROUP BY user_id, sid
       ORDER BY user_id, session_start_ms"""))
 
+  /** Stream-stream interval join (clicks within 30 min before a
+    * same-user error); StreamingSpec runs the identical plan under
+    * readStream in append mode. */
+  val sStreamJoin: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Streaming.correlatedClicks(events(s, dir))
+        .orderBy(col("user_id"), col("error_ts_ms"), col("click_ts_ms")),
+    oracle = Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                         make_timestamp(epoch_ms(ts) * 1000) AS ts
+                  FROM events),
+      err AS (SELECT user_id, ts FROM ev WHERE event_type = 'error'),
+      clk AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+      SELECT err.user_id, epoch_ms(err.ts) AS error_ts_ms,
+             epoch_ms(clk.ts) AS click_ts_ms
+      FROM err JOIN clk ON clk.user_id = err.user_id
+        AND clk.ts >= err.ts - INTERVAL 30 MINUTE AND clk.ts <= err.ts
+      ORDER BY 1, 2, 3"""))
+
   val defs: Map[String, QueryDef] = Map(
     "s_window_agg" -> sWindowAgg,
     "s_sliding_window" -> sSlidingWindow,
-    "s_sessionize" -> sSessionize)
+    "s_sessionize" -> sSessionize,
+    "s_stream_join" -> sStreamJoin)
 }

@@ -66,6 +66,30 @@ object Streaming {
       .select(col("user_id"), unix_millis(col("sw.start")).as("session_start_ms"),
         col("n_events"))
 
+  /** Stream-stream interval join: clicks matched to same-user errors
+    * within `lookback` before the error. Both sides carry watermarks
+    * and the join condition bounds event time on both, so Structured
+    * Streaming can expire join state — the Append-mode-legal shape.
+    * State per key is O(events within watermark), not the stream
+    * history; in batch the same plan is a plain equi+range join.
+    */
+  def correlatedClicks(events: DataFrame, lookback: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("c_ts") >= col("e_ts") - expr(s"INTERVAL $lookback") &&
+          col("c_ts") <= col("e_ts"))
+      .select(col("e_user").as("user_id"),
+        unix_millis(col("e_ts")).as("error_ts_ms"),
+        unix_millis(col("c_ts")).as("click_ts_ms"))
+  }
+
   // ---- custom state: explicit sessionization ----
 
   case class SessionEvent(user_id: Long, ts_ms: Long)

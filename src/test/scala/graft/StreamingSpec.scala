@@ -44,6 +44,30 @@ class StreamingSpec extends SparkSpec {
     assert(viaState.nonEmpty)
   }
 
+  test("stream-stream interval join runs in append mode and equals batch") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    MessageLog.writeLog(MessageLog.eventsTopic(spark, sf), path)
+
+    val batch = Streaming.correlatedClicks(
+      Streaming.decodeEvents(spark.read.schema(Streaming.logSchema).parquet(path)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val stream = Streaming.correlatedClicks(
+      Streaming.decodeEvents(Streaming.readLogStream(spark, path)))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    // append-mode emission: everything at-or-before the final watermark
+    // is out; with AvailableNow the watermark passes all data, so the
+    // streaming result must equal the batch join exactly
+    assert(got === batch)
+  }
+
   test("stream resumes incrementally as new segments arrive") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_inc").toString
