@@ -15,6 +15,12 @@ import org.apache.spark.sql.expressions.Window
   *
   * The ordering key must be unique per row (ties split across range
   * boundaries would make the inclusive sum order-dependent).
+  *
+  * Cost note: the slice-local window re-shuffles by `_pid` because
+  * Catalyst cannot prove the range exchange already clustered rows by
+  * partition id — two linear, fully-parallel exchanges of the data
+  * instead of one. Still a different complexity class from the global
+  * `ORDER BY` window's single-task funnel this replaces.
   */
 object PrefixSum {
 

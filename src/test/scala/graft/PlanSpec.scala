@@ -74,6 +74,33 @@ class PlanSpec extends SparkSpec {
     assert(plain.count(_.getString(2) == "hot") > 0)
   }
 
+  test("t_sample reads only doc_id from the parquet scan") {
+    val p = plan(operators.Pipeline.tSample.fn(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      readSchema)
+  }
+
+  test("q_approx_distinct: no HLL buffer per distinct key") {
+    // the sketch and the exact count must plan as separate aggregations
+    // (joined at 3 rows); one combined Aggregate would carry a ~21 KB
+    // HLL buffer per (flag, orderkey) group through Expand + shuffle
+    val p = plan(Relational.qApproxDistinct.fn(spark, sf))
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    assert(!tree.exists(_.contains("Expand")),
+      s"distinct rewrite (Expand) means the aggregates were combined:\n$p")
+  }
+
+  test("prefix sum: the only unpartitioned window is over slice totals") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i)).toDF("k", "v")
+    val p = plan(operators.PrefixSum.runningTotal(df, "k", "v", "cum"))
+    // data-path window is keyed by _pid; the global window feeds from
+    // the per-slice aggregate (one row per slice), then broadcasts
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("scalar pipeline stays in whole-stage codegen") {
     val df = Tables.load(spark, sf, "documents")
       .select(functions.MinHash.hashedWordShingles(col("text"), 3).as("sh"))
