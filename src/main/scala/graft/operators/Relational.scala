@@ -346,20 +346,21 @@ object Relational {
   val qPercentiles: QueryDef = QueryDef(
     fn = (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val qty = Percentiles.histQuantiles(li, "l_returnflag", "l_quantity",
-        Seq("p50_qty_raw" -> 0.5, "p90_qty_raw" -> 0.9))
-      val price = Percentiles.histQuantiles(li, "l_returnflag", "l_extendedprice",
-        Seq("p98_price_raw" -> 0.98, "p99_price_raw" -> 0.99))
-        .withColumnRenamed("l_returnflag", "flag_p")
+      // both value columns share ONE melted histogram pipeline
+      val hq = Percentiles.histQuantilesMulti(li, "l_returnflag", Seq(
+        "l_quantity" -> Seq("p50_qty_raw" -> 0.5, "p90_qty_raw" -> 0.9),
+        "l_extendedprice" -> Seq("p98_price_raw" -> 0.98, "p99_price_raw" -> 0.99)))
       val base = li.groupBy(col("l_returnflag").as("flag_b"))
         .agg(
           round(min(col("l_quantity")), 4).as("min_qty"),
           round(max(col("l_quantity")), 4).as("max_qty"),
           max(col("l_extendedprice")).as("max_price_raw"),
           round(stddev(col("l_extendedprice")), 4).as("sd_price"),
-          expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("ap99"))
-      qty
-        .join(price, col("l_returnflag") === col("flag_p"))
+          // accuracy 2000 => rank error n/2000 (10 ranks at the sf0.01
+          // gate) — far inside the [p98, max] sandwich below, at a
+          // fraction of the GK buffer cost of the 10000 default
+          expr("approx_percentile(l_extendedprice, 0.99, 2000)").as("ap99"))
+      hq
         .join(base, col("l_returnflag") === col("flag_b"))
         .select(col("l_returnflag"),
           round(col("p50_qty_raw"), 4).as("p50_qty"),
