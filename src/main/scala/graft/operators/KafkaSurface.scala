@@ -349,7 +349,34 @@ object KafkaSurface {
       GROUP BY topic, partition
       ORDER BY topic, partition"""))
 
+  /** Log-compaction view (Kafka compacted-topic semantics: the broker
+    * retains only the newest record per key): one row per key carrying
+    * the highest-offset payload. One hash aggregation with map-side
+    * partial max_by — no window sort over the log, so the plan is a
+    * single linear shuffle of pre-combined partials at any scale. */
+  val kCompact: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.eventsScan(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(col("offset")).as("last_offset"),
+          max_by(col("event_type"), col("offset")).as("last_type"),
+          max_by(col("value"), col("offset")).as("last_value"),
+          count(lit(1)).as("n_compacted"))
+        .orderBy(col("user_id")),
+    oracle = Some("""
+      SELECT user_id,
+             max("offset") AS last_offset,
+             arg_max(event_type, "offset") AS last_type,
+             arg_max(value, "offset") AS last_value,
+             count(*) AS n_compacted
+      FROM (SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) - 1 AS "offset"
+            FROM events)
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "k_compact" -> kCompact,
     "k_scan_bad" -> kScanBad,
     "k_blacklist" -> kBlacklist,
     "k_move_to_last" -> kMoveToLast,

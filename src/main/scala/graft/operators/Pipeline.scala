@@ -224,6 +224,49 @@ object Pipeline {
       FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
       ORDER BY ts.doc_id"""))
 
+  /** Corpus-frequency rarity scoring — the integer-exact core of an
+    * LM-perplexity quality filter: build the corpus unigram table
+    * (Zipf-bounded, broadcast-or-shuffle join left to AQE), then score
+    * each doc by its tokens' corpus frequencies. A true average
+    * log-prob would hash-differently across engines (order-dependent
+    * float sums), so the signals are exact-integer sums with one final
+    * division: mean corpus frequency per token and the fraction of
+    * rare (corpus freq <= 2) tokens. */
+  val tRarity: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      toks.join(vocab, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("tf")).as("sum_tok_freq"),
+          sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_tok_freq"),
+          (floor(col("sum_tok_freq") / col("n_tokens") * 10000) / 10000)
+            .as("mean_tok_freq"),
+          col("n_rare"),
+          (floor(col("n_rare") / col("n_tokens") * 10000) / 10000)
+            .as("rare_frac"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(tf) AS BIGINT) AS sum_tok_freq,
+             floor(CAST(sum(tf) AS BIGINT) / count(*) * 10000) / 10000 AS mean_tok_freq,
+             CAST(sum(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             floor(CAST(sum(CASE WHEN tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) / count(*) * 10000) / 10000
+               AS rare_frac
+      FROM toks JOIN vocab USING (tok)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   /** Greedy contiguous sequence packing: documents in id order fill
     * fixed 512-token packs; a doc's pack is its exclusive running token
     * total div the budget. The running total is [[PrefixSum]] — range
@@ -517,6 +560,7 @@ object Pipeline {
     "d_ann_ivf_recall" -> dAnnIvfRecall,
     "d_ann_lsh_recall" -> dAnnLshRecall,
     "t_repetition" -> tRepetition,
+    "t_rarity" -> tRarity,
     "m_modal_meta" -> mModalMeta,
     "m_modal_resize" -> mModalResize,
     "m_modal_frames" -> mModalFrames)
