@@ -375,7 +375,35 @@ object KafkaSurface {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** Semi-structured payloads: real topics carry JSON as often as
+    * Avro. The events payload's `props` string parses with a declared
+    * schema via from_json (codegen'd Jackson path, no UDF); malformed
+    * documents yield null fields, mirroring PERMISSIVE mode. */
+  val kJsonProps: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      MessageLog.eventsScan(s, dir)
+        .select(col("event_id"), col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("prop_k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("prop_k")).as("n_parsed"),
+          sum(col("prop_k")).as("sum_k"),
+          min(col("prop_k")).as("min_k"),
+          max(col("prop_k")).as("max_k"))
+        .orderBy(col("event_type")),
+    oracle = Some("""
+      SELECT event_type,
+             count(CAST(props->>'k' AS BIGINT)) AS n_parsed,
+             CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             min(CAST(props->>'k' AS BIGINT)) AS min_k,
+             max(CAST(props->>'k' AS BIGINT)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "k_json_props" -> kJsonProps,
     "k_compact" -> kCompact,
     "k_scan_bad" -> kScanBad,
     "k_blacklist" -> kBlacklist,

@@ -578,6 +578,31 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** INTERSECT / EXCEPT set operations: market segments present among
+    * both high-value and low-value customers, and segments exclusive
+    * to high-value ones. Spark plans these as aggregate-backed
+    * left-semi/anti joins — partial-combine friendly, no sort. */
+  val qSetOps: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val c = t(s, dir, "customer")
+      val hi = c.filter(col("c_acctbal") > 5000).select(col("c_mktsegment"))
+      val lo = c.filter(col("c_acctbal") < 0).select(col("c_mktsegment"))
+      val both = hi.intersect(lo)
+        .select(col("c_mktsegment"), lit("both").as("which"))
+      val hiOnly = hi.except(lo)
+        .select(col("c_mktsegment"), lit("hi_only").as("which"))
+      both.unionByName(hiOnly).orderBy(col("which"), col("c_mktsegment"))
+    },
+    oracle = Some("""
+      WITH hi AS (SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000),
+           lo AS (SELECT c_mktsegment FROM customer WHERE c_acctbal < 0)
+      SELECT c_mktsegment, 'both' AS which
+      FROM (SELECT c_mktsegment FROM hi INTERSECT SELECT c_mktsegment FROM lo)
+      UNION ALL
+      SELECT c_mktsegment, 'hi_only' AS which
+      FROM (SELECT c_mktsegment FROM hi EXCEPT SELECT c_mktsegment FROM lo)
+      ORDER BY which, c_mktsegment"""))
+
   /** No-equi-key interval join via [[RangeJoin]]: each error event
     * opens a 10-minute incident window; count and total (in exact
     * cents — float sums are order-dependent across engines) the events
@@ -639,6 +664,7 @@ object Relational {
     "q_collect_agg" -> qCollectAgg,
     "q_approx_distinct" -> qApproxDistinct,
     "q_range_join" -> qRangeJoin,
+    "q_set_ops" -> qSetOps,
     "q_sql_text" -> qSqlText,
     "q_asof_join" -> qAsofJoin,
     "q_pivot" -> qPivot,
