@@ -170,6 +170,21 @@ object Dedup {
       (col("id") === col("label")).as("is_canonical"))
   }
 
+  /** Exact all-pairs cosine ground truth — the verification baseline
+    * for [[embeddingPairs]], NOT a scale path: the corpus rides as one
+    * broadcast against itself (fine while n x dim floats fit an
+    * executor; at real scale the LSH path is the product and this runs
+    * on a sample). */
+  def bruteEmbeddingPairs(df: DataFrame, vecCol: String, idCol: String,
+      minCos: Double = 0.35): DataFrame = {
+    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Embedding near-dup pairs: multi-table hyperplane-LSH candidate
     * buckets, then cosine verification. Returns (id_a, id_b, cos)
     * with cosine >= `minCos`. Recall rises with `tables` (union of
