@@ -3,7 +3,7 @@ package graft.streaming
 import graft.sources.avro
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming surface: the Spark-native replacement for the
@@ -88,6 +88,44 @@ object Streaming {
       .select(col("e_user").as("user_id"),
         unix_millis(col("e_ts")).as("error_ts_ms"),
         unix_millis(col("c_ts")).as("click_ts_ms"))
+  }
+
+  // ---- custom state: transformWithState (state API v2) ----
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-key running totals on the Spark 4 arbitrary-state API: typed
+    * `ValueState` in the state store (RocksDB-backed under streaming),
+    * updated per micro-batch, current totals re-emitted on every batch
+    * that touches the key. The v2 replacement for the
+    * [[sessionizeWithState]]-style flatMapGroupsWithState path —
+    * explicit state variables with per-variable TTL instead of one
+    * opaque state object. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserTotals] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[UserTotals] = {
+      var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      totals.update((n, sum))
+      Iterator(UserTotals(key, n, sum))
+    }
+  }
+
+  /** Apply [[RunningTotalsProcessor]] to a decoded events frame. */
+  def runningTotals(events: DataFrame): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   // ---- custom state: explicit sessionization ----

@@ -98,6 +98,35 @@ class StreamingSpec extends SparkSpec {
     assert(after === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_tws").toString
+    def batch(n: Int, rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("user_id", "value").write.parquet(s"$path/b$n")
+    batch(1, Seq((1L, 1.0), (1L, 2.0), (2L, 10.0)))
+    batch(2, Seq((1L, 4.0), (3L, 7.0)))
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1").parquet(path + "/*")
+      val q = Streaming.runningTotals(src)
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+      q.processAllAvailable(); q.stop()
+      // update-mode sink: the LAST emission per user carries the final
+      // running totals, state having persisted across micro-batches
+      val finals = spark.table("tws_out").groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), max(col("total_value")).as("t"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(finals(1L) === ((3L, 7.0)))
+      assert(finals(2L) === ((1L, 10.0)))
+      assert(finals(3L) === ((1L, 7.0)))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("late data beyond watermark is dropped in append mode") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_late").toString
