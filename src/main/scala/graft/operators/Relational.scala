@@ -239,20 +239,28 @@ object Relational {
       JOIN nation ON nk = n_nationkey
       ORDER BY n_name, src"""))
 
-  /** Broadcast dim join: revenue by part brand (plan must broadcast part). */
+  /** Explicit-broadcast join: revenue over a filtered probe set of
+    * parts (two brands). The hint rides on the FILTERED side — a
+    * bounded probe set stays broadcastable at any corpus size, where
+    * hinting the full part table (SF-scaling) would OOM at 100 TB;
+    * the unfiltered variant is exactly what q3/q5 leave to AQE. */
   val qBroadcastJoin: QueryDef = QueryDef(
-    fn = (s, dir) =>
+    fn = (s, dir) => {
+      val probe = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#11", "Brand#22"))
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(probe), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
              round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
-        .orderBy(col("p_brand")),
+        .orderBy(col("p_brand"))
+    },
     oracle = Some("""
       SELECT p_brand,
              round(sum(l_quantity), 4) AS sum_qty,
              round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand IN ('Brand#11', 'Brand#22')
       GROUP BY p_brand
       ORDER BY p_brand"""))
 
