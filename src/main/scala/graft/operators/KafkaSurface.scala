@@ -136,6 +136,38 @@ object KafkaSurface {
       GROUP BY o_orderkey
       ORDER BY o_orderkey"""))
 
+  /** Schema-evolution scan: payloads written under a V1 schema decoded
+    * under a V2 reader that reorders fields, DROPS one (value) and
+    * ADDS a nullable `channel` — Avro reader/writer resolution
+    * (MemorySchemaRegistry versioning) as a driver-checked query, not
+    * just a spec. Dropped fields are byte-skipped at decode. */
+  val kEvolve: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val v1Type = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val v2Type = StructType(Seq(
+        StructField("channel", StringType),
+        StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      val v1 = AvroCodec.avroSchemaFor(v1Type, "EvoEvent").toString
+      val v2 = AvroCodec.avroSchemaFor(v2Type, "EvoEvent").toString
+      Tables.load(s, dir, "events")
+        .select(avro.to_avro(
+          struct(col("event_id"), col("event_type"), col("value")).cast(v1Type),
+          "EvoEvent").as("payload"))
+        .select(avro.from_avro(col("payload"), v2, v1).as("r"))
+        .select(col("r.event_id").as("event_id"),
+          col("r.event_type").as("event_type"),
+          coalesce(col("r.channel"), lit("unset")).as("channel"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      SELECT event_id, event_type, 'unset' AS channel
+      FROM events
+      ORDER BY event_id"""))
+
   /** Kafka-backed fact joined to a dimension table (TODO.md "joins"). */
   val kJoinDim: QueryDef = QueryDef(
     fn = (s, dir) =>
@@ -404,6 +436,7 @@ object KafkaSurface {
 
   val defs: Map[String, QueryDef] = Map(
     "k_json_props" -> kJsonProps,
+    "k_evolve" -> kEvolve,
     "k_compact" -> kCompact,
     "k_scan_bad" -> kScanBad,
     "k_blacklist" -> kBlacklist,
