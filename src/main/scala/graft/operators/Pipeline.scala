@@ -224,6 +224,56 @@ object Pipeline {
       FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
       ORDER BY ts.doc_id"""))
 
+  /** Train/test contamination detection: flag corpus documents sharing
+    * any word 8-gram with a benchmark set (here the doc_id < 20
+    * sample). The benchmark gram set is small by nature — broadcast —
+    * so the corpus streams through one codegen'd shingle pass and an
+    * equi-join on gram hash: linear at any corpus size. Hashed-gram
+    * equality equals string-gram equality (64-bit fnv1a collisions
+    * aside), which the brute-force string-gram oracle verifies. */
+  val tContamination: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.select(col("doc_id").as(idAs),
+          explode(graft.functions.MinHash.hashedWordShingles(col("text"), 8)).as("g"))
+      val bench = grams(docs.filter(col("doc_id") < 20), "bench_id")
+      val hits = grams(docs, "doc_id").join(broadcast(bench), Seq("g"))
+        .filter(col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+          count(lit(1)).as("n_gram_hits"))
+      docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+          coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+          (coalesce(col("n_bench_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct([array_to_string(toks[CAST(x AS INT):CAST(x AS INT)+7], ' ')
+                                        for x in range(1, len(toks) - 6)]) END AS sh
+        FROM t),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      b AS (SELECT doc_id AS bench_id, s FROM e WHERE doc_id < 20),
+      hits AS (
+        SELECT e.doc_id, count(DISTINCT b.bench_id) AS n_bench_hits,
+               count(*) AS n_gram_hits
+        FROM e JOIN b ON e.s = b.s AND e.doc_id <> b.bench_id
+        GROUP BY e.doc_id)
+      SELECT d.doc_id,
+             coalesce(n_bench_hits, 0) AS n_bench_hits,
+             coalesce(n_gram_hits, 0) AS n_gram_hits,
+             coalesce(n_bench_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+      ORDER BY d.doc_id"""))
+
   /** Corpus-frequency rarity scoring — the integer-exact core of an
     * LM-perplexity quality filter: build the corpus unigram table
     * (Zipf-bounded, broadcast-or-shuffle join left to AQE), then score
@@ -592,6 +642,7 @@ object Pipeline {
     "d_ann_lsh_recall" -> dAnnLshRecall,
     "t_repetition" -> tRepetition,
     "t_rarity" -> tRarity,
+    "t_contamination" -> tContamination,
     "m_modal_meta" -> mModalMeta,
     "m_modal_resize" -> mModalResize,
     "m_modal_frames" -> mModalFrames)
