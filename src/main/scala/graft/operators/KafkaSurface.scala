@@ -168,6 +168,31 @@ object KafkaSurface {
       FROM events
       ORDER BY event_id"""))
 
+  /** CSV wire format: delimited payload lines decoded with a declared
+    * schema via from_csv (codegen'd UnivocityParser path) — the third
+    * payload codec next to Avro and JSON. Encode->decode round trip,
+    * then an aggregate the oracle recomputes from the source table. */
+  val kCsvRoundtrip: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType)))
+      Tables.load(s, dir, "events")
+        .select(concat_ws(",",
+          col("event_id"), col("user_id"), col("event_type")).as("line"))
+        .select(from_csv(col("line"), schema, Map.empty[String, String]).as("r"))
+        .groupBy(col("r.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("r.user_id")).as("sum_uid"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(user_id) AS BIGINT) AS sum_uid
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   /** Kafka-backed fact joined to a dimension table (TODO.md "joins"). */
   val kJoinDim: QueryDef = QueryDef(
     fn = (s, dir) =>
@@ -437,6 +462,7 @@ object KafkaSurface {
   val defs: Map[String, QueryDef] = Map(
     "k_json_props" -> kJsonProps,
     "k_evolve" -> kEvolve,
+    "k_csv" -> kCsvRoundtrip,
     "k_compact" -> kCompact,
     "k_scan_bad" -> kScanBad,
     "k_blacklist" -> kBlacklist,
