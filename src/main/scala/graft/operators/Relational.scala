@@ -586,6 +586,35 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Correlated SCALAR subqueries in the select list — Catalyst's
+    * RewriteCorrelatedScalarSubquery path (de-correlated into left
+    * outer aggregate joins), distinct from the EXISTS/IN rewrite
+    * q_exists_subquery covers. */
+  val qScalarSubquery: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, round(o_totalprice, 4) AS total,
+               (SELECT count(*) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS n_lines,
+               (SELECT round(max(l_extendedprice), 4) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS max_line_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        ORDER BY o_orderkey
+        LIMIT 1000""")
+    },
+    oracle = Some("""
+      SELECT o_orderkey, round(o_totalprice, 4) AS total,
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey = o_orderkey) AS n_lines,
+             (SELECT round(max(l_extendedprice), 4) FROM lineitem
+              WHERE l_orderkey = o_orderkey) AS max_line_price
+      FROM orders
+      WHERE o_orderstatus = 'F'
+      ORDER BY o_orderkey
+      LIMIT 1000"""))
+
   /** INTERSECT / EXCEPT set operations: market segments present among
     * both high-value and low-value customers, and segments exclusive
     * to high-value ones. Spark plans these as aggregate-backed
@@ -673,6 +702,7 @@ object Relational {
     "q_approx_distinct" -> qApproxDistinct,
     "q_range_join" -> qRangeJoin,
     "q_set_ops" -> qSetOps,
+    "q_scalar_subquery" -> qScalarSubquery,
     "q_sql_text" -> qSqlText,
     "q_asof_join" -> qAsofJoin,
     "q_pivot" -> qPivot,
