@@ -14,6 +14,11 @@ run / fork := true
 // Pass the forked child's stdout through bare — without this sbt re-logs
 // every line as "[info] ..." and the driver's bench-JSON parser fails.
 run / outputStrategy := Some(StdoutOutput)
+// ... and silence sbt's trailing "[success] Total time: ..." banner, which
+// otherwise lands AFTER the bench JSON so it isn't the last stdout line.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

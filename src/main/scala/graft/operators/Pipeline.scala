@@ -177,9 +177,15 @@ object Pipeline {
       val tokStats = toks.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"))
+      // sequence(1, 0) DESCENDS in Spark, so a one-token (or empty) doc
+      // would hit element_at(toks, 0) and throw — guard to an empty
+      // array (explode then drops the row; the left join below yields
+      // the oracle's zero-bigram answer).
       val bigrams = toks.select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(toks) - 1)," +
-          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        explode(expr("CASE WHEN size(toks) >= 2 THEN" +
+          " transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))" +
+          " ELSE array() END"))
           .as("bigram"))
       val bigramStats = bigrams
         .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("_c"))
@@ -210,7 +216,7 @@ object Pipeline {
                        for x in range(1, len(toks))]) AS bigram
         FROM t),
       bs AS (
-        SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+        SELECT doc_id, max(c) AS top_bigram_n, CAST(sum(c) AS BIGINT) AS n_bigrams
         FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
         GROUP BY doc_id)
       SELECT ts.doc_id, n_tokens, n_distinct_tokens,
@@ -340,8 +346,8 @@ object Pipeline {
         FROM documents),
       c AS (
         SELECT doc_id, n_tokens,
-               sum(n_tokens) OVER (ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM t)
       SELECT doc_id, n_tokens, cum_tokens,
              CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id

@@ -125,7 +125,9 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rnk", rank().over(w))
+        // long, not Spark's int: DuckDB rank() is BIGINT and the driver
+        // hash is integer-width-sensitive
+        .withColumn("rnk", rank().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("price"), col("rnk"))
@@ -271,11 +273,11 @@ object Relational {
         .select(
           col("o_orderkey"),
           upper(col("o_orderstatus")).as("status_u"),
-          length(col("o_orderpriority")).as("prio_len"),
+          length(col("o_orderpriority")).cast("long").as("prio_len"),
           substring(col("o_orderpriority"), 1, 1).as("prio_code"),
           concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
-          year(col("o_orderdate")).as("yr"),
-          month(col("o_orderdate")).as("mo"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
           round(col("o_totalprice") * 1.1, 2).as("gross"),
           round(abs(col("o_totalprice") - 100000.0), 2).as("dist"))
         .orderBy(col("o_orderkey"))
@@ -375,9 +377,10 @@ object Relational {
           round(col("p90_qty_raw"), 4).as("p90_qty"),
           round(col("p99_price_raw"), 4).as("p99_price"),
           col("min_qty"), col("max_qty"), col("sd_price"),
-          // GK with accuracy 10000 bounds rank error by n/10000, so the
-          // approx p99 must land in [exact p98, max] — hash-comparable
-          // even though the sketch value itself is not.
+          // GK with accuracy 2000 bounds rank error by n/2000 — well
+          // inside the 1%-of-ranks [exact p98, max] sandwich, so the
+          // approx p99 must land in it — hash-comparable even though
+          // the sketch value itself is not.
           (col("ap99") >= col("p98_price_raw") &&
            col("ap99") <= col("max_price_raw")).cast("int").as("approx_ok"))
         .orderBy(col("l_returnflag"))
@@ -465,8 +468,8 @@ object Relational {
         .select(col("o_orderkey"), col("o_custkey"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
-          ntile(4).over(w).as("quartile"),
-          dense_rank().over(w).as("seq"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          dense_rank().over(w).cast("long").as("seq"),
           round(cume_dist().over(w), 4).as("cd"),
           // max, not avg: float summation order differs across engines,
           // so an avg-based delta flips round-4 boundaries vs the oracle
@@ -667,7 +670,7 @@ object Relational {
         SELECT event_id AS window_id, ts AS t0, ts + INTERVAL 10 MINUTE AS t1
         FROM events WHERE event_type = 'error')
       SELECT window_id, count(*) AS n_events,
-             sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM w JOIN events e ON e.ts >= w.t0 AND e.ts < w.t1
       GROUP BY window_id
       ORDER BY window_id"""))

@@ -35,7 +35,7 @@ object Similarity {
         round(cosine(col("qv"), col("cv")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -77,7 +77,7 @@ object Similarity {
         round(cosine(col("qv"), col("cv")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -137,7 +137,7 @@ object Similarity {
       round(cosine(col("qv"), col("cv")), 4).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .orderBy(col("query_id"), col("rnk"))
   }
 }

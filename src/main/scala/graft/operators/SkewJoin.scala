@@ -18,15 +18,19 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big` (skewed) with `small`, salted `salt` ways.
-    * Salt is hash(key, row position): deterministic (no rand()), and —
-    * unlike hashing the whole row — costs O(1) per row no matter how
-    * wide the payload is. Any salt assignment is correct (each big row
-    * meets every small replica of its key once); position just spreads
-    * a hot key's rows evenly. */
+    * Salt is a hash of the key plus a bounded subset of payload columns:
+    * ROW-CONTENT-deterministic, so a re-executed map task (after a
+    * shuffle-fetch failure) reassigns identical salts — position-based
+    * schemes like monotonically_increasing_id are order-dependent and
+    * can duplicate/lose rows on retry. Capping at 4 payload columns
+    * keeps the cost O(1) in row width. Any salt assignment is correct
+    * (each big row meets every small replica of its key once); content
+    * just spreads a hot key's rows evenly. */
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salt: Int): DataFrame = {
-    val saltCol: Column =
-      pmod(xxhash64(col(bigKey), monotonically_increasing_id()), lit(salt))
+    val saltInputs = (bigKey +: big.columns.filterNot(_ == bigKey).take(4).toSeq)
+      .map(col)
+    val saltCol: Column = pmod(xxhash64(saltInputs: _*), lit(salt))
     val b = big.withColumn("__salt", saltCol.cast("int"))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1)).cast("array<int>")))

@@ -53,13 +53,48 @@ private[sources] class SegmentTable(path: String) extends Table with SupportsRea
   override def schema(): StructType = LogSegmentSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val maxPerTrigger = Option(options.get("maxRecordsPerTrigger")).map(_.toLong)
-    new SegmentScanBuilder(path, maxPerTrigger)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SegmentScanBuilder(path, PullBudget.fromOptions(options))
 }
 
-private[sources] class SegmentScanBuilder(path: String, maxPerTrigger: Option[Long])
+/** Admission-control knobs — the reference's pull-budget surface
+  * (`KafkaInputFormat.java:60-61`: `kafka.max.pull.hrs` caps a whole
+  * run by wall-clock, `kafka.max.pull.minutes.per.task` caps each
+  * task) in Spark micro-batch form:
+  *
+  *  - `maxRecordsPerTrigger`: record-count budget per trigger;
+  *  - `maxPullMinutesPerTask`: wall-clock budget per trigger. A
+  *    micro-batch's end offsets are pinned before tasks run, so "stop
+  *    reading when time is up" is re-expressed as admission control:
+  *    admit only the records the stream has been MEASURED to process
+  *    within the budget (rate observed trigger-over-trigger;
+  *    `pullRateInitGuess` rec/s seeds the first trigger);
+  *  - `maxPullHours`: total wall-clock budget for the stream instance —
+  *    once exceeded, no further records are admitted (the remainder is
+  *    the next run's backlog, exactly the reference's bounded-backfill
+  *    contract).
+  */
+private[graft] case class PullBudget(maxRows: Option[Long],
+    perTriggerMs: Option[Long], totalMs: Option[Long], initRatePerSec: Double)
+
+private[graft] object PullBudget {
+  def fromOptions(options: CaseInsensitiveStringMap): PullBudget = PullBudget(
+    maxRows = Option(options.get("maxRecordsPerTrigger")).map(_.toLong),
+    perTriggerMs = Option(options.get("maxPullMinutesPerTask"))
+      .map(m => (m.toDouble * 60000).toLong),
+    totalMs = Option(options.get("maxPullHours"))
+      .map(h => (h.toDouble * 3600000).toLong),
+    initRatePerSec = Option(options.get("pullRateInitGuess"))
+      .map(_.toDouble).getOrElse(10000.0))
+  val unbounded: PullBudget = PullBudget(None, None, None, 10000.0)
+}
+
+/** Per-trigger wall-clock admission budget, carried through Spark's
+  * [[ReadLimit]] channel (the engine hands `getDefaultReadLimit` back
+  * to `latestOffset(start, limit)` verbatim, composite-safe). */
+private[graft] case class TimeBudgetLimit(budgetMs: Long) extends ReadLimit
+
+private[sources] class SegmentScanBuilder(path: String, budget: PullBudget)
     extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -73,11 +108,11 @@ private[sources] class SegmentScanBuilder(path: String, maxPerTrigger: Option[Lo
     filters // Spark re-evaluates everything; pruning is a fast path
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new SegmentScan(path, pushed, maxPerTrigger)
+  override def build(): Scan = new SegmentScan(path, pushed, budget)
 }
 
 private[sources] class SegmentScan(path: String, pushed: Array[Filter],
-    maxPerTrigger: Option[Long] = None)
+    budget: PullBudget = PullBudget.unbounded)
     extends Scan with Batch {
   override def readSchema(): StructType = LogSegmentSource.schema
   override def toBatch: Batch = this
@@ -120,7 +155,7 @@ private[sources] class SegmentScan(path: String, pushed: Array[Filter],
     SegmentReaderFactory
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SegmentMicroBatchStream(path, maxPerTrigger)
+    new SegmentMicroBatchStream(path, budget)
 }
 
 private[sources] object SegmentReaderFactory extends PartitionReaderFactory {
@@ -136,16 +171,17 @@ private[sources] object SegmentReaderFactory extends PartitionReaderFactory {
   * watermark (a real broker serves this from its index; the scan is
   * the file-backed stand-in).
   *
-  * `maxPerTrigger` is pull-budget admission control — the
+  * [[PullBudget]] is pull-budget admission control — the
   * `kafka.max.pull.hrs` / `kafka.max.pull.minutes.per.task` analogue
   * (KafkaInputFormat.java:60-61) in Spark's native form
   * (maxOffsetsPerTrigger-style [[SupportsAdmissionControl]]): each
-  * trigger admits at most that many records, distributed across
-  * topic-partitions proportionally to their backlog, and the stream
-  * catches up over successive bounded batches instead of one
+  * trigger admits a bounded record count (fixed, or derived from a
+  * wall-clock budget at the measured processing rate), distributed
+  * across topic-partitions proportionally to their backlog, and the
+  * stream catches up over successive bounded batches instead of one
   * unboundedly large first batch. */
 private[sources] class SegmentMicroBatchStream(path: String,
-    maxPerTrigger: Option[Long] = None)
+    budget: PullBudget = PullBudget.unbounded)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -180,29 +216,65 @@ private[sources] class SegmentMicroBatchStream(path: String,
   override def initialOffset(): Offset = SegmentOffsets(Map.empty)
   override def latestOffset(): Offset = SegmentOffsets(highWatermarks())
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = budget.maxRows.map(ReadLimit.maxRows).toSeq ++
+      budget.perTriggerMs.map(ms => TimeBudgetLimit(ms))
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  // rate bookkeeping for the wall-clock budgets (driver-side; one
+  // stream instance per query run)
+  private val streamStartMs = System.currentTimeMillis()
+  private var lastTriggerMs = -1L
+  private var lastAdmitted = -1L
+
+  /** Row budget a given limit allows this trigger; Long.MaxValue =
+    * unbounded. A time budget converts wall-clock to rows at the rate
+    * measured over the previous trigger (first trigger: the
+    * `pullRateInitGuess` seed) — the micro-batch analogue of the
+    * reference's "stop the task when its minutes are up", since a
+    * Spark batch's end offsets must be pinned before tasks launch. */
+  private def rowBudget(limit: ReadLimit): Long = limit match {
+    case r: ReadMaxRows => r.maxRows()
+    case TimeBudgetLimit(budgetMs) =>
+      val rate = // records per ms, measured trigger-over-trigger
+        if (lastAdmitted > 0 && lastTriggerMs > 0) {
+          val elapsed = math.max(1L, System.currentTimeMillis() - lastTriggerMs)
+          lastAdmitted.toDouble / elapsed
+        } else budget.initRatePerSec / 1000.0
+      math.max(1L, (budgetMs * rate).toLong)
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.map(rowBudget).min
+    case _ => Long.MaxValue
+  }
 
   /** Admission-controlled high watermark: cap this trigger's end
     * offsets so the total admitted record count stays within the
     * budget, splitting it across partitions proportionally to backlog
     * (every non-empty backlog admits at least one record, so the
-    * stream always progresses). */
+    * stream always progresses). `maxPullHours` exhausted ⇒ admit
+    * nothing — the remaining backlog belongs to the next run. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SegmentOffsets].next
+    if (budget.totalMs.exists(t => System.currentTimeMillis() - streamStartMs >= t))
+      return SegmentOffsets(s)
     val hw = pinnedEnd.getOrElse(highWatermarks())
-    limit match {
-      case r: ReadMaxRows =>
-        val s = start.asInstanceOf[SegmentOffsets].next
-        val backlog = hw.map { case (tp, hi) => tp -> math.max(0L, hi - s.getOrElse(tp, 0L)) }
-        val total = backlog.values.sum
-        val budget = r.maxRows()
-        if (total <= budget) SegmentOffsets(hw)
-        else SegmentOffsets(backlog.map { case (tp, b) =>
-          val share = if (b == 0) 0L else math.max(1L, b * budget / total)
-          tp -> (s.getOrElse(tp, 0L) + math.min(b, share))
-        })
-      case _ => SegmentOffsets(hw)
-    }
+    val rows = rowBudget(limit)
+    val backlog = hw.map { case (tp, hi) => tp -> math.max(0L, hi - s.getOrElse(tp, 0L)) }
+    val total = backlog.values.sum
+    val end =
+      if (total <= rows) SegmentOffsets(hw)
+      else SegmentOffsets(backlog.map { case (tp, b) =>
+        val share = if (b == 0) 0L else math.max(1L, b * rows / total)
+        tp -> (s.getOrElse(tp, 0L) + math.min(b, share))
+      })
+    lastAdmitted = end.next.map { case (tp, e) => e - s.getOrElse(tp, 0L) }.sum
+    lastTriggerMs = System.currentTimeMillis()
+    end
   }
 
   override def deserializeOffset(json: String): Offset = SegmentOffsets.fromJson(json)

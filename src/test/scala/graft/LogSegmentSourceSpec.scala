@@ -123,6 +123,56 @@ class LogSegmentSourceSpec extends SparkSpec {
     assert(sizes.forall(_ <= 200 + 8), s"each batch bounded by the budget: $sizes")
   }
 
+  test("stream with maxPullMinutesPerTask starts wall-clock-bounded then catches up") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = java.nio.file.Files.createTempDirectory("graft_seg_timebudget").toString
+    val log = MessageLog.eventsTopic(spark, sf)
+    LogSegments.write(log.filter(col("offset") < 100), path)
+    val total = spark.read.format("graft-log").load(path).count()
+    assert(total > 100, s"need a real backlog, got $total")
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-log")
+      // 1-minute budget at a deliberately tiny seed rate (0.05 rec/s):
+      // the first trigger admits ~3 records (min 1 per partition), then
+      // the measured trigger-over-trigger rate takes over and the
+      // stream catches up in growing batches — the reference's
+      // kafka.max.pull.minutes.per.task contract.
+      .option("maxPullMinutesPerTask", "1")
+      .option("pullRateInitGuess", "0.05")
+      .load(path)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += df.count() }; ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sizes = batchSizes.synchronized(batchSizes.toSeq).filter(_ > 0)
+    assert(sizes.sum === total, s"all records must arrive: $sizes")
+    assert(sizes.length > 1, s"time budget must split the backlog: $sizes")
+    // first trigger rides the seed rate: 60s x 0.05 rec/s = 3 records,
+    // floored to one per non-empty partition (8 topic-partitions)
+    assert(sizes.head <= 16, s"first batch must be seed-rate-bounded: $sizes")
+  }
+
+  test("stream with exhausted maxPullHours admits nothing") {
+    val path = java.nio.file.Files.createTempDirectory("graft_seg_hrs").toString
+    val log = MessageLog.eventsTopic(spark, sf)
+    LogSegments.write(log.filter(col("offset") < 50), path)
+
+    val q = spark.readStream.format("graft-log")
+      .option("maxPullHours", "0") // budget already spent at start
+      .load(path)
+      .groupBy(col("partition")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("seg_hrs").start()
+    q.processAllAvailable()
+    q.stop()
+    // the whole backlog is deferred to the next run
+    assert(spark.table("seg_hrs").collect().isEmpty)
+  }
+
   test("offset checkpoints roundtrip through json") {
     import graft.sources.SegmentOffsets
     val o = SegmentOffsets(Map(("events", 0) -> 12L, ("events", 7) -> 0L,
