@@ -8,16 +8,21 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
   * typed metadata, batch-decoded per partition.
   *
-  * The Spark-side mechanics are real and tested — schema, partitioned
-  * batch decode via mapPartitions (the Scala analogue of a Pandas-UDF
-  * `mapInPandas` stage), deterministic output. The actual media codec
-  * is a STUB (no image/audio libraries in this container): payloads
-  * are self-describing fake containers and `decodeStub` parses them.
-  * Swapping in a real codec changes only [[MultimodalStub.decodeStub]].
+  * The payloads are REAL PNG files (rendered deterministically per
+  * document — standing in for images ingested from object storage) and
+  * the decode/resize/frame stages run a real pure-JVM codec
+  * ([[PngCodec]], `javax.imageio`): geometry and luminance come from
+  * actual decoded pixels, not container headers. The Spark shape is the
+  * production one — schema'd binary columns, one decoder instance per
+  * partition via mapPartitions (the Scala analogue of a Pandas-UDF
+  * `mapInPandas` stage), rows streamed. Heavier codecs (JPEG via
+  * TwelveMonkeys, video via javacv) swap into [[PngCodec]] without
+  * touching any Spark plumbing.
   */
 object Multimodal {
 
-  /** Decoded media record (one per payload). */
+  /** Decoded media record (one per payload); `width`/`height` are the
+    * DECODED geometry, `n_bytes` the encoded payload size. */
   case class MediaMeta(doc_id: Long, width: Int, height: Int,
       n_bytes: Long, mean_luma: Double)
 
@@ -31,117 +36,185 @@ object Multimodal {
   val containerSchemaJson: String =
     AvroCodec.avroSchemaFor(containerType, "MediaContainer").toString
 
-  /** Fabricate a deterministic fake "image file" per document: an Avro
-    * container with typed header + payload bytes (stands in for
-    * JPEG/PNG bytes ingested from object storage). */
-  def fakeMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = graft.Tables.load(spark, sfDir, "documents")
-    docs.select(col("doc_id"),
-      avro.to_avro(struct(
-        col("doc_id"),
-        (lit(64) + pmod(col("doc_id"), lit(192))).cast("int").as("width"),
-        (lit(64) + pmod(col("doc_id") * 7, lit(128))).cast("int").as("height"),
-        lit("fake/raw").as("fmt"),
-        col("text").cast("binary").as("data")).cast(containerType),
-        "MediaContainer").as("media"))
-  }
+  /** Deterministic synthetic "camera roll": one real PNG per document
+    * (gradient+hash pattern seeded by doc_id), wrapped in an Avro
+    * container with typed header — the ingest layout of a binary media
+    * column. Geometry varies per doc: 64≤w<256, 64≤h<192.
+    *
+    * Memoized per corpus dir (persisted): the render is test-data
+    * SYNTHESIS standing in for bytes already sitting in object
+    * storage — re-encoding 5k PNGs per query would bill producer work
+    * to every consumer-side operator under test. */
+  def fakeMediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    mediaCache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val ids = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+      val rendered = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = 64 + (id % 192).toInt
+          val h = 64 + ((id * 7) % 128).toInt
+          (id, w, h, "image/png", PngCodec.render(id, w, h))
+        }
+      }.toDF("doc_id", "width", "height", "fmt", "data")
+      rendered.select(col("doc_id"),
+        avro.to_avro(struct(col("doc_id"), col("width"), col("height"),
+          col("fmt"), col("data")).cast(containerType),
+          "MediaContainer").as("media"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
-  /** Partition-batched decode: binary container -> typed metadata +
-    * stub feature extraction. One decoder instance per partition,
-    * rows streamed — the exact shape a Pandas-UDF/mapInPandas decode
-    * stage has, so batch size and memory behavior are realistic. */
+  private val mediaCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Partition-batched decode: binary container -> PNG-decoded
+    * metadata. One decoder per partition, rows streamed — the exact
+    * shape a Pandas-UDF/mapInPandas decode stage has, so batch size
+    * and memory behavior are realistic. */
   def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
-    import spark.implicits._
-    media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
-      .select(col("c.doc_id").as("doc_id"), col("c.width").as("width"),
-        col("c.height").as("height"), col("c.data").as("data"))
-      .as[(Long, Int, Int, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition decoder (real codecs hold native state here)
-        rows.map { case (id, w, h, data) =>
-          MediaMeta(id, w, h, data.length.toLong,
-            MultimodalStub.decodeStub(w, h, data))
-        }
-      }
-  }
-
-  /** Resized media record: original + target geometry, payload
-    * proportionally subsampled. */
-  case class ResizedMeta(doc_id: Long, width: Int, height: Int,
-      out_width: Int, out_height: Int, n_bytes: Long, mean_luma: Double)
-
-  /** Resize stage: same partition-batched shape as [[decodeMedia]] —
-    * decode, "resize" to a bounding box (stub: geometry scaled,
-    * payload subsampled by the same ratio), re-extract features.
-    * Chained after decode in a real pipeline; here fused per row so
-    * the payload bytes cross the wire once. */
-  def resizeMedia(spark: SparkSession, media: DataFrame,
-      maxSide: Int = 64): Dataset[ResizedMeta] = {
-    import spark.implicits._
-    media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
-      .select(col("c.doc_id").as("doc_id"), col("c.width").as("width"),
-        col("c.height").as("height"), col("c.data").as("data"))
-      .as[(Long, Int, Int, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, w, h, data) =>
-          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-          val (ow, oh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-          val out = MultimodalStub.resizeStub(data, scale)
-          ResizedMeta(id, w, h, ow, oh, out.length.toLong,
-            MultimodalStub.decodeStub(ow, oh, out))
-        }
-      }
-  }
-
-  /** Frame-sampled record from a fake "video" payload. */
-  case class FrameMeta(doc_id: Long, n_frames: Int, sampled: Int,
-      frame_bytes: Int, mean_luma: Double)
-
-  /** Frame-sampling stage: treat the payload as fixed-size frames and
-    * keep every `stride`-th (the video analogue of decode — one
-    * decoder per partition, frames streamed). */
-  def sampleFrames(spark: SparkSession, media: DataFrame,
-      frameBytes: Int = 32, stride: Int = 4): Dataset[FrameMeta] = {
     import spark.implicits._
     media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
       .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, data) =>
-          val nFrames = math.max(1, data.length / frameBytes)
+          val img = PngCodec.decode(data)
+          MediaMeta(id, img.getWidth, img.getHeight, data.length.toLong,
+            PngCodec.meanLuma(img))
+        }
+      }
+  }
+
+  /** Resized media record: decoded + target geometry; `n_bytes` is the
+    * re-encoded PNG size of the resized image. */
+  case class ResizedMeta(doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, n_bytes: Long, mean_luma: Double)
+
+  /** Resize stage: same partition-batched shape as [[decodeMedia]] —
+    * decode, scale into a `maxSide` bounding box (real bilinear
+    * drawImage), re-encode, re-extract features. Chained after decode
+    * in a real pipeline; here fused per row so the payload bytes cross
+    * the wire once. */
+  def resizeMedia(spark: SparkSession, media: DataFrame,
+      maxSide: Int = 64): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val img = PngCodec.decode(data)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val small = PngCodec.resize(img, scale)
+          val out = PngCodec.encode(small)
+          ResizedMeta(id, w, h, small.getWidth, small.getHeight,
+            out.length.toLong, PngCodec.meanLuma(small))
+        }
+      }
+  }
+
+  /** Frame-sampled record: the payload read as a vertical filmstrip of
+    * `frameRows`-row frames; `frame_bytes` = decoded RGB bytes per
+    * frame. */
+  case class FrameMeta(doc_id: Long, n_frames: Int, sampled: Int,
+      frame_bytes: Int, mean_luma: Double)
+
+  /** Frame-sampling stage: decode the strip once, keep every
+    * `stride`-th frame as a subimage (the video analogue of decode —
+    * one decoder per partition, frames streamed), features over the
+    * KEPT frames only. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameRows: Int = 16, stride: Int = 4): Dataset[FrameMeta] = {
+    import spark.implicits._
+    media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val img = PngCodec.decode(data)
+          val nFrames = math.max(1, img.getHeight / frameRows)
           val kept = (0 until nFrames by stride).toArray
-          val sampledBytes = kept.flatMap { f =>
-            data.slice(f * frameBytes, math.min((f + 1) * frameBytes, data.length))
+          var sum = 0.0
+          kept.foreach { f =>
+            val rows = math.min(frameRows, img.getHeight - f * frameRows)
+            sum += PngCodec.meanLuma(img.getSubimage(0, f * frameRows,
+              img.getWidth, rows))
           }
-          FrameMeta(id, nFrames, kept.length, frameBytes,
-            MultimodalStub.decodeStub(1, 1, sampledBytes))
+          FrameMeta(id, nFrames, kept.length, img.getWidth * frameRows * 3,
+            math.rint(sum / kept.length * 100) / 100)
         }
       }
   }
 }
 
-/** STUB — media decoding is faked deterministically (container has no
-  * real image libs). Replace with a real codec (e.g. TwelveMonkeys /
-  * javacv) without touching any Spark plumbing. */
-object MultimodalStub {
-  /** "Mean luminance" of the fake payload: byte mean scaled by the
-    * fake geometry. Deterministic, cheap, obviously not real. */
-  /** "Resize" the fake payload: keep every floor(1/scale)-th byte —
-    * deterministic, length roughly scales with the area ratio's side. */
-  def resizeStub(data: Array[Byte], scale: Double): Array[Byte] = {
-    if (scale >= 1.0 || data.isEmpty) return data
-    val step = math.max(1, math.round(1.0 / scale).toInt)
-    val out = new Array[Byte]((data.length + step - 1) / step)
-    var i = 0; var j = 0
-    while (i < data.length) { out(j) = data(i); i += step; j += 1 }
-    out
+/** Pure-JVM PNG codec on `javax.imageio` — real encode/decode/resize,
+  * no native or third-party libraries. */
+object PngCodec {
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.ImageIO
+
+  // no temp-file cache: executor threads encode/decode concurrently
+  ImageIO.setUseCache(false)
+
+  /** Deterministic gray test pattern for `id` at w x h, as PNG bytes. */
+  def render(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h) // bulk raster write, not per-pixel setRGB
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        px(y * w + x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    encode(img)
   }
 
-  def decodeStub(width: Int, height: Int, data: Array[Byte]): Double = {
-    var s = 0L
+  def encode(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream(1024)
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  def decode(data: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(data))
+    require(img != null, s"graft media: undecodable payload (${data.length} bytes)")
+    img
+  }
+
+  /** Rec.601 mean luminance over the decoded pixels, 2dp. */
+  def meanLuma(img: BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk raster read
+    var sum = 0.0
     var i = 0
-    while (i < data.length) { s += (data(i) & 0xff); i += 1 }
-    val mean = if (data.length == 0) 0.0 else s.toDouble / data.length
-    math.rint(mean * 100) / 100
+    while (i < px.length) {
+      val rgb = px(i)
+      sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      i += 1
+    }
+    math.rint(sum / px.length * 100) / 100
+  }
+
+  /** Bilinear scale by `scale` (≤1), min 1px per side. */
+  def resize(img: BufferedImage, scale: Double): BufferedImage = {
+    if (scale >= 1.0) return img
+    val ow = math.max(1, (img.getWidth * scale).toInt)
+    val oh = math.max(1, (img.getHeight * scale).toInt)
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, ow, oh, null)
+    } finally g.dispose()
+    out
   }
 }

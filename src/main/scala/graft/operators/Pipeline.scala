@@ -547,6 +547,47 @@ object Pipeline {
       SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
       FROM embeddings WHERE vec_id < 10"""
 
+  /** Driver-checkable precision contract, complementing [[annRecall]]:
+    * at least `minFrac` of the neighbors the approximate index returns
+    * must score within `eps` of the exact kth-best cosine for their
+    * query (the returned `cos` IS the true cosine — the index
+    * approximates the candidate set, never the score). Also pins
+    * n_returned = k per query: an index that degrades by returning
+    * thin candidate sets fails the row count. */
+  private def annPrecision(approx: DataFrame, exact: DataFrame,
+      eps: Double, minFrac: Double): DataFrame = {
+    val kth = exact.groupBy(col("query_id")).agg(min(col("cos")).as("kth_cos"))
+    approx.join(kth, Seq("query_id"))
+      .agg(count(lit(1)).as("n_returned"),
+        (sum(when(col("cos") >= col("kth_cos") - eps, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) >= minFrac).as("precision_ok"))
+  }
+
+  private val precisionOracleSql: String = """
+      SELECT CAST(5 * count(*) AS BIGINT) AS n_returned, TRUE AS precision_ok
+      FROM embeddings WHERE vec_id < 10"""
+
+  val dAnnIvfPrecision: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annPrecision(Similarity.ivfTopK(emb, q, "embedding", "vec_id"),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"),
+        eps = 0.05, minFrac = 1.0)
+    },
+    oracle = Some(precisionOracleSql))
+
+  val dAnnLshPrecision: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annPrecision(
+        Similarity.lshTopK(emb, q, "embedding", "vec_id", tables = 24, bits = 4),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"),
+        eps = 0.05, minFrac = 0.9)
+    },
+    oracle = Some(precisionOracleSql))
+
   /** Pair-level recall contract for embedding LSH dedup: the default
     * 16x6 shape trades away borderline pairs near the 0.35 threshold
     * (measured recall 0.63 — by design); the dense 32x5 configuration
@@ -646,6 +687,8 @@ object Pipeline {
     "d_dedup_embed_recall" -> dDedupEmbedRecall,
     "d_ann_ivf_recall" -> dAnnIvfRecall,
     "d_ann_lsh_recall" -> dAnnLshRecall,
+    "d_ann_ivf_precision" -> dAnnIvfPrecision,
+    "d_ann_lsh_precision" -> dAnnLshPrecision,
     "t_repetition" -> tRepetition,
     "t_rarity" -> tRarity,
     "t_contamination" -> tContamination,

@@ -81,9 +81,28 @@ object StreamQueries {
         AND clk.ts >= err.ts - INTERVAL 30 MINUTE AND clk.ts <= err.ts
       ORDER BY 1, 2, 3"""))
 
+  /** transformWithState (arbitrary-state API v2) as a driver-checked
+    * query: per-user running totals in exact cents through
+    * [[graft.streaming.Streaming.RunningCentsProcessor]]. In batch each
+    * key's history arrives in one `handleInputRows` call, so the final
+    * emission per key equals the plain group-by the oracle runs;
+    * StreamingSpec drives the same processor across micro-batches. */
+  val sRunningTotals: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Streaming.runningCents(events(s, dir))
+        .toDF()
+        .orderBy(col("user_id")),
+    oracle = Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val defs: Map[String, QueryDef] = Map(
     "s_window_agg" -> sWindowAgg,
     "s_sliding_window" -> sSlidingWindow,
     "s_sessionize" -> sSessionize,
-    "s_stream_join" -> sStreamJoin)
+    "s_stream_join" -> sStreamJoin,
+    "s_running_totals" -> sRunningTotals)
 }

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Force-create the driver's StateStoreCoordinator RPC endpoint.
+    * A streaming query registers it as a side effect of starting; a
+    * BATCH transformWithState plan skips that path, and its executors
+    * then die with RpcEndpointNotFoundException when the RocksDB store
+    * loads. Touching the manager's lazy coordinator (private[sql],
+    * hence this shim) is the supported initialization. */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.streams.asInstanceOf[org.apache.spark.sql.classic.StreamingQueryManager]
+      .stateStoreCoordinator
+    ()
+  }
 }

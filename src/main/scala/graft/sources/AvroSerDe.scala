@@ -34,22 +34,37 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AvroCodec {
 
-  /** Spark StructType -> Avro record schema (nullable field = union[null, T]).
-    * TimestampType maps to long micros (Catalyst's internal representation).
+  /** Spark StructType -> Avro record schema (nullable field = union[null, T]) —
+    * the reference's `AvroSchemaGenerator.java` (derive the wire schema
+    * from the table's column types) for Spark schemas. Temporal and
+    * decimal columns carry Avro logicalType annotations (`date`,
+    * `timestamp-micros`, `local-timestamp-micros`, `decimal`) over the
+    * matching physical type, so generated schemas are readable by any
+    * standard Avro consumer and [[avroToCatalyst]] round-trips them to
+    * the same Spark types.
     */
   def avroSchemaFor(dt: StructType, recordName: String): Schema =
     toAvro(dt, nullable = false, recordName)
 
   private def toAvro(dt: DataType, nullable: Boolean, name: String): Schema = {
+    import org.apache.avro.LogicalTypes
     val base = dt match {
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
-      case LongType | TimestampType | TimestampNTZType => Schema.create(Schema.Type.LONG)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case FloatType => Schema.create(Schema.Type.FLOAT)
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
-      case DateType => Schema.create(Schema.Type.INT)
+      case DateType =>
+        LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       case st: StructType =>
         val fields = st.fields.zipWithIndex.map { case (f, i) =>
           new Schema.Field(f.name, toAvro(f.dataType, f.nullable, s"${name}_${f.name}"),
@@ -72,6 +87,9 @@ object AvroCodec {
     dt match {
       case StringType => v => v.toString
       case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case _: DecimalType => // unscaled big-endian bytes, per the Avro spec
+        v => ByteBuffer.wrap(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.unscaledValue().toByteArray)
       case st: StructType =>
         val convs = st.fields.zipWithIndex.map { case (f, i) =>
           (i, f.dataType, catalystToAvro(f.dataType, s.getFields.get(i).schema()))
@@ -125,19 +143,38 @@ object AvroCodec {
         val (dt, c) = avroToCatalyst(branches(1))
         (dt, v => if (v == null) null else c(v))
       case Schema.Type.BOOLEAN => (BooleanType, identity)
-      case Schema.Type.INT => (IntegerType, identity)
-      case Schema.Type.LONG => (LongType, identity)
+      case Schema.Type.INT =>
+        // date logical type: Avro days-since-epoch == Catalyst DateType
+        if (schema.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Date])
+          (DateType, identity)
+        else (IntegerType, identity)
+      case Schema.Type.LONG => schema.getLogicalType match {
+        // micros-since-epoch == Catalyst's internal timestamp encoding
+        case _: org.apache.avro.LogicalTypes.TimestampMicros => (TimestampType, identity)
+        case _: org.apache.avro.LogicalTypes.LocalTimestampMicros => (TimestampNTZType, identity)
+        case _ => (LongType, identity)
+      }
       case Schema.Type.FLOAT => (FloatType, identity)
       case Schema.Type.DOUBLE => (DoubleType, identity)
       case Schema.Type.STRING | Schema.Type.ENUM =>
         (StringType, v => UTF8String.fromString(v.toString))
-      case Schema.Type.BYTES =>
-        (BinaryType, v => {
-          val bb = v.asInstanceOf[ByteBuffer].duplicate()
-          val arr = new Array[Byte](bb.remaining())
-          bb.get(arr)
-          arr
-        })
+      case Schema.Type.BYTES => schema.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          (DecimalType(d.getPrecision, d.getScale), v => {
+            val bb = v.asInstanceOf[ByteBuffer].duplicate()
+            val arr = new Array[Byte](bb.remaining())
+            bb.get(arr)
+            Decimal(new java.math.BigDecimal(
+              new java.math.BigInteger(arr), d.getScale))
+          })
+        case _ =>
+          (BinaryType, v => {
+            val bb = v.asInstanceOf[ByteBuffer].duplicate()
+            val arr = new Array[Byte](bb.remaining())
+            bb.get(arr)
+            arr
+          })
+      }
       case Schema.Type.FIXED =>
         (BinaryType, v => v.asInstanceOf[GenericFixed].bytes().clone())
       case Schema.Type.RECORD =>
@@ -307,6 +344,13 @@ object SchemaRegistry {
       throw new NoSuchElementException(
         s"graft: no schema v$version registered for topic '$topic'"))
   }
+
+  /** Derive-and-register (`AvroSchemaGenerator.java` parity): the
+    * producer hands over its Spark schema and the registry generates
+    * the Avro schema — no hand-authored .avsc anywhere on the sink
+    * path. Returns the registered version id. */
+  def register(topic: String, sparkType: StructType, recordName: String): Int =
+    register(topic, AvroCodec.avroSchemaFor(sparkType, recordName).toString)
 
   /** `kafka.avro.schema.file` equivalent: load an .avsc from disk. */
   def registerFile(topic: String, avscPath: String): Unit =

@@ -128,6 +128,49 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class UserEventCents(user_id: Long, cents: Long)
+  case class UserTotalsCents(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** [[RunningTotalsProcessor]] in exact integer cents — the
+    * driver-checkable variant: a per-key Double accumulation is
+    * summation-order-dependent and can't be hash-compared across
+    * engines, a Long one can. */
+  class RunningCentsProcessor
+      extends StatefulProcessor[Long, UserEventCents, UserTotalsCents] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEventCents],
+        timers: TimerValues): Iterator[UserTotalsCents] = {
+      var (n, sum) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { e => n += 1; sum += e.cents }
+      totals.update((n, sum))
+      Iterator(UserTotalsCents(key, n, sum))
+    }
+  }
+
+  /** Per-user event totals through [[RunningCentsProcessor]]. Batch and
+    * streaming share the processor: the driver's batch gate checks the
+    * arithmetic, StreamingSpec checks cross-micro-batch state. */
+  def runningCents(events: DataFrame): Dataset[UserTotalsCents] = {
+    import events.sparkSession.implicits._
+    // the v2 state API requires the RocksDB provider even in batch,
+    // and batch skips the streaming path that would have registered
+    // the driver's state-store coordinator endpoint
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    org.apache.spark.sql.graft.Bridge.ensureStateStoreCoordinator(events.sparkSession)
+    events.select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents")).as[UserEventCents]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCentsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- custom state: explicit sessionization ----
 
   case class SessionEvent(user_id: Long, ts_ms: Long)

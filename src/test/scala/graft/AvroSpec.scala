@@ -105,6 +105,51 @@ class AvroSpec extends SparkSpec {
     assert(r.getBoolean(0))
   }
 
+  test("generated schema: date/timestamp/decimal round-trip with logical types") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("d", DateType),
+      StructField("t", TimestampType),
+      StructField("amount", DecimalType(12, 2))))
+    val df = spark.sql("""
+      SELECT * FROM VALUES
+        (1L, DATE'2024-02-29', TIMESTAMP'2024-02-29 12:34:56.789', CAST(12345.67 AS DECIMAL(12,2))),
+        (2L, DATE'1969-12-31', TIMESTAMP'1969-12-31 23:59:59.999999', CAST(-0.01 AS DECIMAL(12,2))),
+        (3L, CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP), CAST(NULL AS DECIMAL(12,2)))
+        AS t(id, d, t, amount)""")
+
+    // the generated schema is standard-consumer-readable: logicalType
+    // annotations present, not bare ints/longs
+    val json = AvroCodec.avroSchemaFor(schema, "L").toString
+    assert(json.contains("\"logicalType\":\"date\""), json)
+    assert(json.contains("\"logicalType\":\"timestamp-micros\""), json)
+    assert(json.contains("\"logicalType\":\"decimal\""), json)
+
+    val back = df
+      .select(avro.to_avro(struct(schema.fieldNames.map(col): _*).cast(schema), "L").as("v"))
+      .select(avro.from_avro(col("v"), json).as("r"))
+      .select("r.*")
+    assert(back.schema("d").dataType === DateType)
+    assert(back.schema("t").dataType === TimestampType)
+    assert(back.schema("amount").dataType === DecimalType(12, 2))
+    assert(back.collect().toSet === df.collect().toSet)
+  }
+
+  test("registry derives the schema from a Spark type (no hand-authored avsc)") {
+    import spark.implicits._
+    val pt = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val topic = "derived_topic_" + System.nanoTime()
+    assert(SchemaRegistry.register(topic, pt, "Derived") === 1)
+    val got = Seq((1L, "a"), (2L, null)).toDF("id", "name")
+      .select(avro.to_avro(struct(col("id"), col("name")).cast(pt), "Derived").as("v"))
+      .select(avro.from_topic(col("v"), topic).as("r"))
+      .select("r.*").orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq === Seq((1L, Some("a")), (2L, None)))
+  }
+
   test("registry: file + memory registration resolve, unknown topic throws") {
     val p = java.nio.file.Files.createTempFile("graft", ".avsc")
     val json = AvroCodec.avroSchemaFor(

@@ -1,29 +1,42 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, PngCodec}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  test("binary containers decode to typed metadata, batch per partition") {
+  test("payloads are real PNGs; decode recovers true geometry and pixels") {
     val media = Multimodal.fakeMediaTable(spark, sf)
     assert(media.schema("media").dataType.typeName === "binary")
     val decoded = Multimodal.decodeMedia(spark, media)
     val rows = decoded.collect()
     assert(rows.length === 500)
-    // payload bytes = document text bytes (ascii) => n_bytes == n_chars
-    val chars = Tables.load(spark, sf, "documents")
-      .select(col("doc_id"), col("n_chars")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { m =>
-      assert(m.n_bytes === chars(m.doc_id))
-      assert(m.width >= 64 && m.width < 256)
-      assert(m.height >= 64 && m.height < 192)
-      assert(m.mean_luma > 0)
+      // geometry comes from ImageIO's decode of the payload — must
+      // match the render formula exactly
+      assert(m.width === 64 + (m.doc_id % 192).toInt)
+      assert(m.height === 64 + ((m.doc_id * 7) % 128).toInt)
+      assert(m.n_bytes > 100, "a real PNG is never this small")
+      assert(m.mean_luma > 0 && m.mean_luma < 255)
+    }
+    // luminance must equal an independent re-render + re-decode of the
+    // same pattern (full codec round trip, off-Spark)
+    rows.take(5).foreach { m =>
+      val img = PngCodec.decode(PngCodec.render(m.doc_id, m.width, m.height))
+      assert(m.mean_luma === PngCodec.meanLuma(img))
     }
   }
 
-  test("resize stage bounds geometry and subsamples the payload") {
+  test("media payloads carry the PNG magic bytes") {
+    import graft.sources.avro
+    val first = Multimodal.fakeMediaTable(spark, sf)
+      .select(avro.from_avro(col("media"), Multimodal.containerSchemaJson).as("c"))
+      .select(col("c.data")).head().getAs[Array[Byte]](0)
+    assert(first.take(8).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+  }
+
+  test("resize stage bounds geometry via a real bilinear scale") {
     val media = Multimodal.fakeMediaTable(spark, sf)
     val rows = Multimodal.resizeMedia(spark, media, maxSide = 64).collect()
     assert(rows.length === 500)
@@ -34,18 +47,25 @@ class MultimodalSpec extends SparkSpec {
       val inAspect = r.width.toDouble / r.height
       val outAspect = r.out_width.toDouble / r.out_height
       assert(math.abs(inAspect - outAspect) / inAspect < 0.25)
-      assert(r.n_bytes > 0)
+      // the resized payload is itself a decodable PNG of the new size
+      assert(r.n_bytes > 100)
+      // a smooth pattern resampled bilinearly keeps its mean close
+      assert(r.mean_luma > 0 && r.mean_luma < 255)
     }
   }
 
-  test("frame sampling keeps every stride-th frame") {
+  test("frame sampling decodes the strip and keeps every stride-th frame") {
     val media = Multimodal.fakeMediaTable(spark, sf)
-    val rows = Multimodal.sampleFrames(spark, media, frameBytes = 32, stride = 4)
+    val rows = Multimodal.sampleFrames(spark, media, frameRows = 16, stride = 4)
       .collect()
     assert(rows.length === 500)
     rows.foreach { r =>
+      val h = 64 + ((r.doc_id * 7) % 128).toInt
+      assert(r.n_frames === h / 16, s"doc ${r.doc_id}: frames from decoded height")
       assert(r.sampled === (r.n_frames + 3) / 4)
-      assert(r.mean_luma > 0)
+      val w = 64 + (r.doc_id % 192).toInt
+      assert(r.frame_bytes === w * 16 * 3)
+      assert(r.mean_luma > 0 && r.mean_luma < 255)
     }
   }
 }

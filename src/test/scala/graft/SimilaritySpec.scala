@@ -14,7 +14,7 @@ class SimilaritySpec extends SparkSpec {
     val byQ = got.groupBy(_.getLong(0))
     assert(byQ.keySet === (0L until 10L).toSet)
     byQ.values.foreach { rows =>
-      val sorted = rows.sortBy(_.getInt(3))
+      val sorted = rows.sortBy(_.getLong(3))
       assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.head >= p.last))
       assert(sorted.forall(r => r.getLong(1) != r.getLong(0)))
     }
@@ -28,7 +28,7 @@ class SimilaritySpec extends SparkSpec {
     val byQ = got.groupBy(_.getLong(0))
     assert(byQ.keySet === (0L until 10L).toSet)
     byQ.values.foreach { rows =>
-      val sorted = rows.sortBy(_.getInt(3))
+      val sorted = rows.sortBy(_.getLong(3))
       assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.head >= p.last))
       assert(sorted.forall(r => r.getLong(1) != r.getLong(0)))
     }
