@@ -324,8 +324,10 @@ object KafkaSurface {
 
   /** Write path (KafkaOutputFormat.java, demoproducer/BaseProducer.java):
     * produce the documents topic to a broker-style segment layout, read
-    * it back, decode, and summarize. Rows-only check (Avro byte sizes
-    * aren't SQL-reproducible). */
+    * it back, decode, and summarize. Every output column survives the
+    * produce→persist→scan→decode round trip deterministically, so the
+    * oracle recomputes them from the source table (encoded byte sizes,
+    * the one non-SQL quantity, are asserted in MessageLogSpec). */
   val kSinkLog: QueryDef = QueryDef(
     fn = (s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink/${new java.io.File(dir).getName}/documents"
@@ -334,11 +336,16 @@ object KafkaSurface {
         .withColumn("v", avro.from_topic(col("value"), "documents"))
         .groupBy(col("topic"), col("partition"))
         .agg(count(lit(1)).as("n"),
-          sum(length(col("value"))).as("value_bytes"),
+          max(col("offset")).as("max_offset"),
           max(col("v.n_chars")).as("max_chars"))
         .orderBy(col("topic"), col("partition"))
     },
-    oracle = None)
+    oracle = Some("""
+      SELECT 'documents' AS topic, CAST(doc_id % 8 AS INTEGER) AS partition,
+             count(*) AS n, count(*) - 1 AS max_offset, max(n_chars) AS max_chars
+      FROM documents
+      GROUP BY 2
+      ORDER BY 1, 2"""))
 
   /** Corrupt-message tolerance (camus/ExceptionWritable.java +
     * KafkaRecordReader.java skip counters): a topic whose every 50th

