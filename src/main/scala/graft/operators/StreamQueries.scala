@@ -99,10 +99,33 @@ object StreamQueries {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  /** Watermarked streaming dedup over an at-least-once source: every
+    * 50th event is re-delivered (the Kafka redelivery model) and
+    * `dropDuplicatesWithinWatermark` must collapse the stream back to
+    * exactly the source events — checked per type with exact-cent
+    * sums. StreamingSpec runs the same plan under readStream. */
+  val sDedupStream: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ev = events(s, dir)
+      val redelivered = ev.filter(col("event_id") % 50 === 0)
+      Streaming.dedupedEvents(ev.unionByName(redelivered))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Map[String, QueryDef] = Map(
     "s_window_agg" -> sWindowAgg,
     "s_sliding_window" -> sSlidingWindow,
     "s_sessionize" -> sSessionize,
     "s_stream_join" -> sStreamJoin,
-    "s_running_totals" -> sRunningTotals)
+    "s_running_totals" -> sRunningTotals,
+    "s_dedup_stream" -> sDedupStream)
 }

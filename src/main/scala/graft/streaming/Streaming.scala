@@ -38,7 +38,8 @@ object Streaming {
     * with an event-time `ts` at millisecond precision. */
   def decodeEvents(log: DataFrame): DataFrame =
     log.select(avro.from_topic(col("value"), "events").as("v"))
-      .select(timestamp_millis(col("v.ts_ms")).as("ts"),
+      .select(col("v.event_id").as("event_id"),
+        timestamp_millis(col("v.ts_ms")).as("ts"),
         col("v.event_type").as("event_type"),
         col("v.user_id").as("user_id"),
         col("v.value").as("value"))
@@ -89,6 +90,18 @@ object Streaming {
         unix_millis(col("e_ts")).as("error_ts_ms"),
         unix_millis(col("c_ts")).as("click_ts_ms"))
   }
+
+  /** At-least-once-delivery dedup: keep one row per `event_id`,
+    * with state bounded by the watermark (an id re-delivered within
+    * the watermark horizon is dropped; state for older ids expires —
+    * the standard exactly-once-ingest building block over a Kafka
+    * source). Batch rejects the within-watermark variant outright, so
+    * it takes its documented batch equivalent, plain dropDuplicates. */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   // ---- custom state: transformWithState (state API v2) ----
 
