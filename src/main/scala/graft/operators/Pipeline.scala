@@ -577,6 +577,31 @@ object Pipeline {
     },
     oracle = Some(precisionOracleSql))
 
+  /** Domain clustering quality contract: k-means (k=16, 2 Lloyd
+    * rounds, deterministic seeds) must beat the one-centroid baseline
+    * (global mean vector) on mean cosine-to-assigned-centroid by a
+    * measured margin, with every cluster non-empty. The booleans and
+    * counts are engine-stable; the float means feed only the margin
+    * compare, never a hash. */
+  val dClusterKmeans: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val assigned = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 16, iters = 2)
+      // k=1, one Lloyd round: the centroid converges to the global
+      // mean — the no-clustering baseline
+      val baseline = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 1, iters = 1)
+        .select(col("vec_id"), col("cos_centroid").as("cos_global"))
+      assigned.join(baseline, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct(col("cluster")).as("n_clusters"),
+          (avg(col("cos_centroid")) - avg(col("cos_global")) >= 0.05)
+            .as("improve_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(16 AS BIGINT) AS n_clusters, TRUE AS improve_ok
+      FROM embeddings"""))
+
   val dAnnLshPrecision: QueryDef = QueryDef(
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -746,6 +771,7 @@ object Pipeline {
     "d_ann_lsh_recall" -> dAnnLshRecall,
     "d_ann_ivf_precision" -> dAnnIvfPrecision,
     "d_ann_lsh_precision" -> dAnnLshPrecision,
+    "d_cluster_kmeans" -> dClusterKmeans,
     "t_repetition" -> tRepetition,
     "t_rarity" -> tRarity,
     "t_contamination" -> tContamination,

@@ -118,6 +118,27 @@ object Similarity {
     centroids
   }
 
+  /** Distributed k-means clustering over an embedding column — the
+    * domain-clustering step of a data-mixing pipeline (cluster, then
+    * weight/sample per cluster). Reuses the IVF machinery: train the
+    * quantizer (deterministic seed sample + Lloyd rounds, each one
+    * distributed pass), then assignment is a single map-side
+    * [[NearestCentroid]] projection — no shuffle of the corpus, any
+    * corpus size. Returns (id, cluster, cos_centroid). */
+  def kmeansAssign(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int = 16, iters: Int = 2): DataFrame = {
+    val centSeq: Seq[Seq[Float]] =
+      trainQuantizer(corpus, vecCol, idCol, k, iters).toSeq.map(_.toSeq)
+    corpus.select(col(idCol), col(vecCol).as("v"))
+      .select(col(idCol),
+        Bridge.column(NearestCentroid(Bridge.expression(col("v")), centSeq))
+          .as("cluster"),
+        Bridge.column(CentroidCosines(Bridge.expression(col("v")), centSeq))
+          .as("cos_all"))
+      .select(col(idCol), col("cluster"),
+        element_at(col("cos_all"), col("cluster") + 1).as("cos_centroid"))
+  }
+
   /** LSH-bucketed ANN: same shape as bruteTopK, approximate. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,

@@ -39,6 +39,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"IVF recall vs brute too low: $recall")
   }
 
+  test("k-means: valid assignments, argmax consistency, better than k=1") {
+    val a = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 2)
+      .collect()
+    assert(a.length === emb.count())
+    assert(a.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8))
+    assert(a.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // a one-centroid "clustering" can't beat real clusters on mean
+    // cosine to the assigned centroid
+    val base = Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 1, iters = 1)
+      .collect()
+    val meanK = a.map(_.getDouble(2)).sum / a.length
+    val mean1 = base.map(_.getDouble(2)).sum / base.length
+    assert(meanK > mean1, s"k=8 mean cos $meanK must beat k=1 $mean1")
+  }
+
   test("LSH top-k: subset of corpus with valid cosines, recall > 0") {
     val brute = Similarity.bruteTopK(emb, queries, "embedding", "vec_id", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
