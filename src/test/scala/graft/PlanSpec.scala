@@ -49,6 +49,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "expected map-side partial top-k")
   }
 
+  test("k-means assignment is a pure map-side projection — zero shuffle") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = plan(Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 8, iters = 1))
+    assert(p.contains("graft_nearest_centroid"), p)
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    assert(!tree.exists(_.contains("- Exchange")),
+      s"corpus must not shuffle for cluster assignment:\n$p")
+  }
+
   test("as-of join is one shuffle on the key — no range cross product") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L)).toDF("lid", "k", "t")
