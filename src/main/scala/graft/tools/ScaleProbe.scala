@@ -30,6 +30,10 @@ object ScaleProbe {
 
     w(shifted(t("lineitem"), "l_orderkey")((d, _) => d), "lineitem")
     w(shifted(t("orders"), "o_orderkey")((d, _) => d), "orders")
+    // user_id shifts too so per-user state (sessions, running totals)
+    // scales in keys, not just rows per key
+    w(shifted(t("events"), "event_id")((d, i) =>
+      d.withColumn("user_id", col("user_id") + lit(i * Off))), "events")
     // per-replica text marker: replicas are near-dups of each other's
     // docs only as much as the base corpus already was
     w(shifted(t("documents"), "doc_id")((d, i) =>
