@@ -12,6 +12,34 @@ class KernelPropertySpec extends AnyFunSuite {
   private val rnd = new scala.util.Random(12345)
   private def arr(xs: Seq[Long]): ArrayData = ArrayData.toArrayData(xs.toArray)
 
+  test("png codec: decode(render) recovers geometry; luma paths agree") {
+    import graft.operators.PngCodec
+    for (_ <- 1 to 25) {
+      val (id, w, h) = (rnd.nextLong().abs % 100000,
+        1 + rnd.nextInt(80), 1 + rnd.nextInt(60))
+      val img = PngCodec.decode(PngCodec.render(id, w, h))
+      assert(img.getWidth === w && img.getHeight === h)
+      val fast = PngCodec.lumaSumMilli(img)
+      // force the generic getRGB path by copying into a raster layout
+      // the interleaved fast path rejects
+      val argb = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g2 = argb.createGraphics()
+      try g2.drawImage(img, 0, 0, null) finally g2.dispose()
+      assert(fast === PngCodec.lumaSumMilli(argb),
+        s"fast raster path must equal the ColorModel path (id=$id ${w}x$h)")
+      // row-range additivity: disjoint bands sum to the whole
+      val cut = 1 + rnd.nextInt(h)
+      assert(PngCodec.lumaSumMilliRows(img, 0, cut) +
+        PngCodec.lumaSumMilliRows(img, cut, h) === fast)
+      // the rendered pattern is pure integer math on (id, x, y)
+      var expected = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        expected += 1000L * ((id * 31 + x * 7 + y * 13) % 256)
+      assert(fast === expected, "decoded pixels must equal the pattern")
+    }
+  }
+
   test("jaccardLong matches the set-based definition, incl. duplicates") {
     for (_ <- 1 to 300) {
       val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong)
