@@ -322,6 +322,42 @@ object KafkaSurface {
       GROUP BY partition
       ORDER BY partition"""))
 
+  /** The reference's headline UX — `CREATE EXTERNAL TABLE ... STORED
+    * BY KafkaStorageHandler TBLPROPERTIES ('kafka.whitelist.topics'=
+    * .., 'kafka.avro.schema.file'=..)` then plain SQL over typed
+    * columns (KafkaStorageHandler.java, README "Select col1 / joins /
+    * group by") — as a one-statement Spark DDL: `CREATE TABLE ...
+    * USING graft-log OPTIONS (decodeTopic 'events')`. The source
+    * decodes value-bytes inside the scan and prunes both columns and
+    * topic/partition directories. */
+  val kSqlTable: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_sqltable/${new java.io.File(dir).getName}/events"
+      // segment writes append (the log model) — start from a clean dir
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      graft.sources.LogSegments.write(MessageLog.eventsTopic(s, dir), path)
+      s.sql("DROP TABLE IF EXISTS graft_events")
+      s.sql(s"""CREATE TABLE graft_events USING `graft-log`
+                OPTIONS (path '$path', decodeTopic 'events')""")
+      s.sql("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+               count(DISTINCT partition) AS n_parts
+        FROM graft_events
+        GROUP BY event_type
+        ORDER BY event_type""")
+    },
+    oracle = Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(DISTINCT user_id % 8) AS BIGINT) AS n_parts
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   /** Write path (KafkaOutputFormat.java, demoproducer/BaseProducer.java):
     * produce the documents topic to a broker-style segment layout, read
     * it back, decode, and summarize. Every output column survives the
@@ -486,5 +522,6 @@ object KafkaSurface {
     "k_key_metadata" -> kKeyMetadata,
     "k_resume" -> kResume,
     "k_segment_scan" -> kSegmentScan,
+    "k_sql_table" -> kSqlTable,
     "k_sink_log" -> kSinkLog)
 }

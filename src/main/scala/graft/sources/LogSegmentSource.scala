@@ -29,32 +29,74 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reader — the split-pruning semantics of the reference's
   *    offset-range requests;
   *  - schema is the public spark-sql-kafka layout, so downstream
-  *    operators are identical whichever source produced the frame.
+  *    operators are identical whichever source produced the frame;
+  *  - with `decodeTopic` (or `avroSchemaFile`) set, the table schema
+  *    IS the decoded payload plus metadata — the reference's
+  *    `CREATE EXTERNAL TABLE ... STORED BY KafkaStorageHandler
+  *    TBLPROPERTIES ('kafka.whitelist.topics'=..,
+  *    'kafka.avro.schema.file'=..)` UX (KafkaStorageHandler.java,
+  *    KafkaBackedTableProperties.java): declare once, then run plain
+  *    SQL over typed columns.
   *
-  * Usage: `spark.read.format("graft-log").load(path)`.
+  * Usage: `spark.read.format("graft-log").load(path)`, or in SQL:
+  * `CREATE TABLE ev USING `graft-log` OPTIONS (path '...',
+  * decodeTopic 'events')`.
   */
 class LogSegmentSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-log"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LogSegmentSource.schema
+    LogSegmentSource.decodeSchemaJson(options) match {
+      case Some(json) => LogSegmentSource.decodedSchema(json)
+      case None => LogSegmentSource.schema
+    }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new SegmentTable(properties.get("path"))
+    new SegmentTable(properties.get("path"),
+      LogSegmentSource.decodeSchemaJson(new CaseInsensitiveStringMap(properties)))
 }
 
 object LogSegmentSource {
   val schema: StructType = graft.streaming.Streaming.logSchema
+
+  /** Metadata columns appended after the decoded payload fields. */
+  val metaSchema: StructType = StructType(schema.fields.filter(f =>
+    f.name == "topic" || f.name == "partition" || f.name == "offset" ||
+      f.name == "timestamp"))
+
+  /** Resolve the decode schema from `decodeTopic` (registry lookup —
+    * the kafka.whitelist.topics model) or `avroSchemaFile` (.avsc on
+    * disk — kafka.avro.schema.file). */
+  private[sources] def decodeSchemaJson(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("decodeTopic")).map(SchemaRegistry.schemaFor)
+      .orElse(Option(options.get("avroSchemaFile")).map(p =>
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)))
+
+  private[sources] def decodedSchema(schemaJson: String): StructType = {
+    val payload = AvroCodec.avroToCatalyst(
+      new org.apache.avro.Schema.Parser().parse(schemaJson))._1.asInstanceOf[StructType]
+    StructType(payload.fields ++ metaSchema.fields)
+  }
 }
 
-private[sources] class SegmentTable(path: String) extends Table with SupportsRead {
-  require(path != null, "graft-log: .load(path) is required")
+private[sources] class SegmentTable(rawPath: String, decodeJson: Option[String] = None)
+    extends Table with SupportsRead {
+  require(rawPath != null, "graft-log: .load(path) is required")
+  // the session catalog hands a table's location back as a file: URI
+  private val path: String =
+    if (rawPath.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(rawPath)).toString
+    else rawPath
   override def name(): String = s"graft-log:$path"
-  override def schema(): StructType = LogSegmentSource.schema
+  override def schema(): StructType = decodeJson match {
+    case Some(json) => LogSegmentSource.decodedSchema(json)
+    case None => LogSegmentSource.schema
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SegmentScanBuilder(path, PullBudget.fromOptions(options))
+    new SegmentScanBuilder(path, PullBudget.fromOptions(options), decodeJson, schema())
 }
 
 /** Admission-control knobs — the reference's pull-budget surface
@@ -94,9 +136,13 @@ private[graft] object PullBudget {
   * to `latestOffset(start, limit)` verbatim, composite-safe). */
 private[graft] case class TimeBudgetLimit(budgetMs: Long) extends ReadLimit
 
-private[sources] class SegmentScanBuilder(path: String, budget: PullBudget)
-    extends ScanBuilder with SupportsPushDownFilters {
+private[sources] class SegmentScanBuilder(path: String, budget: PullBudget,
+    decodeJson: Option[String] = None,
+    fullSchema: StructType = LogSegmentSource.schema)
+    extends ScanBuilder with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
       case EqualTo("topic" | "partition", _) => true
@@ -108,16 +154,22 @@ private[sources] class SegmentScanBuilder(path: String, budget: PullBudget)
     filters // Spark re-evaluates everything; pruning is a fast path
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new SegmentScan(path, pushed, budget)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new SegmentScan(path, pushed, budget, decodeJson,
+      if (decodeJson.isDefined) required else LogSegmentSource.schema)
 }
 
 private[sources] class SegmentScan(path: String, pushed: Array[Filter],
-    budget: PullBudget = PullBudget.unbounded)
+    budget: PullBudget = PullBudget.unbounded,
+    decodeJson: Option[String] = None,
+    required: StructType = LogSegmentSource.schema)
     extends Scan with Batch {
-  override def readSchema(): StructType = LogSegmentSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-log $path pushed=[${pushed.mkString(", ")}]"
+    s"graft-log $path pushed=[${pushed.mkString(", ")}] cols=[${required.fieldNames.mkString(",")}]"
 
   private def keep(topic: String, part: Int): Boolean = pushed.forall {
     case EqualTo("topic", t) => topic == t
@@ -151,16 +203,80 @@ private[sources] class SegmentScan(path: String, pushed: Array[Filter],
     case LessThanOrEqual("offset", v) => v.asInstanceOf[Number].longValue()
   }.foldLeft(Long.MaxValue)(math.min)
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    SegmentReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = decodeJson match {
+    case Some(json) => new DecodedReaderFactory(json, required)
+    case None => SegmentReaderFactory
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SegmentMicroBatchStream(path, budget)
+    new SegmentMicroBatchStream(path, budget, decodeJson, required)
 }
 
 private[sources] object SegmentReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SegmentReader(p.asInstanceOf[SegmentPartition])
+}
+
+/** Decoding read path for `decodeTopic`/`avroSchemaFile` tables: one
+  * Avro reader per partition (reused decoder buffers, the
+  * KafkaAvroMessageDecoder.java role), emitting exactly the pruned
+  * column set — payload fields from the decoded record, metadata from
+  * the segment record. */
+private[sources] class DecodedReaderFactory(schemaJson: String, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DecodedSegmentReader(p.asInstanceOf[SegmentPartition], schemaJson, required)
+}
+
+private[sources] class DecodedSegmentReader(p: SegmentPartition,
+    schemaJson: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.avro.Schema
+  import org.apache.avro.generic.GenericDatumReader
+  import org.apache.avro.io.{BinaryDecoder, DecoderFactory}
+
+  private val raw = new SegmentReader(p)
+  private val schema = new Schema.Parser().parse(schemaJson)
+  private val typeAndConv = AvroCodec.avroToCatalyst(schema)
+  private val payloadType = typeAndConv._1.asInstanceOf[StructType]
+  private val reader = new GenericDatumReader[Any](schema)
+  private var decoder: BinaryDecoder = _
+  private var reuse: Any = _
+
+  // raw segment row layout: key, value, topic, partition, offset, timestamp
+  private val metaIdx = Map("topic" -> 2, "partition" -> 3, "offset" -> 4,
+    "timestamp" -> 5)
+  // required column -> (fromPayload, index)
+  private val cols: Array[(Boolean, Int)] = required.fields.map { f =>
+    val i = payloadType.fieldNames.indexOf(f.name)
+    if (i >= 0) (true, i) else (false, metaIdx(f.name))
+  }
+  private val metaTypes = LogSegmentSource.schema
+
+  override def next(): Boolean = raw.next()
+  override def get(): InternalRow = {
+    val rawRow = raw.get()
+    val payload: InternalRow =
+      if (cols.exists(_._1)) {
+        val bytes = rawRow.getBinary(1)
+        decoder = DecoderFactory.get().binaryDecoder(bytes, 0, bytes.length, decoder)
+        reuse = reader.read(reuse, decoder)
+        typeAndConv._2(reuse).asInstanceOf[InternalRow]
+      } else null
+    val out = new Array[Any](cols.length)
+    var i = 0
+    while (i < cols.length) {
+      val (fromPayload, idx) = cols(i)
+      out(i) =
+        if (fromPayload)
+          (if (payload.isNullAt(idx)) null
+           else payload.get(idx, payloadType(idx).dataType))
+        else rawRow.get(idx, metaTypes(idx).dataType)
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+  override def close(): Unit = raw.close()
 }
 
 /** Streaming over the segment log: the Camus loop
@@ -181,7 +297,9 @@ private[sources] object SegmentReaderFactory extends PartitionReaderFactory {
   * stream catches up over successive bounded batches instead of one
   * unboundedly large first batch. */
 private[sources] class SegmentMicroBatchStream(path: String,
-    budget: PullBudget = PullBudget.unbounded)
+    budget: PullBudget = PullBudget.unbounded,
+    decodeJson: Option[String] = None,
+    required: StructType = LogSegmentSource.schema)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -292,7 +410,10 @@ private[sources] class SegmentMicroBatchStream(path: String,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = SegmentReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = decodeJson match {
+    case Some(json) => new DecodedReaderFactory(json, required)
+    case None => SegmentReaderFactory
+  }
 }
 
 /** Checkpointable per-topic-partition next offsets; json is a flat

@@ -182,6 +182,39 @@ class LogSegmentSourceSpec extends SparkSpec {
       SegmentOffsets(Map.empty))
   }
 
+  test("decodeTopic table: typed columns straight from the source") {
+    val df = spark.read.format("graft-log")
+      .option("decodeTopic", "events").load(segDir)
+    // payload fields + metadata, no raw key/value bytes
+    assert(df.columns.toSeq === Seq("event_id", "ts_ms", "user_id",
+      "event_type", "value", "props", "topic", "partition", "offset", "timestamp"))
+    assert(df.schema("value").dataType.typeName === "double")
+    val n = df.count()
+    assert(n === MessageLog.eventsTopic(spark, sf).count())
+    // decoded values match the expression-decode path
+    val viaExpr = MessageLog.eventsScan(spark, sf)
+      .agg(sum(col("user_id"))).head().getLong(0)
+    assert(df.agg(sum(col("user_id"))).head().getLong(0) === viaExpr)
+    // column pruning reaches the scan (description lists kept columns)
+    val plan = df.select(col("event_type")).queryExecution.executedPlan.toString()
+    assert(plan.contains("cols=[event_type]"), plan)
+    // partition pruning still applies through the decoded table
+    val p3 = df.filter(col("partition") === 3).select(col("user_id")).collect()
+    assert(p3.nonEmpty && p3.forall(_.getLong(0) % 8 === 3))
+  }
+
+  test("CREATE TABLE USING graft-log runs plain SQL over a topic") {
+    spark.sql("DROP TABLE IF EXISTS spec_events")
+    spark.sql(s"""CREATE TABLE spec_events USING `graft-log`
+                  OPTIONS (path '$segDir', decodeTopic 'events')""")
+    try {
+      val got = spark.sql(
+        "SELECT count(*), count(DISTINCT event_type) FROM spec_events").head()
+      assert(got.getLong(0) === MessageLog.eventsTopic(spark, sf).count())
+      assert(got.getLong(1) === 5)
+    } finally spark.sql("DROP TABLE IF EXISTS spec_events")
+  }
+
   test("decode chain works over the v2 source") {
     val n = spark.read.format("graft-log").load(segDir)
       .select(graft.sources.avro.from_topic(col("value"), "events").as("v"))
