@@ -215,6 +215,21 @@ class LogSegmentSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_events")
   }
 
+  test("decodeTopic table streams typed rows through readStream") {
+    val q = spark.readStream.format("graft-log")
+      .option("decodeTopic", "events").load(segDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("seg_decoded").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("seg_decoded").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = MessageLog.eventsScan(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("decode chain works over the v2 source") {
     val n = spark.read.format("graft-log").load(segDir)
       .select(graft.sources.avro.from_topic(col("value"), "events").as("v"))
