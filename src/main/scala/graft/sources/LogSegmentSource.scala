@@ -236,10 +236,22 @@ private[sources] class DecodedSegmentReader(p: SegmentPartition,
   import org.apache.avro.io.{BinaryDecoder, DecoderFactory}
 
   private val raw = new SegmentReader(p)
-  private val schema = new Schema.Parser().parse(schemaJson)
+  private val writerSchema = new Schema.Parser().parse(schemaJson)
+  // Avro schema resolution byte-SKIPS writer fields the reader schema
+  // omits — prune the reader schema to the required payload fields so
+  // a 2-column projection never deserializes the other ten (the scan-
+  // side analogue of the AvroProjectionPruning expression rule).
+  private val schema: Schema = {
+    val keep = required.fieldNames.toSet
+    val kept = writerSchema.getFields.asScala.filter(f => keep(f.name()))
+      .map(f => new Schema.Field(f.name(), f.schema(), f.doc(), f.defaultVal()))
+    if (kept.size == writerSchema.getFields.size) writerSchema
+    else Schema.createRecord(writerSchema.getName, writerSchema.getDoc,
+      writerSchema.getNamespace, false, kept.toList.asJava)
+  }
   private val typeAndConv = AvroCodec.avroToCatalyst(schema)
   private val payloadType = typeAndConv._1.asInstanceOf[StructType]
-  private val reader = new GenericDatumReader[Any](schema)
+  private val reader = new GenericDatumReader[Any](writerSchema, schema)
   private var decoder: BinaryDecoder = _
   private var reuse: Any = _
 
