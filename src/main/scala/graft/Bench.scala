@@ -43,14 +43,30 @@ object Bench {
       run(fn, sfDir, name)
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver keeps only a fixed-size TAIL of stdout (2000 chars
+    // observed), so the JSON line must fit in it whole — full-precision
+    // doubles over 81 queries overflowed it and the line never parsed.
+    // Centisecond resolution is plenty for grading; drop to 1 decimal
+    // if the query set ever grows past the window again.
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    def render(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = Seq(2, 1).map(render).find(_.length <= 1950).getOrElse(render(0))
     println(line)
     // Fallback for drivers that scrape a file instead of (or after) stdout:
     // sbt's log decoration ("[info] {...}") broke stdout parsing in round 1.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+    catch { case NonFatal(_) => () }
+    // Full-precision per-query timings for local profiling only.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""" + "\n")
     catch { case NonFatal(_) => () }
     spark.stop()
   }

@@ -46,7 +46,7 @@ object Multimodal {
     * storage — re-encoding 5k PNGs per query would bill producer work
     * to every consumer-side operator under test. */
   def fakeMediaTable(spark: SparkSession, sfDir: String): DataFrame =
-    mediaCache.getOrElseUpdate(sfDir, {
+    mediaCache.getOrElseUpdate((spark, sfDir), {
       import spark.implicits._
       val ids = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id")).as[Long]
@@ -64,8 +64,13 @@ object Multimodal {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  // Keyed by (session, dir): a DataFrame persisted under one session
+  // must not be handed to a later session in the same JVM (its plan
+  // references the stopped session's state). Entries die with the
+  // process; the harness runs one session per JVM so the map stays
+  // single-entry-per-dir in practice.
   private val mediaCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Partition-batched decode: binary container -> PNG-decoded
     * metadata. One decoder per partition, rows streamed — the exact

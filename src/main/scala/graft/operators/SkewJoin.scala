@@ -22,13 +22,25 @@ object SkewJoin {
     * ROW-CONTENT-deterministic, so a re-executed map task (after a
     * shuffle-fetch failure) reassigns identical salts — position-based
     * schemes like monotonically_increasing_id are order-dependent and
-    * can duplicate/lose rows on retry. Capping at 4 payload columns
-    * keeps the cost O(1) in row width. Any salt assignment is correct
-    * (each big row meets every small replica of its key once); content
-    * just spreads a hot key's rows evenly. */
+    * can duplicate/lose rows on retry. Salt inputs are restricted to
+    * ATOMIC column types (`xxhash64` rejects maps — and structs/arrays
+    * containing them — at analysis time; events.props is a MapType) and
+    * include every atomic column, so duplicate-prefix rows still spread.
+    * Caveat: fully identical rows of a hot key share a salt bucket by
+    * construction — content-determinism and perfect spreading of exact
+    * duplicates are mutually exclusive; retry safety wins here. Any salt
+    * assignment is correct (each big row meets every small replica of
+    * its key once); content just spreads a hot key's rows evenly. */
   def saltedJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String, salt: Int): DataFrame = {
-    val saltInputs = (bigKey +: big.columns.filterNot(_ == bigKey).take(4).toSeq)
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BinaryType | BooleanType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val atomic = big.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
+    val saltInputs = (bigKey +: atomic.filterNot(_ == bigKey).toSeq).distinct
       .map(col)
     val saltCol: Column = pmod(xxhash64(saltInputs: _*), lit(salt))
     val b = big.withColumn("__salt", saltCol.cast("int"))

@@ -76,6 +76,14 @@ object LogSegmentSource {
   private[sources] def decodedSchema(schemaJson: String): StructType = {
     val payload = AvroCodec.avroToCatalyst(
       new org.apache.avro.Schema.Parser().parse(schemaJson))._1.asInstanceOf[StructType]
+    // A payload field named like a metadata column would silently shadow
+    // it (both resolve by name in the reader) and emit duplicate column
+    // names — fail at schema-inference time instead.
+    val clash = payload.fieldNames.toSet.intersect(metaSchema.fieldNames.toSet)
+    require(clash.isEmpty,
+      s"graft-log: decoded payload field(s) ${clash.toSeq.sorted.mkString(", ")} " +
+        "collide with the reserved metadata columns " +
+        s"(${metaSchema.fieldNames.mkString(", ")}); rename them in the Avro schema")
     StructType(payload.fields ++ metaSchema.fields)
   }
 }
@@ -361,21 +369,35 @@ private[sources] class SegmentMicroBatchStream(path: String,
   private val streamStartMs = System.currentTimeMillis()
   private var lastTriggerMs = -1L
   private var lastAdmitted = -1L
+  private var ewmaRatePerMs = -1.0
+
+  /** Fold the previous trigger into the rate estimate and stamp this
+    * one. Runs on EVERY latestOffset call — including the
+    * exhausted-total-budget early return — so idle or long-planning
+    * gaps are never folded into a later trigger's measured rate.
+    * Zero-admission triggers carry no rate information (nothing was
+    * processed) and only advance the clock; positive observations feed
+    * an EWMA so one slow trigger doesn't collapse the next budget. */
+  private def observeTrigger(): Unit = {
+    val now = System.currentTimeMillis()
+    if (lastTriggerMs > 0 && lastAdmitted > 0) {
+      val r = lastAdmitted.toDouble / math.max(1L, now - lastTriggerMs)
+      ewmaRatePerMs = if (ewmaRatePerMs <= 0) r else 0.7 * r + 0.3 * ewmaRatePerMs
+    }
+    lastTriggerMs = now
+  }
 
   /** Row budget a given limit allows this trigger; Long.MaxValue =
-    * unbounded. A time budget converts wall-clock to rows at the rate
-    * measured over the previous trigger (first trigger: the
-    * `pullRateInitGuess` seed) — the micro-batch analogue of the
+    * unbounded. A time budget converts wall-clock to rows at the
+    * measured processing rate (EWMA over past triggers; first trigger:
+    * the `pullRateInitGuess` seed) — the micro-batch analogue of the
     * reference's "stop the task when its minutes are up", since a
     * Spark batch's end offsets must be pinned before tasks launch. */
   private def rowBudget(limit: ReadLimit): Long = limit match {
     case r: ReadMaxRows => r.maxRows()
     case TimeBudgetLimit(budgetMs) =>
-      val rate = // records per ms, measured trigger-over-trigger
-        if (lastAdmitted > 0 && lastTriggerMs > 0) {
-          val elapsed = math.max(1L, System.currentTimeMillis() - lastTriggerMs)
-          lastAdmitted.toDouble / elapsed
-        } else budget.initRatePerSec / 1000.0
+      val rate = // records per ms
+        if (ewmaRatePerMs > 0) ewmaRatePerMs else budget.initRatePerSec / 1000.0
       math.max(1L, (budgetMs * rate).toLong)
     case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
       c.getReadLimits.map(rowBudget).min
@@ -389,9 +411,12 @@ private[sources] class SegmentMicroBatchStream(path: String,
     * stream always progresses). `maxPullHours` exhausted ⇒ admit
     * nothing — the remaining backlog belongs to the next run. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    observeTrigger()
     val s = start.asInstanceOf[SegmentOffsets].next
-    if (budget.totalMs.exists(t => System.currentTimeMillis() - streamStartMs >= t))
+    if (budget.totalMs.exists(t => System.currentTimeMillis() - streamStartMs >= t)) {
+      lastAdmitted = 0L
       return SegmentOffsets(s)
+    }
     val hw = pinnedEnd.getOrElse(highWatermarks())
     val rows = rowBudget(limit)
     val backlog = hw.map { case (tp, hi) => tp -> math.max(0L, hi - s.getOrElse(tp, 0L)) }
@@ -403,7 +428,6 @@ private[sources] class SegmentMicroBatchStream(path: String,
         tp -> (s.getOrElse(tp, 0L) + math.min(b, share))
       })
     lastAdmitted = end.next.map { case (tp, e) => e - s.getOrElse(tp, 0L) }.sum
-    lastTriggerMs = System.currentTimeMillis()
     end
   }
 

@@ -170,12 +170,18 @@ object Streaming {
     * arithmetic, StreamingSpec checks cross-micro-batch state. */
   def runningCents(events: DataFrame): Dataset[UserTotalsCents] = {
     import events.sparkSession.implicits._
-    // the v2 state API requires the RocksDB provider even in batch,
-    // and batch skips the streaming path that would have registered
-    // the driver's state-store coordinator endpoint
-    events.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // The v2 state API requires the RocksDB provider even in batch —
+    // GraftSession sets it session-wide (mutating it here would
+    // silently switch the provider for every later query in the
+    // session); fail fast with the remedy if a custom session didn't.
+    val provider = events.sparkSession.conf
+      .get("spark.sql.streaming.stateStore.providerClass", "")
+    require(provider.contains("RocksDBStateStoreProvider"),
+      "transformWithState requires the RocksDB state-store provider; " +
+        "build the session via GraftSession or set " +
+        "spark.sql.streaming.stateStore.providerClass to RocksDBStateStoreProvider")
+    // batch skips the streaming path that would have registered the
+    // driver's state-store coordinator endpoint
     org.apache.spark.sql.graft.Bridge.ensureStateStoreCoordinator(events.sparkSession)
     events.select(col("user_id"),
         round(col("value") * 100).cast("long").as("cents")).as[UserEventCents]

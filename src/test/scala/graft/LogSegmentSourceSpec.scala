@@ -230,6 +230,21 @@ class LogSegmentSourceSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("payload field shadowing a metadata column fails at schema inference") {
+    // a user .avsc with a field named 'timestamp' is plausible and
+    // would otherwise silently shadow the metadata column
+    val avsc = """{"type":"record","name":"Bad","fields":[
+      {"name":"id","type":"long"},{"name":"timestamp","type":"long"}]}"""
+    val p = java.nio.file.Files.createTempFile("graft_bad_schema", ".avsc")
+    java.nio.file.Files.writeString(p, avsc)
+    val ex = intercept[Exception] {
+      spark.read.format("graft-log")
+        .option("avroSchemaFile", p.toString).load(segDir).schema
+    }
+    assert(ex.getMessage.contains("timestamp") &&
+      ex.getMessage.contains("metadata"), ex.getMessage)
+  }
+
   test("decode chain works over the v2 source") {
     val n = spark.read.format("graft-log").load(segDir)
       .select(graft.sources.avro.from_topic(col("value"), "events").as("v"))

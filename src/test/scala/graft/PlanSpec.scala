@@ -83,6 +83,18 @@ class PlanSpec extends SparkSpec {
     assert(plain.count(_.getString(2) == "hot") > 0)
   }
 
+  test("salted join tolerates unhashable columns on the big side") {
+    import spark.implicits._
+    // a MapType payload column (events.props shape) must not feed the
+    // xxhash64 salt — it would fail analysis
+    val big = (1L to 200L).map(i => (7L, Map("a" -> i), i)).toDF("k", "props", "payload")
+    val small = Seq((7L, "hot")).toDF("sk", "v")
+    val salted = operators.SkewJoin.saltedJoin(big, small, "k", "sk", salt = 4)
+      .select("k", "payload", "v").collect()
+    assert(salted.length === 200)
+    assert(salted.forall(r => r.getLong(0) == 7L && r.getString(2) == "hot"))
+  }
+
   test("t_sample reads only doc_id from the parquet scan") {
     val p = plan(operators.Pipeline.tSample.fn(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
