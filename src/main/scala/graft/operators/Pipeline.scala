@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => TF}
-import graft.plans.RollingFingerprint
+import graft.plans.{HashedCharNgrams, HashedWordShingles, JaccardLong, RollingFingerprint}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -363,6 +363,47 @@ object Pipeline {
         .orderBy(col("doc_id")),
     oracle = None)
 
+  /** Driver-checkable contract for the rolling fingerprint (the raw
+    * 64-bit hashes aren't SQL-expressible): RECALL — plant an exact
+    * text clone of every doc_id < 100 and require fingerprint equality
+    * with its source (min-over-windows of identical text is identical —
+    * an integer-exact count); PRECISION — every fingerprint-equal pair
+    * in the planted corpus must share a REAL 16-char window, verified
+    * by hashed-16-gram set overlap, i.e. equal fingerprints mean equal
+    * min windows, not polynomial-hash accidents. Deterministic on a
+    * fixed corpus, so the oracle's literal values only match when the
+    * kernel delivers. */
+  val tFingerprintContract: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+      val clones = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("t"))
+      val fp = docs.union(clones).select(col("doc_id"),
+        Bridge.column(RollingFingerprint(Bridge.expression(col("t")), 16)).as("fp"),
+        Bridge.column(HashedCharNgrams(Bridge.expression(col("t")), 16)).as("grams"))
+      val src = fp.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id").as("src_id"), col("fp").as("src_fp"))
+      val rec = fp.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("src_id"), col("fp"))
+        .join(src, "src_id")
+        .agg(count(lit(1)).as("n_clones"),
+          sum(when(col("fp") === col("src_fp"), 1L).otherwise(0L)).as("clone_matches"))
+      val prec = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .agg((sum(when(arrays_overlap(col("a.grams"), col("b.grams")), 1L).otherwise(0L))
+          === count(lit(1))).as("precision_ok"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(rec).crossJoin(prec)
+        .select(col("n_docs"), col("n_clones"), col("clone_matches"), col("precision_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST((SELECT count(*) FROM documents WHERE doc_id < 100) AS BIGINT) AS n_clones,
+             CAST((SELECT count(*) FROM documents WHERE doc_id < 100) AS BIGINT) AS clone_matches,
+             TRUE AS precision_ok
+      FROM documents"""))
+
   // ---- dedup ----
 
   val dDedupExact: QueryDef = QueryDef(
@@ -418,6 +459,59 @@ object Pipeline {
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("id_a"), col("id_b")),
     oracle = None)
+
+  /** Driver-checkable contract for the SimHash pair list (whose raw
+    * hamming distances aren't SQL-expressible), two legs:
+    *
+    * BUCKET-EXACTNESS — on an id-capped sample (the O(n^2) baseline
+    * stays bounded; the banded side still runs the full corpus) the
+    * banded hamming-<=3 pair set must EQUAL the brute-force
+    * all-pairs-signature set, both directions: the 4x16-bit pigeonhole
+    * blocking provably loses no pair and the post-filter invents none.
+    *
+    * TOKEN-SIMILARITY — every emitted pair must share real token mass
+    * (exact 1-word-shingle Jaccard >= 0.5; measured corpus minimum is
+    * 0.767): 64-bit signatures don't bucket unrelated documents.
+    *
+    * Deterministic end to end (signatures, bucketing, tie-breaks carry
+    * no randomness), so the oracle's literal TRUEs only match when the
+    * kernel delivers. */
+  val dDedupSimhashRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val found = Dedup.simhashPairs(docs, "text", "doc_id")
+        .select(col("id_a"), col("id_b"))
+      val capped = docs.filter(col("doc_id") < 1000)
+      val sig = capped.select(col("doc_id").as("id"),
+        Bridge.column(graft.plans.SimHash64(
+          Bridge.expression(TF.tokens(col("text"))))).as("sig"))
+      val truth = sig.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .join(broadcast(sig.select(col("id").as("id_b"), col("sig").as("sig_b"))),
+          col("id_a") < col("id_b"))
+        .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 3)
+        .select(col("id_a"), col("id_b"))
+      val foundCapped = found.filter(col("id_a") < 1000 && col("id_b") < 1000)
+      val exact = truth.withColumn("_t", lit(1L))
+        .join(foundCapped.withColumn("_f", lit(1L)), Seq("id_a", "id_b"), "full")
+        .agg((count(lit(1)) === coalesce(sum(col("_t") * col("_f")), lit(0L)))
+          .as("bucket_exact_ok"))
+      val tok = docs.select(col("doc_id").as("id"),
+        Bridge.column(HashedWordShingles(
+          Bridge.expression(col("text")), 1)).as("sh"))
+      val sim = found
+        .join(tok.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(tok.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .agg((sum(when(Bridge.column(JaccardLong(
+            Bridge.expression(col("sh_a")), Bridge.expression(col("sh_b")))) >= 0.5,
+          1L).otherwise(0L)) === count(lit(1))).as("token_sim_ok"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(exact).crossJoin(sim)
+        .select(col("n_docs"), col("bucket_exact_ok"), col("token_sim_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             TRUE AS bucket_exact_ok, TRUE AS token_sim_ok
+      FROM documents"""))
 
   /** Oracle is brute-force exact: every pair with char-4-gram Jaccard
     * >= 0.7 via an inverted gram index (n_inter from a gram equi-join,
@@ -754,12 +848,14 @@ object Pipeline {
     "t_quality" -> tQuality,
     "t_tokens" -> tTokens,
     "t_fingerprint" -> tFingerprint,
+    "t_fingerprint_contract" -> tFingerprintContract,
     "t_sample" -> tSample,
     "t_pack" -> tPack,
     "t_redact" -> tRedact,
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,
+    "d_dedup_simhash_recall" -> dDedupSimhashRecall,
     "d_dedup_ngram" -> dDedupNgram,
     "d_dedup_clusters" -> dDedupClusters,
     "d_dedup_embed" -> dDedupEmbed,
