@@ -280,21 +280,40 @@ object Pipeline {
       FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Corpus-frequency token scoring with an explicit Zipf-head split:
+    * the vocab's top `headK` tokens (bounded rows) ride as a BROADCAST
+    * join, so the Zipf-hot fact keys — which at corpus scale are most
+    * of the exploded rows — never shuffle by token; only the long-tail
+    * tokens take the shuffle join, and those are well-spread by
+    * construction. AQE skew-join can NOT save the naive single join
+    * here: the vocab side carries an aggregate between its shuffle and
+    * the join, a shape OptimizeSkewedJoin's direct-shuffle-child
+    * pattern never matches (pinned in PlanSpec), so the head split is
+    * the deliberate scale path, not a belt-and-braces flourish.
+    * Head/tail are disjoint by token, so the union is exactly the
+    * single-join result. */
+  private[graft] def rarityJoin(docs: DataFrame, headK: Int = 256): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val head = vocab.orderBy(col("tf").desc, col("tok")).limit(headK)
+    val tail = vocab.join(broadcast(head.select(col("tok"))), Seq("tok"), "left_anti")
+    toks.join(broadcast(head), Seq("tok"))
+      .unionByName(toks.join(tail, Seq("tok")))
+  }
+
   /** Corpus-frequency rarity scoring — the integer-exact core of an
-    * LM-perplexity quality filter: build the corpus unigram table
-    * (Zipf-bounded, broadcast-or-shuffle join left to AQE), then score
-    * each doc by its tokens' corpus frequencies. A true average
-    * log-prob would hash-differently across engines (order-dependent
-    * float sums), so the signals are exact-integer sums with one final
-    * division: mean corpus frequency per token and the fraction of
-    * rare (corpus freq <= 2) tokens. */
+    * LM-perplexity quality filter: build the corpus unigram table,
+    * score each doc by its tokens' corpus frequencies via the
+    * Zipf-head-aware [[rarityJoin]]. A true average log-prob would
+    * hash-differently across engines (order-dependent float sums), so
+    * the signals are exact-integer sums with one final division: mean
+    * corpus frequency per token and the fraction of rare (corpus freq
+    * <= 2) tokens. */
   val tRarity: QueryDef = QueryDef(
     fn = (s, dir) => {
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-      toks.join(vocab, Seq("tok"))
+      rarityJoin(Tables.load(s, dir, "documents"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("tf")).as("sum_tok_freq"),

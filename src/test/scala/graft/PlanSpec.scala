@@ -122,6 +122,70 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("k_compact partial-aggregates map-side — a hot key can't funnel one reducer") {
+    val p = plan(operators.KafkaSurface.kCompact.fn(spark, sf))
+    // partial max/max_by/count must run below the user_id exchange, so a
+    // compacted key with millions of updates ships pre-combined partials,
+    // not raw rows, through the shuffle
+    assert(p.contains("partial_max_by"),
+      s"expected map-side partial max_by:\n$p")
+    // the partial/final aggregate pair must straddle an Exchange: in the
+    // top-down tree print, final agg ... Exchange ... partial agg (deepest)
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    val aggs = tree.zipWithIndex.filter(_._1.contains("Aggregate")).map(_._2)
+    assert(aggs.length >= 2, s"expected a partial+final aggregate pair:\n$p")
+    assert(tree.slice(aggs(aggs.length - 2), aggs.last).exists(l =>
+        l.contains("- Exchange") && !l.contains("BroadcastExchange")),
+      s"partial aggregate must sit below the key shuffle:\n$p")
+  }
+
+  test("t_rarity's token join survives a Zipf head — hot tokens never shuffle") {
+    import spark.implicits._
+    // manufactured Zipf head: every doc is mostly the token 'the', so a
+    // naive toks-join-vocab funnels one join key into one reducer. AQE
+    // skew-join can NOT split that join (the vocab side has an aggregate
+    // between its shuffle stage and the join — OptimizeSkewedJoin only
+    // matches direct shuffle children), so rarityJoin must broadcast the
+    // vocab head explicitly. Forcing SMJ everywhere shows the contrast.
+    val docs = (1L to 1000L)
+      .map(i => (i, ("the " * 400) + s"unique$i tail"))
+      .toDF("doc_id", "text")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+      val toks = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val naive = toks.join(vocab, Seq("tok"))
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("sum_tok_freq"))
+      naive.collect()
+      assert(!naive.queryExecution.executedPlan.toString.contains("skew=true"),
+        "if AQE starts splitting this shape, rarityJoin's head split can be retired")
+      // rarityJoin: identical rows, but the hot token rides the broadcast
+      // branch — its fact rows are never hash-partitioned by tok
+      val scored = operators.Pipeline.rarityJoin(docs, headK = 4)
+        .groupBy(col("doc_id")).agg(sum(col("tf")).as("sum_tok_freq"))
+      val rows = scored.collect()
+      assert(rows.length === 1000)
+      assert(rows.map(_.getLong(1)).toSet ===
+        naive.collect().map(_.getLong(1)).toSet)
+      val executed = scored.queryExecution.executedPlan.toString
+      assert(executed.contains("BroadcastHashJoin"),
+        s"expected the vocab head on a broadcast join:\n$executed")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("scalar pipeline stays in whole-stage codegen") {
     val df = Tables.load(spark, sf, "documents")
       .select(functions.MinHash.hashedWordShingles(col("text"), 3).as("sh"))
