@@ -131,19 +131,28 @@ object Dedup {
     * distributed joins (no driver-side data), converging in
     * graph-diameter rounds — near-dup clusters are small and dense, so
     * this is 2-4 rounds in practice. Lineage is cut every round so
-    * plans stay flat across iterations: `reliableCheckpoint = true`
-    * writes to the session's checkpoint dir (fault-tolerant — set it
-    * on a real cluster), false keeps the executor-memory-resident
-    * `localCheckpoint` (fine for tests/single-node). The convergence
-    * probe (an extra job) runs every second round: min-labels decrease
+    * plans stay flat across iterations. Reliable (fault-tolerant)
+    * checkpointing engages AUTOMATICALLY whenever the session has a
+    * checkpoint dir configured (`sc.setCheckpointDir` — always true on
+    * a production cluster); without one, rounds ride the
+    * executor-memory-resident `localCheckpoint` (fine for
+    * tests/single-node, lost with an executor). Pass
+    * `reliableCheckpoint = Some(...)` to override either way —
+    * `Some(true)` without a checkpoint dir fails fast rather than
+    * letting Spark throw mid-iteration. The convergence probe (an
+    * extra job) runs every second round: min-labels decrease
     * monotonically, so probing late costs at most one extra cheap
     * round and halves the probe jobs. Singleton documents (no pair)
     * are not emitted — union them in as their own cluster if needed.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 20, reliableCheckpoint: Boolean = false): DataFrame = {
+      maxIter: Int = 20, reliableCheckpoint: Option[Boolean] = None): DataFrame = {
+    val hasDir = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val reliable = reliableCheckpoint.getOrElse(hasDir)
+    require(!reliable || hasDir,
+      "reliableCheckpoint=Some(true) requires sparkContext.setCheckpointDir(...)")
     def cut(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint(true)
+      if (reliable) df.checkpoint() else df.localCheckpoint(true)
     val edges = cut(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct())

@@ -45,7 +45,11 @@ object Multimodal {
     * SYNTHESIS standing in for bytes already sitting in object
     * storage — re-encoding 5k PNGs per query would bill producer work
     * to every consumer-side operator under test. */
-  def fakeMediaTable(spark: SparkSession, sfDir: String): DataFrame =
+  def fakeMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    // drop entries of stopped sessions so a long-lived multi-session
+    // JVM (test harness, notebook server) can't accumulate dead
+    // DataFrames + their persisted-plan references for its lifetime
+    mediaCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     mediaCache.getOrElseUpdate((spark, sfDir), {
       import spark.implicits._
       val ids = graft.Tables.load(spark, sfDir, "documents")
@@ -63,12 +67,13 @@ object Multimodal {
           "MediaContainer").as("media"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   // Keyed by (session, dir): a DataFrame persisted under one session
   // must not be handed to a later session in the same JVM (its plan
-  // references the stopped session's state). Entries die with the
-  // process; the harness runs one session per JVM so the map stays
-  // single-entry-per-dir in practice.
+  // references the stopped session's state). Dead-session entries are
+  // pruned on the next fakeMediaTable call; the harness runs one
+  // session per JVM so the map stays single-entry-per-dir in practice.
   private val mediaCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

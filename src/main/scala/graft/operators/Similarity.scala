@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.{CentroidCosines, CosineSim, HyperplaneSig, NearestCentroid}
+import graft.plans.{BroadcastCentroids, CentroidCosines, CentroidRef, CosineSim, HyperplaneSig, NearestCentroid}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,16 +59,16 @@ object Similarity {
       vecCol: String, idCol: String, k: Int = 5,
       nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
     val centroids = trainQuantizer(corpus, vecCol, idCol, nlist, lloydIters)
-    val centSeq: Seq[Seq[Float]] = centroids.toSeq.map(_.toSeq)
+    val centRef = broadcastCentroids(corpus, centroids)
     def nearestList(v: Column): Column =
-      Bridge.column(NearestCentroid(Bridge.expression(v), centSeq))
+      Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
     val indexed = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), nearestList(col(vecCol)).as("list_id"))
     // per query: nprobe nearest centroids -> (query, list_id) fanout;
     // the interpreted sort/slice runs on the few query rows only
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         posexplode(slice(reverse(array_sort(arrays_zip(
-          Bridge.column(CentroidCosines(Bridge.expression(col(vecCol)), centSeq)).as("cos"),
+          Bridge.column(CentroidCosines(Bridge.expression(col(vecCol)), centRef)).as("cos"),
           sequence(lit(0), lit(nlist - 1)).as("lid")))), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("col.lid").as("list_id"))
     val scored = indexed.join(broadcast(probes), Seq("list_id"))
@@ -81,10 +81,19 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Wrap a driver-side centroid matrix as a broadcast for the
+    * expression kernels: tasks serialize a handle, each executor
+    * fetches the matrix once — nlist can grow to thousands without
+    * touching plan size or task-closure bytes. */
+  private def broadcastCentroids(df: DataFrame,
+      centroids: Array[Seq[Float]]): CentroidRef =
+    BroadcastCentroids(df.sparkSession.sparkContext
+      .broadcast(centroids.map(_.toArray)))
+
   /** Coarse-quantizer training: deterministic seed sample + `iters`
     * Lloyd rounds. Each round is one distributed pass: assign every
-    * vector to its nearest centroid (map-side — centroids are plan
-    * literals), then recompute centroids as per-list means via
+    * vector to its nearest centroid (map-side — centroids ride a
+    * per-round broadcast), then recompute centroids as per-list means via
     * posexplode + groupBy(list, dim) — a rows x dim shuffle, the
     * standard distributed k-means step. Empty lists keep their old
     * centroid. Returns nlist dense centroid vectors (driver-side:
@@ -99,7 +108,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = corpus.select(col(vecCol).as("v"),
         Bridge.column(NearestCentroid(Bridge.expression(col(vecCol)),
-          centroids.toSeq.map(_.toSeq))).as("list_id"))
+          broadcastCentroids(corpus, centroids))).as("list_id"))
       val means = assigned
         .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("list_id"), col("dim"))
@@ -127,13 +136,13 @@ object Similarity {
     * corpus size. Returns (id, cluster, cos_centroid). */
   def kmeansAssign(corpus: DataFrame, vecCol: String, idCol: String,
       k: Int = 16, iters: Int = 2): DataFrame = {
-    val centSeq: Seq[Seq[Float]] =
-      trainQuantizer(corpus, vecCol, idCol, k, iters).toSeq.map(_.toSeq)
+    val centRef = broadcastCentroids(corpus,
+      trainQuantizer(corpus, vecCol, idCol, k, iters))
     corpus.select(col(idCol), col(vecCol).as("v"))
       .select(col(idCol),
-        Bridge.column(NearestCentroid(Bridge.expression(col("v")), centSeq))
+        Bridge.column(NearestCentroid(Bridge.expression(col("v")), centRef))
           .as("cluster"),
-        Bridge.column(CentroidCosines(Bridge.expression(col("v")), centSeq))
+        Bridge.column(CentroidCosines(Bridge.expression(col("v")), centRef))
           .as("cos_all"))
       .select(col(idCol), col("cluster"),
         element_at(col("cos_all"), col("cluster") + 1).as("cos_centroid"))

@@ -24,8 +24,11 @@ object SkewJoin {
     * schemes like monotonically_increasing_id are order-dependent and
     * can duplicate/lose rows on retry. Salt inputs are restricted to
     * ATOMIC column types (`xxhash64` rejects maps — and structs/arrays
-    * containing them — at analysis time; events.props is a MapType) and
-    * include every atomic column, so duplicate-prefix rows still spread.
+    * containing them — at analysis time; events.props is a MapType),
+    * capped at the key plus the first 8 atomic non-key columns: enough
+    * entropy to spread duplicate-prefix rows while the salting
+    * projection stays O(1) in row width (hashing every column of a
+    * 400-column table would make the salt itself a measurable cost).
     * Caveat: fully identical rows of a hot key share a salt bucket by
     * construction — content-determinism and perfect spreading of exact
     * duplicates are mutually exclusive; retry safety wins here. Any salt
@@ -40,7 +43,7 @@ object SkewJoin {
       case _ => false
     }
     val atomic = big.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
-    val saltInputs = (bigKey +: atomic.filterNot(_ == bigKey).toSeq).distinct
+    val saltInputs = (bigKey +: atomic.filterNot(_ == bigKey).take(8).toSeq).distinct
       .map(col)
     val saltCol: Column = pmod(xxhash64(saltInputs: _*), lit(salt))
     val b = big.withColumn("__salt", saltCol.cast("int"))

@@ -107,19 +107,48 @@ object VectorOps {
     }
 }
 
+/** How a centroid matrix reaches executors. Both forms keep the PLAN
+  * O(1): the expression never inlines nlist array literals, and
+  * toString is a compact summary so treeString/explain stay flat as
+  * nlist grows.
+  *
+  *  - [[BroadcastCentroids]] — the scale path: tasks serialize only a
+  *    broadcast handle; the matrix ships to each EXECUTOR once
+  *    (torrent), not once per task. At nlist=4k x dim=64 that's ~1 MB
+  *    saved from every task closure.
+  *  - [[InlineCentroids]] — the matrix rides inside the expression
+  *    (serialized per task); fine for tests and tiny quantizers.
+  */
+sealed trait CentroidRef extends Serializable {
+  def matrix: Array[Array[Float]]
+  def nlist: Int
+}
+
+case class InlineCentroids(rows: Seq[Seq[Float]]) extends CentroidRef {
+  @transient override lazy val matrix: Array[Array[Float]] = rows.map(_.toArray).toArray
+  override def nlist: Int = rows.length
+  override def toString: String = s"inline(nlist=$nlist)"
+}
+
+case class BroadcastCentroids(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) extends CentroidRef {
+  override def matrix: Array[Array[Float]] = bc.value
+  override def nlist: Int = -1 // unknown driver-side without fetching; display only
+  override def toString: String = s"broadcast(id=${bc.id})"
+}
+
 /** Cosines of a vector against a fixed centroid matrix —
-  * `array<double>` of length nlist. The matrix rides in the expression
-  * as a plan reference object (serialized once per task, a byte buffer
-  * at any nlist), NOT as nlist inlined array literals: at nlist >= 4k
-  * the literal form bloats the plan and the generated code past
-  * compilable size, this form stays O(1) plan-side. */
-case class CentroidCosines(child: Expression, centroids: Seq[Seq[Float]])
+  * `array<double>` of length nlist. The matrix rides via a
+  * [[CentroidRef]] (broadcast at scale), NOT as nlist inlined array
+  * literals: at nlist >= 4k the literal form bloats the plan and the
+  * generated code past compilable size, this form stays O(1)
+  * plan-side and O(1)-per-executor on the wire. */
+case class CentroidCosines(child: Expression, centroids: CentroidRef)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_centroid_cosines"
-  @transient private lazy val mat: Array[Array[Float]] =
-    centroids.map(_.toArray).toArray
+  @transient private lazy val mat: Array[Array[Float]] = centroids.matrix
   @transient private lazy val matNorms: Array[Double] = VectorOps.norms(mat)
   def kernel(v: ArrayData): ArrayData = VectorOps.centroidCosines(v, mat, matNorms)
   override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
@@ -131,16 +160,21 @@ case class CentroidCosines(child: Expression, centroids: Seq[Seq[Float]])
     copy(child = c)
 }
 
-/** argmax-cosine centroid index for a vector — `int`. Same reference-
-  * object design as [[CentroidCosines]]; the corpus-side IVF list
-  * assignment stays a pure map with no per-row array materialized. */
-case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
+object CentroidCosines {
+  def apply(child: Expression, rows: Seq[Seq[Float]]): CentroidCosines =
+    CentroidCosines(child, InlineCentroids(rows))
+}
+
+/** argmax-cosine centroid index for a vector — `int`. Same
+  * [[CentroidRef]] design as [[CentroidCosines]]; the corpus-side IVF
+  * list assignment stays a pure map with no per-row array
+  * materialized. */
+case class NearestCentroid(child: Expression, centroids: CentroidRef)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_nearest_centroid"
-  @transient private lazy val mat: Array[Array[Float]] =
-    centroids.map(_.toArray).toArray
+  @transient private lazy val mat: Array[Array[Float]] = centroids.matrix
   @transient private lazy val matNorms: Array[Double] = VectorOps.norms(mat)
   def kernel(v: ArrayData): Int = VectorOps.nearestCentroid(v, mat, matNorms)
   override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
@@ -150,6 +184,11 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
   }
   override protected def withNewChildInternal(c: Expression): NearestCentroid =
     copy(child = c)
+}
+
+object NearestCentroid {
+  def apply(child: Expression, rows: Seq[Seq[Float]]): NearestCentroid =
+    NearestCentroid(child, InlineCentroids(rows))
 }
 
 /** dot(array<float>, array<float>) -> double, whole-stage-codegen'd. */

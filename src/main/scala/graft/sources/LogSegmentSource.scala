@@ -78,8 +78,14 @@ object LogSegmentSource {
       new org.apache.avro.Schema.Parser().parse(schemaJson))._1.asInstanceOf[StructType]
     // A payload field named like a metadata column would silently shadow
     // it (both resolve by name in the reader) and emit duplicate column
-    // names — fail at schema-inference time instead.
-    val clash = payload.fieldNames.toSet.intersect(metaSchema.fieldNames.toSet)
+    // names — fail at schema-inference time instead. Compared
+    // case-INSENSITIVELY: Spark resolves column names case-insensitively
+    // by default, so a payload 'Timestamp' is just as ambiguous against
+    // the 'timestamp' metadata column as an exact-case clash.
+    val metaLower = metaSchema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val clash = payload.fieldNames
+      .filter(n => metaLower.contains(n.toLowerCase(java.util.Locale.ROOT))).toSet
     require(clash.isEmpty,
       s"graft-log: decoded payload field(s) ${clash.toSeq.sorted.mkString(", ")} " +
         "collide with the reserved metadata columns " +

@@ -132,9 +132,27 @@ object Streaming {
     }
   }
 
+  /** Shared preflight for every transformWithState entry point. The v2
+    * state API requires the RocksDB provider even in batch —
+    * GraftSession sets it session-wide (mutating it here would silently
+    * switch the provider for every later query in the session); fail
+    * fast with the remedy if a custom session didn't. Batch also skips
+    * the streaming path that would have registered the driver's
+    * state-store coordinator endpoint, so register it here. */
+  private def prepareStateV2(session: org.apache.spark.sql.SparkSession): Unit = {
+    val provider = session.conf
+      .get("spark.sql.streaming.stateStore.providerClass", "")
+    require(provider.contains("RocksDBStateStoreProvider"),
+      "transformWithState requires the RocksDB state-store provider; " +
+        "build the session via GraftSession or set " +
+        "spark.sql.streaming.stateStore.providerClass to RocksDBStateStoreProvider")
+    org.apache.spark.sql.graft.Bridge.ensureStateStoreCoordinator(session)
+  }
+
   /** Apply [[RunningTotalsProcessor]] to a decoded events frame. */
   def runningTotals(events: DataFrame): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
+    prepareStateV2(events.sparkSession)
     events.select(col("user_id"), col("value")).as[UserEvent]
       .groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
@@ -170,19 +188,7 @@ object Streaming {
     * arithmetic, StreamingSpec checks cross-micro-batch state. */
   def runningCents(events: DataFrame): Dataset[UserTotalsCents] = {
     import events.sparkSession.implicits._
-    // The v2 state API requires the RocksDB provider even in batch —
-    // GraftSession sets it session-wide (mutating it here would
-    // silently switch the provider for every later query in the
-    // session); fail fast with the remedy if a custom session didn't.
-    val provider = events.sparkSession.conf
-      .get("spark.sql.streaming.stateStore.providerClass", "")
-    require(provider.contains("RocksDBStateStoreProvider"),
-      "transformWithState requires the RocksDB state-store provider; " +
-        "build the session via GraftSession or set " +
-        "spark.sql.streaming.stateStore.providerClass to RocksDBStateStoreProvider")
-    // batch skips the streaming path that would have registered the
-    // driver's state-store coordinator endpoint
-    org.apache.spark.sql.graft.Bridge.ensureStateStoreCoordinator(events.sparkSession)
+    prepareStateV2(events.sparkSession)
     events.select(col("user_id"),
         round(col("value") * 100).cast("long").as("cents")).as[UserEventCents]
       .groupByKey(_.user_id)

@@ -55,6 +55,32 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("clusters rides reliable checkpoints when the session has a checkpoint dir") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    // without a checkpoint dir, forcing the reliable path must fail fast
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    intercept[IllegalArgumentException] {
+      Dedup.clusters(pairs, reliableCheckpoint = Some(true))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    // with a dir configured, auto mode goes reliable: same answer, and
+    // checkpoint data lands under the configured dir (cluster-survivable)
+    val got = Dedup.clusters(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+    def rddFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles.map(rddFiles).sum
+      else if (f.getName.startsWith("part-")) 1L else 0L
+    assert(rddFiles(new java.io.File(dir)) > 0,
+      s"expected reliable checkpoint files under $dir")
+  }
+
   test("asOf join carries the latest at-or-before row per key") {
     import spark.implicits._
     val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 10L), (4L, 100L, 5L))

@@ -54,6 +54,39 @@ class SimilaritySpec extends SparkSpec {
     assert(meanK > mean1, s"k=8 mean cos $meanK must beat k=1 $mean1")
   }
 
+  test("centroids ride a broadcast: plan size flat 256 -> 4096, same answers") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.plans.{BroadcastCentroids, InlineCentroids, NearestCentroid}
+    val dim = 8
+    def rows(n: Int): Seq[Seq[Float]] =
+      Seq.tabulate(n)(i => Seq.tabulate(dim)(d =>
+        math.sin(i * 31 + d).toFloat))
+    def assignPlan(n: Int) = {
+      val ref = BroadcastCentroids(
+        spark.sparkContext.broadcast(rows(n).map(_.toArray).toArray))
+      emb.select(col("vec_id"),
+        Bridge.column(NearestCentroid(
+          Bridge.expression(col("embedding")), ref)).as("list_id"))
+    }
+    // plan text must not grow with nlist — the matrix is a broadcast
+    // handle, not nlist inlined literals
+    val p256 = assignPlan(256).queryExecution.executedPlan.treeString
+    val p4096 = assignPlan(4096).queryExecution.executedPlan.treeString
+    assert(math.abs(p4096.length - p256.length) < 64,
+      s"plan grew with nlist: ${p256.length} -> ${p4096.length}")
+    // and the broadcast path computes exactly what the inline path does
+    val inline = emb.limit(50).select(col("vec_id"),
+      Bridge.column(NearestCentroid(
+        Bridge.expression(col("embedding")), InlineCentroids(rows(64)))).as("l"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val bcast = emb.limit(50).select(col("vec_id"),
+      Bridge.column(NearestCentroid(Bridge.expression(col("embedding")),
+        BroadcastCentroids(spark.sparkContext.broadcast(
+          rows(64).map(_.toArray).toArray)))).as("l"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(inline === bcast)
+  }
+
   test("LSH top-k: subset of corpus with valid cosines, recall > 0") {
     val brute = Similarity.bruteTopK(emb, queries, "embedding", "vec_id", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
