@@ -319,11 +319,67 @@ case class AvroDecode(child: Expression, schemaJson: String,
   override protected def withNewChildInternal(c: Expression): AvroDecode = copy(child = c)
 }
 
+/** Pluggable registry backend — what a REMOTE schema registry client
+  * implements; [[SchemaRegistry]] is the built-in in-memory one
+  * (camus/MemorySchemaRegistry.java parity). */
+trait SchemaBackend {
+  /** Register the next version of a topic's schema; returns the id. */
+  def register(topic: String, schemaJson: String): Int
+  /** getSchemaByID equivalent. */
+  def schemaFor(topic: String, version: Int): String
+  /** getLatestSchemaByTopic equivalent. */
+  def schemaFor(topic: String): String
+}
+
+/** Caching decorator over any [[SchemaBackend]] —
+  * camus/CachedSchemaRegistry.java parity, for fronting a remote
+  * registry so executors don't re-fetch per task. Two cache policies,
+  * by mutability:
+  *
+  *  - (topic, version) -> schema is IMMUTABLE in every registry
+  *    protocol, so entries cache forever (the reference does the same
+  *    via its cachedById map).
+  *  - "latest schema for topic" is a MUTABLE pointer — a producer can
+  *    register v(n+1) at any moment — so entries expire after
+  *    `ttlMs` and a local `register` through this decorator
+  *    invalidates immediately. (The reference caches latest but then
+  *    re-fetches on every call anyway — CachedSchemaRegistry.java:34-40
+  *    returns `registry.getLatestSchemaByTopic` after populating the
+  *    cache; the TTL here is that intent, made to actually work.)
+  *
+  * `clock` is injectable for deterministic TTL tests. */
+class CachedSchemaBackend(underlying: SchemaBackend, ttlMs: Long = 60000L,
+    clock: () => Long = () => System.currentTimeMillis()) extends SchemaBackend {
+  private val byVersion = TrieMap.empty[(String, Int), String]
+  private val latest = TrieMap.empty[String, (Long, String)]
+
+  override def register(topic: String, schemaJson: String): Int = {
+    val id = underlying.register(topic, schemaJson)
+    latest.remove(topic)
+    id
+  }
+
+  override def schemaFor(topic: String, version: Int): String =
+    byVersion.getOrElseUpdate((topic, version),
+      underlying.schemaFor(topic, version))
+
+  override def schemaFor(topic: String): String = {
+    val now = clock()
+    latest.get(topic) match {
+      case Some((at, s)) if now - at < ttlMs => s
+      case _ =>
+        val s = underlying.schemaFor(topic)
+        latest.put(topic, (now, s))
+        s
+    }
+  }
+}
+
 /** Topic -> schema registry; the in-memory/cached/file trio of the
   * reference (camus/MemorySchemaRegistry.java, CachedSchemaRegistry.java,
   * kafka.avro.schema.file in KafkaBackedTableProperties.java:37).
   */
-object SchemaRegistry {
+object SchemaRegistry extends SchemaBackend {
   private val byTopic = TrieMap.empty[String, scala.collection.immutable.TreeMap[Int, String]]
 
   // force MessageLog's built-in topic registrations before any lookup

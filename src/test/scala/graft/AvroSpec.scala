@@ -150,6 +150,46 @@ class AvroSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, Some("a")), (2L, None)))
   }
 
+  test("cached registry: versions cache forever, latest honors TTL + invalidation") {
+    import graft.sources.{CachedSchemaBackend, SchemaBackend}
+    var now = 0L
+    var versionCalls = 0
+    var latestCalls = 0
+    val remote = new SchemaBackend {
+      val mem = scala.collection.mutable.Map.empty[String, Vector[String]]
+      override def register(topic: String, json: String): Int = {
+        mem(topic) = mem.getOrElse(topic, Vector.empty) :+ json
+        mem(topic).length
+      }
+      override def schemaFor(topic: String, version: Int): String = {
+        versionCalls += 1; mem(topic)(version - 1)
+      }
+      override def schemaFor(topic: String): String = {
+        latestCalls += 1; mem(topic).last
+      }
+    }
+    val cached = new CachedSchemaBackend(remote, ttlMs = 100L, clock = () => now)
+    cached.register("t", "v1")
+    // immutable (topic, version): exactly one underlying fetch ever
+    assert(cached.schemaFor("t", 1) === "v1")
+    assert(cached.schemaFor("t", 1) === "v1")
+    assert(versionCalls === 1)
+    // latest: cached within the TTL window...
+    assert(cached.schemaFor("t") === "v1")
+    now = 50L
+    assert(cached.schemaFor("t") === "v1")
+    assert(latestCalls === 1)
+    // ...refreshed after it
+    now = 150L
+    assert(cached.schemaFor("t") === "v1")
+    assert(latestCalls === 2)
+    // a register through the decorator invalidates latest immediately,
+    // even inside the TTL window
+    cached.register("t", "v2")
+    assert(cached.schemaFor("t") === "v2")
+    assert(latestCalls === 3)
+  }
+
   test("registry: file + memory registration resolve, unknown topic throws") {
     val p = java.nio.file.Files.createTempFile("graft", ".avsc")
     val json = AvroCodec.avroSchemaFor(
