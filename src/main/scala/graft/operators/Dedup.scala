@@ -197,15 +197,29 @@ object Dedup {
   /** Embedding near-dup pairs: multi-table hyperplane-LSH candidate
     * buckets, then cosine verification. Returns (id_a, id_b, cos)
     * with cosine >= `minCos`. Recall rises with `tables` (union of
-    * independent bucketings); candidate volume per table is
-    * ~n^2 / 2^bits spread over buckets — linear shuffles only. */
+    * independent bucketings).
+    *
+    * `bits` defaults to AUTO (-1): sized from the corpus count so mean
+    * bucket occupancy stays ~64 per table regardless of corpus size.
+    * Candidate volume per table is ~n^2 / 2^bits — with FIXED bits
+    * that term is quadratic in n (the 10x scale probe measured 24x
+    * wall time at 10x rows on 6 fixed bits), with occupancy-held bits
+    * it's ~64n, linear. The cost is one count() pass over the corpus
+    * (column-pruned scan) plus lower per-table recall on borderline
+    * pairs as bits rise — high-cosine near-dups stay caught by the
+    * table union; pass explicit bits (as the dense 32x5
+    * recall-contract configuration does) to pin a shape. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
-      minCos: Double = 0.35, tables: Int = 16, bits: Int = 6,
+      minCos: Double = 0.35, tables: Int = 16, bits: Int = -1,
       seed: Long = 7000L): DataFrame = {
+    val b =
+      if (bits > 0) bits
+      else math.min(16, math.max(6,
+        math.ceil(math.log(math.max(df.count(), 1L) / 64.0) / math.log(2)).toInt))
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("table"),
-          Bridge.column(HyperplaneSig(Bridge.expression(col(vecCol)), bits, seed + t)).as("bucket"))): _*)).as("tb"))
+          Bridge.column(HyperplaneSig(Bridge.expression(col(vecCol)), b, seed + t)).as("bucket"))): _*)).as("tb"))
       .select(col("id"), col("v"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     sig.as("l").join(sig.as("r"),
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&

@@ -5,14 +5,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-linearity probe: materialize a 10x replica of the sf0.1
-  * tables (keys shifted per replica; document text and embedding
-  * vectors perturbed so the dup/neighbor structure stays realistic
-  * instead of every row gaining 9 exact clones), then time the
-  * top-cost queries at 1x and 10x. A healthy 100 TB-shaped plan shows
-  * <= ~10x wall time at 10x rows; anything super-linear is a shuffle
-  * or buffering bug. Dev tool, not library surface.
+  * tables (~ sf1), then time queries at 1x and 10x. A healthy
+  * 100 TB-shaped plan shows <= ~10x wall time at 10x rows; anything
+  * super-linear is a shuffle or buffering bug. Dev tool, not library
+  * surface.
   *
-  * Usage: runMain graft.tools.ScaleProbe [outDir] [query ...]
+  * Replica semantics preserve PER-REPLICA structure while keeping
+  * CROSS-REPLICA similarity at background level, so the true answer of
+  * every dedup/ANN query scales linearly (10x the pairs), not
+  * quadratically (45 cross-replica pairs per base row) — without this
+  * the probe would measure output explosion, a property of a lazy
+  * replica generator, not of the plans:
+  *
+  *  - documents: replica i > 0 weaves a replica-unique marker token in
+  *    every 5th word — word-shingle Jaccard across replicas drops to
+  *    ~0.25 (< the 0.5 minhash threshold) and char-4-gram Jaccard to
+  *    ~0.55 (< the 0.7 ngram threshold), while within a replica the
+  *    planted near-dups transform identically so their overlap is
+  *    untouched.
+  *  - embeddings: replica i rotates the dimension axes by 7*i — a
+  *    norm- and distance-preserving permutation, so each replica's
+  *    neighborhoods are exactly the base ones, while cross-replica
+  *    cosine falls to background (a vector vs its rotation is
+  *    effectively a random pair).
+  *  - keys (orderkey, event_id, user_id, doc_id, vec_id) shift by
+  *    i * 1e8; bounded dims (region, nation, customer, supplier, part)
+  *    copy unchanged, so fact->dim joins stay valid and dims grow
+  *    slower than facts, the realistic scale shape.
   */
 object ScaleProbe {
   private val Off = 100000000L // replica key offset, clear of real ids
@@ -34,24 +53,27 @@ object ScaleProbe {
     // scales in keys, not just rows per key
     w(shifted(t("events"), "event_id")((d, i) =>
       d.withColumn("user_id", col("user_id") + lit(i * Off))), "events")
-    // per-replica text marker: replicas are near-dups of each other's
-    // docs only as much as the base corpus already was
+    // replica-unique marker woven through the text (see scaladoc)
     w(shifted(t("documents"), "doc_id")((d, i) =>
-      d.withColumn("text", concat(col("text"), lit(s" replica$i")))), "documents")
-    // deterministic per-replica jitter (~1% of unit norm) keeps ANN
-    // neighborhoods intact without manufacturing exact-dup vectors
+      if (i == 0) d
+      else d.withColumn("text", concat_ws(" ", expr(
+        s"transform(split(text, ' '), (w, j) -> IF(j % 5 = 4, concat(w, ' zzz${i}qqq'), w))")))),
+      "documents")
+    // per-replica axis rotation (see scaladoc)
     w(shifted(t("embeddings"), "vec_id")((d, i) =>
-      d.withColumn("embedding", expr(
-        s"transform(embedding, (x, j) -> CAST(x + sin(vec_id * 31 + j * 7 + $i * 13) * 0.01 AS FLOAT))"))),
+      if (i == 0) d
+      else d.withColumn("embedding", expr(
+        s"transform(embedding, (x, j) -> element_at(embedding, CAST((j + ${7 * i}) % size(embedding) AS INT) + 1))"))),
       "embeddings")
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      w(t(dim), dim)
   }
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sfx1")
     val probes =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq("q_percentiles", "k_avro_roundtrip", "d_dedup_embed",
-        "d_dedup_embed_recall", "d_dedup_clusters", "q1_agg")
+      else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.local()
     val base = "/root/testdata/sf0.1"
     if (!new java.io.File(s"$out/embeddings.parquet").exists())
@@ -63,13 +85,24 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // pre-render both dirs' media tables (input synthesis, not query
+    // work — same reasoning as Bench's warmup) and warm code paths
+    try {
+      graft.operators.Multimodal.fakeMediaTable(spark, base)
+        .write.mode("overwrite").format("noop").save()
+      graft.operators.Multimodal.fakeMediaTable(spark, out)
+        .write.mode("overwrite").format("noop").save()
+    } catch { case scala.util.control.NonFatal(_) => () }
     probes.foreach { q => time(base, q); () } // warm code paths
-    println(f"[probe] ${"query"}%-22s ${"1x"}%8s ${"10x"}%8s ratio")
-    probes.foreach { q =>
+    println(f"[probe] ${"query"}%-24s ${"1x"}%8s ${"10x"}%8s ratio")
+    val rows = probes.map { q =>
       val t1 = time(base, q)
       val t10 = time(out, q)
-      println(f"[probe] $q%-22s $t1%8.2f $t10%8.2f ${t10 / t1}%5.1f")
+      println(f"[probe] $q%-24s $t1%8.2f $t10%8.2f ${t10 / t1}%5.1f")
+      (q, t1, t10)
     }
+    val (s1, s10) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    println(f"[probe] ${"TOTAL"}%-24s $s1%8.2f $s10%8.2f ${s10 / s1}%5.1f")
     spark.stop()
   }
 }
