@@ -194,6 +194,14 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** Occupancy-held LSH bucket width: smallest bits with mean bucket
+    * occupancy <= ~64 per table, clamped to [6, 16]. Keeps the bucket
+    * self-join's candidate volume (~occupancy * n) LINEAR in corpus
+    * size where fixed bits would make it quadratic. */
+  private[graft] def autoBits(n: Long): Int =
+    math.min(16, math.max(6,
+      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2)).toInt))
+
   /** Embedding near-dup pairs: multi-table hyperplane-LSH candidate
     * buckets, then cosine verification. Returns (id_a, id_b, cos)
     * with cosine >= `minCos`. Recall rises with `tables` (union of
@@ -212,10 +220,7 @@ object Dedup {
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
       minCos: Double = 0.35, tables: Int = 16, bits: Int = -1,
       seed: Long = 7000L): DataFrame = {
-    val b =
-      if (bits > 0) bits
-      else math.min(16, math.max(6,
-        math.ceil(math.log(math.max(df.count(), 1L) / 64.0) / math.log(2)).toInt))
+    val b = if (bits > 0) bits else autoBits(df.count())
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("table"),

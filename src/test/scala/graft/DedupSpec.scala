@@ -96,6 +96,20 @@ class DedupSpec extends SparkSpec {
       (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, None)))
   }
 
+  test("embedding LSH bucket width scales with corpus size (linear candidates)") {
+    // occupancy ~64 held across scales: n/2^bits stays bounded, so the
+    // bucket self-join's candidate volume grows linearly, not n^2/2^fixed
+    assert(Dedup.autoBits(0) === 6)
+    assert(Dedup.autoBits(500) === 6)     // floor: never coarser than 64 buckets
+    assert(Dedup.autoBits(5000) === 7)    // sf0.1-sized corpus
+    assert(Dedup.autoBits(50000) === 10)  // 10x replica
+    assert(Dedup.autoBits(5000000) === 16) // ceil(log2(5e6/64))=17, capped
+    assert(Dedup.autoBits(Long.MaxValue) === 16) // cap: recall floor wins
+    // occupancy bound holds wherever the cap isn't active
+    for (n <- Seq(5000L, 50000L, 500000L))
+      assert(n.toDouble / (1L << Dedup.autoBits(n)) <= 64.0 + 1e-9)
+  }
+
   test("embedding LSH pairs are cosine-verified above threshold") {
     val emb = Tables.load(spark, sf, "embeddings")
     val got = Dedup.embeddingPairs(emb, "embedding", "vec_id").collect()
