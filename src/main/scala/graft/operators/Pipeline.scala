@@ -162,6 +162,86 @@ object Pipeline {
       FROM b
       ORDER BY doc_id"""))
 
+  /** Temperature-based data mixing over the `source` column — the
+    * standard multilingual/multi-domain rebalancing step before
+    * training: per-source sampling weights proportional to
+    * (token share)^alpha with alpha = 0.5 (sqrt temperature — boosts
+    * small sources, damps huge ones), a token budget of tau = 0.5 of
+    * the corpus, per-source acceptance rates capped at 1.0, and a
+    * DETERMINISTIC md5-bucket stratified sample (the same
+    * hash-the-key technique as t_sample, so replays and both engines
+    * select the identical document set). Plan shape at 100 TB: one
+    * partial-first groupBy(source) over the corpus, a bounded
+    * source-level weight table computed once and broadcast back for
+    * the per-row accept test, one more partial-first count — the
+    * corpus never shuffles.
+    *
+    * sqrt(share)^alpha / sum cancels the total, so weights are
+    * sqrt(n_tokens) / sum(sqrt(n_tokens)) — integer inputs, identical
+    * IEEE math in both engines, floor-4dp rendered. */
+  private[graft] def mixBySource(documents: DataFrame,
+      tau: Double = 0.5): DataFrame = {
+    val docs = documents.select(col("doc_id"), col("source"),
+      TF.tokenCountWs(col("text")).as("n_toks"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = stats.agg(sum(col("n_tokens")).cast("double").as("_tot"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("_ssq"))
+    val rated = stats.crossJoin(tot)
+      .withColumn("_w", sqrt(col("n_tokens").cast("double")) / col("_ssq"))
+      .withColumn("_rate",
+        least(lit(1.0), lit(tau) * col("_tot") * col("_w") / col("n_tokens")))
+      // rate >= 1.0 accepts everything: 'g' sorts above every hex digit
+      // (a %04x render of 65536 would be the 5-char '10000', which sorts
+      // BELOW most 4-char prefixes and wrongly rejects them)
+      .withColumn("_thresh", when(col("_rate") >= 1.0, lit("g"))
+        .otherwise(format_string("%04x", floor(col("_rate") * 65536).cast("int"))))
+    val accepted = docs
+      .join(broadcast(rated.select(col("source"), col("_thresh"))), Seq("source"))
+      .filter(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4)
+        < col("_thresh"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    rated.join(accepted, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (floor(col("_w") * 10000) / 10000).as("weight"),
+        (floor(col("_rate") * 10000) / 10000).as("rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
+  val tMix: QueryDef = QueryDef(
+    fn = (s, dir) => mixBySource(Tables.load(s, dir, "documents")),
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+      s AS (
+        SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source),
+      t AS (
+        SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+               sum(sqrt(CAST(n_tokens AS DOUBLE))) AS ssq
+        FROM s),
+      r AS (
+        SELECT source, n_docs, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) / ssq AS w,
+               least(1.0, 0.5 * tot * (sqrt(CAST(n_tokens AS DOUBLE)) / ssq) / n_tokens) AS rate
+        FROM s, t),
+      a AS (
+        SELECT r.source, count(*) AS n_sampled
+        FROM d JOIN r ON d.source = r.source
+        WHERE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE WHEN rate >= 1.0 THEN 'g'
+                     ELSE printf('%04x', CAST(floor(rate * 65536) AS INT)) END
+        GROUP BY r.source)
+      SELECT r.source, r.n_docs, r.n_tokens,
+             floor(w * 10000) / 10000 AS weight,
+             floor(rate * 10000) / 10000 AS rate,
+             coalesce(a.n_sampled, 0) AS n_sampled
+      FROM r LEFT JOIN a ON r.source = a.source
+      ORDER BY r.source"""))
+
   /** Gopher-style repetition signals: repeated-token fraction and the
     * share of all word 2-grams taken by the most frequent one — the
     * standard cheap filters for boilerplate/spam before training. Per-
@@ -877,6 +957,7 @@ object Pipeline {
     "t_fingerprint" -> tFingerprint,
     "t_fingerprint_contract" -> tFingerprintContract,
     "t_sample" -> tSample,
+    "t_mix" -> tMix,
     "t_pack" -> tPack,
     "t_redact" -> tRedact,
     "d_dedup_exact" -> dDedupExact,

@@ -90,4 +90,27 @@ class TextFunctionsSpec extends SparkSpec {
       RollingFingerprint(Bridge.expression(col("text")), 16)))
     assert(x.isInstanceOf[Long])
   }
+
+  test("source mixing: sqrt temperature boosts small sources, rates capped") {
+    import spark.implicits._
+    // skewed corpus: 'big' has 16x the tokens of 'small'
+    val docs = ((1L to 160L).map(i => (i, "big", "w " * 10)) ++
+      (1001L to 1010L).map(i => (i, "small", "w " * 10)))
+      .map { case (id, src, t) => (id, src, t.trim) }
+      .toDF("doc_id", "source", "text")
+    val got = operators.Pipeline.mixBySource(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (big, small) = (got("big"), got("small"))
+    // token shares: 16/17 vs 1/17; sqrt temperature compresses to 4/5 vs 1/5
+    assert(small.getDouble(3) > 1.0 / 17.0, "small source must be boosted above its share")
+    assert(big.getDouble(3) < 16.0 / 17.0, "big source must be damped below its share")
+    assert(math.abs(big.getDouble(3) - 0.8) < 0.001)
+    assert(math.abs(small.getDouble(3) - 0.2) < 0.001)
+    // rates: small is upsample-capped at 1.0 (tau * tot * w / n = 0.5*1700*0.2/100 = 1.7)
+    assert(small.getDouble(4) === 1.0)
+    assert(big.getDouble(4) < 1.0)
+    // the capped source samples every doc; the damped one fewer
+    assert(small.getLong(5) === 10L)
+    assert(big.getLong(5) < 160L && big.getLong(5) > 0L)
+  }
 }
