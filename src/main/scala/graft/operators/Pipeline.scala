@@ -870,6 +870,81 @@ object Pipeline {
     },
     oracle = Some(recallOracleSql))
 
+  /** kNN label classification over the embedding corpus — the
+    * downstream-task shape of ANN (label propagation / labeled-subset
+    * quality eval): exact top-5 cosine neighbors per query vector,
+    * majority label with a deterministic (count desc, label asc)
+    * tie-break, per-row exact oracle. Plan: the tiny (queries x k)
+    * neighbor list broadcasts into the label lookup — the corpus is
+    * scanned once by the brute top-k and once for labels, never
+    * shuffled. */
+  val dKnnLabel: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val nn = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 50),
+        "embedding", "vec_id", k = 5)
+      val votes = emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+        .join(broadcast(nn.select(col("query_id"), col("neighbor_id"))), "neighbor_id")
+        .groupBy(col("query_id"), col("n_label")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cnt").desc, col("n_label"))
+      val pred = votes.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("query_id"), col("n_label").as("pred_label"))
+      pred.join(
+          emb.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+          "query_id")
+        .select(col("query_id"), col("pred_label"), col("true_label"),
+          (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy(col("query_id"))
+    },
+    oracle = Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+                 FROM embeddings WHERE vec_id < 50),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS n_label
+            FROM embeddings),
+      elems AS (
+        SELECT q.query_id, c.neighbor_id, c.n_label,
+               CAST(unnest(q.qv) AS DOUBLE) AS qe, CAST(unnest(c.cv) AS DOUBLE) AS ce
+        FROM q, c
+        WHERE c.neighbor_id <> q.query_id),
+      scored AS (
+        SELECT query_id, neighbor_id, n_label,
+               round(SUM(qe*ce) / (sqrt(SUM(qe*qe)) * sqrt(SUM(ce*ce))), 4) AS cos
+        FROM elems GROUP BY query_id, neighbor_id, n_label),
+      ranked AS (
+        SELECT query_id, n_label,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored),
+      votes AS (
+        SELECT query_id, n_label, count(*) AS cnt
+        FROM ranked WHERE rnk <= 5 GROUP BY query_id, n_label),
+      pred AS (
+        SELECT query_id, n_label AS pred_label,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cnt DESC, n_label) AS rn
+        FROM votes)
+      SELECT p.query_id, p.pred_label, q.true_label,
+             p.pred_label = q.true_label AS correct
+      FROM pred p JOIN q ON p.query_id = q.query_id
+      WHERE p.rn = 1
+      ORDER BY p.query_id"""))
+
+  /** Language-ID confusion matrix against the corpus's true `lang`
+    * labels — the eval a pipeline runs before trusting a classifier to
+    * route documents: exact integer counts per (true, predicted) cell.
+    * One partial-first groupBy over the corpus. */
+  val tLangidConfusion: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred")),
+    oracle = Some(s"""
+      SELECT lang, $langCaseSql AS lang_pred, count(*) AS n
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY lang, lang_pred"""))
+
   // ---- multimodal ----
 
   /** The media payloads are REAL PNGs of a deterministic pattern, so
@@ -976,6 +1051,8 @@ object Pipeline {
     "d_ann_ivf_precision" -> dAnnIvfPrecision,
     "d_ann_lsh_precision" -> dAnnLshPrecision,
     "d_cluster_kmeans" -> dClusterKmeans,
+    "d_knn_label" -> dKnnLabel,
+    "t_langid_confusion" -> tLangidConfusion,
     "t_repetition" -> tRepetition,
     "t_rarity" -> tRarity,
     "t_contamination" -> tContamination,

@@ -186,6 +186,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t_mix: corpus aggregates partial-first, accept-test joins broadcast") {
+    val p = plan(operators.Pipeline.tMix.fn(spark, sf))
+    // both corpus-wide counts (per-source stats, per-source accepted)
+    // must map-side combine...
+    assert(p.contains("partial_count"), s"expected partial aggregation:\n$p")
+    // ...and the bounded source-weight table must come back as a
+    // broadcast for the per-row accept test, so the doc corpus is never
+    // hash-partitioned by source for the join (20-ish sources would be
+    // a skew disaster; only pre-combined per-source partials ride the
+    // aggregation exchanges)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast accept-join:\n$p")
+  }
+
   test("scalar pipeline stays in whole-stage codegen") {
     val df = Tables.load(spark, sf, "documents")
       .select(functions.MinHash.hashedWordShingles(col("text"), 3).as("sh"))
