@@ -16,10 +16,11 @@ object Bench {
     // so scan-shaped queries would skip e.g. their Avro decode and
     // report times for work they didn't do.
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-        dir: String, name: String): Unit =
-      try fn(spark, dir).write.mode("overwrite").format("noop").save()
+        dir: String, name: String): Boolean =
+      try { fn(spark, dir).write.mode("overwrite").format("noop").save(); true }
       catch { case NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
       }
     // SPARK_GRAFT_ONLY=q1_agg,q3_shipping isolates queries when
     // profiling locally; the driver leaves it unset (full run).
@@ -47,12 +48,18 @@ object Bench {
     val passes = (1 to reps).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        run(fn, sfDir, name)
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = run(fn, sfDir, name)
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    // min over SUCCESSFUL passes only: a transiently failing pass is fast
+    // (broadcast timeout, memory pressure) and a naive min would prefer
+    // its bogus time over the good samples. Only if every pass failed
+    // does the failure duration stand in, as the single-shot code did.
     val results = ordered.map(_._1).map { name =>
-      name -> passes.map(_.find(_._1 == name).get._2).min
+      val samples = passes.map(_.find(_._1 == name).get._2)
+      val good = samples.collect { case (t, true) => t }
+      name -> (if (good.nonEmpty) good.min else samples.map(_._1).min)
     }
     val total = results.map(_._2).sum
     // The driver keeps only a fixed-size TAIL of stdout (2000 chars

@@ -67,6 +67,11 @@ object ScaleProbe {
       "embeddings")
     for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
       w(t(dim), dim)
+    // completion marker, written LAST: the skip guard keys on it so an
+    // interrupted replicate() or a dir from an older ScaleProbe version
+    // (different replica semantics, no dim tables) is rebuilt, not reused
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_REPLICA_COMPLETE_V2"), "ok\n")
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,7 +81,7 @@ object ScaleProbe {
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.local()
     val base = "/root/testdata/sf0.1"
-    if (!new java.io.File(s"$out/embeddings.parquet").exists())
+    if (!new java.io.File(s"$out/_REPLICA_COMPLETE_V2").exists())
       replicate(spark, base, out, 10)
 
     def time(dir: String, name: String): Double = {

@@ -67,18 +67,26 @@ class DedupSpec extends SparkSpec {
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     sc.setCheckpointDir(dir)
-    // with a dir configured, auto mode goes reliable: same answer, and
-    // checkpoint data lands under the configured dir (cluster-survivable)
-    val got = Dedup.clusters(pairs).orderBy("id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    assert(got.toSeq === Seq(
-      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
-      (10L, 10L, true), (11L, 10L, false)))
-    def rddFiles(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles.map(rddFiles).sum
-      else if (f.getName.startsWith("part-")) 1L else 0L
-    assert(rddFiles(new java.io.File(dir)) > 0,
-      s"expected reliable checkpoint files under $dir")
+    try {
+      // with a dir configured, auto mode goes reliable: same answer, and
+      // checkpoint data lands under the configured dir (cluster-survivable)
+      val got = Dedup.clusters(pairs).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(got.toSeq === Seq(
+        (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+        (10L, 10L, true), (11L, 10L, false)))
+      def rddFiles(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(rddFiles).sum
+        else if (f.getName.startsWith("part-")) 1L else 0L
+      assert(rddFiles(new java.io.File(dir)) > 0,
+        s"expected reliable checkpoint files under $dir")
+    } finally {
+      // unset (Option(null) => None inside setCheckpointDir) so the
+      // shared test session doesn't leak reliable mode into every later
+      // clusters call in this JVM
+      sc.setCheckpointDir(null)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
   }
 
   test("asOf join carries the latest at-or-before row per key") {
