@@ -59,8 +59,12 @@ object Bench {
     val results = ordered.map(_._1).map { name =>
       val samples = passes.map(_.find(_._1 == name).get._2)
       val good = samples.collect { case (t, true) => t }
-      name -> (if (good.nonEmpty) good.min else samples.map(_._1).min)
+      (name, if (good.nonEmpty) good.min else samples.map(_._1).min, good.isEmpty)
     }
+    // a query that failed EVERY pass reports a meaningless duration; name
+    // it in a "failed" key (normally absent) so the downstream JSON can't
+    // mistake a persistently broken query for a fast one
+    val failed = results.collect { case (name, _, true) => name }
     val total = results.map(_._2).sum
     // The driver keeps only a fixed-size TAIL of stdout (2000 chars
     // observed), so the JSON line must fit in it whole — full-precision
@@ -69,10 +73,13 @@ object Bench {
     // if the query set ever grows past the window again.
     def fmt(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     def render(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
     }
     val line = Seq(2, 1).iterator.map(render).find(_.length <= 1950).getOrElse(render(0))
     println(line)
@@ -81,10 +88,10 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
     catch { case NonFatal(_) => () }
     // Full-precision per-query timings for local profiling only.
-    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$failedJson,"sf":"$sfDir"}""" + "\n")
     catch { case NonFatal(_) => () }
     spark.stop()
   }

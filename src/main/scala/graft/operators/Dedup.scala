@@ -142,11 +142,20 @@ object Dedup {
     * letting Spark throw mid-iteration. The convergence probe (an
     * extra job) runs every second round: min-labels decrease
     * monotonically, so probing late costs at most one extra cheap
-    * round and halves the probe jobs. Singleton documents (no pair)
-    * are not emitted — union them in as their own cluster if needed.
+    * round and halves the probe jobs.
+    *
+    * Singleton documents (no pair) are not emitted by default — pass
+    * the full id universe as `universe` (a DataFrame whose FIRST column
+    * is the id) and every id absent from `pairs` comes back as its own
+    * canonical cluster, so keep-one-per-cluster dedup is one call:
+    * `clusters(pairs, universe = Some(docs.select("doc_id")))
+    * .filter(col("is_canonical"))`. The singleton leg is one anti-join
+    * against the (pairs-sized, small) label table — the universe is
+    * never shuffled into the label propagation.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 20, reliableCheckpoint: Option[Boolean] = None): DataFrame = {
+      maxIter: Int = 20, reliableCheckpoint: Option[Boolean] = None,
+      universe: Option[DataFrame] = None): DataFrame = {
     val hasDir = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     val reliable = reliableCheckpoint.getOrElse(hasDir)
     require(!reliable || hasDir,
@@ -175,8 +184,17 @@ object Dedup {
       labels = next
       i += 1
     }
-    labels.select(col("id"), col("label").as("cluster_id"),
+    val clustered = labels.select(col("id"), col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_canonical"))
+    universe match {
+      case None => clustered
+      case Some(all) =>
+        val ids = all.select(col(all.columns.head).as("id"))
+        val singles = ids.join(labels, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster_id"),
+            lit(true).as("is_canonical"))
+        clustered.unionByName(singles)
+    }
   }
 
   /** Exact all-pairs cosine ground truth — the verification baseline

@@ -86,7 +86,7 @@ object Similarity {
     * fetches the matrix once — nlist can grow to thousands without
     * touching plan size or task-closure bytes. */
   private def broadcastCentroids(df: DataFrame,
-      centroids: Array[Seq[Float]]): CentroidRef =
+      centroids: Array[Seq[Float]]): BroadcastCentroids =
     BroadcastCentroids(df.sparkSession.sparkContext
       .broadcast(centroids.map(_.toArray)))
 
@@ -106,9 +106,10 @@ object Similarity {
       .collect().map { case Row(v: scala.collection.Seq[_]) =>
         v.map(_.asInstanceOf[Float]).toSeq }
     for (_ <- 1 to iters) {
+      val roundRef = broadcastCentroids(corpus, centroids)
       val assigned = corpus.select(col(vecCol).as("v"),
         Bridge.column(NearestCentroid(Bridge.expression(col(vecCol)),
-          broadcastCentroids(corpus, centroids))).as("list_id"))
+          roundRef)).as("list_id"))
       val means = assigned
         .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("list_id"), col("dim"))
@@ -118,6 +119,12 @@ object Similarity {
         .select(col("list_id"),
           transform(col("dm"), e => e.getField("m").cast("float")).as("c"))
         .collect()
+      // the per-round broadcast is dead once the collect returns — free
+      // its executor blocks NOW instead of waiting for driver GC (a
+      // long-lived bench session would otherwise accumulate one nlist x
+      // dim block per Lloyd round); the final centRef callers hold onto
+      // stays GC-managed as usual
+      roundRef.bc.destroy() // public destroy() is the async variant
       val next = centroids.clone()
       means.foreach { r =>
         next(r.getInt(0)) = r.getSeq[Float](1).toSeq
@@ -148,14 +155,24 @@ object Similarity {
         element_at(col("cos_all"), col("cluster") + 1).as("cos_centroid"))
   }
 
-  /** LSH-bucketed ANN: same shape as bruteTopK, approximate. */
+  /** LSH-bucketed ANN: same shape as bruteTopK, approximate.
+    *
+    * `bits` defaults to AUTO (-1): occupancy-held sizing from the
+    * corpus count ([[Dedup.autoBits]] — mean bucket occupancy ~64 per
+    * table). With FIXED bits each query scores ~tables x n/2^bits
+    * candidates — linear in corpus size, so a 1B-row corpus hands every
+    * query ~n/64 vectors to score; occupancy-held bits keep the
+    * per-query candidate count ~tables x 64, flat at any scale. Pass
+    * explicit bits to pin a shape (the dense 24x4 recall/precision
+    * contract configurations do). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
-      tables: Int = 8, bits: Int = 6): DataFrame = {
+      tables: Int = 8, bits: Int = -1): DataFrame = {
+    val b = if (bits > 0) bits else Dedup.autoBits(corpus.count())
     val withSigs = (df: DataFrame, id: String, vec: String) =>
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         explode(array((0 until tables).map(t =>
-          struct(lit(t).as("table"), sig(col(vecCol), bits, 1000L + t).as("bucket"))): _*)).as("tb"))
+          struct(lit(t).as("table"), sig(col(vecCol), b, 1000L + t).as("bucket"))): _*)).as("tb"))
         .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val c = withSigs(corpus, "neighbor_id", "cv")
     val q = withSigs(queries, "query_id", "qv")

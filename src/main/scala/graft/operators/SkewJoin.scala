@@ -25,10 +25,16 @@ object SkewJoin {
     * can duplicate/lose rows on retry. Salt inputs are restricted to
     * ATOMIC column types (`xxhash64` rejects maps — and structs/arrays
     * containing them — at analysis time; events.props is a MapType),
-    * capped at the key plus the first 8 atomic non-key columns: enough
-    * entropy to spread duplicate-prefix rows while the salting
-    * projection stays O(1) in row width (hashing every column of a
-    * 400-column table would make the salt itself a measurable cost).
+    * capped at the key plus 8 atomic non-key columns: enough entropy
+    * to spread duplicate-prefix rows while the salting projection
+    * stays O(1) in row width (hashing every column of a 400-column
+    * table would make the salt itself a measurable cost). The 8 are
+    * picked HIGH-ENTROPY-FIRST, not first-by-position: wide types
+    * (string/binary, then fractional, then long/timestamp) before
+    * narrow ones (int/date, then boolean/byte) — a table whose leading
+    * columns are low-cardinality flags/enums would otherwise
+    * concentrate a hot key's duplicate-prefix rows into few salt
+    * buckets, quietly defeating the spread.
     * Caveat: fully identical rows of a hot key share a salt bucket by
     * construction — content-determinism and perfect spreading of exact
     * duplicates are mutually exclusive; retry safety wins here. Any salt
@@ -42,7 +48,17 @@ object SkewJoin {
            DateType | TimestampType | TimestampNTZType => true
       case _ => false
     }
-    val atomic = big.schema.fields.filter(f => hashable(f.dataType)).map(_.name)
+    // entropy rank: lower = likelier to vary row-to-row
+    def rank(dt: DataType): Int = dt match {
+      case StringType | BinaryType => 0
+      case DoubleType | FloatType | _: DecimalType => 1
+      case LongType | TimestampType | TimestampNTZType => 2
+      case IntegerType | DateType => 3
+      case _ => 4 // short/byte/boolean: enums and flags
+    }
+    val atomic = big.schema.fields.filter(f => hashable(f.dataType))
+      .sortBy(f => rank(f.dataType)) // stable: position breaks rank ties
+      .map(_.name)
     val saltInputs = (bigKey +: atomic.filterNot(_ == bigKey).take(8).toSeq).distinct
       .map(col)
     val saltCol: Column = pmod(xxhash64(saltInputs: _*), lit(salt))

@@ -495,8 +495,10 @@ private[sources] class SegmentReader(p: SegmentPartition)
       val (k, v, offset, tsMs) = current.next()
       if (offset < p.offsetLo || offset > p.offsetHi) advance()
       else {
+        // timestampType = 0 (CreateTime): the segment record's ts is the
+        // producer event time, same contract as MessageLog's builders
         row = new GenericInternalRow(Array[Any](
-          k, v, UTF8String.fromString(p.topic), p.partition, offset, tsMs * 1000L))
+          k, v, UTF8String.fromString(p.topic), p.partition, offset, tsMs * 1000L, 0))
         true
       }
     } else if (files.hasNext) {

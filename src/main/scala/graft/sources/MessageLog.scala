@@ -9,9 +9,14 @@ import org.apache.spark.sql.types._
 /** The Kafka-model message log: graft's canonical representation of a
   * topic, schema-identical to the public spark-sql-kafka source
   * (`key binary, value binary, topic string, partition int,
-  * offset long, timestamp timestamp`) — so a deployment against a real
-  * Kafka cluster swaps this builder for `spark.read.format("kafka")`
-  * and every downstream operator is unchanged.
+  * offset long, timestamp timestamp, timestampType int`) — so a
+  * deployment against a real Kafka cluster swaps this builder for
+  * `spark.read.format("kafka")` and every downstream operator is
+  * unchanged. The parity is TESTED, not asserted: MessageLogSpec pins
+  * the schema field-for-field against the documented Kafka source
+  * layout. `timestampType` carries Kafka's TimestampType id — 0 =
+  * CreateTime, matching this producer model (event time, not broker
+  * append time).
   *
   * Mirrors the reference's scan model (KafkaInputFormat.java: one split
   * per topic-partition bounded by [beginOffset, lastOffset);
@@ -76,7 +81,8 @@ object MessageLog {
         lit("events").as("topic"),
         col("partition"),
         col("offset"),
-        timestamp_micros(expr("ts div 1000")).as("timestamp"))
+        timestamp_micros(expr("ts div 1000")).as("timestamp"),
+        lit(0).as("timestampType"))
   }
 
   /** `documents` as a topic (synthetic arrival time: 60 s cadence). */
@@ -96,7 +102,8 @@ object MessageLog {
         lit("documents").as("topic"),
         col("partition"),
         col("offset"),
-        timestamp_millis(col("ts_ms")).as("timestamp"))
+        timestamp_millis(col("ts_ms")).as("timestamp"),
+        lit(0).as("timestampType"))
   }
 
   /** Every topic this log knows how to materialize. */

@@ -20,14 +20,18 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Kafka-source schema (same as MessageLog batch builder). */
+  /** Kafka-source schema (same as MessageLog batch builder) —
+    * field-for-field the public spark-sql-kafka source layout,
+    * including `timestampType` (Kafka TimestampType id: 0 =
+    * CreateTime). Pinned by MessageLogSpec's wire-compat test. */
   val logSchema: StructType = StructType(Seq(
     StructField("key", BinaryType),
     StructField("value", BinaryType),
     StructField("topic", StringType),
     StructField("partition", IntegerType),
     StructField("offset", LongType),
-    StructField("timestamp", TimestampType)))
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
 
   /** Tail a broker-segment directory as a stream (file source stands in
     * for format("kafka") in this container). */

@@ -55,8 +55,30 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("clusters: universe emits unpaired ids as their own canonical cluster") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("id_a", "id_b", "jaccard")
+    val universe = Seq(1L, 2L, 3L, 7L, 9L).toDF("doc_id")
+    val got = Dedup.clusters(pairs, universe = Some(universe))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true), (9L, 9L, true)))
+    // keep-one-per-cluster in one call: canonicals = one per cluster +
+    // every singleton
+    val keep = Dedup.clusters(pairs, universe = Some(universe))
+      .filter(col("is_canonical")).count()
+    assert(keep === 3L)
+  }
+
   test("clusters rides reliable checkpoints when the session has a checkpoint dir") {
     import spark.implicits._
+    // NOTE: this test mutates the SESSION-GLOBAL checkpoint dir, which
+    // flips Dedup.clusters' auto mode to reliable for anything running
+    // concurrently in this JVM. Safe because sbt forked tests execute
+    // suites sequentially (Test/fork := true with the default
+    // testForkedParallel = false); revisit if that ever changes.
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty)
     // without a checkpoint dir, forcing the reliable path must fail fast
@@ -83,9 +105,14 @@ class DedupSpec extends SparkSpec {
     } finally {
       // unset (Option(null) => None inside setCheckpointDir) so the
       // shared test session doesn't leak reliable mode into every later
-      // clusters call in this JVM
+      // clusters call in this JVM — and remove the temp checkpoint data
       sc.setCheckpointDir(null)
       assert(sc.getCheckpointDir.isEmpty)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
     }
   }
 

@@ -1,9 +1,97 @@
 package graft
 
-import graft.sources.{avro, MessageLog}
+import graft.sources.{avro, LogSegments, MessageLog}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 class MessageLogSpec extends SparkSpec {
+
+  /** The public spark-sql-kafka source schema, verbatim from the Kafka
+    * connector docs ("Each row in the source has the following
+    * schema"): key/value binary, topic string, partition int, offset
+    * long, timestamp timestamp, timestampType int. Hard-coded here —
+    * NOT derived from graft code — so the test fails if anyone drifts
+    * the graft side. */
+  private val kafkaSourceSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  test("wire compat: every graft log schema is field-for-field the Kafka source schema") {
+    // the one-line-swap claim (SURVEY §3): swapping this builder for
+    // spark.read.format("kafka") must change NOTHING downstream, so
+    // names, types, and order must match exactly...
+    val frames = Seq(
+      "MessageLog.eventsTopic" -> MessageLog.eventsTopic(spark, sf).schema,
+      "MessageLog.documentsTopic" -> MessageLog.documentsTopic(spark, sf).schema,
+      "Streaming.logSchema" -> streaming.Streaming.logSchema,
+      "LogSegmentSource.schema" -> sources.LogSegmentSource.schema)
+    for ((name, got) <- frames) {
+      assert(got.fields.length === kafkaSourceSchema.fields.length, name)
+      got.fields.zip(kafkaSourceSchema.fields).foreach { case (g, k) =>
+        assert(g.name === k.name, s"$name: field name drift")
+        assert(g.dataType === k.dataType, s"$name.${k.name}: type drift")
+        // ...and nullability must be write-compatible: the Kafka source
+        // declares every field nullable, so graft may be equal or
+        // STRICTER (non-null), never more nullable than Kafka
+        assert(!g.nullable || k.nullable,
+          s"$name.${k.name}: more nullable than the Kafka source")
+      }
+    }
+    // and the actually-produced rows carry CreateTime (Kafka
+    // TimestampType id 0) — the producer-event-time contract
+    val tt = MessageLog.eventsTopic(spark, sf)
+      .select(col("timestampType")).distinct().collect()
+    assert(tt.map(_.getInt(0)).toSeq === Seq(0))
+  }
+
+  test("segment metadata covers the KafkaKey fields of the scan model") {
+    // camus/KafkaKey.java:25-33 carries (leaderId, partition,
+    // beginOffset, offset, checksum, topic, time, server, service).
+    // The broker-scan-relevant fields map onto the segment format:
+    //   topic/partition -> directory layout (topic=<t>/partition=<p>)
+    //   offset, time    -> per-record fields
+    //   checksum        -> per-record CRC32 (format v2), read-validated
+    //   beginOffset     -> the split's offsetLo (SegmentPartition)
+    //   leaderId/server/service -> broker-deployment identity; no
+    //     analogue exists in a brokerless file log BY DESIGN (the real
+    //     swap target format("kafka") owns leader routing)
+    val path = java.nio.file.Files.createTempDirectory("graft_kk").toString
+    try {
+      LogSegments.write(MessageLog.eventsTopic(spark, sf)
+        .filter(col("partition") === 0 && col("offset") < 5), path)
+      val dir = new java.io.File(s"$path/topic=events/partition=0")
+      assert(dir.isDirectory, "topic/partition directory layout (KafkaKey topic+partition)")
+      val seg = dir.listFiles().filter(_.getName.endsWith(".gseg")).head
+      val it = LogSegments.readFile(seg) // throws CorruptRecordException on bad crc
+      try {
+        val recs = it.toList
+        assert(recs.map(_._3) === (0L until 5L).toList, "per-record offset")
+        assert(recs.forall(_._4 > 0L), "per-record time (tsMillis)")
+        // crc presence: flipping one payload byte must fail validation.
+        // Byte 8 is the first KEY byte of record 0 (4B magic + 4B
+        // keyLen) — flipping content, not a length field, so the parse
+        // stays sane and only the crc check can catch it
+        val bytes = java.nio.file.Files.readAllBytes(seg.toPath)
+        bytes(8) = (bytes(8) ^ 0x1).toByte
+        val bad = new java.io.File(dir, "corrupt.gseg")
+        java.nio.file.Files.write(bad.toPath, bytes)
+        intercept[LogSegments.CorruptRecordException] {
+          LogSegments.readFile(bad).toList
+        }
+      } finally it.close()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(path))
+    }
+  }
 
   test("offsets are dense per partition, starting at zero") {
     val log = MessageLog.eventsTopic(spark, sf)
@@ -42,7 +130,7 @@ class MessageLogSpec extends SparkSpec {
     val back = MessageLog.readLog(spark, path)
     assert(back.count() === Tables.load(spark, sf, "documents").count())
     assert(back.columns.sorted ===
-      Array("key", "offset", "partition", "timestamp", "topic", "value"))
+      Array("key", "offset", "partition", "timestamp", "timestampType", "topic", "value"))
     // partition dirs exist (partition pruning works on re-read)
     val pruned = back.filter(col("partition") === 0)
     assert(pruned.count() > 0)

@@ -97,4 +97,21 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute intersect lshPairs).size.toDouble / brute.size
     assert(recall > 0.2, s"LSH recall vs brute too low: $recall")
   }
+
+  test("LSH top-k default bucket width is occupancy-held (autoBits wiring)") {
+    // default bits = -1 resolves via Dedup.autoBits(corpus count): the
+    // default path must equal an explicit run at that width (pinning
+    // the wiring), and the width itself must satisfy the occupancy
+    // bound that keeps per-query candidates flat as the corpus grows
+    val n = emb.count()
+    val auto = operators.Dedup.autoBits(n)
+    def pairs(bits: Int) =
+      Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 5, bits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val default = Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(default === pairs(auto))
+    // occupancy bound: mean bucket occupancy at the chosen width <= ~64
+    assert(n.toDouble / (1L << auto) <= 64.0 + 1e-9)
+  }
 }
