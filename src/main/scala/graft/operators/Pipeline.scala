@@ -191,11 +191,17 @@ object Pipeline {
       .withColumn("_w", sqrt(col("n_tokens").cast("double")) / col("_ssq"))
       .withColumn("_rate",
         least(lit(1.0), lit(tau) * col("_tot") * col("_w") / col("n_tokens")))
+      // the accept threshold derives from the 4dp-FLOORED rate (the same
+      // value the output reports), never the raw one: the raw rate is an
+      // order-dependent double sum, and a 1-ulp divergence between runs
+      // or engines at a floor(rate*65536) integer boundary would change
+      // the selected document set — quantizing first absorbs it
+      .withColumn("_rate4", floor(col("_rate") * 10000) / 10000)
       // rate >= 1.0 accepts everything: 'g' sorts above every hex digit
       // (a %04x render of 65536 would be the 5-char '10000', which sorts
       // BELOW most 4-char prefixes and wrongly rejects them)
-      .withColumn("_thresh", when(col("_rate") >= 1.0, lit("g"))
-        .otherwise(format_string("%04x", floor(col("_rate") * 65536).cast("int"))))
+      .withColumn("_thresh", when(col("_rate4") >= 1.0, lit("g"))
+        .otherwise(format_string("%04x", floor(col("_rate4") * 65536).cast("int"))))
     val accepted = docs
       .join(broadcast(rated.select(col("source"), col("_thresh"))), Seq("source"))
       .filter(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 4)
@@ -204,7 +210,7 @@ object Pipeline {
     rated.join(accepted, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"),
         (floor(col("_w") * 10000) / 10000).as("weight"),
-        (floor(col("_rate") * 10000) / 10000).as("rate"),
+        col("_rate4").as("rate"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
       .orderBy(col("source"))
   }
@@ -226,18 +232,19 @@ object Pipeline {
       r AS (
         SELECT source, n_docs, n_tokens,
                sqrt(CAST(n_tokens AS DOUBLE)) / ssq AS w,
-               least(1.0, 0.5 * tot * (sqrt(CAST(n_tokens AS DOUBLE)) / ssq) / n_tokens) AS rate
+               floor(least(1.0, 0.5 * tot * (sqrt(CAST(n_tokens AS DOUBLE)) / ssq) / n_tokens)
+                     * 10000) / 10000 AS rate4
         FROM s, t),
       a AS (
         SELECT r.source, count(*) AS n_sampled
         FROM d JOIN r ON d.source = r.source
         WHERE substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
-              < CASE WHEN rate >= 1.0 THEN 'g'
-                     ELSE printf('%04x', CAST(floor(rate * 65536) AS INT)) END
+              < CASE WHEN rate4 >= 1.0 THEN 'g'
+                     ELSE printf('%04x', CAST(floor(rate4 * 65536) AS INT)) END
         GROUP BY r.source)
       SELECT r.source, r.n_docs, r.n_tokens,
              floor(w * 10000) / 10000 AS weight,
-             floor(rate * 10000) / 10000 AS rate,
+             rate4 AS rate,
              coalesce(a.n_sampled, 0) AS n_sampled
       FROM r LEFT JOIN a ON r.source = a.source
       ORDER BY r.source"""))
@@ -452,6 +459,42 @@ object Pipeline {
              CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS pack_id
       FROM c
       ORDER BY doc_id"""))
+
+  /** [[tPack]] with oversized-document splitting
+    * (PrefixSum.packSplit): a doc longer than its pack's remaining
+    * space continues into the next pack — one row per (doc, pack)
+    * slice with the doc-local half-open token range. All-integer, so
+    * the oracle (a window cumsum + generate_series of the spanned
+    * packs) compares exactly. */
+  val tPackSplit: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCountWs(col("text")).as("n_tokens"))
+      PrefixSum.packSplit(docs, "doc_id", "n_tokens", budget = 512L)
+        .orderBy(col("doc_id"), col("pack_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM t),
+      s AS (
+        SELECT doc_id, n_tokens, cum - n_tokens AS g0, cum FROM c
+        WHERE n_tokens > 0),
+      p AS (
+        SELECT doc_id, n_tokens, g0,
+               unnest(range(g0 // 512, (cum - 1) // 512 + 1)) AS pack_id
+        FROM s)
+      SELECT doc_id, pack_id,
+             greatest(CAST(0 AS BIGINT), pack_id * 512 - g0) AS tok_start,
+             least(n_tokens, (pack_id + 1) * 512 - g0) AS tok_end
+      FROM p
+      ORDER BY doc_id, pack_id"""))
 
   val tFingerprint: QueryDef = QueryDef(
     fn = (s, dir) =>
@@ -674,11 +717,38 @@ object Pipeline {
       FROM reach GROUP BY src
       ORDER BY id"""))
 
+  /** Embedding near-dup pairs, SQL-oracled end to end: on an id-capped
+    * sample (the O(n^2) oracle stays bounded — same capping as
+    * d_dedup_simhash_recall's brute leg) the LSH pipeline runs at a
+    * SATURATING density, 24 tables x 1 bit: a true pair at the 0.35
+    * cosine threshold misses every table with probability
+    * (1 - 0.61)^24 ~ 1e-10, so banding + codegen'd cosine verify +
+    * rounding + thresholding must reproduce the brute-force pair set
+    * EXACTLY — the DuckDB oracle recomputes every capped cosine and the
+    * driver hash-compares. The production configuration's partial
+    * recall on the FULL corpus stays separately measured by
+    * d_dedup_embed_recall (dense 32x5 >= 0.7) — this entry pins the
+    * machinery's exactness, that one the scale config's recall. */
   val dDedupEmbed: QueryDef = QueryDef(
     fn = (s, dir) =>
-      Dedup.embeddingPairs(Tables.load(s, dir, "embeddings"), "embedding", "vec_id")
+      Dedup.embeddingPairs(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000),
+        "embedding", "vec_id", tables = 24, bits = 1)
         .orderBy(col("id_a"), col("id_b")),
-    oracle = None)
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+      elems AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(unnest(a.embedding) AS DOUBLE) AS ae,
+               CAST(unnest(b.embedding) AS DOUBLE) AS be
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id),
+      scored AS (
+        SELECT id_a, id_b,
+               round(SUM(ae*be) / (sqrt(SUM(ae*ae)) * sqrt(SUM(be*be))), 4) AS cos
+        FROM elems GROUP BY id_a, id_b)
+      SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+      ORDER BY id_a, id_b"""))
 
   // ---- similarity search ----
 
@@ -1034,6 +1104,7 @@ object Pipeline {
     "t_sample" -> tSample,
     "t_mix" -> tMix,
     "t_pack" -> tPack,
+    "t_pack_split" -> tPackSplit,
     "t_redact" -> tRedact,
     "d_dedup_exact" -> dDedupExact,
     "d_dedup_minhash" -> dDedupMinhash,

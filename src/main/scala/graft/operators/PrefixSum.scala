@@ -42,4 +42,37 @@ object PrefixSum {
       .withColumn(outCol, col("_lsum") + col("_off"))
       .drop("_pid", "_lsum", "_off")
   }
+
+  /** Sequence packing WITH oversized-document splitting: documents in
+    * `orderCol` order fill fixed `budget`-token packs back to back, and
+    * a document longer than the space left in its pack SPLITS across
+    * consecutive packs (real tokenizer-side packing — the no-split
+    * variant wastes the tail of every pack a long doc would straddle).
+    *
+    * Emits one row per (document, pack) slice:
+    * `(orderCol, pack_id, tok_start, tok_end)` with `[tok_start,
+    * tok_end)` the half-open token range of the document that lands in
+    * `pack_id` — every pack is exactly `budget` tokens (the last one
+    * excepted), integer-exact.
+    *
+    * Same scale shape as [[runningTotal]] (which computes the global
+    * token offsets): two linear exchanges, then the split is a pure
+    * map + bounded explode — a document spans ceil(n/budget)+1 packs at
+    * most, so fanout is ~rows x (1 + avg_len/budget), linear. */
+  def packSplit(df: DataFrame, orderCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    val cum = runningTotal(df, orderCol, valueCol, "_cum")
+      // _g0 = the document's global token start (exclusive prefix sum)
+      .withColumn("_g0", col("_cum") - col(valueCol))
+    cum
+      // zero-token rows occupy no pack space; dropping them also keeps
+      // the sequence() bounds ordered (stop < start would descend)
+      .filter(col(valueCol) > 0L)
+      .withColumn("pack_id",
+        explode(sequence(expr(s"_g0 div $budget"),
+          expr(s"(_cum - 1) div $budget"))))
+      .select(col(orderCol), col("pack_id"),
+        greatest(lit(0L), col("pack_id") * budget - col("_g0")).as("tok_start"),
+        least(col(valueCol), (col("pack_id") + 1L) * budget - col("_g0")).as("tok_end"))
+  }
 }

@@ -51,4 +51,42 @@ class PrefixSumSpec extends SparkSpec {
     val packs = rows.map(_.getAs[Long]("pack_id"))
     assert(packs.zip(packs.tail).forall { case (a, b) => b >= a })
   }
+
+  test("packSplit: hand-computed slices, budget 10") {
+    import spark.implicits._
+    // docs of 4, 8, 25, 3 tokens -> global starts 0, 4, 12, 37
+    //   doc 1: [0,4)   -> pack 0, slice [0,4)
+    //   doc 2: [4,12)  -> pack 0 slice [0,6), pack 1 slice [6,8)
+    //   doc 3: [12,37) -> pack 1 [0,8), pack 2 [8,18), pack 3 [18,25)
+    //   doc 4: [37,40) -> pack 3, slice [0,3)
+    val df = Seq((1L, 4L), (2L, 8L), (3L, 25L), (4L, 3L)).toDF("doc_id", "n")
+    val got = PrefixSum.packSplit(df, "doc_id", "n", budget = 10L)
+      .orderBy("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 4L),
+      (2L, 0L, 0L, 6L), (2L, 1L, 6L, 8L),
+      (3L, 1L, 0L, 8L), (3L, 2L, 8L, 18L), (3L, 3L, 18L, 25L),
+      (4L, 3L, 0L, 3L)))
+  }
+
+  test("packSplit invariants on the corpus: full coverage, exact pack fill") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
+    val slices = PrefixSum.packSplit(docs, "doc_id", "n_tokens", budget = 512L)
+    // every document's slices tile [0, n_tokens) exactly
+    val cover = slices.groupBy("doc_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("covered"),
+        min(col("tok_start")).as("mn"))
+      .join(docs, "doc_id")
+      .filter(col("covered") =!= col("n_tokens") || col("mn") =!= 0L)
+    assert(cover.count() === 0L)
+    // every pack except the last holds exactly 512 tokens
+    val fills = slices.groupBy("pack_id")
+      .agg(sum(col("tok_end") - col("tok_start")).as("fill"))
+      .orderBy(col("pack_id")).collect()
+    assert(fills.dropRight(1).forall(_.getLong(1) === 512L))
+    assert(fills.last.getLong(1) <= 512L)
+  }
 }
