@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.sources.avro
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
@@ -93,6 +93,82 @@ object Streaming {
       .select(col("e_user").as("user_id"),
         unix_millis(col("e_ts")).as("error_ts_ms"),
         unix_millis(col("c_ts")).as("click_ts_ms"))
+  }
+
+  /** Decode a documents message-log (batch or stream) to typed columns
+    * with an event-time `ts` — the ingest half of the streaming
+    * training-data pipeline. */
+  def decodeDocuments(log: DataFrame): DataFrame =
+    log.select(avro.from_topic(col("value"), "documents").as("v"))
+      .select(col("v.doc_id").as("doc_id"),
+        timestamp_millis(col("v.ts_ms")).as("ts"),
+        col("v.text").as("text"),
+        col("v.source").as("source"))
+
+  /** Stage 1 of streaming ingest dedup: EXACT dedup by content hash.
+    * Streaming: `dropDuplicatesWithinWatermark` — an at-least-once
+    * topic redelivers messages and mirrored documents recur across
+    * sources; state is bounded by the watermark horizon (a content
+    * hash older than the watermark can no longer collide with
+    * in-flight data). Batch: the documented `dropDuplicates`
+    * equivalent — same keep-one semantics. */
+  def dedupedDocs(docs: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(col("text")))
+    if (hashed.isStreaming)
+      hashed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
+  /** Stage 2: NEAR-dup flagging of the incoming stream against a
+    * static reference corpus (the already-curated training set) — the
+    * streaming-legal shape of MinHash dedup. A stream-stream self-join
+    * over band buckets is not what ingest needs; what it needs is "is
+    * this new document a near-copy of anything we already kept?", and
+    * that is a stream-STATIC equi-join on MinHash band keys (the
+    * static band index is built once; at scale it is the bucketed/
+    * pre-partitioned side), followed by the same codegen'd
+    * exact-Jaccard verification the batch path runs
+    * ([[graft.operators.Dedup.minhashPairs]] — same kernels, same
+    * S-curve). Emits one verified `(doc_id, ref_id, jaccard)` pair per
+    * colliding band set; duplicates across bands collapse via
+    * within-watermark dedup on the pair key (batch: plain distinct).
+    */
+  def nearDupAgainstReference(docs: DataFrame, reference: DataFrame,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L,
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.plans.{HashedWordShingles, JaccardLong, MinHashBandKeys}
+    import org.apache.spark.sql.graft.Bridge
+    def banded(df: DataFrame, idOut: String, shOut: String, keep: Seq[Column]) = {
+      val sh = Bridge.column(HashedWordShingles(
+        Bridge.expression(col("text")), shingleK))
+      df.select((keep :+ col("doc_id").as(idOut) :+ sh.as(shOut)): _*)
+        .withColumn("bkey", explode(Bridge.column(MinHashBandKeys(
+          Bridge.expression(col(shOut)), bands, numHashes / bands, seed))))
+    }
+    val s = banded(docs, "doc_id", "sh_s", Seq(col("ts")))
+    val r = banded(reference, "ref_id", "sh_r", Seq.empty)
+      .select(col("ref_id"), col("sh_r"), col("bkey"))
+    val verified = s.join(r, Seq("bkey"))
+      .filter(col("doc_id") =!= col("ref_id"))
+      .select(col("ts"), col("doc_id"), col("ref_id"),
+        round(Bridge.column(JaccardLong(
+          Bridge.expression(col("sh_s")), Bridge.expression(col("sh_r")))), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (verified.isStreaming) {
+      // chained stateful stages must define the event-time watermark
+      // exactly ONCE per stream: if the caller (e.g. [[dedupedDocs]])
+      // already set one it propagates through the join, and redefining
+      // it here would be rejected by the multiple-stateful-operator
+      // checker — only a bare stream gets one applied
+      val hasWm = docs.queryExecution.analyzed.collectFirst {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+      }.isDefined
+      val wm = if (hasWm) verified else verified.withWatermark("ts", watermark)
+      wm.dropDuplicatesWithinWatermark("doc_id", "ref_id").drop("ts")
+    } else verified.drop("ts").distinct()
   }
 
   /** At-least-once-delivery dedup: keep one row per `event_id`,

@@ -120,6 +120,80 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("streaming ingest dedup pipeline: exact + near-dup stages equal the batch path") {
+    import spark.implicits._
+    // The composed training-data ingest pipeline (VERDICT r5 item 5):
+    // stream of documents -> dropDuplicatesWithinWatermark on content
+    // hash -> minhash-band near-dup flag vs a static reference corpus,
+    // replayed across micro-batches, asserted equal to the batch path.
+    val t0 = 1704067200000L
+    def text(tag: String): String =
+      (0 until 20).map(i => s"${tag}w$i").mkString(" ")
+    // reference corpus (the already-curated set): 6 distinct docs
+    val reference = (1L to 6L).map(d => (d, text(s"r$d")))
+      .toDF("doc_id", "text")
+    // incoming stream: 11 = near-copy of ref 1 (one word changed ->
+    // shingle jaccard ~0.71), 12 distinct, 13 = exact copy of 12's
+    // text (cross-doc exact dup), 14 distinct
+    val nearCopy = text("r1").split(" ").updated(9, "CHANGED").mkString(" ")
+    val batch1 = Seq((11L, t0, nearCopy, "web"),
+      (12L, t0 + 60000, text(s"s12"), "web"),
+      (13L, t0 + 120000, text(s"s12"), "mirror"))
+    val batch2 = Seq((11L, t0, nearCopy, "web"), // redelivered verbatim
+      (14L, t0 + 180000, text(s"s14"), "web"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    def seg(n: Int, rows: Seq[(Long, Long, String, String)]): Unit =
+      rows.toDF("doc_id", "ts_ms", "text", "source")
+        .select(col("doc_id"), timestamp_millis(col("ts_ms")).as("ts"),
+          col("text"), col("source"))
+        .write.parquet(s"$path/seg$n")
+    seg(1, batch1); seg(2, batch2)
+
+    val batchDocs = spark.read.parquet(path + "/*")
+    val wantStage1 = Streaming.dedupedDocs(batchDocs)
+      .select("content_hash").collect().map(_.getString(0)).toSet
+    assert(wantStage1.size === 3) // 11, 12(=13), 14
+    val wantPairs = Streaming.nearDupAgainstReference(
+        Streaming.dedupedDocs(batchDocs), reference)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(wantPairs.map(p => (p._1, p._2)) === Set((11L, 1L)))
+    assert(wantPairs.forall(_._3 >= 0.5))
+
+    // stream the same topic one file per micro-batch (so the redelivery
+    // of 11 arrives in a LATER batch and must be dropped by state)
+    val src = spark.readStream
+      .schema("doc_id long, ts timestamp, text string, source string")
+      .option("maxFilesPerTrigger", "1").parquet(path + "/*")
+    val piped = Streaming.nearDupAgainstReference(
+      Streaming.dedupedDocs(src), reference)
+    val q = piped.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ingest_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === wantPairs)
+  }
+
+  test("near-dup-vs-reference equals the oracled batch minhash operator on the corpus") {
+    // self-reference: flagging the corpus against itself must find
+    // exactly the pair set the (driver-oracled) Dedup.minhashPairs
+    // emits — one undirected pair there = both directed pairs here
+    val docs = Streaming.decodeDocuments(MessageLog.documentsTopic(spark, sf))
+    assert(docs.count() === Tables.load(spark, sf, "documents").count())
+    val directed = Streaming.nearDupAgainstReference(docs, docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val undirected = operators.Dedup
+      .minhashPairs(Tables.load(spark, sf, "documents"), "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(undirected.nonEmpty)
+    val normalized = directed.keySet.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    assert(normalized === undirected.keySet)
+    undirected.foreach { case ((a, b), j) =>
+      assert(directed((a, b)) === j && directed((b, a)) === j)
+    }
+  }
+
   test("transformWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_tws").toString
