@@ -239,17 +239,27 @@ object Dedup {
       minCos: Double = 0.35, tables: Int = 16, bits: Int = -1,
       seed: Long = 7000L): DataFrame = {
     val b = if (bits > 0) bits else autoBits(df.count())
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // same two-phase shape as lshJaccardPairs: candidate id-pairs are
+    // DISTINCT'd before any vector touches a shuffle — the band join
+    // moves (id, table, bucket) rows, not 64-float embeddings (16x the
+    // corpus with vectors attached), and the cosine kernel runs ONCE
+    // per candidate pair instead of once per colliding table
+    val sig = df.select(col(idCol).as("id"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("table"),
           Bridge.column(HyperplaneSig(Bridge.expression(col(vecCol)), b, seed + t)).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("v"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    sig.as("l").join(sig.as("r"),
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val cand = sig.as("l").join(sig.as("r"),
         col("l.table") === col("r.table") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(cosine(col("l.v"), col("r.v")), 4).as("cos"))
-      .dropDuplicates(Seq("id_a", "id_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

@@ -842,7 +842,11 @@ object Pipeline {
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      annPrecision(Similarity.ivfTopK(emb, q, "embedding", "vec_id"),
+      // explicit nlist/nprobe pin the contract's shape (the default is
+      // corpus-sized via autoNlist, which would move the measured
+      // recall/precision as SF changes)
+      annPrecision(
+        Similarity.ivfTopK(emb, q, "embedding", "vec_id", nlist = 16, nprobe = 4),
         Similarity.bruteTopK(emb, q, "embedding", "vec_id"),
         eps = 0.05, minFrac = 1.0)
     },
@@ -918,7 +922,8 @@ object Pipeline {
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      annRecall(Similarity.ivfTopK(emb, q, "embedding", "vec_id"),
+      annRecall(
+        Similarity.ivfTopK(emb, q, "embedding", "vec_id", nlist = 16, nprobe = 4),
         Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.6)
     },
     oracle = Some(recallOracleSql))

@@ -54,10 +54,24 @@ object Similarity {
     * ~nprobe/nlist of it is scored. Centroid refinement (Lloyd
     * iterations) is an optional offline aggregate — the sampled
     * quantizer is deliberate: index build stays one pass.
-    */
+    *
+    * `nlist` defaults to AUTO (-1): [[autoNlist]] sizes the quantizer
+    * at ~sqrt(n) lists, so per-list occupancy and per-query scanned
+    * vectors both grow as sqrt(n) instead of linearly in corpus size —
+    * a FIXED nlist at 1B rows means every query scans nprobe x n/nlist
+    * ~ millions of vectors. The r5 broadcast-centroid work removed the
+    * plan-size ceiling that used to cap nlist. Pass explicit nlist to
+    * pin a shape (the recall/precision contract queries do). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
+      nlist: Int = -1, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
+    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
+    ivfTopKFixed(corpus, queries, vecCol, idCol, k, nl, nprobe, lloydIters)
+  }
+
+  private def ivfTopKFixed(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nlist: Int, nprobe: Int, lloydIters: Int): DataFrame = {
     val centroids = trainQuantizer(corpus, vecCol, idCol, nlist, lloydIters)
     val centRef = broadcastCentroids(corpus, centroids)
     def nearestList(v: Column): Column =
@@ -80,6 +94,15 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Occupancy-balanced IVF list count: ~sqrt(n) lists put per-list
+    * occupancy AND per-query scanned vectors (nprobe x n/nlist) at
+    * ~sqrt(n) — the standard IVF sizing — clamped to [16, 4096]
+    * (below 16 the quantizer stops discriminating; 4096 keeps
+    * quantizer training a KB-scale driver artifact). */
+  private[graft] def autoNlist(n: Long): Int =
+    math.min(4096, math.max(16,
+      math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt))
 
   /** Wrap a driver-side centroid matrix as a broadcast for the
     * expression kernels: tasks serialize a handle, each executor

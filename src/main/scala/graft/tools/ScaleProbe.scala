@@ -69,20 +69,29 @@ object ScaleProbe {
       w(t(dim), dim)
     // completion marker, written LAST: the skip guard keys on it so an
     // interrupted replicate() or a dir from an older ScaleProbe version
-    // (different replica semantics, no dim tables) is rebuilt, not reused
+    // (different replica semantics, no dim tables, different factor) is
+    // rebuilt, not reused
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$out/_REPLICA_COMPLETE_V2"), "ok\n")
+      java.nio.file.Paths.get(s"$out/${marker(k)}"), "ok\n")
   }
+
+  // factor is part of the marker so a 10x dir is never mistaken for 30x
+  private def marker(k: Int): String =
+    if (k == 10) "_REPLICA_COMPLETE_V2" else s"_REPLICA_COMPLETE_V2_x$k"
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sfx1")
+    // SPARK_GRAFT_REPLICAS=30 probes deeper than the default 10x —
+    // round-5 verdict: one more datapoint on the >=2.0x tail separates
+    // fixed costs amortizing from a hidden super-linear term
+    val k = sys.env.get("SPARK_GRAFT_REPLICAS").flatMap(_.toIntOption).getOrElse(10)
     val probes =
       if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.local()
     val base = "/root/testdata/sf0.1"
-    if (!new java.io.File(s"$out/_REPLICA_COMPLETE_V2").exists())
-      replicate(spark, base, out, 10)
+    if (!new java.io.File(s"$out/${marker(k)}").exists())
+      replicate(spark, base, out, k)
 
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
@@ -99,7 +108,7 @@ object ScaleProbe {
         .write.mode("overwrite").format("noop").save()
     } catch { case scala.util.control.NonFatal(_) => () }
     probes.foreach { q => time(base, q); () } // warm code paths
-    println(f"[probe] ${"query"}%-24s ${"1x"}%8s ${"10x"}%8s ratio")
+    println(f"[probe] ${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio")
     val rows = probes.map { q =>
       val t1 = time(base, q)
       val t10 = time(out, q)

@@ -114,4 +114,22 @@ class SimilaritySpec extends SparkSpec {
     // occupancy bound: mean bucket occupancy at the chosen width <= ~64
     assert(n.toDouble / (1L << auto) <= 64.0 + 1e-9)
   }
+
+  test("IVF default list count is corpus-sized (autoNlist wiring)") {
+    // ~sqrt(n), clamped: per-list occupancy and per-query scan cost
+    // both grow as sqrt(n) instead of linearly with a fixed nlist
+    assert(Similarity.autoNlist(0) === 16)
+    assert(Similarity.autoNlist(256) === 16)
+    assert(Similarity.autoNlist(5000) === 71)
+    assert(Similarity.autoNlist(1000000) === 1000)
+    assert(Similarity.autoNlist(Long.MaxValue) === 4096)
+    // the default path must equal an explicit run at the auto width
+    val auto = Similarity.autoNlist(emb.count())
+    val default = Similarity.ivfTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val explicit = Similarity
+      .ivfTopK(emb, queries, "embedding", "vec_id", k = 5, nlist = auto)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(default === explicit)
+  }
 }
