@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => TF}
 import graft.plans.{HashedCharNgrams, HashedWordShingles, JaccardLong, RollingFingerprint}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
@@ -38,6 +39,15 @@ object Pipeline {
 
   private val stopCountSql: String =
     TF.enStopwords.map(occSql).mkString("(", " + ", ")")
+
+  /** The TF.qualityScore formula in DuckDB SQL (floor-4dp rendered) —
+    * shared by the t_quality oracle and the composed t_curate one. */
+  private val qualitySql: String =
+    s"""floor((0.4 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0)
+                 + 0.3 * least((CAST($stopCountSql AS DOUBLE)
+                                / len(regexp_split_to_array(trim(text), '\\s+'))) * 4, 1.0)
+                 + 0.3 * (floor(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                               / length(text) * 10000) / 10000)) * 10000) / 10000"""
 
   // ---- text analysis ----
 
@@ -81,11 +91,7 @@ object Pipeline {
              $stopCountSql AS n_stopwords,
              floor(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
                    / length(text) * 10000) / 10000 AS alpha_ratio,
-             floor((0.4 * least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 64.0, 1.0)
-                 + 0.3 * least((CAST($stopCountSql AS DOUBLE)
-                                / len(regexp_split_to_array(trim(text), '\\s+'))) * 4, 1.0)
-                 + 0.3 * (floor(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-                               / length(text) * 10000) / 10000)) * 10000) / 10000 AS quality
+             $qualitySql AS quality
       FROM documents
       ORDER BY doc_id"""))
 
@@ -127,6 +133,52 @@ object Pipeline {
              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
                AS n_digits
       FROM documents
+      ORDER BY doc_id"""))
+
+  /** The composed curation pipeline — the flagship "user story" query:
+    * one pass over the corpus scoring quality, routing by language ID,
+    * flagging exact duplicates (keep-first), assigning the
+    * deterministic md5 split, and deciding `kept` (not-a-dup AND
+    * quality >= 0.5 AND confidently-identified language). Every stage
+    * is SQL-exact, so the WHOLE composition is hash-checked — the
+    * point is that the D-block operators compose into a curation job
+    * without leaving one declarative plan: a single scan, one window
+    * on the content hash (the dedup shuffle), everything else
+    * map-side. At 100 TB this is the shape you run nightly. */
+  val tCurate: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val bucket = substring(
+        md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.langId(col("text")).as("lang_pred"),
+          TF.qualityScore(col("text")).as("quality"),
+          (row_number().over(w) > 1).as("is_dup"),
+          bucket.as("_b"))
+        .withColumn("split",
+          when(col("_b") < "d0", "train")
+            .when(col("_b") < "e8", "val")
+            .otherwise("test"))
+        .withColumn("kept",
+          !col("is_dup") && col("quality") >= 0.5 && col("lang_pred") =!= "und")
+        .drop("_b")
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH scored AS (
+        SELECT doc_id,
+               $langCaseSql AS lang_pred,
+               $qualitySql AS quality,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup,
+               substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+        FROM documents)
+      SELECT doc_id, lang_pred, quality, is_dup,
+             CASE WHEN b < 'd0' THEN 'train'
+                  WHEN b < 'e8' THEN 'val'
+                  ELSE 'test' END AS split,
+             (NOT is_dup) AND quality >= 0.5 AND lang_pred <> 'und' AS kept
+      FROM scored
       ORDER BY doc_id"""))
 
   /** Deterministic train/val/test assignment + an independent 10%
@@ -1107,6 +1159,7 @@ object Pipeline {
     "t_fingerprint" -> tFingerprint,
     "t_fingerprint_contract" -> tFingerprintContract,
     "t_sample" -> tSample,
+    "t_curate" -> tCurate,
     "t_mix" -> tMix,
     "t_pack" -> tPack,
     "t_pack_split" -> tPackSplit,
