@@ -102,6 +102,20 @@ class PlanSpec extends SparkSpec {
       readSchema)
   }
 
+  test("t_curate: one data shuffle (the dedup window), scan pruned to id+text") {
+    val p = plan(operators.Pipeline.tCurate.fn(spark, sf))
+    // the composed curation pass must not shuffle per stage: quality,
+    // langid, split, and kept are map-side; only the content-hash
+    // window (exact dedup) plus the presentation sort exchange data
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    val exchanges = tree.count(l =>
+      l.contains("- Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 2, s"expected dedup-window + sort shuffles only:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source"), readSchema)
+  }
+
   test("q_approx_distinct: no HLL buffer per distinct key") {
     // the sketch and the exact count must plan as separate aggregations
     // (joined at 3 rows); one combined Aggregate would carry a ~21 KB
