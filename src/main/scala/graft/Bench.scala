@@ -63,9 +63,11 @@ object Bench {
     }
     // a query that failed EVERY pass reports a meaningless duration; name
     // it in a "failed" key (normally absent) so the downstream JSON can't
-    // mistake a persistently broken query for a fast one
+    // mistake a persistently broken query for a fast one — and keep its
+    // garbage duration OUT of the headline total, which consumers compare
+    // run-over-run
     val failed = results.collect { case (name, _, true) => name }
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, false) => v }.sum
     // The driver keeps only a fixed-size TAIL of stdout (2000 chars
     // observed), so the JSON line must fit in it whole — full-precision
     // doubles over 81 queries overflowed it and the line never parsed.

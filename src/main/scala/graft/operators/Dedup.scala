@@ -189,7 +189,9 @@ object Dedup {
     universe match {
       case None => clustered
       case Some(all) =>
-        val ids = all.select(col(all.columns.head).as("id"))
+        // distinct: a universe with duplicate ids (built from a join,
+        // say) must not emit duplicate singleton rows
+        val ids = all.select(col(all.columns.head).as("id")).distinct()
         val singles = ids.join(labels, Seq("id"), "left_anti")
           .select(col("id"), col("id").as("cluster_id"),
             lit(true).as("is_canonical"))

@@ -15,6 +15,13 @@ import graft.sources.{avro, AvroCodec, MessageLog, SchemaRegistry}
   */
 object KafkaSurface {
 
+  /** Recursive clean of a scratch segment dir (null-safe: listFiles
+    * returns null on IO errors) — shared by the segment-writing
+    * queries. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
   /** select * from kafka_table: full decode + metadata columns. */
   val kScanAll: QueryDef = QueryDef(
     fn = (s, dir) =>
@@ -296,10 +303,7 @@ object KafkaSurface {
     fn = (s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_seg/${new java.io.File(dir).getName}/events"
       // segment writes append (the log model) — start from a clean dir
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      rmTree(new java.io.File(path))
       graft.sources.LogSegments.write(MessageLog.eventsTopic(s, dir), path)
       s.read.format("graft-log").load(path)
         .filter(col("offset") < 500)
@@ -334,10 +338,7 @@ object KafkaSurface {
     fn = (s, dir) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_sqltable/${new java.io.File(dir).getName}/events"
       // segment writes append (the log model) — start from a clean dir
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      rmTree(new java.io.File(path))
       graft.sources.LogSegments.write(MessageLog.eventsTopic(s, dir), path)
       s.sql("DROP TABLE IF EXISTS graft_events")
       s.sql(s"""CREATE TABLE graft_events USING `graft-log`

@@ -59,10 +59,12 @@ class LogSegmentSource extends TableProvider
 object LogSegmentSource {
   val schema: StructType = graft.streaming.Streaming.logSchema
 
-  /** Metadata columns appended after the decoded payload fields. */
+  /** Metadata columns appended after the decoded payload fields —
+    * everything in the wire schema except the consumed key/value
+    * bytes, so the decoded surface keeps the same Kafka-parity
+    * metadata (incl. timestampType) as the raw one. */
   val metaSchema: StructType = StructType(schema.fields.filter(f =>
-    f.name == "topic" || f.name == "partition" || f.name == "offset" ||
-      f.name == "timestamp"))
+    f.name != "key" && f.name != "value"))
 
   /** Resolve the decode schema from `decodeTopic` (registry lookup —
     * the kafka.whitelist.topics model) or `avroSchemaFile` (.avsc on
@@ -269,9 +271,10 @@ private[sources] class DecodedSegmentReader(p: SegmentPartition,
   private var decoder: BinaryDecoder = _
   private var reuse: Any = _
 
-  // raw segment row layout: key, value, topic, partition, offset, timestamp
+  // raw segment row layout: key, value, topic, partition, offset,
+  // timestamp, timestampType
   private val metaIdx = Map("topic" -> 2, "partition" -> 3, "offset" -> 4,
-    "timestamp" -> 5)
+    "timestamp" -> 5, "timestampType" -> 6)
   // required column -> (fromPayload, index)
   private val cols: Array[(Boolean, Int)] = required.fields.map { f =>
     val i = payloadType.fieldNames.indexOf(f.name)

@@ -110,14 +110,25 @@ object Streaming {
     * topic redelivers messages and mirrored documents recur across
     * sources; state is bounded by the watermark horizon (a content
     * hash older than the watermark can no longer collide with
-    * in-flight data). Batch: the documented `dropDuplicates`
-    * equivalent — same keep-one semantics. */
+    * in-flight data). Batch: keep-FIRST by (ts, doc_id) — a window,
+    * not `dropDuplicates`, because dropDuplicates' survivor is
+    * partition-order-dependent and a nondeterministic representative
+    * row breaks run-to-run and batch-vs-stream comparisons whenever
+    * duplicate texts differ in metadata (the mirrored-document case).
+    * The surviving hash SET is identical either way; streaming's
+    * representative is the first row processed, which equals the
+    * batch choice when delivery follows event time. */
   def dedupedDocs(docs: DataFrame, watermark: String = "2 hours"): DataFrame = {
     val hashed = docs.withColumn("content_hash", md5(col("text")))
     if (hashed.isStreaming)
       hashed.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark("content_hash")
-    else hashed.dropDuplicates("content_hash")
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_hash")).orderBy(col("ts"), col("doc_id"))
+      hashed.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
   }
 
   /** Stage 2: NEAR-dup flagging of the incoming stream against a

@@ -70,7 +70,11 @@ object ScaleProbe {
     // completion marker, written LAST: the skip guard keys on it so an
     // interrupted replicate() or a dir from an older ScaleProbe version
     // (different replica semantics, no dim tables, different factor) is
-    // rebuilt, not reused
+    // rebuilt, not reused. Markers from OTHER factors are removed first
+    // — a dir rebuilt at 30x must not keep its old 10x marker, or a
+    // later default run would silently time 30x data as "10x"
+    Option(new java.io.File(out).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("_REPLICA_COMPLETE_V2")).foreach(_.delete())
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$out/${marker(k)}"), "ok\n")
   }

@@ -108,11 +108,7 @@ class DedupSpec extends SparkSpec {
       // clusters call in this JVM — and remove the temp checkpoint data
       sc.setCheckpointDir(null)
       assert(sc.getCheckpointDir.isEmpty)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(dir))
+      deleteRecursively(new java.io.File(dir))
     }
   }
 

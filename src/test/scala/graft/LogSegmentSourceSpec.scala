@@ -185,9 +185,11 @@ class LogSegmentSourceSpec extends SparkSpec {
   test("decodeTopic table: typed columns straight from the source") {
     val df = spark.read.format("graft-log")
       .option("decodeTopic", "events").load(segDir)
-    // payload fields + metadata, no raw key/value bytes
+    // payload fields + metadata (incl. the Kafka-parity timestampType),
+    // no raw key/value bytes
     assert(df.columns.toSeq === Seq("event_id", "ts_ms", "user_id",
-      "event_type", "value", "props", "topic", "partition", "offset", "timestamp"))
+      "event_type", "value", "props", "topic", "partition", "offset",
+      "timestamp", "timestampType"))
     assert(df.schema("value").dataType.typeName === "double")
     val n = df.count()
     assert(n === MessageLog.eventsTopic(spark, sf).count())

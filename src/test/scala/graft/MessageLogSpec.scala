@@ -84,13 +84,7 @@ class MessageLogSpec extends SparkSpec {
           LogSegments.readFile(bad).toList
         }
       } finally it.close()
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(path))
-    }
+    } finally deleteRecursively(new java.io.File(path))
   }
 
   test("offsets are dense per partition, starting at zero") {

@@ -7,4 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local("8")
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Recursive temp-dir cleanup shared by the suites (null-safe:
+    * listFiles returns null on IO errors). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 }
