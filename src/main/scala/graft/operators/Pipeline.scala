@@ -781,6 +781,39 @@ object Pipeline {
     * recall on the FULL corpus stays separately measured by
     * d_dedup_embed_recall (dense 32x5 >= 0.7) — this entry pins the
     * machinery's exactness, that one the scale config's recall. */
+  /** The streaming ingest-dedup pipeline's BATCH leg, driver-checked:
+    * decode the documents topic, exact-dedup keep-first (deterministic
+    * min doc_id — the topic's event time is monotone in doc_id), then
+    * flag near-dups of the survivors against the full corpus as the
+    * static reference ([[graft.streaming.Streaming]]
+    * dedupedDocs → nearDupAgainstReference — the same code path
+    * StreamingSpec replays micro-batched and asserts equal to this).
+    * The oracle recomputes the survivor set and the directed
+    * shingle-Jaccard pairs brute-force, so banding recall on the
+    * survivor side is proven, not assumed. */
+  val sIngestDedup: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      import graft.streaming.Streaming
+      val docs = Streaming.decodeDocuments(
+        graft.sources.MessageLog.documentsTopic(s, dir))
+      Streaming.nearDupAgainstReference(Streaming.dedupedDocs(docs), docs)
+        .orderBy(col("doc_id"), col("ref_id"))
+    },
+    oracle = Some(s"""
+      WITH $shinglePairsSql,
+      surv AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1),
+      directed AS (
+        SELECT id_a AS doc_id, id_b AS ref_id, jaccard FROM jpairs
+        UNION ALL
+        SELECT id_b, id_a, jaccard FROM jpairs)
+      SELECT d.doc_id, d.ref_id, d.jaccard
+      FROM directed d JOIN surv s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id, d.ref_id"""))
+
   val dDedupEmbed: QueryDef = QueryDef(
     fn = (s, dir) =>
       Dedup.embeddingPairs(
@@ -1170,6 +1203,7 @@ object Pipeline {
     "d_dedup_simhash_recall" -> dDedupSimhashRecall,
     "d_dedup_ngram" -> dDedupNgram,
     "d_dedup_clusters" -> dDedupClusters,
+    "s_ingest_dedup" -> sIngestDedup,
     "d_dedup_embed" -> dDedupEmbed,
     "d_ann_brute" -> dAnnBrute,
     "d_ann_lsh" -> dAnnLsh,
