@@ -70,6 +70,46 @@ class PrefixSumSpec extends SparkSpec {
       (4L, 3L, 0L, 3L)))
   }
 
+  test("packSplit: randomized sizes (incl. zeros and giants) keep the tiling exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // sizes span empty docs, sub-budget docs, and multi-pack giants
+    val docs = (1L to 400L).map { i =>
+      (i, rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => rnd.nextInt(50).toLong
+        case 2 => rnd.nextInt(512).toLong
+        case _ => (512 + rnd.nextInt(3000)).toLong
+      })
+    }
+    val df = docs.toDF("doc_id", "n").repartition(16)
+    val got = PrefixSum.packSplit(df, "doc_id", "n", budget = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nonZero = docs.filter(_._2 > 0)
+    // per-doc: slices tile [0, n) contiguously in pack order
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet === nonZero.map(_._1).toSet) // zero-token docs absent
+    for ((id, n) <- nonZero) {
+      val slices = byDoc(id).sortBy(_._2)
+      assert(slices.head._3 === 0L, s"doc $id must start at token 0")
+      assert(slices.last._4 === n, s"doc $id must end at token $n")
+      slices.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 === a._2 + 1, s"doc $id: packs must be consecutive")
+          assert(b._3 === a._4, s"doc $id: slices must be contiguous")
+        case _ => ()
+      }
+    }
+    // per-pack: exactly 512 tokens except the last
+    val fills = got.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toSeq.sortBy(_._1)
+    assert(fills.map(_._1) === (0L until fills.length)) // no gaps in pack ids
+    assert(fills.dropRight(1).forall(_._2 === 512L))
+    assert(fills.last._2 <= 512L && fills.last._2 > 0L)
+    // global: total packed tokens equals total input tokens
+    assert(fills.map(_._2).sum === nonZero.map(_._2).sum)
+  }
+
   test("packSplit invariants on the corpus: full coverage, exact pack fill") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),
