@@ -271,10 +271,11 @@ private[sources] class DecodedSegmentReader(p: SegmentPartition,
   private var decoder: BinaryDecoder = _
   private var reuse: Any = _
 
-  // raw segment row layout: key, value, topic, partition, offset,
-  // timestamp, timestampType
-  private val metaIdx = Map("topic" -> 2, "partition" -> 3, "offset" -> 4,
-    "timestamp" -> 5, "timestampType" -> 6)
+  // raw segment row slot per metadata column, derived from the wire
+  // schema so the two can't drift (SegmentReader emits rows in
+  // logSchema field order)
+  private val metaIdx: Map[String, Int] = LogSegmentSource.metaSchema.fieldNames
+    .map(n => n -> LogSegmentSource.schema.fieldIndex(n)).toMap
   // required column -> (fromPayload, index)
   private val cols: Array[(Boolean, Int)] = required.fields.map { f =>
     val i = payloadType.fieldNames.indexOf(f.name)

@@ -37,6 +37,12 @@ object ScaleProbe {
   private val Off = 100000000L // replica key offset, clear of real ids
 
   private def replicate(spark: SparkSession, base: String, out: String, k: Int): Unit = {
+    // drop ALL completion markers BEFORE the first write: an
+    // interrupted cross-factor rebuild must leave a dir no factor's
+    // skip guard will accept (a marker removed only at the end would
+    // keep validating the old factor while tables are half-overwritten)
+    Option(new java.io.File(out).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("_REPLICA_COMPLETE_V2")).foreach(_.delete())
     def t(name: String): DataFrame = spark.read.parquet(s"$base/$name.parquet")
     def w(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -70,11 +76,7 @@ object ScaleProbe {
     // completion marker, written LAST: the skip guard keys on it so an
     // interrupted replicate() or a dir from an older ScaleProbe version
     // (different replica semantics, no dim tables, different factor) is
-    // rebuilt, not reused. Markers from OTHER factors are removed first
-    // — a dir rebuilt at 30x must not keep its old 10x marker, or a
-    // later default run would silently time 30x data as "10x"
-    Option(new java.io.File(out).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith("_REPLICA_COMPLETE_V2")).foreach(_.delete())
+    // rebuilt, not reused
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$out/${marker(k)}"), "ok\n")
   }
