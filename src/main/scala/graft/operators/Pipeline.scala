@@ -769,18 +769,6 @@ object Pipeline {
       FROM reach GROUP BY src
       ORDER BY id"""))
 
-  /** Embedding near-dup pairs, SQL-oracled end to end: on an id-capped
-    * sample (the O(n^2) oracle stays bounded — same capping as
-    * d_dedup_simhash_recall's brute leg) the LSH pipeline runs at a
-    * SATURATING density, 24 tables x 1 bit: a true pair at the 0.35
-    * cosine threshold misses every table with probability
-    * (1 - 0.61)^24 ~ 1e-10, so banding + codegen'd cosine verify +
-    * rounding + thresholding must reproduce the brute-force pair set
-    * EXACTLY — the DuckDB oracle recomputes every capped cosine and the
-    * driver hash-compares. The production configuration's partial
-    * recall on the FULL corpus stays separately measured by
-    * d_dedup_embed_recall (dense 32x5 >= 0.7) — this entry pins the
-    * machinery's exactness, that one the scale config's recall. */
   /** The streaming ingest-dedup pipeline's BATCH leg, driver-checked:
     * decode the documents topic, exact-dedup keep-first (deterministic
     * min doc_id — the topic's event time is monotone in doc_id), then
@@ -802,9 +790,14 @@ object Pipeline {
     oracle = Some(s"""
       WITH $shinglePairsSql,
       surv AS (
+        -- keep-first by (ts, doc_id), exactly as Streaming.dedupedDocs:
+        -- the topic's ts_ms is synthetic (1704067200000 + doc_id*60000,
+        -- MessageLog.documentsTopic), reconstructed here so the oracle
+        -- survivor matches by definition, not by ts-monotone coincidence
         SELECT doc_id FROM (
           SELECT doc_id,
-                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                 row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY 1704067200000 + doc_id*60000, doc_id) AS rn
           FROM documents) WHERE rn = 1),
       directed AS (
         SELECT id_a AS doc_id, id_b AS ref_id, jaccard FROM jpairs
@@ -814,6 +807,18 @@ object Pipeline {
       FROM directed d JOIN surv s ON d.doc_id = s.doc_id
       ORDER BY d.doc_id, d.ref_id"""))
 
+  /** Embedding near-dup pairs, SQL-oracled end to end: on an id-capped
+    * sample (the O(n^2) oracle stays bounded — same capping as
+    * d_dedup_simhash_recall's brute leg) the LSH pipeline runs at a
+    * SATURATING density, 24 tables x 1 bit: a true pair at the 0.35
+    * cosine threshold misses every table with probability
+    * (1 - 0.61)^24 ~ 1e-10, so banding + codegen'd cosine verify +
+    * rounding + thresholding must reproduce the brute-force pair set
+    * EXACTLY — the DuckDB oracle recomputes every capped cosine and the
+    * driver hash-compares. The production configuration's partial
+    * recall on the FULL corpus stays separately measured by
+    * d_dedup_embed_recall (dense 32x5 >= 0.7) — this entry pins the
+    * machinery's exactness, that one the scale config's recall. */
   val dDedupEmbed: QueryDef = QueryDef(
     fn = (s, dir) =>
       Dedup.embeddingPairs(

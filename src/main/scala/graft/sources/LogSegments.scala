@@ -119,10 +119,17 @@ object LogSegments {
     * Closes itself at EOF. */
   def readFile(f: File): RecordIterator = {
     val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(f)))
-    val magic = in.readInt()
-    require(magic == Magic || magic == Magic2,
-      s"graft: ${f.getPath} is not a segment file")
-    val checked = magic == Magic2
+    // any failure from here until the iterator is handed to the caller
+    // (bad magic, corrupt record #0 detected by the eager first
+    // advance) must close the stream itself — the caller never gets a
+    // handle to close
+    val checked =
+      try {
+        val magic = in.readInt()
+        require(magic == Magic || magic == Magic2,
+          s"graft: ${f.getPath} is not a segment file")
+        magic == Magic2
+      } catch { case e: Throwable => in.close(); throw e }
     new RecordIterator {
       private val crc = new RecordCrc
       private var recordIndex = -1L
@@ -141,13 +148,14 @@ object LogSegments {
           if (checked) {
             val stored = in.readInt()
             val computed = crc.of(k, v, offset, tsMs)
-            if (stored != computed) {
-              done = true; in.close()
+            if (stored != computed)
               throw new CorruptRecordException(f.getPath, recordIndex, stored, computed)
-            }
           }
           nextRec = (k, v, offset, tsMs)
-        } catch { case _: EOFException => done = true; in.close() }
+        } catch {
+          case _: EOFException => done = true; in.close()
+          case scala.util.control.NonFatal(e) => done = true; in.close(); throw e
+        }
       advance()
       override def hasNext: Boolean = !done
       override def next(): (Array[Byte], Array[Byte], Long, Long) = {

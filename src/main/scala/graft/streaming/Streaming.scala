@@ -173,11 +173,22 @@ object Streaming {
       // exactly ONCE per stream: if the caller (e.g. [[dedupedDocs]])
       // already set one it propagates through the join, and redefining
       // it here would be rejected by the multiple-stateful-operator
-      // checker — only a bare stream gets one applied
-      val hasWm = docs.queryExecution.analyzed.collectFirst {
-        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
-      }.isDefined
-      val wm = if (hasWm) verified else verified.withWatermark("ts", watermark)
+      // checker — only a bare stream gets one applied. The existing
+      // watermark must cover the `ts` column this stage's
+      // dropDuplicatesWithinWatermark keys on: a watermark on some
+      // OTHER event-time column would make us skip ours and leave the
+      // pair-dedup state unbounded (or rejected), so fail fast instead.
+      val wmCols = docs.queryExecution.analyzed.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+          e.eventTime.name
+      }
+      require(wmCols.isEmpty || wmCols.contains("ts"),
+        s"input stream is watermarked on [${wmCols.mkString(", ")}] but " +
+          "nearDupAgainstReference's pair dedup needs the event-time " +
+          "watermark on `ts`; watermark the stream on `ts` or pass it in " +
+          "unwatermarked")
+      val wm = if (wmCols.contains("ts")) verified
+               else verified.withWatermark("ts", watermark)
       wm.dropDuplicatesWithinWatermark("doc_id", "ref_id").drop("ts")
     } else verified.drop("ts").distinct()
   }

@@ -80,8 +80,12 @@ class MessageLogSpec extends SparkSpec {
         bytes(8) = (bytes(8) ^ 0x1).toByte
         val bad = new java.io.File(dir, "corrupt.gseg")
         java.nio.file.Files.write(bad.toPath, bytes)
+        // corrupt record #0 throws from the eager first advance inside
+        // readFile itself, which closes its own stream; a later corrupt
+        // record would throw from toList, so close the iterator too
         intercept[LogSegments.CorruptRecordException] {
-          LogSegments.readFile(bad).toList
+          val badIt = LogSegments.readFile(bad)
+          try badIt.toList finally badIt.close()
         }
       } finally it.close()
     } finally deleteRecursively(new java.io.File(path))
