@@ -232,15 +232,22 @@ object Dedup {
     * Candidate volume per table is ~n^2 / 2^bits — with FIXED bits
     * that term is quadratic in n (the 10x scale probe measured 24x
     * wall time at 10x rows on 6 fixed bits), with occupancy-held bits
-    * it's ~64n, linear. The cost is one count() pass over the corpus
-    * (column-pruned scan) plus lower per-table recall on borderline
-    * pairs as bits rise — high-cosine near-dups stay caught by the
-    * table union; pass explicit bits (as the dense 32x5
-    * recall-contract configuration does) to pin a shape. */
+    * it's ~64n, linear. AUTO costs one count() pass over the corpus
+    * (column-pruned scan) UNLESS the caller supplies `rowHint` (> 0):
+    * a production job at 100 TB almost always knows its row count (a
+    * catalog statistic, a previous stage's output) and must not pay a
+    * full scan per operator call to re-derive it — occupancy sizing
+    * only needs the order of magnitude, so an approximate hint is
+    * fine (NoHiddenScanSpec pins that a hinted call launches no job).
+    * AUTO also costs lower per-table recall on borderline pairs as
+    * bits rise — high-cosine near-dups stay caught by the table
+    * union; pass explicit bits (as the dense 32x5 recall-contract
+    * configuration does) to pin a shape. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
       minCos: Double = 0.35, tables: Int = 16, bits: Int = -1,
-      seed: Long = 7000L): DataFrame = {
-    val b = if (bits > 0) bits else autoBits(df.count())
+      seed: Long = 7000L, rowHint: Long = -1L): DataFrame = {
+    val b = if (bits > 0) bits
+            else autoBits(if (rowHint > 0) rowHint else df.count())
     // same two-phase shape as lshJaccardPairs: candidate id-pairs are
     // DISTINCT'd before any vector touches a shuffle — the band join
     // moves (id, table, bucket) rows, not 64-float embeddings (16x the

@@ -60,12 +60,18 @@ object Similarity {
     * vectors both grow as sqrt(n) instead of linearly in corpus size —
     * a FIXED nlist at 1B rows means every query scans nprobe x n/nlist
     * ~ millions of vectors. The r5 broadcast-centroid work removed the
-    * plan-size ceiling that used to cap nlist. Pass explicit nlist to
-    * pin a shape (the recall/precision contract queries do). */
+    * plan-size ceiling that used to cap nlist. AUTO costs one count()
+    * pass over the corpus UNLESS `rowHint` (> 0) supplies the row
+    * count — sqrt sizing only needs the order of magnitude, so a
+    * catalog statistic or upstream count skips the hidden full scan
+    * (NoHiddenScanSpec). Pass explicit nlist to pin a shape (the
+    * recall/precision contract queries do). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
-      nlist: Int = -1, nprobe: Int = 4, lloydIters: Int = 1): DataFrame = {
-    val nl = if (nlist > 0) nlist else autoNlist(corpus.count())
+      nlist: Int = -1, nprobe: Int = 4, lloydIters: Int = 1,
+      rowHint: Long = -1L): DataFrame = {
+    val nl = if (nlist > 0) nlist
+             else autoNlist(if (rowHint > 0) rowHint else corpus.count())
     ivfTopKFixed(corpus, queries, vecCol, idCol, k, nl, nprobe, lloydIters)
   }
 
@@ -185,13 +191,17 @@ object Similarity {
     * table). With FIXED bits each query scores ~tables x n/2^bits
     * candidates — linear in corpus size, so a 1B-row corpus hands every
     * query ~n/64 vectors to score; occupancy-held bits keep the
-    * per-query candidate count ~tables x 64, flat at any scale. Pass
-    * explicit bits to pin a shape (the dense 24x4 recall/precision
-    * contract configurations do). */
+    * per-query candidate count ~tables x 64, flat at any scale. AUTO
+    * costs one count() pass over the corpus UNLESS `rowHint` (> 0)
+    * supplies the row count (occupancy sizing needs only the order of
+    * magnitude — NoHiddenScanSpec pins that a hinted call launches no
+    * job). Pass explicit bits to pin a shape (the dense 24x4
+    * recall/precision contract configurations do). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
-      tables: Int = 8, bits: Int = -1): DataFrame = {
-    val b = if (bits > 0) bits else Dedup.autoBits(corpus.count())
+      tables: Int = 8, bits: Int = -1, rowHint: Long = -1L): DataFrame = {
+    val b = if (bits > 0) bits
+            else Dedup.autoBits(if (rowHint > 0) rowHint else corpus.count())
     val withSigs = (df: DataFrame, id: String, vec: String) =>
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         explode(array((0 until tables).map(t =>

@@ -25,4 +25,11 @@ object Bridge {
       .stateStoreCoordinator
     ()
   }
+
+  /** Block until every queued SparkListener event has been delivered —
+    * lets a spec assert synchronously that a code path launched (or,
+    * for the rowHint no-hidden-scan contracts, did NOT launch) a job.
+    * `listenerBus.waitUntilEmpty` is private[spark], hence this shim. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
