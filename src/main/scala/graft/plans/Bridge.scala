@@ -26,6 +26,15 @@ object Bridge {
     ()
   }
 
+  /** The physical plan of a streaming query's LAST micro-batch — lets
+    * a spec assert on the executed streaming plan shape (e.g. that a
+    * stream-static band join broadcast the static side) the way
+    * PlanSpec asserts on batch plans. The wrapper and its
+    * StreamExecution are private[sql]. */
+  def lastStreamingPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+
   /** Block until every queued SparkListener event has been delivered —
     * lets a spec assert synchronously that a code path launched (or,
     * for the rowHint no-hidden-scan contracts, did NOT launch) a job.

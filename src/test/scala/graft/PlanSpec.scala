@@ -102,18 +102,61 @@ class PlanSpec extends SparkSpec {
       readSchema)
   }
 
-  test("t_curate: one data shuffle (the dedup window), scan pruned to id+text") {
+  test("t_curate: exactly ONE data shuffle (the dedup window), single pruned scan") {
     val p = plan(operators.Pipeline.tCurate.fn(spark, sf))
     // the composed curation pass must not shuffle per stage: quality,
-    // langid, split, and kept are map-side; only the content-hash
-    // window (exact dedup) plus the presentation sort exchange data
+    // langid, split, and kept are map-side; the ONLY data shuffle is
+    // the content-hash window (exact dedup) — pinned exactly, plus the
+    // presentation orderBy's range exchange, over a SINGLE corpus scan
     val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
-    val exchanges = tree.count(l =>
-      l.contains("- Exchange") && !l.contains("BroadcastExchange"))
-    assert(exchanges <= 2, s"expected dedup-window + sort shuffles only:\n$p")
+    assert(tree.count(_.contains("Scan parquet")) === 1,
+      s"composed pipeline must read the corpus once:\n$p")
+    assert(tree.count(_.contains("- Exchange")) === 2,
+      s"expected dedup-window + presentation-sort shuffles only:\n$p")
+    // ...and the two exchanges are one hash partition (the window) and
+    // one range partition (the sort) — a second hashpartitioning would
+    // mean a stage stopped composing map-side
+    def arity(kind: String) =
+      p.linesIterator.count(l => l.contains("Arguments: " + kind))
+    assert(arity("hashpartitioning") === 1 && arity("rangepartitioning") === 1,
+      s"expected exactly one hash + one range exchange:\n$p")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
       !readSchema.contains("source"), readSchema)
+  }
+
+  test("s_ingest_dedup: the band join is broadcast — batch AND streaming micro-batch") {
+    // batch leg: survivors x reference on band key must plan as a
+    // broadcast hash join at this SF — never a sort-merge that
+    // hash-partitions the corpus by band key
+    val p = plan(operators.Pipeline.sIngestDedup.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast band join:\n$p")
+    // streaming leg: Spark can never build/broadcast the STREAM side of
+    // a stream-static join, so a BroadcastHashJoin in the executed
+    // micro-batch plan proves the static reference rode the broadcast
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_ingest").toString
+    try {
+      Seq((11L, new java.sql.Timestamp(0L), "a b c d e", "web"))
+        .toDF("doc_id", "ts", "text", "source").write.parquet(s"$dir/seg1")
+      val src = spark.readStream
+        .schema("doc_id long, ts timestamp, text string, source string")
+        .parquet(dir + "/*")
+      val reference = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+      val q = graft.streaming.Streaming
+        .nearDupAgainstReference(graft.streaming.Streaming.dedupedDocs(src), reference)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("plan_ingest")
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        q.processAllAvailable()
+        val sp = org.apache.spark.sql.graft.Bridge.lastStreamingPlan(q)
+        assert(sp.contains("BroadcastHashJoin"),
+          s"streaming band join must broadcast the static side:\n$sp")
+      } finally q.stop()
+    } finally deleteRecursively(new java.io.File(dir))
   }
 
   test("q_approx_distinct: no HLL buffer per distinct key") {
