@@ -223,6 +223,113 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("checkpoint recovery: transformWithState totals survive a kill-and-restart") {
+    import spark.implicits._
+    // The reference exists to make consumption RESUMABLE (committed
+    // offsets in KafkaRecordReader); the Spark-native equivalent is the
+    // checkpoint. Kill a running stateful query, restart it from its
+    // checkpoint dir, and the recovered run must (a) not reprocess
+    // committed input — exactly-once offsets — and (b) resume per-key
+    // RocksDB state, so post-restart totals include pre-kill history.
+    val path = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_dir").toString
+    def batch(n: Int, rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("user_id", "value").write.parquet(s"$path/b$n")
+    batch(1, Seq((1L, 1.0), (1L, 2.0), (2L, 10.0)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the memory sink refuses checkpoint recovery by design (not
+      // fault-tolerant), so emissions land in a driver-side buffer via
+      // foreachBatch — the recoverable sink shape
+      val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      def run(): Unit = {
+        val src = spark.readStream.schema("user_id long, value double")
+          .option("maxFilesPerTrigger", "1").parquet(path + "/*")
+        val q = Streaming.runningCents(src)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (d: org.apache.spark.sql.Dataset[Streaming.UserTotalsCents], _: Long) =>
+              val rows = d.collect().map(t => (t.user_id, t.n_events, t.total_cents))
+              emitted.synchronized { emitted ++= rows; () }
+          }.start()
+        q.processAllAvailable(); q.stop()
+      }
+      run() // run 1, then killed
+      val afterRun1 = emitted.size
+      // data keeps arriving while the job is down
+      batch(2, Seq((1L, 4.0), (3L, 7.0)))
+      run() // restart from the same checkpoint
+      // post-restart emissions only: what they say about user 1 could
+      // only have come from recovered state
+      val finals = emitted.drop(afterRun1)
+        .map { case (u, n, c) => u -> ((n, c)) }.toMap
+      // uninterrupted run over the full input (batch mode, same processor)
+      val want = Streaming.runningCents(spark.read.parquet(path + "/*"))
+        .collect().map(t => t.user_id -> ((t.n_events, t.total_cents))).toMap
+      assert(finals(1L) === want(1L)) // (3, 700): includes pre-kill rows
+      assert(finals(3L) === want(3L)) // (1, 700): new key post-restart
+      // a key untouched by batch 2 is NOT re-emitted: committed input
+      // was not replayed
+      assert(!finals.contains(2L), s"batch 1 was reprocessed: $finals")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("checkpoint recovery: dedup survivor state survives a kill-and-restart") {
+    import spark.implicits._
+    // same shape for the ingest-dedup pipeline: a document committed
+    // before the kill and REDELIVERED after the restart must stay
+    // dropped (its content hash lives in recovered state) — no dupes —
+    // while genuinely new documents still pass — no loss.
+    val t0 = 1704067200000L
+    def text(tag: String): String =
+      (0 until 20).map(i => s"${tag}w$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("graft_ckpt_dd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ddc").toString
+    def seg(n: Int, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("doc_id", "ts_ms", "text")
+        .select(col("doc_id"), timestamp_millis(col("ts_ms")).as("ts"),
+          col("text"), lit("web").as("source"))
+        .write.parquet(s"$path/seg$n")
+    seg(1, Seq((11L, t0, text("a")), (12L, t0 + 60000, text("b")),
+      (13L, t0 + 120000, text("b")))) // 13 = exact dup of 12
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id long, ts timestamp, text string, source string")
+        .option("maxFilesPerTrigger", "1").parquet(path + "/*")
+      val q = Streaming.dedupedDocs(src).select(col("doc_id"), col("content_hash"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+          emitted.synchronized { emitted ++= rows; () }
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run() // run 1, then killed
+    val run1 = emitted.toSet
+    // the 12/13 within-batch survivor pick is partition-order-dependent
+    // (both texts arrive in ONE micro-batch) — the recovery property is
+    // about the hash STATE, so assert one survivor per distinct hash
+    assert(run1.map(_._1).contains(11L) && run1.size === 2 &&
+      (run1.map(_._1) - 11L).subsetOf(Set(12L, 13L)), run1.toString)
+    val afterRun1 = emitted.size
+    // while down: 11 redelivered verbatim, 14 genuinely new
+    seg(2, Seq((11L, t0, text("a")), (14L, t0 + 180000, text("c"))))
+    run() // restart from the same checkpoint
+    val run2 = emitted.drop(afterRun1).toSet
+    assert(run2.map(_._1) === Set(14L),
+      s"redelivered doc must stay dropped by recovered state, got $run2")
+    // no loss either: the combined survivor HASH set equals the
+    // uninterrupted batch run's
+    val want = Streaming.dedupedDocs(spark.read.parquet(path + "/*"))
+      .select(col("content_hash")).collect().map(_.getString(0)).toSet
+    assert((run1 ++ run2).map(_._2) === want)
+  }
+
   test("late data beyond watermark is dropped in append mode") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_late").toString
