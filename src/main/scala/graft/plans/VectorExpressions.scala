@@ -105,6 +105,64 @@ object VectorOps {
       while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
       math.sqrt(s)
     }
+
+  /** Product-quantization encode: split `v` into `books.length` equal
+    * subspaces, code m = index of the L2-nearest centroid of codebook
+    * m (L2, not cosine — subvector magnitudes matter for
+    * reconstruction), packed 8 bits per code into ONE long (requires
+    * M <= 8 subspaces, K <= 256 centroids). A 64-float embedding
+    * compresses 256 B -> 8 B. */
+  def pqEncode64(v: ArrayData, books: Array[Array[Array[Float]]]): Long = {
+    val m = books.length
+    val dsub = v.numElements() / m
+    var code = 0L
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val t = v.getFloat(off + j).toDouble - cent(j).toDouble
+          d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code |= (best.toLong & 0xffL) << (8 * s)
+      s += 1
+    }
+    code
+  }
+
+  /** Asymmetric-distance cosine: cosine(q, reconstruct(code)) in one
+    * pass, never materializing the reconstructed vector — the exact
+    * query vector against the codebook centroids the code names. */
+  def pqCosine(q: ArrayData, code: Long, books: Array[Array[Array[Float]]]): Double = {
+    val m = books.length
+    val dsub = q.numElements() / m
+    var dp = 0.0; var nq = 0.0; var nr = 0.0
+    var s = 0
+    while (s < m) {
+      val cent = books(s)(((code >>> (8 * s)) & 0xffL).toInt)
+      val off = s * dsub
+      var j = 0
+      while (j < dsub) {
+        val x = q.getFloat(off + j).toDouble
+        val y = cent(j).toDouble
+        dp += x * y; nq += x * x; nr += y * y
+        j += 1
+      }
+      s += 1
+    }
+    val d = math.sqrt(nq) * math.sqrt(nr)
+    if (d == 0.0) 0.0 else dp / d
+  }
 }
 
 /** How a centroid matrix reaches executors. Both forms keep the PLAN
@@ -214,6 +272,63 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** How PQ codebooks (M subspaces x K centroids x dsub floats) reach
+  * executors — same design as [[CentroidRef]]: the plan holds an O(1)
+  * reference, never K x M inlined literals. */
+sealed trait CodebookRef extends Serializable {
+  def books: Array[Array[Array[Float]]]
+}
+
+case class InlineCodebooks(rows: Seq[Seq[Seq[Float]]]) extends CodebookRef {
+  @transient override lazy val books: Array[Array[Array[Float]]] =
+    rows.map(_.map(_.toArray).toArray).toArray
+  override def toString: String = s"inline(m=${rows.length})"
+}
+
+case class BroadcastCodebooks(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]])
+    extends CodebookRef {
+  override def books: Array[Array[Array[Float]]] = bc.value
+  override def toString: String = s"broadcast(id=${bc.id})"
+}
+
+/** Product-quantization code of an embedding — ONE long (8-bit codes,
+  * M <= 8 subspaces). The corpus-side compression map of PQ ANN. */
+case class PQEncode64(child: Expression, codebooks: CodebookRef)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+  @transient private lazy val mat: Array[Array[Array[Float]]] = codebooks.books
+  def kernel(v: ArrayData): Long = VectorOps.pqEncode64(v, mat)
+  override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PQEncode64].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PQEncode64 =
+    copy(child = c)
+}
+
+/** cosine(exact query vector, PQ-reconstructed corpus vector) —
+  * asymmetric-distance scoring, whole-stage-codegen'd. */
+case class PQCosine(left: Expression, right: Expression, codebooks: CodebookRef)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pq_cosine"
+  @transient private lazy val mat: Array[Array[Array[Float]]] = codebooks.books
+  def kernel(q: ArrayData, code: Long): Double = VectorOps.pqCosine(q, code, mat)
+  override protected def nullSafeEval(q: Any, code: Any): Any =
+    kernel(q.asInstanceOf[ArrayData], code.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCosine", this, classOf[PQCosine].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"$ref.kernel($q, $c)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PQCosine =
     copy(left = l, right = r)
 }
 

@@ -159,6 +159,30 @@ class PlanSpec extends SparkSpec {
     } finally deleteRecursively(new java.io.File(dir))
   }
 
+  test("PQ scan: corpus never exchanged, code+score kernels on the map side") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = plan(Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+      "embedding", "vec_id"))
+    assert(p.contains("graft_pq_encode") && p.contains("graft_pq_cosine"), p)
+    // same contract as bruteTopK: only the per-query top-k window and
+    // the presentation sort exchange data — the corpus streams once
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    val exchanges = tree.count(l =>
+      l.contains("- Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 2, s"corpus should not shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"), "expected map-side partial top-k")
+  }
+
+  test("t_stratified: map-side per-source top-k (WindowGroupLimit), single scan") {
+    val p = plan(operators.Pipeline.tStratified.fn(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit filter should plan map-side partial top-k:\n$p")
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("Scan parquet")) === 1, s"single scan:\n$p")
+    assert(tree.count(_.contains("- Exchange")) === 2,
+      s"expected source-window + presentation-sort shuffles only:\n$p")
+  }
+
   test("q_approx_distinct: no HLL buffer per distinct key") {
     // the sketch and the exact count must plan as separate aggregations
     // (joined at 3 rows); one combined Aggregate would carry a ~21 KB

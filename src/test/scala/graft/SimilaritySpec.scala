@@ -115,6 +115,55 @@ class SimilaritySpec extends SparkSpec {
     assert(n.toDouble / (1L << auto) <= 64.0 + 1e-9)
   }
 
+  test("PQ encode packs valid per-subspace codes; reconstruction beats random pairing") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.plans.{BroadcastCodebooks, PQCosine, PQEncode64}
+    val books = Similarity.trainCodebooks(emb, "embedding", "vec_id",
+      m = 8, ksub = 256, iters = 5, sampleCap = 2048)
+    assert(books.length === 8)
+    assert(books.forall(_.length <= 256))
+    assert(books.forall(_.forall(_.length === 8))) // 64-dim / 8 subspaces
+    val ref = BroadcastCodebooks(spark.sparkContext.broadcast(books))
+    // ADC self-cosine: a vector scored against its own code must sit
+    // near 1 (the reconstruction is the vector's nearest codeword mix)
+    val self = emb.limit(100).select(
+      Bridge.column(PQCosine(Bridge.expression(col("embedding")),
+        Bridge.expression(Bridge.column(PQEncode64(
+          Bridge.expression(col("embedding")), ref))), ref)).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => c > 0.8 && c <= 1.0 + 1e-9),
+      s"ADC self-cosine too lossy: min=${self.min}")
+  }
+
+  test("PQ top-k: shape, ordering, and rerank recall vs brute") {
+    val got = Similarity.pqTopK(emb, queries, "embedding", "vec_id", k = 5).collect()
+    assert(got.length === 50)
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.keySet === (0L until 10L).toSet)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.head >= p.last))
+      assert(sorted.forall(r => r.getLong(1) != r.getLong(0)))
+    }
+    val brute = Similarity.bruteTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the reranked path returns EXACT cosines for its survivors and
+    // must recover most of the true top-5 through the 100-deep shortlist
+    val reranked = Similarity
+      .pqTopK(emb, queries, "embedding", "vec_id", k = 5, rerank = 100)
+      .collect()
+    val rrPairs = reranked.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect rrPairs).size.toDouble / brute.size
+    assert(recall >= 0.7, s"PQ rerank recall vs brute too low: $recall")
+    // reranked scores are true cosines: spot-check one against kernel
+    val bruteCos = Similarity.bruteTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    reranked.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+  }
+
   test("IVF default list count is corpus-sized (autoNlist wiring)") {
     // ~sqrt(n), clamped: per-list occupancy and per-query scan cost
     // both grow as sqrt(n) instead of linearly with a fixed nlist
