@@ -218,8 +218,13 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
       m: Int = 8, ksub: Int = 256, iters: Int = 5,
-      sampleCap: Int = 2048, rerank: Int = 0): DataFrame = {
-    val books = trainCodebooks(corpus, vecCol, idCol, m, ksub, iters, sampleCap)
+      sampleCap: Int = 2048, rerank: Int = 0,
+      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    // a production job trains once (trainCodebooks), materializes the
+    // codes table once (pqEncode), and passes the books back in here —
+    // the default trains fresh, the self-contained benchmark shape
+    val books = codebooks.getOrElse(
+      trainCodebooks(corpus, vecCol, idCol, m, ksub, iters, sampleCap))
     val ref = BroadcastCodebooks(
       corpus.sparkSession.sparkContext.broadcast(books))
     val codes = corpus.select(col(idCol).as("neighbor_id"),
@@ -267,19 +272,24 @@ object Similarity {
   }
 
   /** Per-subspace L2 k-means codebooks from a deterministic id-prefix
-    * sample. Driver-side: sampleCap x dim floats collected once (~0.5
-    * MB at the defaults), then Lloyd on the sample — KB-scale CPU,
-    * zero extra distributed passes. Deterministic: sample order and
+    * sample — the train-ONCE artifact of the PQ production workflow
+    * (train here, materialize codes via [[pqEncode]], pass the books
+    * back into [[pqTopK]]'s `codebooks` so queries never retrain).
+    * Driver-side: sampleCap x dim floats collected once (~0.5 MB at
+    * the defaults), then Lloyd on the sample — KB-scale CPU, zero
+    * extra distributed passes. Deterministic: sample order and
     * first-k init carry no randomness. */
-  private[graft] def trainCodebooks(corpus: DataFrame, vecCol: String,
-      idCol: String, m: Int, ksub: Int, iters: Int,
-      sampleCap: Int): Array[Array[Array[Float]]] = {
+  def trainCodebooks(corpus: DataFrame, vecCol: String,
+      idCol: String, m: Int = 8, ksub: Int = 256, iters: Int = 5,
+      sampleCap: Int = 2048): Array[Array[Array[Float]]] = {
     require(ksub <= 256 && m <= 8, "PQEncode64 packs 8-bit codes into one long")
     import org.apache.spark.sql.Row
     val sample: Array[Array[Float]] = corpus
       .select(col(vecCol)).orderBy(col(idCol)).limit(sampleCap)
       .collect().map { case Row(v: scala.collection.Seq[_]) =>
         v.map(_.asInstanceOf[Float]).toArray }
+    require(sample.nonEmpty,
+      "graft: PQ codebook training needs a non-empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m

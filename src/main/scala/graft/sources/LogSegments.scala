@@ -123,13 +123,19 @@ object LogSegments {
     // (bad magic, corrupt record #0 detected by the eager first
     // advance) must close the stream itself — the caller never gets a
     // handle to close
+    // close failures are swallowed on these error paths: the original
+    // exception (bad magic, corrupt record) names file/record/CRCs and
+    // must reach the caller, not be masked by a failing close() on the
+    // same broken device
+    def closeQuietly(): Unit =
+      try in.close() catch { case scala.util.control.NonFatal(_) => () }
     val checked =
       try {
         val magic = in.readInt()
         require(magic == Magic || magic == Magic2,
           s"graft: ${f.getPath} is not a segment file")
         magic == Magic2
-      } catch { case e: Throwable => in.close(); throw e }
+      } catch { case e: Throwable => closeQuietly(); throw e }
     new RecordIterator {
       private val crc = new RecordCrc
       private var recordIndex = -1L
@@ -154,7 +160,8 @@ object LogSegments {
           nextRec = (k, v, offset, tsMs)
         } catch {
           case _: EOFException => done = true; in.close()
-          case scala.util.control.NonFatal(e) => done = true; in.close(); throw e
+          case scala.util.control.NonFatal(e) =>
+            done = true; closeQuietly(); throw e
         }
       advance()
       override def hasNext: Boolean = !done

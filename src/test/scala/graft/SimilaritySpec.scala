@@ -133,6 +133,16 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(self.forall(c => c > 0.8 && c <= 1.0 + 1e-9),
       s"ADC self-cosine too lossy: min=${self.min}")
+    // the inline ref computes exactly what the broadcast ref does
+    // (same parity contract as the centroids test)
+    import graft.plans.InlineCodebooks
+    val inlineRef = InlineCodebooks(
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    def codes(r: graft.plans.CodebookRef) = emb.limit(50)
+      .select(col("vec_id"), Bridge.column(PQEncode64(
+        Bridge.expression(col("embedding")), r)).as("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(codes(inlineRef) === codes(ref))
   }
 
   test("PQ top-k: shape, ordering, and rerank recall vs brute") {
@@ -162,6 +172,13 @@ class SimilaritySpec extends SparkSpec {
       bruteCos.get((r.getLong(0), r.getLong(1)))
         .foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
     }
+    // production path: precomputed codebooks (train once, query many)
+    // reproduce the self-contained default exactly
+    val books = Similarity.trainCodebooks(emb, "embedding", "vec_id")
+    val reused = Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+        k = 5, codebooks = Some(books))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(reused === got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
   test("IVF default list count is corpus-sized (autoNlist wiring)") {
