@@ -219,18 +219,28 @@ object Similarity {
       vecCol: String, idCol: String, k: Int = 5,
       m: Int = 8, ksub: Int = 256, iters: Int = 5,
       sampleCap: Int = 2048, rerank: Int = 0,
-      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+      codebooks: Option[Array[Array[Array[Float]]]] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
     // a production job trains once (trainCodebooks), materializes the
-    // codes table once (pqEncode), and passes the books back in here —
-    // the default trains fresh, the self-contained benchmark shape
+    // codes table once (pqEncode), and passes BOTH back in here so the
+    // scan reads 8-byte codes, never raw vectors — the default trains
+    // and encodes fresh, the self-contained benchmark shape. `codes`
+    // expects (idCol, code) as pqEncode produces. The codebook
+    // broadcast stays referenced by the returned plan, so like
+    // ivfTopK's centroid broadcast it is GC-managed, not destroyed.
+    require(codes.isEmpty || codebooks.isDefined,
+      "graft: a precomputed codes table needs the codebooks it was encoded with")
     val books = codebooks.getOrElse(
       trainCodebooks(corpus, vecCol, idCol, m, ksub, iters, sampleCap))
+    validateBooks(books)
     val ref = BroadcastCodebooks(
       corpus.sparkSession.sparkContext.broadcast(books))
-    val codes = corpus.select(col(idCol).as("neighbor_id"),
-      Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), ref)).as("code"))
+    val codesDf = codes
+      .map(_.select(col(idCol).as("neighbor_id"), col("code")))
+      .getOrElse(corpus.select(col(idCol).as("neighbor_id"),
+        Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), ref)).as("code")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val scored = codes.crossJoin(broadcast(q))
+    val scored = codesDf.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(Bridge.column(PQCosine(Bridge.expression(col("qv")),
@@ -265,10 +275,28 @@ object Similarity {
     * vectors. Pure map-side projection. */
   def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
       books: Array[Array[Array[Float]]]): DataFrame = {
+    validateBooks(books)
     val ref = BroadcastCodebooks(
       corpus.sparkSession.sparkContext.broadcast(books))
     corpus.select(col(idCol),
       Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), ref)).as("code"))
+  }
+
+  /** Injected codebooks must satisfy the PQEncode64 packing invariants
+    * that trainCodebooks guarantees by construction: a 9th subspace
+    * would wrap its 8*8-bit shift to 0 and silently overwrite subspace
+    * 0's code, a 257th centroid would have its index truncated by the
+    * 8-bit mask — both produce silently wrong neighbors, so they are
+    * rejected here. Vector-dim tiling is checked per row in the kernel
+    * (the dim is not knowable driver-side from the schema). */
+  private def validateBooks(books: Array[Array[Array[Float]]]): Unit = {
+    require(books.nonEmpty && books.length <= 8,
+      s"graft: PQ needs 1..8 codebooks (one long, 8-bit codes); got ${books.length}")
+    require(books.forall(b => b.nonEmpty && b.length <= 256),
+      "graft: PQ codebooks must hold 1..256 centroids each")
+    val dsub = books(0)(0).length
+    require(books.forall(_.forall(_.length == dsub)),
+      "graft: PQ codebook centroids must share one subspace width")
   }
 
   /** Per-subspace L2 k-means codebooks from a deterministic id-prefix

@@ -115,6 +115,10 @@ object VectorOps {
   def pqEncode64(v: ArrayData, books: Array[Array[Array[Float]]]): Long = {
     val m = books.length
     val dsub = v.numElements() / m
+    if (dsub * m != v.numElements() || dsub != books(0)(0).length)
+      throw new IllegalArgumentException(
+        s"graft: PQ codebooks (m=$m, dsub=${books(0)(0).length}) do not " +
+          s"tile a ${v.numElements()}-dim vector")
     var code = 0L
     var s = 0
     while (s < m) {
@@ -146,6 +150,10 @@ object VectorOps {
   def pqCosine(q: ArrayData, code: Long, books: Array[Array[Array[Float]]]): Double = {
     val m = books.length
     val dsub = q.numElements() / m
+    if (dsub * m != q.numElements() || dsub != books(0)(0).length)
+      throw new IllegalArgumentException(
+        s"graft: PQ codebooks (m=$m, dsub=${books(0)(0).length}) do not " +
+          s"tile a ${q.numElements()}-dim query vector")
     var dp = 0.0; var nq = 0.0; var nr = 0.0
     var s = 0
     while (s < m) {

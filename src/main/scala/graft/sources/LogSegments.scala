@@ -159,7 +159,10 @@ object LogSegments {
           }
           nextRec = (k, v, offset, tsMs)
         } catch {
-          case _: EOFException => done = true; in.close()
+          // EOF is the NORMAL end of a healthy scan: a close() failure
+          // here must not throw out of next() and lose the final
+          // already-decoded record
+          case _: EOFException => done = true; closeQuietly()
           case scala.util.control.NonFatal(e) =>
             done = true; closeQuietly(); throw e
         }

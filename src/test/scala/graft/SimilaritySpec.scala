@@ -172,13 +172,29 @@ class SimilaritySpec extends SparkSpec {
       bruteCos.get((r.getLong(0), r.getLong(1)))
         .foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
     }
-    // production path: precomputed codebooks (train once, query many)
-    // reproduce the self-contained default exactly
+    // production path: train once, materialize codes once, query many —
+    // the codes-table scan reproduces the self-contained default exactly
     val books = Similarity.trainCodebooks(emb, "embedding", "vec_id")
-    val reused = Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+    val codes = Similarity.pqEncode(emb, "embedding", "vec_id", books)
+    assert(codes.columns.toSeq === Seq("vec_id", "code"))
+    val expect = got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBooks = Similarity.pqTopK(emb, queries, "embedding", "vec_id",
         k = 5, codebooks = Some(books))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(reused === got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    assert(viaBooks === expect)
+    val viaCodes = Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+        k = 5, codebooks = Some(books), codes = Some(codes))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaCodes === expect)
+    // invariant-breaking injected books are rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+        codebooks = Some(Array.fill(9)(Array(Array(0f)))))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+        codes = Some(codes)) // codes without their codebooks
+    }
   }
 
   test("IVF default list count is corpus-sized (autoNlist wiring)") {
