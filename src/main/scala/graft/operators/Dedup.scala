@@ -199,6 +199,37 @@ object Dedup {
     }
   }
 
+  /** Exact-substring near-dup pairs: documents sharing at least one
+    * EXACT `windowTokens`-token window — the strongest-signal dedup in
+    * LLM training practice (verbatim passage reuse survives the edits
+    * that break whole-document similarity). Returns (id_a, id_b,
+    * n_shared) with the count of distinct shared windows.
+    *
+    * Shuffle-bounded by construction: per-doc windows dedup MAP-SIDE
+    * (array_distinct before the explode), the document-frequency cap
+    * is one window count over the gram key, and the pair join reuses
+    * that same gram partitioning (ReusedExchange — pinned in
+    * PlanSpec), so candidate volume per gram is <= maxDf^2, bounded.
+    * `maxDf` drops boilerplate windows (licenses, headers) that would
+    * otherwise pair everything with everything — the standard
+    * posting-list cap of suffix-array dedup pipelines; capped grams
+    * are exactly reproducible by the SQL oracle, unlike a sampled or
+    * probabilistic guard. */
+  def sharedWindowPairs(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 8, maxDf: Long = 20L): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(array_distinct(Bridge.column(HashedWordShingles(
+        Bridge.expression(col(textCol)), windowTokens)))).as("g"))
+    val w = Window.partitionBy(col("g"))
+    val capped = grams.withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= maxDf).drop("_df")
+    capped.as("l")
+      .join(capped.as("r"),
+        col("l.g") === col("r.g") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact all-pairs cosine ground truth — the verification baseline
     * for [[embeddingPairs]], NOT a scale path: the corpus rides as one
     * broadcast against itself (fine while n x dim floats fit an

@@ -743,6 +743,33 @@ object Pipeline {
              TRUE AS bucket_exact_ok, TRUE AS token_sim_ok
       FROM documents"""))
 
+  /** Exact-substring dedup pairs ([[Dedup.sharedWindowPairs]]): docs
+    * sharing >= 1 exact 8-token window, df-capped postings (<= 20).
+    * The oracle recomputes every capped string-window pair
+    * brute-force, so the hashed-gram path must match it exactly
+    * (hash equality == string equality modulo 64-bit collisions). */
+  val dDedupWindow: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Dedup.sharedWindowPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct([array_to_string(toks[CAST(x AS INT):CAST(x AS INT)+7], ' ')
+                                        for x in range(1, len(toks) - 6)]) END AS sh
+        FROM t),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      keep AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 20),
+      ee AS (SELECT e.doc_id, e.s FROM e JOIN keep USING (s))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM ee a JOIN ee b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      ORDER BY id_a, id_b"""))
+
   /** Oracle is brute-force exact: every pair with char-4-gram Jaccard
     * >= 0.7 via an inverted gram index (n_inter from a gram equi-join,
     * union from set sizes). The LSH-blocked Spark plan must therefore
@@ -1291,6 +1318,7 @@ object Pipeline {
     "d_dedup_simhash" -> dDedupSimhash,
     "d_dedup_simhash_recall" -> dDedupSimhashRecall,
     "d_dedup_ngram" -> dDedupNgram,
+    "d_dedup_window" -> dDedupWindow,
     "d_dedup_clusters" -> dDedupClusters,
     "s_ingest_dedup" -> sIngestDedup,
     "d_dedup_embed" -> dDedupEmbed,

@@ -183,6 +183,33 @@ class PlanSpec extends SparkSpec {
       s"expected source-window + presentation-sort shuffles only:\n$p")
   }
 
+  test("d_dedup_window: the pair join reuses the gram partitioning when not broadcast") {
+    // at test SF the df-capped side is small enough that AQE broadcasts
+    // it; at scale the join falls back to sort-merge on the gram key,
+    // where both sides are the IDENTICAL capped-grams subplan — the
+    // gram exchange must be computed once and REUSED, not scanned and
+    // shuffled twice
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // AQE performs exchange reuse at RUNTIME — it shows in the final
+      // adaptive plan after execution, not in the initial explain
+      // (collect, not a noop write: the write command would build its
+      // OWN QueryExecution and leave this one unfinalized)
+      val df = operators.Pipeline.dDedupWindow.fn(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"),
+        s"expected the capped-grams exchange to be reused:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_approx_distinct: no HLL buffer per distinct key") {
     // the sketch and the exact count must plan as separate aggregations
     // (joined at 3 rows); one combined Aggregate would carry a ~21 KB
