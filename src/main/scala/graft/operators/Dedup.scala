@@ -205,11 +205,12 @@ object Dedup {
     * that break whole-document similarity). Returns (id_a, id_b,
     * n_shared) with the count of distinct shared windows.
     *
-    * Shuffle-bounded by construction: per-doc windows dedup MAP-SIDE
-    * (array_distinct before the explode), the document-frequency cap
-    * is one window count over the gram key, and the pair join reuses
-    * that same gram partitioning (ReusedExchange — pinned in
-    * PlanSpec), so candidate volume per gram is <= maxDf^2, bounded.
+    * Shuffle-bounded by construction: the shingle kernel already
+    * returns each doc's windows sorted-DISTINCT (map-side, no dedup
+    * shuffle), the document-frequency cap is one window count over
+    * the gram key, and the pair join reuses that same gram
+    * partitioning (ReusedExchange — pinned in PlanSpec), so candidate
+    * volume per gram is <= maxDf^2, bounded.
     * `maxDf` drops boilerplate windows (licenses, headers) that would
     * otherwise pair everything with everything — the standard
     * posting-list cap of suffix-array dedup pipelines; capped grams
@@ -218,8 +219,8 @@ object Dedup {
   def sharedWindowPairs(df: DataFrame, textCol: String, idCol: String,
       windowTokens: Int = 8, maxDf: Long = 20L): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
-      explode(array_distinct(Bridge.column(HashedWordShingles(
-        Bridge.expression(col(textCol)), windowTokens)))).as("g"))
+      explode(Bridge.column(HashedWordShingles(
+        Bridge.expression(col(textCol)), windowTokens))).as("g"))
     val w = Window.partitionBy(col("g"))
     val capped = grams.withColumn("_df", count(lit(1)).over(w))
       .filter(col("_df") <= maxDf).drop("_df")

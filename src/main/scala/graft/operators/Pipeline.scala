@@ -423,17 +423,8 @@ object Pipeline {
           (coalesce(col("n_bench_hits"), lit(0L)) > 0).as("contaminated"))
         .orderBy(col("doc_id"))
     },
-    oracle = Some("""
-      WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        FROM documents),
-      g AS (
-        SELECT doc_id,
-               CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
-                    ELSE list_distinct([array_to_string(toks[CAST(x AS INT):CAST(x AS INT)+7], ' ')
-                                        for x in range(1, len(toks) - 6)]) END AS sh
-        FROM t),
-      e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+    oracle = Some(s"""
+      WITH ${wordWindowSql(8)},
       b AS (SELECT doc_id AS bench_id, s FROM e WHERE doc_id < 20),
       hits AS (
         SELECT e.doc_id, count(DISTINCT b.bench_id) AS n_bench_hits,
@@ -638,22 +629,32 @@ object Pipeline {
       FROM documents
       ORDER BY doc_id"""))
 
-  /** Shared oracle fragment: brute-force word-3-shingle Jaccard pairs
-    * at threshold 0.5 via an inverted shingle index. The hashed-shingle
-    * Jaccard the Spark kernel computes equals string-shingle Jaccard
-    * (64-bit fnv1a collisions aside), and the LSH blocking must reach
-    * 100% recall on the planted near-dups for the hash check to pass —
-    * the oracle verifies recall, not just precision. */
-  private val shinglePairsSql: String = """t AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  /** Shared oracle tokenization: DuckDB CTEs t/g/e producing
+    * e(doc_id, s) — each doc's DISTINCT k-token word windows as
+    * strings, the oracle-side mirror of TextOps.hashedWordShingles
+    * (which hashes the same windows; 64-bit fnv1a collisions aside,
+    * string equality == hash equality). ONE definition serves every
+    * window-based oracle (3-shingle Jaccard, 8-gram contamination,
+    * 8-token substring dedup) so the tokenization contract — trim +
+    * lower + whitespace split + whole-doc fallback under k tokens —
+    * can only be edited in sync. */
+  private def wordWindowSql(k: Int): String = s"""t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
         FROM documents),
       g AS (
         SELECT doc_id,
-               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                    ELSE list_distinct([toks[CAST(x AS INT)] || ' ' || toks[CAST(x AS INT)+1] || ' ' || toks[CAST(x AS INT)+2]
-                                        for x in range(1, len(toks) - 1)]) END AS sh
+               CASE WHEN len(toks) < $k THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct([array_to_string(toks[CAST(x AS INT):CAST(x AS INT)+${k - 1}], ' ')
+                                        for x in range(1, len(toks) - ${k - 2})]) END AS sh
         FROM t),
-      e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM g)"""
+
+  /** Shared oracle fragment: brute-force word-3-shingle Jaccard pairs
+    * at threshold 0.5 via an inverted shingle index (tokenization from
+    * [[wordWindowSql]]). The LSH blocking must reach 100% recall on
+    * the planted near-dups for the hash check to pass — the oracle
+    * verifies recall, not just precision. */
+  private val shinglePairsSql: String = s"""${wordWindowSql(3)},
       sizes AS (SELECT doc_id, len(sh) AS sz FROM g),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -752,17 +753,8 @@ object Pipeline {
     fn = (s, dir) =>
       Dedup.sharedWindowPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("id_a"), col("id_b")),
-    oracle = Some("""
-      WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        FROM documents),
-      g AS (
-        SELECT doc_id,
-               CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
-                    ELSE list_distinct([array_to_string(toks[CAST(x AS INT):CAST(x AS INT)+7], ' ')
-                                        for x in range(1, len(toks) - 6)]) END AS sh
-        FROM t),
-      e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+    oracle = Some(s"""
+      WITH ${wordWindowSql(8)},
       keep AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 20),
       ee AS (SELECT e.doc_id, e.s FROM e JOIN keep USING (s))
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared

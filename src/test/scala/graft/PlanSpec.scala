@@ -13,6 +13,18 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  /** Run `body` under temporary session confs, restoring (or
+    * unsetting) each on the way out so no test leaks conf state. */
+  private def withConfs(confs: Seq[(String, String)])(body: => Unit): Unit = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q1: shipdate filter and column pruning reach the parquet scan") {
     val p = plan(Relational.q1Agg.fn(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
@@ -189,12 +201,9 @@ class PlanSpec extends SparkSpec {
     // where both sides are the IDENTICAL capped-grams subplan — the
     // gram exchange must be computed once and REUSED, not scanned and
     // shuffled twice
-    val confs = Seq(
+    withConfs(Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")) {
       // AQE performs exchange reuse at RUNTIME — it shows in the final
       // adaptive plan after execution, not in the initial explain
       // (collect, not a noop write: the write command would build its
@@ -204,9 +213,6 @@ class PlanSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange"),
         s"expected the capped-grams exchange to be reused:\n$p")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
@@ -258,16 +264,13 @@ class PlanSpec extends SparkSpec {
     val docs = (1L to 1000L)
       .map(i => (i, ("the " * 400) + s"unique$i tail"))
       .toDF("doc_id", "text")
-    val confs = Seq(
+    withConfs(Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")) {
       assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
       val toks = docs.select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
@@ -288,9 +291,6 @@ class PlanSpec extends SparkSpec {
       val executed = scored.queryExecution.executedPlan.toString
       assert(executed.contains("BroadcastHashJoin"),
         s"expected the vocab head on a broadcast join:\n$executed")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
