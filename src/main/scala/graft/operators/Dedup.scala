@@ -215,7 +215,14 @@ object Dedup {
     * otherwise pair everything with everything — the standard
     * posting-list cap of suffix-array dedup pipelines; capped grams
     * are exactly reproducible by the SQL oracle, unlike a sampled or
-    * probabilistic guard. */
+    * probabilistic guard.
+    *
+    * The windows are 64-bit fnv1a hashes, so a hash collision cuts both
+    * ways: it can pair two unrelated documents (spurious candidate) AND
+    * it can merge two distinct windows' postings, pushing a legitimate
+    * gram over `maxDf` and losing its true pairs. Both effects carry
+    * probability ~n_windows^2 / 2^64 — negligible at any corpus the cap
+    * itself is sane for, so neither is mitigated in code. */
   def sharedWindowPairs(df: DataFrame, textCol: String, idCol: String,
       windowTokens: Int = 8, maxDf: Long = 20L): DataFrame = {
     val grams = df.select(col(idCol).as("id"),

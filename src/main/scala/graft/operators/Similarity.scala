@@ -236,7 +236,22 @@ object Similarity {
     val ref = BroadcastCodebooks(
       corpus.sparkSession.sparkContext.broadcast(books))
     val codesDf = codes
-      .map(_.select(col(idCol).as("neighbor_id"), col("code")))
+      .map { df =>
+        // codes encoded with DIFFERENT books score silently wrong — the
+        // one failure mode validateBooks cannot see. pqEncode stamps a
+        // fingerprint of its books into the code column's metadata
+        // (parquet round-trips it); verify it whenever it survived.
+        df.schema.find(_.name == "code")
+          .filter(_.metadata.contains(BooksFingerprintKey))
+          .foreach { f =>
+            val stamped = f.metadata.getString(BooksFingerprintKey)
+            require(stamped == bookFingerprint(books),
+              "graft: the supplied codes table was encoded with different " +
+                s"codebooks (codes stamped $stamped, books hash " +
+                s"${bookFingerprint(books)}) — re-encode via pqEncode")
+          }
+        df.select(col(idCol).as("neighbor_id"), col("code"))
+      }
       .getOrElse(corpus.select(col(idCol).as("neighbor_id"),
         Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), ref)).as("code")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -278,8 +293,38 @@ object Similarity {
     validateBooks(books)
     val ref = BroadcastCodebooks(
       corpus.sparkSession.sparkContext.broadcast(books))
+    // stamp the books' fingerprint into the column metadata so pqTopK
+    // can reject a codes table paired with the wrong codebooks; Spark
+    // persists field metadata through parquet write/read
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(BooksFingerprintKey, bookFingerprint(books)).build()
     corpus.select(col(idCol),
-      Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), ref)).as("code"))
+      Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), ref))
+        .as("code", meta))
+  }
+
+  /** Column-metadata key carrying the fingerprint of the codebooks a
+    * codes table was encoded with. */
+  val BooksFingerprintKey: String = "graft.pq.books"
+
+  /** Deterministic fingerprint of a codebook set: MD5 over every float
+    * bit pattern (plus shape), so any retrained or edited book — even
+    * one equal in shape — hashes differently. */
+  def bookFingerprint(books: Array[Array[Array[Float]]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    def addInt(i: Int): Unit = {
+      buf.clear(); buf.putInt(i); md.update(buf.array(), 0, 4)
+    }
+    addInt(books.length)
+    books.foreach { b =>
+      addInt(b.length)
+      b.foreach { c =>
+        addInt(c.length)
+        c.foreach(f => addInt(java.lang.Float.floatToIntBits(f)))
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Injected codebooks must satisfy the PQEncode64 packing invariants

@@ -37,6 +37,15 @@ object LogSegments {
       s"graft: corrupt segment record #$recordIndex in $path " +
         f"(stored crc 0x$stored%08x, computed 0x$computed%08x)")
 
+  /** A v2 segment that ends mid-record. Every whole v2 record ends in
+    * its CRC, so a file exhausted after a record has started is
+    * detectable truncation (crash-torn tail, partial copy), not a
+    * clean end-of-log — it raises like a CRC mismatch does. */
+  final class TruncatedRecordException(path: String, recordIndex: Long)
+    extends java.io.IOException(
+      s"graft: truncated segment record #$recordIndex in $path " +
+        "(file ends mid-record)")
+
   /** Incremental CRC32 over the exact on-disk record encoding.
     * One instance per segment file — allocation-free per record. */
   private final class RecordCrc {
@@ -119,10 +128,10 @@ object LogSegments {
     * Closes itself at EOF. */
   def readFile(f: File): RecordIterator = {
     val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(f)))
-    // any failure from here until the iterator is handed to the caller
-    // (bad magic, corrupt record #0 detected by the eager first
-    // advance) must close the stream itself — the caller never gets a
-    // handle to close
+    // a bad-magic failure must close the stream itself — the caller
+    // never gets a handle to close. (A corrupt record #0 found by the
+    // eager first advance also closes the stream itself, then raises
+    // from the first next() via the pending-error slot below.)
     // close failures are swallowed on these error paths: the original
     // exception (bad magic, corrupt record) names file/record/CRCs and
     // must reach the caller, not be masked by a failing close() on the
@@ -141,37 +150,66 @@ object LogSegments {
       private var recordIndex = -1L
       private var nextRec: (Array[Byte], Array[Byte], Long, Long) = _
       private var done = false
-      private def advance(): Unit =
+      // a decode error found while PRE-fetching record i+1 is parked
+      // here and raised only after record i has been handed out — the
+      // eager advance must not cost the caller the last healthy record
+      private var pendingError: Throwable = null
+      private def advance(): Unit = {
+        // the record's first byte separates a clean end-of-log (stream
+        // exhausted exactly at a record boundary → read() returns -1)
+        // from a record that started and was cut off mid-way
+        val first =
+          try in.read()
+          catch { case scala.util.control.NonFatal(e) =>
+            done = true; closeQuietly(); pendingError = e; return }
+        if (first < 0) { done = true; closeQuietly(); return }
+        val idx = recordIndex + 1
         try {
-          def bytes(): Array[Byte] = {
-            val n = in.readInt()
+          def bytes(n: Int): Array[Byte] =
             if (n < 0) null
             else { val b = new Array[Byte](n); in.readFully(b); b }
-          }
-          val k = bytes(); val v = bytes()
+          val kLen = (first << 24) | (in.readUnsignedByte() << 16) |
+            (in.readUnsignedByte() << 8) | in.readUnsignedByte()
+          val k = bytes(kLen); val v = bytes(in.readInt())
           val offset = in.readLong(); val tsMs = in.readLong()
-          recordIndex += 1
+          recordIndex = idx
           if (checked) {
             val stored = in.readInt()
             val computed = crc.of(k, v, offset, tsMs)
             if (stored != computed)
-              throw new CorruptRecordException(f.getPath, recordIndex, stored, computed)
+              throw new CorruptRecordException(f.getPath, idx, stored, computed)
           }
           nextRec = (k, v, offset, tsMs)
         } catch {
-          // EOF is the NORMAL end of a healthy scan: a close() failure
-          // here must not throw out of next() and lose the final
-          // already-decoded record
-          case _: EOFException => done = true; closeQuietly()
+          // v1 has no checksum, so a partial trailing record cannot be
+          // told apart from writer-crash garbage — keep the legacy
+          // tolerance and drop it silently; a close() failure here must
+          // not throw out of next() and lose the final decoded record
+          case _: EOFException if !checked => done = true; closeQuietly()
+          // v2: the record provably started (first byte read), so EOF
+          // here is detectable truncation — raise, like a CRC mismatch
+          case _: EOFException =>
+            done = true; closeQuietly()
+            pendingError = new TruncatedRecordException(f.getPath, idx)
           case scala.util.control.NonFatal(e) =>
-            done = true; closeQuietly(); throw e
+            done = true; closeQuietly(); pendingError = e
         }
+      }
       advance()
-      override def hasNext: Boolean = !done
+      override def hasNext: Boolean = !done || pendingError != null
       override def next(): (Array[Byte], Array[Byte], Long, Long) = {
+        if (done) {
+          if (pendingError != null) {
+            val e = pendingError; pendingError = null; throw e
+          }
+          throw new NoSuchElementException("next on exhausted segment iterator")
+        }
         val r = nextRec; advance(); r
       }
-      override def close(): Unit = if (!done) { done = true; in.close() }
+      override def close(): Unit = {
+        pendingError = null // caller chose to stop; don't raise later
+        if (!done) { done = true; in.close() }
+      }
     }
   }
 }

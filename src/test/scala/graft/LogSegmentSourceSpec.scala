@@ -97,6 +97,51 @@ class LogSegmentSourceSpec extends SparkSpec {
     assert(ex.getMessage.contains(s"#${nClean - 1}"), ex.getMessage)
   }
 
+  test("a v2 segment truncated mid-record raises instead of a silent clean EOF") {
+    val path = java.nio.file.Files.createTempDirectory("graft_seg_trunc").toString
+    LogSegments.write(
+      MessageLog.eventsTopic(spark, sf).filter(col("partition") === 0), path)
+    val seg = new java.io.File(s"$path/topic=events/partition=0").listFiles()
+      .filter(_.getName.endsWith(".gseg")).head
+    val it0 = LogSegments.readFile(seg)
+    val nClean = it0.size
+    assert(nClean > 0)
+    // chop the final record's stored crc in half: the record has
+    // started (lengths, payload, offset, ts all present) but the file
+    // ends before it completes — detectable truncation on v2
+    val raf = new java.io.RandomAccessFile(seg, "rw")
+    try raf.setLength(raf.length() - 2) finally raf.close()
+    var delivered = 0
+    val ex = intercept[LogSegments.TruncatedRecordException] {
+      val it = LogSegments.readFile(seg)
+      try it.foreach(_ => delivered += 1) finally it.close()
+    }
+    assert(ex.getMessage.contains(s"#${nClean - 1}"), ex.getMessage)
+    // every record before the torn tail still arrives
+    assert(delivered === nClean - 1)
+  }
+
+  test("a v1 segment (no crc) keeps the legacy tolerance: partial tail dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_seg_v1").toFile
+    val seg = new java.io.File(dir, "part-legacy.gseg")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(seg))
+    try {
+      out.writeInt(LogSegments.Magic) // v1: no per-record checksum
+      def rec(k: String, v: String, off: Long): Unit = {
+        val kb = k.getBytes("UTF-8"); val vb = v.getBytes("UTF-8")
+        out.writeInt(kb.length); out.write(kb)
+        out.writeInt(vb.length); out.write(vb)
+        out.writeLong(off); out.writeLong(1704067200000L + off)
+      }
+      rec("k0", "v0", 0L); rec("k1", "v1", 1L)
+      // a torn third record: length says 8 bytes, only 3 written
+      out.writeInt(8); out.write("abc".getBytes("UTF-8"))
+    } finally out.close()
+    val it = LogSegments.readFile(seg)
+    val got = try it.map(_._3).toList finally it.close()
+    assert(got === List(0L, 1L)) // whole records only, no exception
+  }
+
   test("stream with maxRecordsPerTrigger catches up in bounded batches") {
     import org.apache.spark.sql.streaming.Trigger
     val path = java.nio.file.Files.createTempDirectory("graft_seg_budget").toString

@@ -80,9 +80,9 @@ class MessageLogSpec extends SparkSpec {
         bytes(8) = (bytes(8) ^ 0x1).toByte
         val bad = new java.io.File(dir, "corrupt.gseg")
         java.nio.file.Files.write(bad.toPath, bytes)
-        // corrupt record #0 throws from the eager first advance inside
-        // readFile itself, which closes its own stream; a later corrupt
-        // record would throw from toList, so close the iterator too
+        // corrupt record #0 is found by the eager first advance (which
+        // closes the stream) and raises from the first next() in toList;
+        // close the iterator too for the no-throw path
         intercept[LogSegments.CorruptRecordException] {
           val badIt = LogSegments.readFile(bad)
           try badIt.toList finally badIt.close()

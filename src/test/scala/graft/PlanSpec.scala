@@ -307,6 +307,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast accept-join:\n$p")
   }
 
+  test("PlanDump normalize: epoch-millis rewrite scoped to state-info lines") {
+    val in =
+      "Arguments: obj#5, state info [ checkpoint = , runId = " +
+        "5f9b1c2d-1234-5678-9abc-def012345678, opId = 0 ] " +
+        "stateStoreCkptIds = None, 1755050000123, false\n" +
+      "Condition : (ts#7L >= 1704067200000)"
+    val out = graft.tools.PlanDump.normalize(in)
+    // the stateful operator's per-run batch timestamp is noise...
+    assert(out.contains("None, ts, false"), out)
+    assert(out.contains("runId = uuid"), out)
+    // ...but a genuine 13-digit query constant must keep diffing, or a
+    // changed constant would hide behind the normalization
+    assert(out.contains("1704067200000"), out)
+  }
+
   test("scalar pipeline stays in whole-stage codegen") {
     val df = Tables.load(spark, sf, "documents")
       .select(functions.MinHash.hashedWordShingles(col("text"), 3).as("sh"))

@@ -195,6 +195,38 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqTopK(emb, queries, "embedding", "vec_id",
         codes = Some(codes)) // codes without their codebooks
     }
+    // codes stamped by pqEncode carry their books' fingerprint: pairing
+    // them with DIFFERENT books (retrained on another sample) must be
+    // rejected — silently wrong neighbors are the failure mode
+    val otherBooks = Similarity.trainCodebooks(
+      emb.filter(col("vec_id") >= 100), "embedding", "vec_id")
+    assert(Similarity.bookFingerprint(otherBooks) !==
+      Similarity.bookFingerprint(books))
+    val exMismatch = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+        k = 5, codebooks = Some(otherBooks), codes = Some(codes))
+    }
+    assert(exMismatch.getMessage.contains("different"), exMismatch.getMessage)
+    // the stamp survives a parquet round trip (production codes table)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_codes").toString
+    codes.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val viaReloaded = Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+        k = 5, codebooks = Some(books), codes = Some(reloaded))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaReloaded === expect)
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+        k = 5, codebooks = Some(otherBooks), codes = Some(reloaded))
+    }
+    // an unstamped codes table (hand-built) is tolerated: nothing to
+    // verify (a bare alias inherits metadata, so strip it explicitly)
+    val unstamped = codes.select(col("vec_id"),
+      col("code").as("code", org.apache.spark.sql.types.Metadata.empty))
+    val viaUnstamped = Similarity.pqTopK(emb, queries, "embedding", "vec_id",
+        k = 5, codebooks = Some(books), codes = Some(unstamped))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaUnstamped === expect)
   }
 
   test("IVF default list count is corpus-sized (autoNlist wiring)") {
