@@ -238,6 +238,58 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Semantic dedup pairs, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus by a small coarse
+    * quantizer (k centroid vectors), then emit within-cluster pairs
+    * whose exact cosine clears `tau` — near-duplicate MEANING, not
+    * near-duplicate text, which catches translations/paraphrases that
+    * every lexical dedup misses. Composes with [[clusters]] for the
+    * keep-one-per-group decision.
+    *
+    * Cluster blocking turns the O(n^2) all-pairs problem into
+    * sum(|cluster|^2) — the whole point of the method. Plan shape at
+    * 100 TB: the k seed vectors ride ONE broadcast into a map-side
+    * score+argmax (partial-aggregated max_by, so the per-vector k
+    * scores collapse before any exchange), and the only data shuffle
+    * is the within-cluster pair join keyed on cluster_id. Every
+    * returned pair carries its EXACT cosine (approximation only
+    * decides which pairs are compared, never their scores — same
+    * verify-exactly contract as the LSH paths).
+    *
+    * The default quantizer is the deterministic id-prefix seed set
+    * (first k vectors by id — same rule as the IVF/PQ quantizer
+    * inits), which keeps the whole operator one declarative plan and
+    * makes it SQL-oracle-able end to end. Assignment ranks by the
+    * ROUNDED (4dp) cosine with seed-id tie-break, so the argmax is
+    * engine-independent. Pass `centroids` (seed_id, sv) to plug in
+    * refined centers (e.g. a trained k-means codebook) — recall vs
+    * the brute pair set rises with centroid quality, precision is 1.0
+    * by construction either way. */
+  def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
+      k: Int = 16, tau: Double = 0.35,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val seeds = centroids.getOrElse(
+      df.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).as("seed_id"), col(vecCol).as("sv")))
+    val scored = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("seed_id"),
+        round(cosine(col("v"), col("sv")), 4).as("cos4"))
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(col("seed_id"),
+        struct(col("cos4"), (-col("seed_id")).as("nid"))).as("cluster_id"))
+    val withVec = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assigned, "vec_id")
+    withVec.as("l")
+      .join(withVec.as("r"),
+        col("l.cluster_id") === col("r.cluster_id") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        col("l.cluster_id").as("cluster_id"),
+        round(cosine(col("l.v"), col("r.v")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** Exact all-pairs cosine ground truth — the verification baseline
     * for [[embeddingPairs]], NOT a scale path: the corpus rides as one
     * broadcast against itself (fine while n x dim floats fit an

@@ -242,6 +242,156 @@ object Pipeline {
       SELECT doc_id, source, pick_hash, rk FROM ranked WHERE rk <= 25
       ORDER BY source, rk"""))
 
+  /** Context-window chunking: split every document into overlapping
+    * 64-token windows on a 48-token stride (16-token overlap) — the
+    * long-document preprocessing step before embedding or training
+    * (a doc longer than the model context becomes ceil((n-64)/48)+1
+    * chunks, each carrying its index and true token count). Pure
+    * map-side explode over one scan — array slice per chunk, no
+    * shuffle, fanout ~n_tokens/stride per doc, linear at any corpus
+    * size; the only exchange is the presentation sort. */
+  val tChunk: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val win = 64; val stride = 48
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L),
+          ceil(greatest(col("n") - win, lit(0L)) / stride))))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(win.toLong), col("n") - col("chunk_idx") * stride)
+            .as("n_chunk_toks"),
+          array_join(slice(col("t"),
+            (col("chunk_idx") * stride + 1).cast("int"), lit(win)), " ")
+            .as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      idx AS (
+        SELECT doc_id, t, n,
+               unnest(generate_series(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS i
+        FROM toks)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             least(CAST(64 AS BIGINT), n - i*48) AS n_chunk_toks,
+             array_to_string(t[(i*48+1):(i*48+64)], ' ') AS chunk
+      FROM idx ORDER BY doc_id, chunk_idx"""))
+
+  /** Deterministic corpus shuffle + sharding — the training-data
+    * EXPORT step: every document gets a shard (first hex char of a
+    * salted md5 → 16 shards here; production sizes nShards to the
+    * target file size) and a reproducible position within its shard
+    * (rank of the same hash), so any engine — or any re-run — lays
+    * out byte-identical training shards with no RNG state. The hash
+    * decorrelates shard and order from doc_id/source/time, which is
+    * the point: training wants well-mixed shards, not insertion order.
+    * Plan shape at 100 TB: assignment is map-side; ONE hash exchange
+    * on shard feeds the per-shard rank window — exactly the shuffle
+    * the shard writer needs anyway (sortWithinPartitions on the
+    * shard key before write). */
+  val tShard: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("shard_key"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), h.as("shard_key"))
+        .withColumn("shard",
+          (expr("locate(substring(shard_key, 1, 1), '0123456789abcdef')") - 1)
+            .cast("long"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    oracle = Some("""
+      WITH b AS (
+        SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+      SELECT doc_id, h AS shard_key,
+             CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT) AS shard,
+             CAST(row_number() OVER (PARTITION BY substring(h, 1, 1)
+               ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM b ORDER BY shard, pos"""))
+
+  /** Statistical-LM quality scoring: train an add-one-smoothed bigram
+    * language model ON the corpus itself and score every document by
+    * its mean negative log-likelihood per bigram — the CCNet/KenLM
+    * perplexity-filter shape (high avg_nll = text unlike the corpus:
+    * gibberish, boilerplate soup, wrong-language fragments). Model and
+    * scores come out of one declarative plan: token/bigram counts are
+    * partial-first aggregations, the vocab size rides a 1-row
+    * broadcast, and scoring joins per-doc DISTINCT bigrams (not
+    * positions) against the count tables. At 100 TB the count joins
+    * shuffle by token — the same Zipf-head caveat as t_rarity, and the
+    * same head-broadcast remedy applies.
+    *
+    * Hash-exactness: each bigram's NLL is quantized to 1e-4 nats
+    * (floor) BEFORE the per-doc weighted sum, so the aggregate is an
+    * integer sum — immune to float summation order in either engine.
+    * The one ln() per distinct bigram is evaluated on an identical,
+    * correctly-rounded quotient of integers; engines' ln may differ in
+    * the last ulp, which flips a floor cell only when the true value
+    * sits within ~1e-12 of a 1e-4 boundary — negligible at any
+    * realistic vocabulary. Perplexity = exp(avg_nll), monotone, so
+    * filters threshold avg_nll directly and no transcendental ever
+    * crosses the hash compare. */
+  val tPerplexity: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("t"))
+      val pos = toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val voc = uni.agg(count(lit(1)).as("v"))
+      val big = pos.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val perdoc = pos.groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("k"))
+      val terms = perdoc.join(big, Seq("w1", "w2"))
+        .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+        .crossJoin(broadcast(voc))
+        .select(col("doc_id"), col("k"),
+          floor(-log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * 10000)
+            .as("nll4"))
+      val agg = terms.groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          (floor(sum(col("k") * col("nll4")).cast("double") / sum(col("k")))
+            / 10000).as("avg_nll"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      uni AS (
+        SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      voc AS (SELECT count(*) AS v FROM uni),
+      pos AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)),
+      big AS (SELECT w1, w2, count(*) AS c2 FROM pos GROUP BY w1, w2),
+      perdoc AS (SELECT doc_id, w1, w2, count(*) AS k FROM pos GROUP BY doc_id, w1, w2),
+      terms AS (
+        SELECT doc_id, k,
+               CAST(floor(-ln((c2 + 1.0)/(c1 + v)) * 10000) AS BIGINT) AS nll4
+        FROM perdoc JOIN big USING (w1, w2) JOIN uni ON perdoc.w1 = uni.w CROSS JOIN voc),
+      agg AS (
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+               floor(CAST(sum(k*nll4) AS DOUBLE) / sum(k)) / 10000 AS avg_nll
+        FROM terms GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+             coalesce(avg_nll, 0.0) AS avg_nll
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
+
   /** Temperature-based data mixing over the `source` column — the
     * standard multilingual/multi-domain rebalancing step before
     * training: per-source sampling weights proportional to
@@ -887,6 +1037,53 @@ object Pipeline {
       SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
       ORDER BY id_a, id_b"""))
 
+  /** SemDeDup on the embeddings table ([[Dedup.semanticPairs]]):
+    * cluster-blocked semantic near-dup pairs, SQL-oracled END TO END —
+    * the oracle replays the deterministic seed quantizer, the rounded
+    * argmax assignment, and every within-cluster cosine, so blocking +
+    * assignment tie-break + codegen'd cosine + thresholding must all
+    * reproduce exactly (hash compare). The id-cap keeps the oracle's
+    * n x k scoring quadratic-free, same convention as d_dedup_embed. */
+  val dSemdedup: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Dedup.semanticPairs(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000),
+        "embedding", "vec_id", k = 16, tau = 0.35)
+        .orderBy(col("id_a"), col("id_b")),
+    oracle = Some("""
+      WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+      seeds AS (
+        SELECT vec_id AS seed_id, embedding AS sv FROM v ORDER BY vec_id LIMIT 16),
+      selems AS (
+        SELECT e.vec_id, s.seed_id,
+               CAST(unnest(e.embedding) AS DOUBLE) AS ve,
+               CAST(unnest(s.sv) AS DOUBLE) AS se
+        FROM v e, seeds s),
+      scored AS (
+        SELECT vec_id, seed_id,
+               round(SUM(ve*se) / (sqrt(SUM(ve*ve)) * sqrt(SUM(se*se))), 4) AS cos4
+        FROM selems GROUP BY vec_id, seed_id),
+      assigned AS (
+        SELECT vec_id, seed_id AS cluster_id FROM (
+          SELECT vec_id, seed_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos4 DESC, seed_id) AS rn
+          FROM scored) WHERE rn = 1),
+      pelems AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, aa.cluster_id,
+               CAST(unnest(a.embedding) AS DOUBLE) AS ae,
+               CAST(unnest(b.embedding) AS DOUBLE) AS be
+        FROM v a JOIN assigned aa ON a.vec_id = aa.vec_id
+             JOIN assigned bb ON aa.cluster_id = bb.cluster_id
+             JOIN v b ON b.vec_id = bb.vec_id
+        WHERE a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT id_a, id_b, cluster_id,
+               round(SUM(ae*be) / (sqrt(SUM(ae*ae)) * sqrt(SUM(be*be))), 4) AS cos
+        FROM pelems GROUP BY id_a, id_b, cluster_id)
+      SELECT id_a, id_b, cluster_id, cos FROM pairs WHERE cos >= 0.35
+      ORDER BY id_a, id_b"""))
+
   // ---- similarity search ----
 
   /** Exact top-k is plain SQL: the oracle recomputes every cosine in
@@ -1300,6 +1497,9 @@ object Pipeline {
     "t_fingerprint_contract" -> tFingerprintContract,
     "t_sample" -> tSample,
     "t_stratified" -> tStratified,
+    "t_chunk" -> tChunk,
+    "t_shard" -> tShard,
+    "t_perplexity" -> tPerplexity,
     "t_curate" -> tCurate,
     "t_mix" -> tMix,
     "t_pack" -> tPack,
@@ -1314,6 +1514,7 @@ object Pipeline {
     "d_dedup_clusters" -> dDedupClusters,
     "s_ingest_dedup" -> sIngestDedup,
     "d_dedup_embed" -> dDedupEmbed,
+    "d_semdedup" -> dSemdedup,
     "d_ann_brute" -> dAnnBrute,
     "d_ann_lsh" -> dAnnLsh,
     "d_ann_ivf" -> dAnnIvf,

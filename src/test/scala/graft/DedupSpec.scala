@@ -151,4 +151,43 @@ class DedupSpec extends SparkSpec {
     val keys = got.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length === keys.length)
   }
+
+  test("semantic pairs: k=1 degenerates to exact all-pairs (one cluster)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val brute = Dedup.bruteEmbeddingPairs(emb, "embedding", "vec_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val one = Dedup.semanticPairs(emb, "embedding", "vec_id", k = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(one === brute) // same pair set, same exact cosines
+  }
+
+  test("semantic pairs: cluster blocking keeps precision 1.0, bounded recall loss") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val brute = Dedup.bruteEmbeddingPairs(emb, "embedding", "vec_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = Dedup.semanticPairs(emb, "embedding", "vec_id", k = 16).collect()
+    assert(got.nonEmpty)
+    // precision 1.0 by construction: every pair is a true pair with its
+    // EXACT brute-force cosine (blocking only decides who gets compared)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(3) >= 0.35 && key._1 < key._2)
+      assert(brute.get(key).contains(r.getDouble(3)), s"not a brute pair: $key")
+    }
+    // unrefined id-prefix seeds still recover a usable share; coarser
+    // blocking (fewer clusters) can only add pairs
+    val recall16 = got.length.toDouble / brute.size
+    assert(recall16 >= 0.15, s"blocking recall collapsed: $recall16")
+    val n4 = Dedup.semanticPairs(emb, "embedding", "vec_id", k = 4).collect().length
+    assert(n4 >= got.length, s"k=4 found $n4 < k=16's ${got.length}")
+    // supplied centroids (the refined-quantizer path) keep the same
+    // precision contract
+    val custom = emb.orderBy(col("vec_id").desc).limit(8)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+    val viaCustom = Dedup.semanticPairs(emb, "embedding", "vec_id",
+      centroids = Some(custom)).collect()
+    viaCustom.foreach { r =>
+      assert(brute.get((r.getLong(0), r.getLong(1))).contains(r.getDouble(3)))
+    }
+  }
 }

@@ -137,6 +137,55 @@ class PlanSpec extends SparkSpec {
       !readSchema.contains("source"), readSchema)
   }
 
+  test("t_chunk: chunk explode is map-side — no data shuffle, single scan") {
+    val p = plan(operators.Pipeline.tChunk.fn(spark, sf))
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("Scan parquet")) === 1, p)
+    // slicing is a per-row array op: the only exchange is the
+    // presentation sort (range), never a hash partition of the corpus
+    def arity(kind: String) =
+      p.linesIterator.count(l => l.contains("Arguments: " + kind))
+    assert(arity("hashpartitioning") === 0 && arity("rangepartitioning") === 1,
+      s"chunking must not shuffle the corpus:\n$p")
+  }
+
+  test("t_shard: ONE hash exchange (the shard window) + presentation sort") {
+    val p = plan(operators.Pipeline.tShard.fn(spark, sf))
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("Scan parquet")) === 1, p)
+    // shard assignment is map-side; the single hash exchange is the
+    // per-shard rank window — the same shuffle a shard writer needs
+    def arity(kind: String) =
+      p.linesIterator.count(l => l.contains("Arguments: " + kind))
+    assert(arity("hashpartitioning") === 1 && arity("rangepartitioning") === 1,
+      s"expected exactly the shard window + sort exchanges:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      readSchema)
+  }
+
+  test("t_perplexity: count aggregations partial-first, vocab size broadcast") {
+    val p = plan(operators.Pipeline.tPerplexity.fn(spark, sf))
+    // unigram/bigram counts must map-side combine before their
+    // exchanges (a Zipf head would otherwise funnel one reducer)...
+    assert(p.contains("partial_count"), s"expected partial aggregation:\n$p")
+    // ...and the 1-row vocab-size aggregate rides a broadcast, never a
+    // corpus-wide exchange
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected vocab broadcast:\n$p")
+  }
+
+  test("d_semdedup: seeds broadcast, per-vector argmax collapses map-side") {
+    val p = plan(operators.Pipeline.dSemdedup.fn(spark, sf))
+    // the k seed vectors must reach the scorer as a broadcast (the
+    // corpus is never exchanged to meet them)...
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected seed broadcast:\n$p")
+    // ...and the n x k score rows collapse to one row per vector BEFORE
+    // the aggregate exchange (partial max_by)
+    assert(p.contains("partial_max_by"), s"expected map-side argmax:\n$p")
+  }
+
   test("s_ingest_dedup: the band join is broadcast — batch AND streaming micro-batch") {
     // batch leg: survivors x reference on band key must plan as a
     // broadcast hash join at this SF — never a sort-merge that
