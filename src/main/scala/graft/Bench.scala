@@ -18,16 +18,18 @@ object Bench {
     * must fit in it whole; full-precision doubles over 81 queries once
     * overflowed it and the line never parsed. Degradation ladder until
     * the line fits `limit`: 2-decimal → 1-decimal → failed list capped
-    * at 8 names (+"+N more" marker) → per-query map restricted to the
-    * SLOWEST K entries that fit, with a "queries_omitted" count. The
-    * headline total stays exact-to-precision through every rung.
-    * Queries that failed every pass appear ONLY in "failed", never in
-    * "queries": their durations are meaningless, and a consumer
-    * diffing run-over-run must not mistake a persistently broken
-    * query for a fast one. */
+    * at 8 names (+"+N more" marker) → sf rendered as its basename
+    * (saves a path prefix; dir layout is fixed, so sf0.1 is
+    * unambiguous) → per-query map restricted to the SLOWEST K entries
+    * that fit, with a "queries_omitted" count. The headline total
+    * stays exact-to-precision through every rung. Queries that failed
+    * every pass appear ONLY in "failed", never in "queries": their
+    * durations are meaningless, and a consumer diffing run-over-run
+    * must not mistake a persistently broken query for a fast one. */
   private[graft] def renderLine(timings: Seq[(String, Double)], total: Double,
       failed: Seq[String], sfDir: String, limit: Int = 1950): String = {
-    def render(dec: Int, failCap: Int, keepQ: Int): String = {
+    val sfShort = new java.io.File(sfDir).getName
+    def render(dec: Int, failCap: Int, keepQ: Int, sfShown: String): String = {
       val kept =
         if (keepQ >= timings.size) timings
         else timings.sortBy(-_._2).take(keepQ).sortBy(_._1)
@@ -46,16 +48,17 @@ object Bench {
             else Nil
           (names ++ extra).mkString(""","failed":[""", ",", "]")
         }
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$omitted$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$omitted$failedJson,"sf":"$sfShown"}"""
     }
-    Iterator((2, Int.MaxValue), (1, Int.MaxValue), (1, 8))
-      .map { case (d, fc) => render(d, fc, timings.size) }
+    Iterator((2, Int.MaxValue, sfDir), (1, Int.MaxValue, sfDir), (1, 8, sfDir),
+        (1, 8, sfShort))
+      .map { case (d, fc, sfr) => render(d, fc, timings.size, sfr) }
       .find(_.length <= limit)
       .getOrElse {
-        // rung 3 already proved keepQ = timings.size too long
-        ((timings.size - 1) to 0 by -1).iterator.map(render(1, 8, _))
+        // the short-sf rung already proved keepQ = timings.size too long
+        ((timings.size - 1) to 0 by -1).iterator.map(render(1, 8, _, sfShort))
           .find(_.length <= limit)
-          .getOrElse(render(1, 0, 0))
+          .getOrElse(render(1, 0, 0, sfShort))
       }
   }
 

@@ -44,6 +44,24 @@ class BenchSpec extends AnyFunSuite {
       assert(js.get("queries").has("q_syn_120"))
   }
 
+  test("sf shortens to its basename before any query is dropped") {
+    // sweep the sizes around the real suite's: wherever the full-path
+    // render overflows, the basename rung must absorb it first — a
+    // query row only drops once even the short form cannot fit
+    for (n <- 80 to 130) {
+      val t = synthetic(n)
+      val line = Bench.renderLine(t, t.map(_._2).sum, Nil, "/root/testdata/sf0.1")
+      assert(line.length <= 1950, s"n=$n overflows: ${line.length}")
+      val js = parse(line)
+      val kept = js.get("queries").size()
+      val omitted = if (js.has("queries_omitted")) js.get("queries_omitted").asInt() else 0
+      assert(kept + omitted === n)
+      if (omitted > 0)
+        assert(js.get("sf").asText() === "sf0.1",
+          s"n=$n dropped queries while sf still carried the full path")
+    }
+  }
+
   test("failed queries are named but never appear in the queries map") {
     val t = synthetic(20)
     val line = Bench.renderLine(t, t.map(_._2).sum,
