@@ -392,6 +392,52 @@ object Pipeline {
              coalesce(avg_nll, 0.0) AS avg_nll
       FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
 
+  /** Per-source corpus report ("data card"): doc and token volumes
+    * plus EXACT token-count percentiles per source — the dataset
+    * statistics a curation run publishes next to its output.
+    * Percentiles are discrete (value at rank ceil(p*n), ordered by
+    * (n_toks, doc_id)) — rank selection is integer-exact in any
+    * engine, where interpolated quantiles would hash-compare two
+    * engines' float midpoints. One hash exchange: the rank window
+    * partitions by source and the groupBy reuses that partitioning
+    * (all-integer aggregates, no second shuffle). */
+  val tStats: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.tokenCountWs(col("text")).as("n_toks"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_toks"), col("doc_id"))
+      val cw = Window.partitionBy(col("source"))
+      toks
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("sum_tokens"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("n_toks")))
+            .as("tok_p50"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("n_toks")))
+            .as("tok_p95"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+      r AS (
+        SELECT source, n_toks,
+               row_number() OVER (PARTITION BY source ORDER BY n_toks, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM d)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+             CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_toks END) AS BIGINT) AS tok_p50,
+             CAST(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN n_toks END) AS BIGINT) AS tok_p95
+      FROM r GROUP BY source ORDER BY source"""))
+
   /** Temperature-based data mixing over the `source` column — the
     * standard multilingual/multi-domain rebalancing step before
     * training: per-source sampling weights proportional to
@@ -1317,6 +1363,36 @@ object Pipeline {
     },
     oracle = Some(recallOracleSql))
 
+  /** IVF-PQ composite ([[Similarity.ivfPqTopK]]): inverted-file
+    * routing + 8-byte-code ADC scan + exact rerank — the production
+    * `IVFx,PQy` index. Raw entry is rows-only (quantizer + codebooks
+    * not SQL-replayable); the recall contract below drives it. */
+  val dAnnIvfPq: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", rerank = 100)
+    },
+    oracle = None)
+
+  /** IVF-PQ reranked recall vs brute at the SAME pinned coarse shape
+    * as d_ann_ivf_recall (nlist=16, nprobe=4 — a quarter of the lists
+    * probed): the ADC shortlist + exact rerank must recover what the
+    * probed lists contain, so recall tracks the IVF-flat contract —
+    * measured 0.90/0.98 at sf0.01/sf0.1, IDENTICAL to flat at both
+    * SFs (the 100-deep shortlist loses nothing the lists hold) — and
+    * pins the same 0.6 floor. */
+  val dAnnIvfPqRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.ivfPqTopK(emb, q, "embedding", "vec_id",
+          nlist = 16, nprobe = 4, rerank = 100),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.6)
+    },
+    oracle = Some(recallOracleSql))
+
   /** The default (8x6) LSH shape targets high-cosine dedup hits; this
     * corpus's exact top-5 sit at background similarity (~0.3-0.4 cos),
     * where 6-bit buckets rarely collide (measured recall 0.32). The
@@ -1500,6 +1576,7 @@ object Pipeline {
     "t_chunk" -> tChunk,
     "t_shard" -> tShard,
     "t_perplexity" -> tPerplexity,
+    "t_stats" -> tStats,
     "t_curate" -> tCurate,
     "t_mix" -> tMix,
     "t_pack" -> tPack,
@@ -1526,6 +1603,8 @@ object Pipeline {
     "d_ann_pq" -> dAnnPq,
     "d_ann_pq_recall" -> dAnnPqRecall,
     "d_ann_pq_fidelity" -> dAnnPqFidelity,
+    "d_ann_ivfpq" -> dAnnIvfPq,
+    "d_ann_ivfpq_recall" -> dAnnIvfPqRecall,
     "d_cluster_kmeans" -> dClusterKmeans,
     "d_knn_label" -> dKnnLabel,
     "t_langid_confusion" -> tLangidConfusion,

@@ -84,13 +84,7 @@ object Similarity {
       Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
     val indexed = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), nearestList(col(vecCol)).as("list_id"))
-    // per query: nprobe nearest centroids -> (query, list_id) fanout;
-    // the interpreted sort/slice runs on the few query rows only
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        posexplode(slice(reverse(array_sort(arrays_zip(
-          Bridge.column(CentroidCosines(Bridge.expression(col(vecCol)), centRef)).as("cos"),
-          sequence(lit(0), lit(nlist - 1)).as("lid")))), 1, nprobe)))
-      .select(col("query_id"), col("qv"), col("col.lid").as("list_id"))
+    val probes = probeLists(queries, vecCol, idCol, centRef, nlist, nprobe)
     val scored = indexed.join(broadcast(probes), Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -98,6 +92,94 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Per query: nprobe nearest centroids -> (query_id, qv, list_id)
+    * fanout; the interpreted sort/slice runs on the few query rows
+    * only. Shared by the IVF-flat and IVF-PQ paths. */
+  private def probeLists(queries: DataFrame, vecCol: String, idCol: String,
+      centRef: CentroidRef, nlist: Int, nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(slice(reverse(array_sort(arrays_zip(
+          Bridge.column(CentroidCosines(Bridge.expression(col(vecCol)), centRef)).as("cos"),
+          sequence(lit(0), lit(nlist - 1)).as("lid")))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("col.lid").as("list_id"))
+
+  /** IVF-PQ: the standard production composite (one inverted-file
+    * route + one 8-byte-code scan — the FAISS `IVFx,PQy` shape). The
+    * coarse quantizer routes each query to its `nprobe` nearest
+    * inverted lists, and WITHIN the probed lists the scan reads PQ
+    * codes scored by the ADC-cosine kernel — so per query the engine
+    * touches ~nprobe/nlist of the corpus at 8 bytes per row instead
+    * of raw vectors: both the selectivity lever (IVF) and the
+    * bytes-per-row lever (PQ) at once. `rerank = C` adds the exact
+    * second stage over the C-deep shortlist, exactly as [[pqTopK]].
+    *
+    * The materialized index is (id, list_id, code) — a map-side
+    * projection of the corpus, no shuffle; queries join it broadcast
+    * on list_id. Both quantizers train driver-side on the same
+    * deterministic sample budget and ride one broadcast each.
+    * `rowHint` skips the AUTO-nlist count() like the other AUTO
+    * paths. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int = 5,
+      nlist: Int = -1, nprobe: Int = 4, lloydIters: Int = 1,
+      m: Int = 8, ksub: Int = 256, pqIters: Int = 5,
+      sampleCap: Int = 2048, rerank: Int = 0,
+      rowHint: Long = -1L): DataFrame = {
+    val nl = if (nlist > 0) nlist
+             else autoNlist(if (rowHint > 0) rowHint else corpus.count())
+    val centroids = trainQuantizer(corpus, vecCol, idCol, nl, lloydIters)
+    val centRef = broadcastCentroids(corpus, centroids)
+    val books = trainCodebooks(corpus, vecCol, idCol, m, ksub, pqIters, sampleCap)
+    val bookRef = BroadcastCodebooks(
+      corpus.sparkSession.sparkContext.broadcast(books))
+    def nearestList(v: Column): Column =
+      Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
+    val indexed = corpus.select(col(idCol).as("neighbor_id"),
+      nearestList(col(vecCol)).as("list_id"),
+      Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), bookRef)).as("code"))
+    val probes = probeLists(queries, vecCol, idCol, centRef, nl, nprobe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = indexed.join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Bridge.column(PQCosine(Bridge.expression(col("qv")),
+          Bridge.expression(col("code")), bookRef)), 4).as("cos_pq"))
+    if (rerank <= 0) {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_pq").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .orderBy(col("query_id"), col("rnk"))
+    } else rerankExact(scored, "cos_pq", corpus, q, vecCol, idCol, k,
+      math.max(rerank, k))
+  }
+
+  /** The exact second stage shared by the PQ paths: keep the top C
+    * candidates per query by approximate score, join ONLY those
+    * (queries x C rows) back to their raw vectors (broadcast
+    * semi-joins — no corpus shuffle), and re-rank to k by exact
+    * cosine. */
+  private def rerankExact(scored: DataFrame, scoreCol: String,
+      corpus: DataFrame, q: DataFrame, vecCol: String, idCol: String,
+      k: Int, c: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
+    val cand = scored.withColumn("_crk", row_number().over(w))
+      .filter(col("_crk") <= c)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= k)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -266,23 +348,8 @@ object Similarity {
       scored.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= k)
         .orderBy(col("query_id"), col("rnk"))
-    else {
-      val c = math.max(rerank, k)
-      val cand = scored.withColumn("_crk", row_number().over(w))
-        .filter(col("_crk") <= c)
-        .select(col("query_id"), col("neighbor_id"))
-      val exact = corpus
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-        .join(broadcast(cand), "neighbor_id")
-        .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qv"), col("cv")), 4).as("cos"))
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      exact.withColumn("rnk", row_number().over(w2).cast("long"))
-        .filter(col("rnk") <= k)
-        .orderBy(col("query_id"), col("rnk"))
-    }
+    else rerankExact(scored, "cos_pq", corpus, q, vecCol, idCol, k,
+      math.max(rerank, k))
   }
 
   /** The PQ codes table — (id, code long): what a production pipeline

@@ -186,6 +186,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max_by"), s"expected map-side argmax:\n$p")
   }
 
+  test("d_ann_ivfpq: corpus maps to (list, code) in place — probes broadcast") {
+    val p = plan(operators.Pipeline.dAnnIvfPq.fn(spark, sf))
+    // both kernels (route + encode) are map-side projections and the
+    // probe fanout arrives broadcast: the corpus itself is never
+    // hash-partitioned to meet the queries
+    assert(p.contains("BroadcastExchange"), s"expected probe broadcast:\n$p")
+    assert(p.contains("graft_nearest_centroid") && p.contains("graft_pq_encode"),
+      s"expected route+encode kernels in the scan projection:\n$p")
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    // three shuffles, none carrying vectors or codes: the ADC-shortlist
+    // window moves narrow (query, neighbor, score) tuples for the
+    // probed fraction, and the rerank window + presentation sort move
+    // only queries x C shortlist rows — the corpus itself streams once
+    // through the route+encode projection and meets the probes broadcast
+    val exchanges = tree.count(l =>
+      l.contains("- Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 3, s"corpus should not shuffle:\n$p")
+  }
+
+  test("t_stats: rank window and groupBy share ONE source exchange") {
+    val p = plan(operators.Pipeline.tStats.fn(spark, sf))
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("Scan parquet")) === 1, p)
+    // the percentile-rank window partitions by source and the final
+    // per-source aggregate reuses that partitioning — a second hash
+    // exchange would mean the groupBy re-shuffled already-grouped data
+    def arity(kind: String) =
+      p.linesIterator.count(l => l.contains("Arguments: " + kind))
+    assert(arity("hashpartitioning") === 1 && arity("rangepartitioning") === 1,
+      s"expected one source exchange + presentation sort:\n$p")
+  }
+
   test("s_ingest_dedup: the band join is broadcast — batch AND streaming micro-batch") {
     // batch leg: survivors x reference on band key must plan as a
     // broadcast hash join at this SF — never a sort-merge that

@@ -229,6 +229,28 @@ class SimilaritySpec extends SparkSpec {
     assert(viaUnstamped === expect)
   }
 
+  test("IVF-PQ composite: routed + coded scan, reranked equals flat IVF") {
+    val got = Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id",
+      nlist = 16, nprobe = 4, rerank = 100).collect()
+    assert(got.length === 50)
+    // rerank returns TRUE cosines: every returned (q, n) pair scores
+    // exactly what brute force says it scores
+    val bruteCos = Similarity.bruteTopK(emb, queries, "embedding", "vec_id",
+        k = 50).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    got.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+    // at this shape the ADC shortlist must not lose anything the
+    // probed lists contain: IVF-PQ reranked == IVF-flat, pair for pair
+    val flat = Similarity.ivfTopK(emb, queries, "embedding", "vec_id",
+        nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotSet === flat)
+  }
+
   test("IVF default list count is corpus-sized (autoNlist wiring)") {
     // ~sqrt(n), clamped: per-list occupancy and per-query scan cost
     // both grow as sqrt(n) instead of linearly with a fixed nlist
