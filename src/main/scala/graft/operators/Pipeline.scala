@@ -438,6 +438,58 @@ object Pipeline {
              CAST(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN n_toks END) AS BIGINT) AS tok_p95
       FROM r GROUP BY source ORDER BY source"""))
 
+  /** Tokenizer-vocabulary build: the top-200 corpus tokens by
+    * frequency with cumulative occurrence counts — the seed-vocab /
+    * coverage-curve step before training a BPE tokenizer ("how many
+    * types cover 90% of tokens?"). The heavy work is one explode +
+    * groupBy(token) shuffle; the top-200 selection is Spark's
+    * distributed TakeOrdered (per-partition partial top-k, no global
+    * sort), so the single-partition rank/cumsum window only ever sees
+    * the 200 selected rows — bounded by construction, same shape as
+    * the PrefixSum offsets window. Totals come from a map-side
+    * sum(token_count) scan, not a second explode. All-integer output
+    * (cum_occ/tot_tokens, not a float coverage ratio) so the hash
+    * compare is ulp-proof. Ties break on (count desc, token) — a
+    * total order, so the 200-boundary is deterministic on any engine.
+    */
+  val tVocab: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val counts = docs
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      val top = counts.orderBy(col("n_occ").desc, col("token")).limit(200)
+      val tot = docs.agg(sum(TF.tokenCountWs(col("text"))).as("tot_tokens"))
+      val w = Window.orderBy(col("n_occ").desc, col("token"))
+      top
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("cum_occ", sum(col("n_occ")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(tot)
+        .select(col("rnk"), col("token"), col("n_occ"), col("cum_occ"),
+          col("tot_tokens"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      cnt AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occ
+        FROM tok GROUP BY token),
+      top AS (
+        SELECT token, n_occ FROM cnt ORDER BY n_occ DESC, token LIMIT 200),
+      tot AS (
+        SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS tot_tokens
+        FROM documents)
+      SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rnk,
+             token, n_occ,
+             CAST(sum(n_occ) OVER (ORDER BY n_occ DESC, token
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_occ,
+             tot_tokens
+      FROM top, tot ORDER BY rnk"""))
+
   /** Temperature-based data mixing over the `source` column — the
     * standard multilingual/multi-domain rebalancing step before
     * training: per-source sampling weights proportional to
@@ -1577,6 +1629,7 @@ object Pipeline {
     "t_shard" -> tShard,
     "t_perplexity" -> tPerplexity,
     "t_stats" -> tStats,
+    "t_vocab" -> tVocab,
     "t_curate" -> tCurate,
     "t_mix" -> tMix,
     "t_pack" -> tPack,

@@ -698,7 +698,117 @@ object Relational {
       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus"""))
 
+  /** SCD-2 validity intervals (temporal versioning): collapse each
+    * user's consecutive run of equal `event_type` into one row with
+    * `[valid_from, valid_to)` — the warehouse "slowly changing
+    * dimension type 2" build, via gaps-and-islands. The change marker
+    * (lag), the island id (running sum), the island aggregate, and
+    * the valid_to lead all key on `user_id` — the island groupBy's
+    * ClusteredDistribution on (user_id, grp) is satisfied by the
+    * window's hashpartitioning(user_id), so the whole build is ONE
+    * hash exchange (PlanSpec-pinned). The open (current) interval
+    * surfaces as a NULL valid_to, as SCD-2 defines it. */
+  val qScd2: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000000").as("ts_ms"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val islands = ev
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(wOrd) === col("event_type"),
+            lit(0L)).otherwise(lit(1L)))
+        .withColumn("grp", sum(col("chg")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(max(col("event_type")).as("event_type"),
+          min(col("ts_ms")).as("valid_from_ms"),
+          count(lit(1)).as("n_events"))
+      islands
+        .withColumn("valid_to_ms",
+          lead(col("valid_from_ms"), 1).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from_ms"))))
+        .select(col("user_id"), col("event_type"), col("valid_from_ms"),
+          col("valid_to_ms"), col("n_events"))
+        .orderBy(col("user_id"), col("valid_from_ms"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
+        FROM events),
+      m AS (
+        SELECT *, CASE WHEN lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts_ms, event_id) = event_type
+               THEN 0 ELSE 1 END AS chg
+        FROM e),
+      g AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM m),
+      i AS (
+        SELECT user_id, grp, max(event_type) AS event_type,
+               min(ts_ms) AS valid_from_ms,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, grp)
+      SELECT user_id, event_type, valid_from_ms,
+             lead(valid_from_ms) OVER (PARTITION BY user_id
+                                       ORDER BY valid_from_ms) AS valid_to_ms,
+             n_events
+      FROM i ORDER BY user_id, valid_from_ms"""))
+
+  /** Ordered-stage funnel: users who did view, then click AFTER that
+    * first view, then purchase AFTER that first qualifying click —
+    * the product-analytics conversion query. Each stage is a per-user
+    * min-timestamp aggregate joined to the previous stage's survivors
+    * (all keyed on user_id — every shuffle in the plan is user-sized,
+    * never event-sized, and each stage's filter pushes to the scan).
+    * Output is the 3-row stage table of surviving user counts. */
+  val qFunnel: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000").as("ts_ms"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_ms") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_ms") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t3"))
+      def stage(df: DataFrame, n: Int, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(n.toLong).as("stage"), lit(name).as("event_type"),
+            col("n_users"))
+      stage(v, 1, "view").unionAll(stage(c, 2, "click"))
+        .unionAll(stage(p, 3, "purchase"))
+        .orderBy(col("stage"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      v AS (
+        SELECT user_id, min(ts_ms) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(ts_ms) AS t2 FROM e JOIN v USING (user_id)
+        WHERE event_type = 'click' AND ts_ms > t1 GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(ts_ms) AS t3 FROM e JOIN c USING (user_id)
+        WHERE event_type = 'purchase' AND ts_ms > t2 GROUP BY e.user_id)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+               CAST(count(*) AS BIGINT) AS n_users FROM v
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM p)
+      ORDER BY stage"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_scd2" -> qScd2,
+    "q_funnel" -> qFunnel,
     "q_grouping_sets" -> qGroupingSets,
     "q_outer_join" -> qOuterJoin,
     "q_collect_agg" -> qCollectAgg,

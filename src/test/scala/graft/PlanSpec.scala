@@ -218,6 +218,50 @@ class PlanSpec extends SparkSpec {
       s"expected one source exchange + presentation sort:\n$p")
   }
 
+  test("q_scd2: the whole gaps-and-islands build rides ONE user exchange") {
+    val p = plan(Relational.qScd2.fn(spark, sf))
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    assert(tree.count(_.contains("Scan parquet")) === 1, p)
+    // lag window, running-sum window, island groupBy (a refinement of
+    // the user partitioning, so ClusteredDistribution is already
+    // satisfied) and the valid_to lead window all share the one
+    // hashpartitioning(user_id); the only other exchange is the
+    // presentation sort
+    def arity(kind: String) =
+      p.linesIterator.count(l => l.contains("Arguments: " + kind))
+    assert(arity("hashpartitioning") === 1 && arity("rangepartitioning") === 1,
+      s"expected one user exchange + presentation sort:\n$p")
+  }
+
+  test("t_vocab: top-k is distributed TakeOrdered, not a global sort") {
+    val p = plan(operators.Pipeline.tVocab.fn(spark, sf))
+    // per-partition partial top-200 (TakeOrderedAndProject) feeds the
+    // bounded 200-row rank/cumsum window — the corpus-sized token
+    // table is never globally sorted
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k:\n$p")
+    def arity(kind: String) =
+      p.linesIterator.count(l => l.contains("Arguments: " + kind))
+    // one token-count exchange; the totals leg is a map-side partial
+    // sum into a SinglePartition 1-row aggregate joined broadcast
+    assert(arity("hashpartitioning") === 1,
+      s"expected only the token groupBy exchange:\n$p")
+  }
+
+  test("q_funnel: stage filters push to the scan; only user-sized tables shuffle") {
+    val p = plan(Relational.qFunnel.fn(spark, sf))
+    for (stage <- Seq("view", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$stage)"),
+        s"expected pushed stage filter for $stage:\n$p")
+    // every exchange input is an aggregate (per-user or 1-row) — the
+    // raw events table itself is never hash-exchanged
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    val exchangeChildren = tree.zipWithIndex.collect {
+      case (l, i) if l.contains("- Exchange") => tree(i + 1)
+    }
+    exchangeChildren.foreach(c =>
+      assert(c.contains("HashAggregate"), s"non-aggregate shuffle input:\n$p"))
+  }
+
   test("s_ingest_dedup: the band join is broadcast — batch AND streaming micro-batch") {
     // batch leg: survivors x reference on band key must plan as a
     // broadcast hash join at this SF — never a sort-merge that
