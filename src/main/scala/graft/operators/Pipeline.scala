@@ -490,6 +490,51 @@ object Pipeline {
              tot_tokens
       FROM top, tot ORDER BY rnk"""))
 
+  /** Per-source length-outlier flags — the "weird documents" audit
+    * before training (truncated docs, concatenation accidents, spam
+    * runs). A doc is an outlier when its token count deviates from
+    * its source's mean by more than 2 standard deviations — but the
+    * test is evaluated in ALL-INTEGER algebra so both engines decide
+    * identically: |n - s/c| > 2*sqrt((ss*c - s^2)/c^2) rearranged to
+    * (n*c - s)^2 > 4*(ss*c - s^2) over BIGINT sums (n, count, sum,
+    * sum-of-squares), no float mean/std anywhere. (Bound: n*cnt must
+    * stay under 2^63 — fine to ~1e9 rows/source at 1e4 tokens; past
+    * that, widen to DECIMAL.) The per-source stats table is bounded
+    * (one row per source) and joins back broadcast — the corpus
+    * never shuffles; one stats-aggregate exchange total. */
+  val tOutlier: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.tokenCountWs(col("text")).as("n_toks"))
+      val stats = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_toks")).as("s"),
+          sum(col("n_toks") * col("n_toks")).as("ss"))
+      d.join(broadcast(stats), "source")
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          when((col("n_toks") * col("cnt") - col("s"))
+                 * (col("n_toks") * col("cnt") - col("s"))
+               > lit(4L) * (col("ss") * col("cnt") - col("s") * col("s")),
+            lit(1L)).otherwise(lit(0L)).as("is_outlier"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+      st AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(n_toks) AS BIGINT) AS s,
+               CAST(sum(n_toks * n_toks) AS BIGINT) AS ss
+        FROM d GROUP BY source)
+      SELECT doc_id, source, n_toks,
+             CASE WHEN (n_toks * cnt - s) * (n_toks * cnt - s)
+                       > 4 * (ss * cnt - s * s)
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_outlier
+      FROM d JOIN st USING (source)
+      ORDER BY doc_id"""))
+
   /** Temperature-based data mixing over the `source` column — the
     * standard multilingual/multi-domain rebalancing step before
     * training: per-source sampling weights proportional to
@@ -1630,6 +1675,7 @@ object Pipeline {
     "t_perplexity" -> tPerplexity,
     "t_stats" -> tStats,
     "t_vocab" -> tVocab,
+    "t_outlier" -> tOutlier,
     "t_curate" -> tCurate,
     "t_mix" -> tMix,
     "t_pack" -> tPack,

@@ -806,7 +806,47 @@ object Relational {
         SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM p)
       ORDER BY stage"""))
 
+  /** Cohort retention matrix: users bucketed by the week of their
+    * first `signup` event, counted as active in each later week —
+    * (cohort_week, week_offset, n_users), the product-analytics
+    * retention triangle. Weeks are integer epoch-week indexes
+    * (ts_ms div 604800000) — engine-identical integer division, no
+    * date-truncation semantics to keep in sync between engines. The
+    * cohort table (one row per user) and the distinct activity table
+    * (user x week) are both user-keyed, so every shuffle is user- or
+    * matrix-sized, never event-sized. */
+  val qCohort: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("(ts div 1000000) div 604800000").as("wk"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+      val active = ev.select(col("user_id"), col("wk")).distinct()
+      active.join(cohort, "user_id")
+        .filter(col("wk") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    oracle = Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) // 604800000 AS wk
+        FROM events),
+      cohort AS (
+        SELECT user_id, min(wk) AS cohort_week FROM e
+        WHERE event_type = 'signup' GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, wk FROM e)
+      SELECT cohort_week, wk - cohort_week AS week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM active JOIN cohort USING (user_id)
+      WHERE wk >= cohort_week
+      GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_cohort" -> qCohort,
     "q_scd2" -> qScd2,
     "q_funnel" -> qFunnel,
     "q_grouping_sets" -> qGroupingSets,

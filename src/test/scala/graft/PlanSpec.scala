@@ -262,6 +262,30 @@ class PlanSpec extends SparkSpec {
       assert(c.contains("HashAggregate"), s"non-aggregate shuffle input:\n$p"))
   }
 
+  test("t_outlier: bounded stats broadcast back — the corpus never shuffles") {
+    val p = plan(operators.Pipeline.tOutlier.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast stats join:\n$p")
+    def arity(kind: String) =
+      p.linesIterator.count(l => l.contains("Arguments: " + kind))
+    // one exchange for the per-source stats aggregate (bounded rows,
+    // partial-first) + the presentation sort; the doc side streams
+    // into the broadcast join unpartitioned
+    assert(arity("hashpartitioning") === 1 && arity("rangepartitioning") === 1,
+      s"expected only the stats exchange + presentation sort:\n$p")
+  }
+
+  test("q_cohort: every shuffle input is an aggregate — events never exchange raw") {
+    val p = plan(Relational.qCohort.fn(spark, sf))
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    val exchangeChildren = tree.zipWithIndex.collect {
+      case (l, i) if l.contains("- Exchange") => tree(i + 1)
+    }
+    assert(exchangeChildren.nonEmpty, p)
+    exchangeChildren.foreach(c =>
+      assert(c.contains("HashAggregate") || c.contains("Sort"),
+        s"non-aggregate shuffle input:\n$p"))
+  }
+
   test("s_ingest_dedup: the band join is broadcast — batch AND streaming micro-batch") {
     // batch leg: survivors x reference on band key must plan as a
     // broadcast hash join at this SF — never a sort-merge that
