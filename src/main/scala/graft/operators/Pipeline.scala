@@ -535,6 +535,61 @@ object Pipeline {
       FROM d JOIN st USING (source)
       ORDER BY doc_id"""))
 
+  /** Collocation mining: the top-20 adjacent token pairs by a
+    * PMI-style association score — the "new york"/"machine learning"
+    * phrase-discovery step before tokenizer or n-gram model training.
+    * The PMI ordering key is computed as the INTEGER-scaled ratio
+    * floor(c_xy * N * 10000 / (c_x * c_y)) over BIGINT counts —
+    * integer division is engine-identical where a float log-PMI could
+    * ulp-flip equal-score ties. (Bound: c_xy*N*10000 under 2^63 —
+    * fine to ~1e4 pair count x 1e13 corpus bigrams; past that, widen
+    * to DECIMAL.) Min-support c_xy >= 5 prunes the pair tail BEFORE
+    * the unigram joins; the unigram side is vocab-sized, the final
+    * top-20 is distributed TakeOrdered. Bigram extraction is a
+    * map-side zip of each token array with its own tail — no
+    * self-join. */
+  val tColloc: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(TF.tokens(col("text")).as("t"))
+      val bigrams = docs
+        .select(expr("explode(arrays_zip(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1))) AS bg"))
+        .select(col("bg")("0").as("w1"), col("bg")("1").as("w2"))
+      val uni = docs.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      val n = docs.agg(sum(size(col("t")) - 1).as("n_bigrams"))
+      val pairs = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      pairs
+        .join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")
+        .crossJoin(n)
+        .select(col("w1"), col("w2"), col("c_xy"),
+          expr("c_xy * n_bigrams * 10000 div (c_x * c_y)").as("score"))
+        .orderBy(col("score").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents),
+      idx AS (SELECT t, unnest(range(1, len(t))) AS i FROM d),
+      b AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM idx),
+      uni AS (SELECT unnest(t) AS w FROM d),
+      cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w),
+      n AS (SELECT CAST(sum(len(t) - 1) AS BIGINT) AS n_bigrams FROM d),
+      pairs AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
+      SELECT w1, w2, c_xy,
+             c_xy * n_bigrams * 10000 // (cx.c_w * cy.c_w) AS score
+      FROM pairs
+      JOIN cw cx ON cx.w = pairs.w1
+      JOIN cw cy ON cy.w = pairs.w2
+      CROSS JOIN n
+      ORDER BY score DESC, w1, w2 LIMIT 20"""))
+
   /** Temperature-based data mixing over the `source` column — the
     * standard multilingual/multi-domain rebalancing step before
     * training: per-source sampling weights proportional to
@@ -1676,6 +1731,7 @@ object Pipeline {
     "t_stats" -> tStats,
     "t_vocab" -> tVocab,
     "t_outlier" -> tOutlier,
+    "t_colloc" -> tColloc,
     "t_curate" -> tCurate,
     "t_mix" -> tMix,
     "t_pack" -> tPack,

@@ -286,6 +286,20 @@ class PlanSpec extends SparkSpec {
         s"non-aggregate shuffle input:\n$p"))
   }
 
+  test("t_colloc: bigram zip is map-side; final top-20 is TakeOrdered") {
+    val p = plan(operators.Pipeline.tColloc.fn(spark, sf))
+    // each token array zips with its own tail inside Generate — no
+    // self-join builds the bigrams; the PMI top-20 is a distributed
+    // partial top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k:\n$p")
+    val tree = p.linesIterator.takeWhile(!_.trim.startsWith("(1)")).toSeq
+    val exchangeChildren = tree.zipWithIndex.collect {
+      case (l, i) if l.contains("- Exchange") => tree(i + 1)
+    }
+    exchangeChildren.foreach(c =>
+      assert(c.contains("HashAggregate"), s"non-aggregate shuffle input:\n$p"))
+  }
+
   test("s_ingest_dedup: the band join is broadcast — batch AND streaming micro-batch") {
     // batch leg: survivors x reference on band key must plan as a
     // broadcast hash join at this SF — never a sort-merge that
