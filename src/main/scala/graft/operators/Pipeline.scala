@@ -590,6 +590,44 @@ object Pipeline {
       CROSS JOIN n
       ORDER BY score DESC, w1, w2 LIMIT 20"""))
 
+  /** Length-curriculum decile binning: every document assigned its
+    * EXACT global ntile(10) bucket by (token count, doc_id) — the
+    * shortest-to-longest curriculum schedule, computed at scale. A
+    * naive `ntile(10) OVER (ORDER BY ...)` plans a single-partition
+    * window (the whole corpus through one task); here the global rank
+    * comes from [[PrefixSum.runningTotal]] (range repartition +
+    * slice-local cumsum + broadcast slice offsets — two linear
+    * exchanges) over a composite unique BIGINT key n_toks·10¹² +
+    * doc_id, and the ntile bucket is derived from the rank in closed
+    * form with the big-buckets-first split (first N mod 10 buckets
+    * hold ceil(N/10) rows) — matching SQL ntile exactly, all-integer.
+    */
+  val tDecile: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenCountWs(col("text")).as("n_toks"))
+      val keyed = d
+        .withColumn("_k", col("n_toks") * lit(1000000000000L) + col("doc_id"))
+        .withColumn("_one", lit(1L))
+      val ranked = PrefixSum.runningTotal(keyed, "_k", "_one", "_rnk")
+      val n = d.agg(count(lit(1)).as("_n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_toks"),
+          expr("""CASE WHEN _rnk <= (_n % 10) * (_n div 10 + 1)
+                  THEN (_rnk - 1) div (_n div 10 + 1) + 1
+                  ELSE (_n % 10) + (_rnk - (_n % 10) * (_n div 10 + 1) - 1) div (_n div 10) + 1
+                  END""").as("decile"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents)
+      SELECT doc_id, n_toks,
+             CAST(ntile(10) OVER (ORDER BY n_toks, doc_id) AS BIGINT) AS decile
+      FROM d ORDER BY doc_id"""))
+
   /** Temperature-based data mixing over the `source` column — the
     * standard multilingual/multi-domain rebalancing step before
     * training: per-source sampling weights proportional to
@@ -1732,6 +1770,7 @@ object Pipeline {
     "t_vocab" -> tVocab,
     "t_outlier" -> tOutlier,
     "t_colloc" -> tColloc,
+    "t_decile" -> tDecile,
     "t_curate" -> tCurate,
     "t_mix" -> tMix,
     "t_pack" -> tPack,

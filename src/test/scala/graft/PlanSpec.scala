@@ -300,6 +300,23 @@ class PlanSpec extends SparkSpec {
       assert(c.contains("HashAggregate"), s"non-aggregate shuffle input:\n$p"))
   }
 
+  test("t_decile: global ntile from the two-exchange prefix-sum rank") {
+    val p = plan(operators.Pipeline.tDecile.fn(spark, sf))
+    def arity(kind: String) =
+      p.linesIterator.count(l => l.contains("Arguments: " + kind))
+    // rank-order range repartition + its identical replay on the
+    // slice-totals leg (AQE ReuseExchange collapses the duplicate at
+    // runtime) + presentation sort; two hash exchanges (slice-local
+    // rank window, totals partial agg); offsets and the count scalar
+    // join back broadcast — the corpus never funnels through a
+    // single-partition ntile window
+    assert(arity("rangepartitioning") === 3 && arity("hashpartitioning") === 2,
+      s"expected prefix-sum exchange shape:\n$p")
+    assert(p.contains("BroadcastExchange"), s"expected broadcast offsets:\n$p")
+    // (the single-partition-window concern for runningTotal itself is
+    // pinned by the dedicated prefix-sum test below)
+  }
+
   test("s_ingest_dedup: the band join is broadcast — batch AND streaming micro-batch") {
     // batch leg: survivors x reference on band key must plan as a
     // broadcast hash join at this SF — never a sort-merge that
