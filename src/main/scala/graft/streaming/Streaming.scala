@@ -298,6 +298,68 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- custom state: streaming SCD-2 interval maintenance ----
+
+  case class TypedEvent(user_id: Long, event_id: Long, ts_ms: Long,
+      event_type: String)
+  case class ClosedInterval(user_id: Long, event_type: String,
+      valid_from_ms: Long, valid_to_ms: Long, n_events: Long)
+  // (type, from_ms, n) of the island still open for the key
+  case class OpenIsland(event_type: String, from_ms: Long, n: Long)
+
+  /** Streaming SCD-2: maintains each user's CURRENT event_type island
+    * in a typed ValueState and emits an interval the moment the type
+    * CHANGES — the incremental build of [[graft.operators.Relational
+    * .qScd2]]'s gaps-and-islands table, i.e. streaming CDC into a
+    * slowly-changing dimension. Only CLOSED intervals are emitted
+    * (valid_to = the succeeding island's start, exactly the batch
+    * lead()); the open island stays in state until a later event — or
+    * in batch, end-of-input — closes it, so stream and batch emit the
+    * identical closed set when delivery follows event time
+    * (StreamingSpec-asserted over a replayed topic). Rows inside one
+    * handleInputRows call sort by (ts_ms, event_id) — the same total
+    * order the batch window uses. */
+  class Scd2Processor
+      extends StatefulProcessor[Long, TypedEvent, ClosedInterval] {
+    @transient private var open: ValueState[OpenIsland] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenIsland]("open",
+        org.apache.spark.sql.Encoders.product[OpenIsland], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        timers: TimerValues): Iterator[ClosedInterval] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+      val out = Seq.newBuilder[ClosedInterval]
+      var cur = if (open.exists()) Option(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if s.event_type == e.event_type =>
+            cur = Some(s.copy(n = s.n + 1))
+          case Some(s) =>
+            out += ClosedInterval(key, s.event_type, s.from_ms, e.ts_ms, s.n)
+            cur = Some(OpenIsland(e.event_type, e.ts_ms, 1))
+          case None =>
+            cur = Some(OpenIsland(e.event_type, e.ts_ms, 1))
+        }
+      }
+      cur.foreach(open.update)
+      out.result().iterator
+    }
+  }
+
+  /** Closed SCD-2 intervals from a decoded events frame (batch or
+    * stream — same processor, same state semantics). */
+  def scd2Intervals(events: DataFrame): Dataset[ClosedInterval] = {
+    import events.sparkSession.implicits._
+    prepareStateV2(events.sparkSession)
+    events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type")).as[TypedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ---- custom state: explicit sessionization ----
 
   case class SessionEvent(user_id: Long, ts_ms: Long)

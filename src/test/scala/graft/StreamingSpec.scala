@@ -223,6 +223,52 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming SCD-2 emits the same closed intervals as the batch run") {
+    // replay the events table as three event-time-ordered micro-batch
+    // chunks (delivery follows event time — the premise under which
+    // stream and batch SCD-2 agree) and assert the emitted closed
+    // interval set equals the uninterrupted batch processor's
+    val path = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"), col("event_type"))
+    val jan11 = 1704931200000L // 2024-01-11 UTC
+    val jan21 = 1705795200000L
+    val cuts = Seq(
+      col("ts") < timestamp_millis(lit(jan11)),
+      col("ts") >= timestamp_millis(lit(jan11)) &&
+        col("ts") < timestamp_millis(lit(jan21)),
+      col("ts") >= timestamp_millis(lit(jan21)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emitted =
+        scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)]()
+      val src = spark.readStream
+        .schema("user_id long, event_id long, ts timestamp, event_type string")
+        .parquet(path + "/*")
+      val q = Streaming.scd2Intervals(src)
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.ClosedInterval], _: Long) =>
+            val rows = d.collect().map(i =>
+              (i.user_id, i.event_type, i.valid_from_ms, i.valid_to_ms, i.n_events))
+            emitted.synchronized { emitted ++= rows; () }
+        }.start()
+      cuts.zipWithIndex.foreach { case (c, i) =>
+        ev.filter(c).write.parquet(s"$path/b$i")
+        q.processAllAvailable()
+      }
+      q.stop()
+      val batch = Streaming.scd2Intervals(ev).collect()
+        .map(i => (i.user_id, i.event_type, i.valid_from_ms, i.valid_to_ms,
+          i.n_events)).toSet
+      assert(emitted.toSet === batch)
+      assert(batch.nonEmpty)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint recovery: transformWithState totals survive a kill-and-restart") {
     import spark.implicits._
     // The reference exists to make consumption RESUMABLE (committed
