@@ -698,6 +698,38 @@ object Relational {
       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       ORDER BY g_prio, g_status, o_orderpriority, o_orderstatus"""))
 
+  /** The gaps-and-islands SCD-2 oracle CTE chain (DuckDB dialect),
+    * shared by q_scd2 and the streaming s_scd2 oracle so the two stay
+    * in lockstep: `s` is the full interval table — append a SELECT
+    * over it. The valid_to lead orders by `grp` (the island sequence
+    * number), matching the Spark side: ordering by valid_from_ms
+    * would tie when two same-user type changes truncate to the same
+    * millisecond, making the pairing engine-dependent. */
+  val scd2IslandsSql: String = """
+      WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
+        FROM events),
+      m AS (
+        SELECT *, CASE WHEN lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts_ms, event_id) = event_type
+               THEN 0 ELSE 1 END AS chg
+        FROM e),
+      g AS (
+        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM m),
+      i AS (
+        SELECT user_id, grp, max(event_type) AS event_type,
+               min(ts_ms) AS valid_from_ms,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, grp),
+      s AS (
+        SELECT user_id, event_type, valid_from_ms,
+               lead(valid_from_ms) OVER (PARTITION BY user_id
+                                         ORDER BY grp) AS valid_to_ms,
+               n_events
+        FROM i)"""
+
   /** SCD-2 validity intervals (temporal versioning): collapse each
     * user's consecutive run of equal `event_type` into one row with
     * `[valid_from, valid_to)` — the warehouse "slowly changing
@@ -726,36 +758,21 @@ object Relational {
           min(col("ts_ms")).as("valid_from_ms"),
           count(lit(1)).as("n_events"))
       islands
+        // lead over grp, not valid_from_ms: grp is the island sequence
+        // number, so succession stays deterministic even when two
+        // same-user type changes land on the same truncated millisecond
+        // (valid_from ties would make an ORDER BY valid_from_ms lead
+        // pairing partition-order-dependent)
         .withColumn("valid_to_ms",
           lead(col("valid_from_ms"), 1).over(Window.partitionBy(col("user_id"))
-            .orderBy(col("valid_from_ms"))))
+            .orderBy(col("grp"))))
         .select(col("user_id"), col("event_type"), col("valid_from_ms"),
           col("valid_to_ms"), col("n_events"))
-        .orderBy(col("user_id"), col("valid_from_ms"))
+        .orderBy(col("user_id"), col("valid_from_ms"), col("valid_to_ms"))
     },
-    oracle = Some("""
-      WITH e AS (
-        SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
-        FROM events),
-      m AS (
-        SELECT *, CASE WHEN lag(event_type) OVER
-                 (PARTITION BY user_id ORDER BY ts_ms, event_id) = event_type
-               THEN 0 ELSE 1 END AS chg
-        FROM e),
-      g AS (
-        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS grp
-        FROM m),
-      i AS (
-        SELECT user_id, grp, max(event_type) AS event_type,
-               min(ts_ms) AS valid_from_ms,
-               CAST(count(*) AS BIGINT) AS n_events
-        FROM g GROUP BY user_id, grp)
-      SELECT user_id, event_type, valid_from_ms,
-             lead(valid_from_ms) OVER (PARTITION BY user_id
-                                       ORDER BY valid_from_ms) AS valid_to_ms,
-             n_events
-      FROM i ORDER BY user_id, valid_from_ms"""))
+    oracle = Some(scd2IslandsSql + """
+      SELECT user_id, event_type, valid_from_ms, valid_to_ms, n_events
+      FROM s ORDER BY user_id, valid_from_ms, valid_to_ms"""))
 
   /** Ordered-stage funnel: users who did view, then click AFTER that
     * first view, then purchase AFTER that first qualifying click —
@@ -827,7 +844,12 @@ object Relational {
         .filter(col("wk") >= col("cohort_week"))
         .groupBy(col("cohort_week"),
           (col("wk") - col("cohort_week")).as("week_offset"))
-        .agg(count_distinct(col("user_id")).as("n_users"))
+        // active is distinct per (user, wk) and each user has exactly
+        // one cohort_week, so user_id is already unique within every
+        // (cohort_week, offset) group: plain count avoids the two-phase
+        // distinct aggregation — the oracle keeps COUNT(DISTINCT) as an
+        // independent check of that uniqueness argument
+        .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
     },
     oracle = Some("""

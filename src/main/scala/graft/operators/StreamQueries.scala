@@ -130,34 +130,11 @@ object StreamQueries {
   val sScd2: QueryDef = QueryDef(
     fn = (s, dir) =>
       Streaming.scd2Intervals(events(s, dir)).toDF()
-        .orderBy(col("user_id"), col("valid_from_ms")),
-    oracle = Some("""
-      WITH e AS (
-        SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms
-        FROM events),
-      m AS (
-        SELECT *, CASE WHEN lag(event_type) OVER
-                 (PARTITION BY user_id ORDER BY ts_ms, event_id) = event_type
-               THEN 0 ELSE 1 END AS chg
-        FROM e),
-      g AS (
-        SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS grp
-        FROM m),
-      i AS (
-        SELECT user_id, grp, max(event_type) AS event_type,
-               min(ts_ms) AS valid_from_ms,
-               CAST(count(*) AS BIGINT) AS n_events
-        FROM g GROUP BY user_id, grp),
-      s AS (
-        SELECT user_id, event_type, valid_from_ms,
-               lead(valid_from_ms) OVER (PARTITION BY user_id
-                                         ORDER BY valid_from_ms) AS valid_to_ms,
-               n_events
-        FROM i)
+        .orderBy(col("user_id"), col("valid_from_ms"), col("valid_to_ms")),
+    oracle = Some(Relational.scd2IslandsSql + """
       SELECT user_id, event_type, valid_from_ms, valid_to_ms, n_events
       FROM s WHERE valid_to_ms IS NOT NULL
-      ORDER BY user_id, valid_from_ms"""))
+      ORDER BY user_id, valid_from_ms, valid_to_ms"""))
 
   val defs: Map[String, QueryDef] = Map(
     "s_scd2" -> sScd2,
