@@ -130,14 +130,18 @@ object Bench {
     catch { case NonFatal(_) => () }
     // Full-precision per-query timings for local profiling only (file,
     // so no tail-window limit: full failed list, full precision).
-    val fullQs = timings.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val fullFailed =
-      if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$fullFailed,"sf":"$sfDir"}""" + "\n")
-    catch { case NonFatal(_) => () }
+    // Skipped under SPARK_GRAFT_ONLY: a filtered profiling run must not
+    // clobber the committed full-suite artifact with its partial map.
+    if (only.isEmpty) {
+      val fullQs = timings.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val fullFailed =
+        if (failed.isEmpty) ""
+        else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$fullFailed,"sf":"$sfDir"}""" + "\n")
+      catch { case NonFatal(_) => () }
+    }
     spark.stop()
   }
 }
