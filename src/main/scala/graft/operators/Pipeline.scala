@@ -1063,6 +1063,41 @@ object Pipeline {
       SELECT id_a, id_b, jaccard FROM jpairs
       ORDER BY id_a, id_b"""))
 
+  /** Cross-source near-dup overlap matrix: the verified MinHash pair
+    * set ([[Dedup.minhashPairs]] — banding + exact-Jaccard verify)
+    * aggregated by canonical source pair — "which sources mirror each
+    * other", the audit that tells a curation run where its duplication
+    * actually comes from (and which source pairs to prioritize for
+    * cross-dedup). The pair set is tiny relative to the corpus; the
+    * two source lookups are plain doc_id-keyed joins and the final
+    * matrix is bounded by #sources². Oracle reuses the brute-force
+    * shingle-Jaccard pair CTE, so the whole chain — banding recall,
+    * verify, source attribution — is hash-checked end to end. */
+  val dOverlap: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashPairs(docs, "text", "doc_id")
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    oracle = Some(s"""
+      WITH $shinglePairsSql,
+      src AS (SELECT doc_id, source FROM documents)
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM jpairs
+      JOIN src sa ON sa.doc_id = id_a
+      JOIN src sb ON sb.doc_id = id_b
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""))
+
   val dDedupSimhash: QueryDef = QueryDef(
     fn = (s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
@@ -1771,6 +1806,7 @@ object Pipeline {
     "t_outlier" -> tOutlier,
     "t_colloc" -> tColloc,
     "t_decile" -> tDecile,
+    "d_overlap" -> dOverlap,
     "t_curate" -> tCurate,
     "t_mix" -> tMix,
     "t_pack" -> tPack,
