@@ -130,9 +130,12 @@ object Bench {
     catch { case NonFatal(_) => () }
     // Full-precision per-query timings for local profiling only (file,
     // so no tail-window limit: full failed list, full precision).
-    // Skipped under SPARK_GRAFT_ONLY: a filtered profiling run must not
-    // clobber the committed full-suite artifact with its partial map.
-    if (only.isEmpty) {
+    // Skipped under SPARK_GRAFT_ONLY and for non-sf0.1 dirs: the
+    // committed artifact is BY DEFINITION the full suite at sf0.1, and
+    // both a filtered profiling run and a full run at another SF (or a
+    // ScaleProbe replica dir) would silently clobber it with numbers
+    // the README/SURVEY claims no longer back.
+    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1") {
       val fullQs = timings.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val fullFailed =

@@ -1052,7 +1052,10 @@ object Pipeline {
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5)"""
+        -- threshold on the ROUNDED value, matching the Spark side's
+        -- round(j,4) >= t filter: an unrounded >= here would drop a
+        -- pair with true J in [t - 0.00005, t) that Spark keeps
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) >= 0.5)"""
 
   val dDedupMinhash: QueryDef = QueryDef(
     fn = (s, dir) =>
@@ -1077,8 +1080,13 @@ object Pipeline {
     fn = (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val src = docs.select(col("doc_id"), col("source"))
-      Dedup.minhashPairs(docs, "text", "doc_id")
-        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      // broadcast the PAIR side of both lookups (it is corpus-small by
+      // construction) so the corpus streams through as the probe side —
+      // a corpus-side broadcast/shuffle would invert the size argument
+      val pairs = broadcast(Dedup.minhashPairs(docs, "text", "doc_id"))
+      broadcast(pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+            "id_a"))
         .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
         .select(least(col("sa"), col("sb")).as("source_a"),
           greatest(col("sa"), col("sb")).as("source_b"))
@@ -1212,7 +1220,7 @@ object Pipeline {
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.7
+      WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) >= 0.7
       ORDER BY id_a, id_b"""))
 
   /** Near-dup clusters: connected components over the MinHash pair
