@@ -264,13 +264,30 @@ object Dedup {
     * engine-independent. Pass `centroids` (seed_id, sv) to plug in
     * refined centers (e.g. a trained k-means codebook) — recall vs
     * the brute pair set rises with centroid quality, precision is 1.0
-    * by construction either way. */
+    * by construction either way.
+    *
+    * `k` defaults to AUTO (-1): [[autoK]] sizes the quantizer at
+    * ~sqrt(n) clusters, the same occupancy-held rule as
+    * [[Similarity.autoNlist]] — mean cluster size and per-vector
+    * comparison count both grow as sqrt(n) instead of linearly. A
+    * FIXED k is the shape [[autoBits]]/autoNlist exist to kill:
+    * within-cluster all-pairs is O(n²/k) — quadratic at any constant —
+    * and the one data shuffle keys on only k distinct cluster ids, so
+    * at scale it lands on k hot partitions. AUTO costs one count()
+    * pass over the corpus UNLESS `rowHint` (> 0) supplies the row
+    * count (sqrt sizing needs only the order of magnitude —
+    * NoHiddenScanSpec pins that a hinted call launches no job); pass
+    * explicit k to pin a shape (the d_semdedup oracle contract does,
+    * k=16 on an id-capped corpus). */
   def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
-      k: Int = 16, tau: Double = 0.35,
-      centroids: Option[DataFrame] = None): DataFrame = {
-    val seeds = centroids.getOrElse(
-      df.orderBy(col(idCol)).limit(k)
-        .select(col(idCol).as("seed_id"), col(vecCol).as("sv")))
+      k: Int = -1, tau: Double = 0.35,
+      centroids: Option[DataFrame] = None, rowHint: Long = -1L): DataFrame = {
+    val seeds = centroids.getOrElse {
+      val kk = if (k > 0) k
+               else autoK(if (rowHint > 0) rowHint else df.count())
+      df.orderBy(col(idCol)).limit(kk)
+        .select(col(idCol).as("seed_id"), col(vecCol).as("sv"))
+    }
     val scored = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("seed_id"),
@@ -304,6 +321,15 @@ object Dedup {
         round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Occupancy-held coarse-quantizer size for [[semanticPairs]]:
+    * ~sqrt(n) clusters (delegates to [[Similarity.autoNlist]], same
+    * clamp [16, 4096]) hold mean cluster occupancy at ~sqrt(n), so the
+    * within-cluster pair volume is ~n·sqrt(n) total spread across
+    * sqrt(n) shuffle keys — vs O(n²/k) on k hot partitions at any
+    * fixed k. The 4096 clamp keeps the broadcast seed matrix KB-scale
+    * and the per-vector scoring fanout bounded. */
+  private[graft] def autoK(n: Long): Int = Similarity.autoNlist(n)
 
   /** Occupancy-held LSH bucket width: smallest bits with mean bucket
     * occupancy <= ~64 per table, clamped to [6, 16]. Keeps the bucket

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => TF}
 import graft.plans.{CosineSim, HashedCharNgrams, HashedWordShingles, JaccardLong, RollingFingerprint}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
@@ -601,13 +601,18 @@ object Pipeline {
     * doc_id, and the ntile bucket is derived from the rank in closed
     * form with the big-buckets-first split (first N mod 10 buckets
     * hold ceil(N/10) rows) — matching SQL ntile exactly, all-integer.
+    * (Bound: the composite key needs n_toks ≤ 9.2·10⁶ and doc_id <
+    * 10¹² to stay under 2^63 and collision-free — [[decileKey]]
+    * fail-fasts per row past either bound instead of silently
+    * mis-ranking, so the 100× story is a loud error, not a wrong
+    * curriculum.)
     */
   val tDecile: QueryDef = QueryDef(
     fn = (s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), TF.tokenCountWs(col("text")).as("n_toks"))
       val keyed = d
-        .withColumn("_k", col("n_toks") * lit(1000000000000L) + col("doc_id"))
+        .withColumn("_k", decileKey(col("n_toks"), col("doc_id")))
         .withColumn("_one", lit(1L))
       val ranked = PrefixSum.runningTotal(keyed, "_k", "_one", "_rnk")
       val n = d.agg(count(lit(1)).as("_n"))
@@ -627,6 +632,22 @@ object Pipeline {
       SELECT doc_id, n_toks,
              CAST(ntile(10) OVER (ORDER BY n_toks, doc_id) AS BIGINT) AS decile
       FROM d ORDER BY doc_id"""))
+
+  /** t_decile's composite unique rank key n_toks·10¹² + doc_id, with
+    * the 2^63 bound enforced PER ROW: n_toks > 9.2·10⁶ would overflow
+    * Long (9.2·10⁶·10¹² ≈ 2^63) and doc_id ≥ 10¹² would collide into
+    * the next n_toks slot — both silently corrupt the global rank, so
+    * out-of-bound rows raise instead (a conditional on two already-read
+    * columns: no extra pass, stays in codegen, free when in bounds). */
+  private[graft] def decileKey(nToks: Column, docId: Column): Column =
+    when(nToks > lit(9200000L) || docId >= lit(1000000000000L) ||
+        nToks < 0L || docId < 0L,
+      raise_error(concat(
+        lit("graft: t_decile composite key bound exceeded (need 0 <= " +
+          "n_toks <= 9200000 and 0 <= doc_id < 1e12; got n_toks="),
+        nToks.cast("string"), lit(", doc_id="), docId.cast("string"),
+        lit(") — use a two-column ordered prefix sum past this scale"))).cast("long"))
+    .otherwise(nToks * lit(1000000000000L) + docId)
 
   /** Temperature-based data mixing over the `source` column — the
     * standard multilingual/multi-domain rebalancing step before

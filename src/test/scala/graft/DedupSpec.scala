@@ -190,4 +190,27 @@ class DedupSpec extends SparkSpec {
       assert(brute.get((r.getLong(0), r.getLong(1))).contains(r.getDouble(3)))
     }
   }
+
+  test("semantic pairs: default k auto-sizes occupancy-held (autoK wiring)") {
+    // sqrt-sizing via Similarity.autoNlist: mean cluster occupancy and
+    // within-cluster comparison count both ~sqrt(n) — a fixed default
+    // was O(n^2/k) pair volume shuffled onto k hot partitions
+    assert(Dedup.autoK(0) === 16)
+    assert(Dedup.autoK(256) === 16)
+    assert(Dedup.autoK(5000) === 71)
+    assert(Dedup.autoK(1000000) === 1000)
+    assert(Dedup.autoK(Long.MaxValue) === 4096)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val n = emb.count()
+    val auto = Dedup.semanticPairs(emb, "embedding", "vec_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toSeq.sorted
+    val pinned = Dedup.semanticPairs(emb, "embedding", "vec_id", k = Dedup.autoK(n))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toSeq.sorted
+    assert(auto === pinned, "default path must equal explicit k = autoK(count)")
+    assert(auto.nonEmpty)
+    // rowHint parity: a correct hint reproduces AUTO exactly
+    val hinted = Dedup.semanticPairs(emb, "embedding", "vec_id", rowHint = n)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toSeq.sorted
+    assert(hinted === auto)
+  }
 }

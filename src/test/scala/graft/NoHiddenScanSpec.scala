@@ -94,4 +94,16 @@ class NoHiddenScanSpec extends SparkSpec {
     }
     assert(jobs === 0)
   }
+
+  test("semanticPairs with rowHint launches no job at construction; without, it counts") {
+    val hinted = jobsDuringConstruction(
+      Dedup.semanticPairs(emb, "embedding", "vec_id", rowHint = 10000L))
+    assert(hinted === 0, "rowHint call must not launch any Spark job")
+    val pinned = jobsDuringConstruction(
+      Dedup.semanticPairs(emb, "embedding", "vec_id", k = 16))
+    assert(pinned === 0, "explicit k must not launch any Spark job")
+    val auto = jobsDuringConstruction(
+      Dedup.semanticPairs(emb, "embedding", "vec_id"))
+    assert(auto >= 1, "AUTO without hint sizes from a real count() job")
+  }
 }

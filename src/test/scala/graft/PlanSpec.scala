@@ -500,6 +500,14 @@ class PlanSpec extends SparkSpec {
     // ...but a genuine 13-digit query constant must keep diffing, or a
     // changed constant would hide behind the normalization
     assert(out.contains("1704067200000"), out)
+    // a state-info line carrying SEVERAL run-specific epochs (a nonzero
+    // event-time watermark next to batchTimestampMs) normalizes ALL of
+    // them: the line-anchored rewrite replaces one match per line per
+    // pass, so normalize loops it to fixpoint
+    val two = "Arguments: state info [ opId = 0 ], 1755050000123, " +
+      "1755050099456, false"
+    val out2 = graft.tools.PlanDump.normalize(two)
+    assert(out2.contains("ts, ts, false"), out2)
   }
 
   test("scalar pipeline stays in whole-stage codegen") {

@@ -110,6 +110,33 @@ class PrefixSumSpec extends SparkSpec {
     assert(fills.map(_._2).sum === nonZero.map(_._2).sum)
   }
 
+  test("decileKey: exact at the documented bound, loud past it") {
+    import spark.implicits._
+    // at the bound: max legal (n_toks, doc_id) computes without error
+    // and stays collision-free against its neighbors
+    val ok = Seq((9200000L, 999999999999L), (9200000L, 0L), (0L, 0L),
+        (9199999L, 999999999999L))
+      .toDF("n_toks", "doc_id")
+      .select(operators.Pipeline.decileKey(col("n_toks"), col("doc_id")).as("k"))
+      .collect().map(_.getLong(0))
+    assert(ok.distinct.length === ok.length)
+    assert(ok(0) === 9200000L * 1000000000000L + 999999999999L)
+    // one past either bound: fail-fast, not a silent mis-rank
+    def boom(nToks: Long, docId: Long): Unit = {
+      val e = intercept[Exception] {
+        Seq((nToks, docId)).toDF("n_toks", "doc_id")
+          .select(operators.Pipeline.decileKey(col("n_toks"), col("doc_id")))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("composite key bound exceeded")), e.toString)
+    }
+    boom(9200001L, 0L)
+    boom(0L, 1000000000000L)
+    boom(-1L, 0L)
+  }
+
   test("packSplit invariants on the corpus: full coverage, exact pack fill") {
     val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"),
