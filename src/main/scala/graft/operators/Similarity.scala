@@ -121,25 +121,59 @@ object Similarity {
     * on list_id. Both quantizers train driver-side on the same
     * deterministic sample budget and ride one broadcast each.
     * `rowHint` skips the AUTO-nlist count() like the other AUTO
-    * paths. */
+    * paths.
+    *
+    * Production is train-once / encode-once / query-many (the
+    * [[pqTopK]] precedent): pass `centroids` (from [[trainQuantizer]])
+    * and `codebooks` (from [[trainCodebooks]]) back in and NEITHER
+    * stage retrains — supplying centroids also fixes nlist, so no
+    * AUTO count() runs either; pass `index` (from [[ivfPqEncode]]:
+    * (id, list_id, code)) and the scan reads the materialized 8-byte
+    * codes instead of re-encoding raw vectors. An index is only
+    * meaningful with the EXACT artifacts that built it, so both ride
+    * fingerprint stamps in the index's column metadata
+    * ([[CentroidsFingerprintKey]] on list_id, [[BooksFingerprintKey]]
+    * on code — parquet round-trips both) and a mismatching artifact is
+    * rejected loudly: routed-but-wrong lists or mis-decoded ADC scores
+    * are silent at query time, the one failure mode shape validation
+    * cannot see. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
       nlist: Int = -1, nprobe: Int = 4, lloydIters: Int = 1,
       m: Int = 8, ksub: Int = 256, pqIters: Int = 5,
       sampleCap: Int = 2048, rerank: Int = 0,
-      rowHint: Long = -1L): DataFrame = {
-    val nl = if (nlist > 0) nlist
-             else autoNlist(if (rowHint > 0) rowHint else corpus.count())
-    val centroids = trainQuantizer(corpus, vecCol, idCol, nl, lloydIters)
-    val centRef = broadcastCentroids(corpus, centroids)
-    val books = trainCodebooks(corpus, vecCol, idCol, m, ksub, pqIters, sampleCap)
+      rowHint: Long = -1L,
+      centroids: Option[Array[Seq[Float]]] = None,
+      codebooks: Option[Array[Array[Array[Float]]]] = None,
+      index: Option[DataFrame] = None): DataFrame = {
+    require(index.isEmpty || (centroids.isDefined && codebooks.isDefined),
+      "graft: a precomputed IVF-PQ index needs the centroids AND codebooks " +
+        "it was built with")
+    val cents = centroids.getOrElse {
+      val nl = if (nlist > 0) nlist
+               else autoNlist(if (rowHint > 0) rowHint else corpus.count())
+      trainQuantizer(corpus, vecCol, idCol, nl, lloydIters)
+    }
+    val nl = cents.length
+    val centRef = broadcastCentroids(corpus, cents)
+    val books = codebooks.getOrElse(
+      trainCodebooks(corpus, vecCol, idCol, m, ksub, pqIters, sampleCap))
+    validateBooks(books)
     val bookRef = BroadcastCodebooks(
       corpus.sparkSession.sparkContext.broadcast(books))
     def nearestList(v: Column): Column =
       Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
-    val indexed = corpus.select(col(idCol).as("neighbor_id"),
-      nearestList(col(vecCol)).as("list_id"),
-      Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), bookRef)).as("code"))
+    val indexed = index
+      .map { df =>
+        verifyStamp(df, "list_id", CentroidsFingerprintKey,
+          centroidFingerprint(cents), "centroids", "re-route via ivfPqEncode")
+        verifyStamp(df, "code", BooksFingerprintKey,
+          bookFingerprint(books), "codebooks", "re-encode via ivfPqEncode")
+        df.select(col(idCol).as("neighbor_id"), col("list_id"), col("code"))
+      }
+      .getOrElse(corpus.select(col(idCol).as("neighbor_id"),
+        nearestList(col(vecCol)).as("list_id"),
+        Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), bookRef)).as("code")))
     val probes = probeLists(queries, vecCol, idCol, centRef, nl, nprobe)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = indexed.join(broadcast(probes), Seq("list_id"))
@@ -209,7 +243,7 @@ object Similarity {
     * standard distributed k-means step. Empty lists keep their old
     * centroid. Returns nlist dense centroid vectors (driver-side:
     * nlist x dim floats, a few KB). */
-  private[operators] def trainQuantizer(corpus: DataFrame, vecCol: String,
+  def trainQuantizer(corpus: DataFrame, vecCol: String,
       idCol: String, nlist: Int, iters: Int): Array[Seq[Float]] = {
     import org.apache.spark.sql.Row
     var centroids: Array[Seq[Float]] = corpus
@@ -323,15 +357,8 @@ object Similarity {
         // one failure mode validateBooks cannot see. pqEncode stamps a
         // fingerprint of its books into the code column's metadata
         // (parquet round-trips it); verify it whenever it survived.
-        df.schema.find(_.name == "code")
-          .filter(_.metadata.contains(BooksFingerprintKey))
-          .foreach { f =>
-            val stamped = f.metadata.getString(BooksFingerprintKey)
-            require(stamped == bookFingerprint(books),
-              "graft: the supplied codes table was encoded with different " +
-                s"codebooks (codes stamped $stamped, books hash " +
-                s"${bookFingerprint(books)}) — re-encode via pqEncode")
-          }
+        verifyStamp(df, "code", BooksFingerprintKey,
+          bookFingerprint(books), "codebooks", "re-encode via pqEncode")
         df.select(col(idCol).as("neighbor_id"), col("code"))
       }
       .getOrElse(corpus.select(col(idCol).as("neighbor_id"),
@@ -370,9 +397,72 @@ object Similarity {
         .as("code", meta))
   }
 
+  /** The IVF-PQ index table — (id, list_id, code): what a production
+    * pipeline materializes once so subsequent searches never touch raw
+    * vectors. Pure map-side projection (assignment kernel + encode
+    * kernel, no shuffle). Both columns carry the fingerprint of the
+    * artifact that produced them ([[CentroidsFingerprintKey]] /
+    * [[BooksFingerprintKey]] — parquet round-trips field metadata), so
+    * [[ivfPqTopK]] rejects an index paired with retrained centroids or
+    * codebooks instead of routing/scoring silently wrong. */
+  def ivfPqEncode(corpus: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Seq[Float]],
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    require(centroids.nonEmpty, "graft: IVF-PQ index needs >= 1 centroid")
+    validateBooks(books)
+    val centRef = broadcastCentroids(corpus, centroids)
+    val bookRef = BroadcastCodebooks(
+      corpus.sparkSession.sparkContext.broadcast(books))
+    val centMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(CentroidsFingerprintKey, centroidFingerprint(centroids)).build()
+    val bookMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(BooksFingerprintKey, bookFingerprint(books)).build()
+    corpus.select(col(idCol),
+      Bridge.column(NearestCentroid(Bridge.expression(col(vecCol)), centRef))
+        .as("list_id", centMeta),
+      Bridge.column(PQEncode64(Bridge.expression(col(vecCol)), bookRef))
+        .as("code", bookMeta))
+  }
+
+  /** Reject a precomputed table whose stamped fingerprint disagrees
+    * with the artifact supplied alongside it. Absent stamps pass (a
+    * hand-built table without metadata is the caller's contract). */
+  private def verifyStamp(df: DataFrame, column: String, key: String,
+      expected: String, what: String, remedy: String): Unit =
+    df.schema.find(_.name == column)
+      .filter(_.metadata.contains(key))
+      .foreach { f =>
+        val stamped = f.metadata.getString(key)
+        require(stamped == expected,
+          s"graft: the supplied table's $column was built with different " +
+            s"$what (stamped $stamped, supplied hash $expected) — $remedy")
+      }
+
   /** Column-metadata key carrying the fingerprint of the codebooks a
     * codes table was encoded with. */
   val BooksFingerprintKey: String = "graft.pq.books"
+
+  /** Column-metadata key carrying the fingerprint of the coarse
+    * centroids an IVF-PQ index's list routing was built with. */
+  val CentroidsFingerprintKey: String = "graft.ivf.centroids"
+
+  /** Deterministic fingerprint of a coarse-centroid set: MD5 over
+    * every float bit pattern plus shape — same scheme as
+    * [[bookFingerprint]], so any retrained quantizer hashes
+    * differently even at equal shape. */
+  def centroidFingerprint(cents: Array[Seq[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    def addInt(i: Int): Unit = {
+      buf.clear(); buf.putInt(i); md.update(buf.array(), 0, 4)
+    }
+    addInt(cents.length)
+    cents.foreach { c =>
+      addInt(c.length)
+      c.foreach(f => addInt(java.lang.Float.floatToIntBits(f)))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Deterministic fingerprint of a codebook set: MD5 over every float
     * bit pattern (plus shape), so any retrained or edited book — even

@@ -95,6 +95,20 @@ class NoHiddenScanSpec extends SparkSpec {
     assert(jobs === 0)
   }
 
+  test("ivfPqTopK with precomputed artifacts launches no job at construction") {
+    // the train-once / encode-once / query-many workflow: artifacts
+    // built OUTSIDE the window, then the query-side call must plan
+    // without training, counting, or scanning anything
+    val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id",
+      nlist = 16, iters = 1)
+    val books = Similarity.trainCodebooks(emb, "embedding", "vec_id")
+    val index = Similarity.ivfPqEncode(emb, "embedding", "vec_id", cents, books)
+    val jobs = jobsDuringConstruction(
+      Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id",
+        centroids = Some(cents), codebooks = Some(books), index = Some(index)))
+    assert(jobs === 0)
+  }
+
   test("semanticPairs with rowHint launches no job at construction; without, it counts") {
     val hinted = jobsDuringConstruction(
       Dedup.semanticPairs(emb, "embedding", "vec_id", rowHint = 10000L))

@@ -251,6 +251,66 @@ class SimilaritySpec extends SparkSpec {
     assert(gotSet === flat)
   }
 
+  test("IVF-PQ pass-through: train once, index once, query many") {
+    val expect = Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id",
+        nlist = 16, nprobe = 4, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the production workflow: both artifacts trained once, the index
+    // materialized once — every stage must reproduce the self-contained
+    // default exactly (same deterministic training inputs)
+    val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id",
+      nlist = 16, iters = 1)
+    val books = Similarity.trainCodebooks(emb, "embedding", "vec_id")
+    val viaArtifacts = Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id",
+        nprobe = 4, rerank = 100,
+        centroids = Some(cents), codebooks = Some(books))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaArtifacts === expect)
+    val index = Similarity.ivfPqEncode(emb, "embedding", "vec_id", cents, books)
+    assert(index.columns.toSeq === Seq("vec_id", "list_id", "code"))
+    val viaIndex = Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id",
+        nprobe = 4, rerank = 100,
+        centroids = Some(cents), codebooks = Some(books), index = Some(index))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex === expect)
+    // the stamps survive a parquet round trip (production index table)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_index").toString
+    index.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val viaReloaded = Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id",
+        nprobe = 4, rerank = 100,
+        centroids = Some(cents), codebooks = Some(books), index = Some(reloaded))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaReloaded === expect)
+    // an index without its artifacts is rejected outright
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id",
+        index = Some(index))
+    }
+    // pairing the index with RETRAINED artifacts must fail loudly on
+    // BOTH axes — wrong centroids mis-route lists, wrong books
+    // mis-decode ADC scores, and both are silent at query time
+    val otherCents = Similarity.trainQuantizer(
+      emb.filter(col("vec_id") >= 100), "embedding", "vec_id",
+      nlist = 16, iters = 1)
+    assert(Similarity.centroidFingerprint(otherCents) !==
+      Similarity.centroidFingerprint(cents))
+    val exCents = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id",
+        centroids = Some(otherCents), codebooks = Some(books),
+        index = Some(reloaded))
+    }
+    assert(exCents.getMessage.contains("different centroids"), exCents.getMessage)
+    val otherBooks = Similarity.trainCodebooks(
+      emb.filter(col("vec_id") >= 100), "embedding", "vec_id")
+    val exBooks = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, queries, "embedding", "vec_id",
+        centroids = Some(cents), codebooks = Some(otherBooks),
+        index = Some(reloaded))
+    }
+    assert(exBooks.getMessage.contains("different codebooks"), exBooks.getMessage)
+  }
+
   test("IVF default list count is corpus-sized (autoNlist wiring)") {
     // ~sqrt(n), clamped: per-list occupancy and per-query scan cost
     // both grow as sqrt(n) instead of linearly with a fixed nlist
