@@ -304,8 +304,12 @@ object Streaming {
       event_type: String)
   case class ClosedInterval(user_id: Long, event_type: String,
       valid_from_ms: Long, valid_to_ms: Long, n_events: Long)
-  // (type, from_ms, n) of the island still open for the key
-  case class OpenIsland(event_type: String, from_ms: Long, n: Long)
+  // (type, from_ms, n, last-accepted ts) of the island still open for
+  // the key — last_ms is the out-of-order detector: any later-arriving
+  // event with ts_ms < last_ms would have changed already-emitted
+  // history
+  case class OpenIsland(event_type: String, from_ms: Long, n: Long,
+      last_ms: Long)
 
   /** Streaming SCD-2: maintains each user's CURRENT event_type island
     * in a typed ValueState and emits an interval the moment the type
@@ -318,8 +322,29 @@ object Streaming {
     * identical closed set when delivery follows event time
     * (StreamingSpec-asserted over a replayed topic). Rows inside one
     * handleInputRows call sort by (ts_ms, event_id) — the same total
-    * order the batch window uses. */
-  class Scd2Processor
+    * order the batch window uses.
+    *
+    * Event-time order ACROSS micro-batches is a premise the processor
+    * cannot restore (an interval already emitted is history) — so it
+    * is now CHECKED, not assumed: an event older than the open
+    * island's last accepted ts either fails the query loudly (default;
+    * the corrupt-dimension alternative was negative-length or
+    * overlapping intervals, silently) or — with `dropLate = true` —
+    * is skipped and counted in `lateCounter`, the explicit
+    * late-drop-accounting contract. Ties (ts_ms equal to the island's
+    * last ts) stay accepted: cross-batch tie ORDER is unknowable at
+    * the processor, matching the batch window's event_id tie-break
+    * only when ties arrive together — the same caveat as any
+    * at-least-once CDC consumer. A reorder-tolerant variant would
+    * hold islands until the event-time watermark and emit on timer —
+    * rejected here because it delays every close by the watermark lag
+    * and still drops post-watermark stragglers; loud-or-counted is
+    * the honest contract for an offset-ordered source (the reference
+    * delivers in offset order, and event time diverges from offset
+    * order in real topics — which is exactly when this detector
+    * fires). */
+  class Scd2Processor(dropLate: Boolean = false,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       extends StatefulProcessor[Long, TypedEvent, ClosedInterval] {
     @transient private var open: ValueState[OpenIsland] = _
 
@@ -334,13 +359,23 @@ object Streaming {
       var cur = if (open.exists()) Option(open.get()) else None
       sorted.foreach { e =>
         cur match {
+          case Some(s) if e.ts_ms < s.last_ms =>
+            // late cross-batch event: accepting it would rewrite
+            // emitted history (within a batch, sorting makes this
+            // unreachable)
+            if (!dropLate) throw new IllegalStateException(
+              s"graft: out-of-order delivery for user $key: event " +
+                s"${e.event_id} at ts_ms=${e.ts_ms} arrived after the open " +
+                s"island had advanced to ${s.last_ms} — deliver in " +
+                "event-time order or run with dropLate = true")
+            lateCounter.foreach(_.add(1L))
           case Some(s) if s.event_type == e.event_type =>
-            cur = Some(s.copy(n = s.n + 1))
+            cur = Some(s.copy(n = s.n + 1, last_ms = e.ts_ms))
           case Some(s) =>
             out += ClosedInterval(key, s.event_type, s.from_ms, e.ts_ms, s.n)
-            cur = Some(OpenIsland(e.event_type, e.ts_ms, 1))
+            cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
           case None =>
-            cur = Some(OpenIsland(e.event_type, e.ts_ms, 1))
+            cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
         }
       }
       cur.foreach(open.update)
@@ -349,14 +384,20 @@ object Streaming {
   }
 
   /** Closed SCD-2 intervals from a decoded events frame (batch or
-    * stream — same processor, same state semantics). */
-  def scd2Intervals(events: DataFrame): Dataset[ClosedInterval] = {
+    * stream — same processor, same state semantics). `dropLate` /
+    * `lateCounter` configure the out-of-order policy (see
+    * [[Scd2Processor]]): default is fail-loud on late cross-batch
+    * events; pass `dropLate = true` plus an accumulator to skip-and-
+    * count them instead. */
+  def scd2Intervals(events: DataFrame, dropLate: Boolean = false,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[ClosedInterval] = {
     import events.sparkSession.implicits._
     prepareStateV2(events.sparkSession)
     events.select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("ts_ms"), col("event_type")).as[TypedEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new Scd2Processor,
+      .transformWithState(new Scd2Processor(dropLate, lateCounter),
         TimeMode.None(), OutputMode.Update())
   }
 

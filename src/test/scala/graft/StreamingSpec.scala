@@ -269,6 +269,68 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming SCD-2 out-of-order delivery: loud by default, counted when dropped") {
+    import spark.implicits._
+    // user 1: batch A advances the open island to ts 3000; batch B then
+    // delivers a LATE event (ts 2000 < 3000, would rewrite the already-
+    // emitted x-island) plus a legitimate successor at ts 4000
+    val batchA = Seq((1L, 1L, 1000L, "x"), (1L, 2L, 3000L, "y"))
+    val batchB = Seq((1L, 3L, 2000L, "x"), (1L, 4L, 4000L, "x"))
+    def write(path: String, n: Int, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ms", "event_type")
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(col("ms")).as("ts"), col("event_type"))
+        .write.parquet(s"$path/b$n")
+    def src(path: String) = spark.readStream
+      .schema("user_id long, event_id long, ts timestamp, event_type string")
+      .parquet(path + "/*")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // default policy: the query DIES on the late event — corrupt
+      // intervals (valid_to < valid_from) must not be representable
+      val loud = java.nio.file.Files.createTempDirectory("graft_scd2_ooo1").toString
+      val q1 = Streaming.scd2Intervals(src(loud))
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          // collect: the sink must process every partition, or batch 0
+          // fails state-commit validation before the late event arrives
+          (d: org.apache.spark.sql.Dataset[Streaming.ClosedInterval], _: Long) =>
+            { d.collect(); () }
+        }.start()
+      write(loud, 0, batchA); q1.processAllAvailable()
+      write(loud, 1, batchB)
+      val ex = intercept[Exception] { q1.processAllAvailable(); q1.stop() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("out-of-order delivery")), ex.toString)
+      // dropLate: the late row is skipped AND accounted; every other
+      // row processes normally, so the closed set equals an in-order
+      // replay of the non-late rows
+      val counted = java.nio.file.Files.createTempDirectory("graft_scd2_ooo2").toString
+      val late = spark.sparkContext.longAccumulator("graft_scd2_late")
+      val emitted =
+        scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)]()
+      val q2 = Streaming.scd2Intervals(src(counted), dropLate = true,
+          lateCounter = Some(late))
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.ClosedInterval], _: Long) =>
+            val rows = d.collect().map(i =>
+              (i.user_id, i.event_type, i.valid_from_ms, i.valid_to_ms, i.n_events))
+            emitted.synchronized { emitted ++= rows; () }
+        }.start()
+      write(counted, 0, batchA); q2.processAllAvailable()
+      write(counted, 1, batchB); q2.processAllAvailable()
+      q2.stop()
+      assert(emitted.toSet === Set(
+        (1L, "x", 1000L, 3000L, 1L),
+        (1L, "y", 3000L, 4000L, 1L)))
+      assert(late.value === 1L)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint recovery: transformWithState totals survive a kill-and-restart") {
     import spark.implicits._
     // The reference exists to make consumption RESUMABLE (committed
