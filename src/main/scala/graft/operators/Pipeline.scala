@@ -1344,14 +1344,11 @@ object Pipeline {
     * assignment tie-break + codegen'd cosine + thresholding must all
     * reproduce exactly (hash compare). The id-cap keeps the oracle's
     * n x k scoring quadratic-free, same convention as d_dedup_embed. */
-  val dSemdedup: QueryDef = QueryDef(
-    fn = (s, dir) =>
-      Dedup.semanticPairs(
-        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000),
-        "embedding", "vec_id", k = 16, tau = 0.35)
-        .orderBy(col("id_a"), col("id_b")),
-    oracle = Some("""
-      WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+  /** The SemDeDup pair-generation CTE chain shared by d_semdedup and
+    * d_semdedup_keep: replays the deterministic seed quantizer, the
+    * rounded-argmax assignment, and every within-cluster cosine. */
+  private val semPairsCtes: String = """
+      v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
       seeds AS (
         SELECT vec_id AS seed_id, embedding AS sv FROM v ORDER BY vec_id LIMIT 16),
       selems AS (
@@ -1380,9 +1377,56 @@ object Pipeline {
       pairs AS (
         SELECT id_a, id_b, cluster_id,
                round(SUM(ae*be) / (sqrt(SUM(ae*ae)) * sqrt(SUM(be*be))), 4) AS cos
-        FROM pelems GROUP BY id_a, id_b, cluster_id)
+        FROM pelems GROUP BY id_a, id_b, cluster_id)"""
+
+  val dSemdedup: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Dedup.semanticPairs(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000),
+        "embedding", "vec_id", k = 16, tau = 0.35)
+        .orderBy(col("id_a"), col("id_b")),
+    oracle = Some(s"""
+      WITH $semPairsCtes
       SELECT id_a, id_b, cluster_id, cos FROM pairs WHERE cos >= 0.35
       ORDER BY id_a, id_b"""))
+
+  /** The SemDeDup DECISION step (arXiv:2303.09540's actual output):
+    * compose [[Dedup.semanticPairs]] with [[Dedup.clusters]]
+    * (`universe` = every vector id) into one keep-decision table —
+    * every vector labeled with its semantic-group id and whether it is
+    * the group's canonical keeper (singletons keep themselves). The
+    * keep set is `filter(is_canonical)`; emitting the full labeled
+    * table keeps the decision auditable (which keeper displaced a
+    * given duplicate). Same pinned quantizer shape as d_semdedup; the
+    * oracle replays the pair CTE and closes it with a recursive
+    * transitive closure plus a NOT IN singleton leg — blocking,
+    * assignment, thresholding, label propagation, and the singleton
+    * anti-join must ALL reproduce for the hash to match. */
+  val dSemdedupKeep: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      Dedup.clusters(
+        Dedup.semanticPairs(emb, "embedding", "vec_id", k = 16, tau = 0.35),
+        universe = Some(emb.select(col("vec_id"))))
+        .orderBy(col("id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE $semPairsCtes,
+      jp AS (SELECT id_a, id_b FROM pairs WHERE cos >= 0.35),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+      lab AS (
+        SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT id, cluster_id, id = cluster_id AS is_canonical FROM lab
+      UNION ALL
+      SELECT vec_id, vec_id, true FROM v
+      WHERE vec_id NOT IN (SELECT id FROM lab)
+      ORDER BY id"""))
 
   // ---- similarity search ----
 
@@ -1851,6 +1895,7 @@ object Pipeline {
     "s_ingest_dedup" -> sIngestDedup,
     "d_dedup_embed" -> dDedupEmbed,
     "d_semdedup" -> dSemdedup,
+    "d_semdedup_keep" -> dSemdedupKeep,
     "d_ann_brute" -> dAnnBrute,
     "d_ann_lsh" -> dAnnLsh,
     "d_ann_ivf" -> dAnnIvf,
