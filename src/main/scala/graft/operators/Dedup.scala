@@ -111,15 +111,61 @@ object Dedup {
     * 0.3 background, >0.997 recall for true near-dups (J >= 0.9).
     * A single-min-gram block (the naive choice) degenerates here: the
     * globally-cheapest common gram forms one mega-block whose pair
-    * count grows quadratically with corpus size. */
+    * count grows quadratically with corpus size.
+    *
+    * `bands`/`rows` default to AUTO (-1): a FIXED S-curve has a
+    * background-collision candidate term p·n²/2 with p ≈ bands ·
+    * J_bg^rows — constant per pair, so quadratic in corpus size (the
+    * 100x probe surfaced it as a disk-filling shuffle; at the design
+    * background it is ~0.9% of all pairs). [[autoNgramRows]] steepens
+    * the curve with n — smallest `rows` holding EXPECTED background
+    * collisions per (document, band) at n · J_bg^rows <= ~64, the
+    * same occupancy constant as [[autoBits]] — and [[autoNgramBands]]
+    * then re-sizes `bands` to hold >= 0.999 recall at the J = 0.9
+    * near-dup point. Steepening trades map-side hashes (bands x rows
+    * grows ~log n) for candidate volume held ~linear — the right side
+    * of the trade at every scale. AUTO costs one count() UNLESS
+    * `rowHint` (> 0) supplies the row count (NoHiddenScanSpec); at
+    * the test corpus sizes AUTO resolves to exactly the legacy 12x6,
+    * so the oracled contract runs the default path. Pass both
+    * explicitly to pin a shape. The design background J_bg = 0.35
+    * covers the measured ~0.3 with margin; a corpus hotter than that
+    * (the 100x replica's marker-diluted cross-copy grams sit at ~0.55)
+    * needs explicit steeper rows — the term is in the DATA, and no
+    * banding constant is safe for every background. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 4, threshold: Double = 0.7, bands: Int = 12, rows: Int = 6,
-      seed: Long = 77L): DataFrame = {
+      n: Int = 4, threshold: Double = 0.7, bands: Int = -1, rows: Int = -1,
+      seed: Long = 77L, rowHint: Long = -1L): DataFrame = {
+    val r = if (rows > 0) rows
+            else autoNgramRows(if (rowHint > 0) rowHint else df.count())
+    val b = if (bands > 0) bands else autoNgramBands(r)
     val grams = df.select(col(idCol).as("id"),
       Bridge.column(HashedCharNgrams(
         Bridge.expression(col(textCol)), n)).as("sh"))
-    lshJaccardPairs(grams, bands, rows, threshold, seed)
+    lshJaccardPairs(grams, b, r, threshold, seed)
   }
+
+  /** Occupancy-held S-curve steepness for [[ngramJaccardPairs]]:
+    * smallest rows-per-band with expected background collisions per
+    * (document, band) bounded — n · J_bg^rows <= ~64 at the design
+    * background J_bg = 0.35 — clamped to [6, 16]. Holds the candidate
+    * volume ~64 · bands · n / 2, linear, where fixed rows leave it
+    * bands · J_bg^rows · n²/2, quadratic. */
+  private[graft] def autoNgramRows(n: Long, jBg: Double = 0.35): Int =
+    math.min(16, math.max(6,
+      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(1.0 / jBg)).toInt))
+
+  /** Recall-restoring band count for [[ngramJaccardPairs]]: steeper
+    * rows cut per-band collision for TRUE pairs too, so bands grows to
+    * keep >= 0.999 recall at the J = 0.9 near-dup point —
+    * 1 - (1 - 0.9^rows)^bands >= 0.999 — clamped to >= 12 (the legacy
+    * floor, which at rows = 6 is also what the formula's 10 rounds up
+    * to at the test corpus sizes). */
+  private[graft] def autoNgramBands(rows: Int, jTrue: Double = 0.9,
+      recall: Double = 0.999): Int =
+    math.max(12,
+      math.ceil(math.log(1.0 - recall) /
+        math.log(1.0 - math.pow(jTrue, rows))).toInt)
 
   /** Connected components over a near-dup pair list: every id that
     * appears in `pairs` gets the minimum id reachable from it as its

@@ -987,12 +987,25 @@ object Pipeline {
     * 64-bit hashes aren't SQL-expressible): RECALL — plant an exact
     * text clone of every doc_id < 100 and require fingerprint equality
     * with its source (min-over-windows of identical text is identical —
-    * an integer-exact count); PRECISION — every fingerprint-equal pair
-    * in the planted corpus must share a REAL 16-char window, verified
-    * by hashed-16-gram set overlap, i.e. equal fingerprints mean equal
-    * min windows, not polynomial-hash accidents. Deterministic on a
-    * fixed corpus, so the oracle's literal values only match when the
-    * kernel delivers. */
+    * an integer-exact count); PRECISION — fingerprint-equal documents
+    * must share a REAL 16-char window, verified by hashed-16-gram set
+    * overlap, i.e. equal fingerprints mean equal min windows, not
+    * polynomial-hash accidents. Deterministic on a fixed corpus, so
+    * the oracle's literal values only match when the kernel delivers.
+    *
+    * The precision leg verifies CONSECUTIVE members of each
+    * fingerprint class (sorted by doc_id), not all pairs: a hot
+    * fingerprint (a boilerplate window shared by m documents — think
+    * license headers at 100 TB) makes the all-pairs equality self-join
+    * m² in group size, and the 100x probe measured exactly that
+    * blow-up (245x wall at 100x rows); the chain check is one
+    * fp-partitioned window over the corpus — m−1 comparisons per
+    * class, linear. Blind spot, documented: a chain can pass while a
+    * DISTANT pair shares no window — but that requires two distinct
+    * windows with colliding rolling hashes sitting in the middle
+    * document's own gram set, i.e. precisely the accident class the
+    * planted corpus makes vanishingly rare (~n_windows²/2⁶⁴), and the
+    * clone-recall leg already pins the deterministic path. */
   val tFingerprintContract: QueryDef = QueryDef(
     fn = (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1009,10 +1022,13 @@ object Pipeline {
         .join(src, "src_id")
         .agg(count(lit(1)).as("n_clones"),
           sum(when(col("fp") === col("src_fp"), 1L).otherwise(0L)).as("clone_matches"))
-      val prec = fp.as("a").join(fp.as("b"),
-          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .agg((sum(when(arrays_overlap(col("a.grams"), col("b.grams")), 1L).otherwise(0L))
-          === count(lit(1))).as("precision_ok"))
+      val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val prec = fp
+        .withColumn("prev_grams", lag(col("grams"), 1).over(wFp))
+        .filter(col("prev_grams").isNotNull)
+        .agg(coalesce(
+          sum(when(arrays_overlap(col("grams"), col("prev_grams")), 1L)
+            .otherwise(0L)) === count(lit(1)), lit(true)).as("precision_ok"))
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(rec).crossJoin(prec)
         .select(col("n_docs"), col("n_clones"), col("clone_matches"), col("precision_ok"))

@@ -191,6 +191,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngram blocking auto-steepens its S-curve with corpus size") {
+    // fixed (bands, rows) leaves a background-collision candidate term
+    // bands * J_bg^rows * n^2/2 — quadratic (the 100x probe filled the
+    // disk on it); auto rows hold n * J_bg^rows <= ~64 per band
+    assert(Dedup.autoNgramRows(0) === 6)
+    assert(Dedup.autoNgramRows(500) === 6)
+    assert(Dedup.autoNgramRows(5000) === 6)
+    assert(Dedup.autoNgramRows(50000) === 7)
+    assert(Dedup.autoNgramRows(500000) === 9)
+    assert(Dedup.autoNgramRows(Long.MaxValue) === 16)
+    for (n <- Seq(50000L, 500000L, 50000000L))
+      assert(n * math.pow(0.35, Dedup.autoNgramRows(n)) <= 64.0 + 1e-9,
+        s"occupancy bound broken at n=$n")
+    // steeper rows would silently cut recall — bands must restore
+    // >= 0.999 at the J=0.9 near-dup design point
+    for (r <- 6 to 16) {
+      val b = Dedup.autoNgramBands(r)
+      val recall = 1 - math.pow(1 - math.pow(0.9, r), b)
+      assert(recall >= 0.999, s"rows=$r bands=$b recall=$recall")
+    }
+    assert(Dedup.autoNgramBands(6) === 12) // the legacy shape, recovered
+    // at test-corpus size AUTO resolves to exactly the legacy 12x6, so
+    // the default path IS the oracled d_dedup_ngram shape; a correct
+    // rowHint reproduces it without the sizing count
+    val docs = Tables.load(spark, sf, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val auto = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id"))
+    val pinned = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      bands = 12, rows = 6))
+    val hinted = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      rowHint = docs.count()))
+    assert(auto === pinned)
+    assert(hinted === auto)
+    assert(auto.nonEmpty)
+  }
+
   test("semantic pairs: default k auto-sizes occupancy-held (autoK wiring)") {
     // sqrt-sizing via Similarity.autoNlist: mean cluster occupancy and
     // within-cluster comparison count both ~sqrt(n) — a fixed default

@@ -17,6 +17,7 @@ class NoHiddenScanSpec extends SparkSpec {
 
   private lazy val emb = Tables.load(spark, sf, "embeddings")
   private lazy val queries = emb.filter(col("vec_id") < 5)
+  private lazy val docs = Tables.load(spark, sf, "documents")
 
   /** Jobs launched while constructing (NOT executing) `body`'s result.
     * The hidden count() runs eagerly at DataFrame-construction time —
@@ -28,7 +29,7 @@ class NoHiddenScanSpec extends SparkSpec {
     // window: the FIRST touch of a parquet DataFrame launches a
     // listing/footer job that would otherwise be misattributed to the
     // operator under test
-    emb.count(); queries.count()
+    emb.count(); queries.count(); docs.count()
     val n = new java.util.concurrent.atomic.AtomicInteger
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
@@ -118,6 +119,18 @@ class NoHiddenScanSpec extends SparkSpec {
     assert(pinned === 0, "explicit k must not launch any Spark job")
     val auto = jobsDuringConstruction(
       Dedup.semanticPairs(emb, "embedding", "vec_id"))
+    assert(auto >= 1, "AUTO without hint sizes from a real count() job")
+  }
+
+  test("ngramJaccardPairs with rowHint or pinned shape launches no job") {
+    val hinted = jobsDuringConstruction(
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", rowHint = 10000L))
+    assert(hinted === 0, "rowHint call must not launch any Spark job")
+    val pinned = jobsDuringConstruction(
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", bands = 12, rows = 6))
+    assert(pinned === 0, "pinned shape must not launch any Spark job")
+    val auto = jobsDuringConstruction(
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id"))
     assert(auto >= 1, "AUTO without hint sizes from a real count() job")
   }
 }
