@@ -13,52 +13,83 @@ object Bench {
     String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
   /** Render the one-line driver handshake JSON — pure, pinned by
-    * BenchSpec against a synthetic 120-query map. The driver keeps only
-    * a fixed-size TAIL of stdout (2000 chars observed), so the line
-    * must fit in it whole; full-precision doubles over 81 queries once
-    * overflowed it and the line never parsed. Degradation ladder until
-    * the line fits `limit`: 2-decimal → 1-decimal → failed list capped
-    * at 8 names (+"+N more" marker) → sf rendered as its basename
-    * (saves a path prefix; dir layout is fixed, so sf0.1 is
-    * unambiguous) → per-query map restricted to the SLOWEST K entries
-    * that fit, with a "queries_omitted" count. The headline total
-    * stays exact-to-precision through every rung. Queries that failed
-    * every pass appear ONLY in "failed", never in "queries": their
-    * durations are meaningless, and a consumer diffing run-over-run
-    * must not mistake a persistently broken query for a fast one. */
+    * BenchSpec against synthetic maps up to 140 queries. The driver
+    * keeps only a fixed-size TAIL of stdout (2000 chars observed), so
+    * the line must fit in it whole; full-precision doubles over 81
+    * queries once overflowed it and the line never parsed. Degradation
+    * ladder until the line fits `limit`: 2-decimal → 1-decimal →
+    * failed list capped at 8 names (+"+N more" marker) → sf rendered
+    * as its basename (saves a path prefix; dir layout is fixed, so
+    * sf0.1 is unambiguous) → per-query values as INTEGER DECISECONDS
+    * (self-described by a `"qunit":"ds"` marker — drops the literal
+    * dot per entry, ~1 char x suite size) → the map PACKED into two
+    * parallel CSV strings `"qn"`/`"qds"` (same names, same ds values;
+    * drops the per-entry quote+colon glue, ~3 chars x suite size) →
+    * per-query map restricted to the SLOWEST K entries that fit
+    * (deciseconds), with a "queries_omitted" count. The headline
+    * total stays seconds at 1-decimal through every rung below the
+    * first. Queries that failed every pass appear ONLY in "failed",
+    * never in the map: their durations are meaningless, and a
+    * consumer diffing run-over-run must not mistake a persistently
+    * broken query for a fast one.
+    *
+    * Capacity, measured with the real suite's names (avg ~11.7
+    * chars): 1-decimal carries ~97 queries, deciseconds ~110, packed
+    * ~125. Full names at 140 queries cost ~1780 chars BEFORE any
+    * values or JSON glue, so no self-describing single-line encoding
+    * reaches 140 with zero omissions inside a 1950-char budget — past
+    * the packed rung the ladder keeps the slowest entries plus the
+    * honest omission count, and bench_full.json remains the complete
+    * committed record. */
   private[graft] def renderLine(timings: Seq[(String, Double)], total: Double,
       failed: Seq[String], sfDir: String, limit: Int = 1950): String = {
     val sfShort = new java.io.File(sfDir).getName
+    def ds(v: Double): String = math.round(v * 10).toString
+    def failedJson(failCap: Int): String =
+      if (failed.isEmpty) ""
+      else {
+        val names = failed.take(failCap).map("\"" + _ + "\"")
+        val extra =
+          if (failed.size > failCap) Seq("\"+" + (failed.size - failCap) + " more\"")
+          else Nil
+        (names ++ extra).mkString(""","failed":[""", ",", "]")
+      }
+    def keep(keepQ: Int): Seq[(String, Double)] =
+      if (keepQ >= timings.size) timings
+      else timings.sortBy(-_._2).take(keepQ).sortBy(_._1)
+    def omittedJson(kept: Int): String =
+      if (kept < timings.size) s""","queries_omitted":${timings.size - kept}"""
+      else ""
+    // dec >= 1: seconds at that precision; dec == 0: integer
+    // deciseconds, marked "qunit":"ds" so the values self-describe
     def render(dec: Int, failCap: Int, keepQ: Int, sfShown: String): String = {
-      val kept =
-        if (keepQ >= timings.size) timings
-        else timings.sortBy(-_._2).take(keepQ).sortBy(_._1)
-      val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
-        .mkString("{", ",", "}")
-      val omitted =
-        if (kept.size < timings.size)
-          s""","queries_omitted":${timings.size - kept.size}"""
-        else ""
-      val failedJson =
-        if (failed.isEmpty) ""
-        else {
-          val names = failed.take(failCap).map("\"" + _ + "\"")
-          val extra =
-            if (failed.size > failCap) Seq("\"+" + (failed.size - failCap) + " more\"")
-            else Nil
-          (names ++ extra).mkString(""","failed":[""", ",", "]")
-        }
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$omitted$failedJson,"sf":"$sfShown"}"""
+      val kept = keep(keepQ)
+      val qs = kept.map { case (k, v) =>
+        "\"" + k + "\":" + (if (dec == 0) ds(v) else fmt(v, dec))
+      }.mkString("{", ",", "}")
+      val unit = if (dec == 0) ""","qunit":"ds"""" else ""
+      s"""{"metric":"total","value":${fmt(total, math.max(dec, 1))},"unit":"sec","queries":$qs$unit${omittedJson(kept.size)}${failedJson(failCap)},"sf":"$sfShown"}"""
     }
-    Iterator((2, Int.MaxValue, sfDir), (1, Int.MaxValue, sfDir), (1, 8, sfDir),
-        (1, 8, sfShort))
-      .map { case (d, fc, sfr) => render(d, fc, timings.size, sfr) }
+    // the packed rung: same (name, decisecond) pairs as two parallel
+    // CSV strings — position i of qds times position i of qn
+    def renderPacked(failCap: Int, sfShown: String): String = {
+      val qn = timings.map(_._1).mkString(",")
+      val qds = timings.map(t => ds(t._2)).mkString(",")
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$qn","qds":"$qds","qunit":"ds"${failedJson(failCap)},"sf":"$sfShown"}"""
+    }
+    Iterator(
+        render(2, Int.MaxValue, timings.size, sfDir),
+        render(1, Int.MaxValue, timings.size, sfDir),
+        render(1, 8, timings.size, sfDir),
+        render(1, 8, timings.size, sfShort),
+        render(0, 8, timings.size, sfShort),
+        renderPacked(8, sfShort))
       .find(_.length <= limit)
       .getOrElse {
-        // the short-sf rung already proved keepQ = timings.size too long
-        ((timings.size - 1) to 0 by -1).iterator.map(render(1, 8, _, sfShort))
+        // every zero-omission encoding is too long: keep the slowest K
+        ((timings.size - 1) to 0 by -1).iterator.map(render(0, 8, _, sfShort))
           .find(_.length <= limit)
-          .getOrElse(render(1, 0, 0, sfShort))
+          .getOrElse(render(0, 0, 0, sfShort))
       }
   }
 

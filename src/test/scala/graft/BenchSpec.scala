@@ -44,21 +44,77 @@ class BenchSpec extends AnyFunSuite {
       assert(js.get("queries").has("q_syn_120"))
   }
 
-  test("sf shortens to its basename before any query is dropped") {
-    // sweep the sizes around the real suite's: wherever the full-path
-    // render overflows, the basename rung must absorb it first — a
-    // query row only drops once even the short form cannot fit
-    for (n <- 80 to 130) {
+  test("sweep to 140 queries: always fits, every entry accounted, drops last") {
+    // wherever one encoding overflows, the next rung (short sf →
+    // deciseconds → packed csv) must absorb it first — a query row
+    // only drops once even the densest zero-omission form cannot fit
+    for (n <- 80 to 140) {
       val t = synthetic(n)
       val line = Bench.renderLine(t, t.map(_._2).sum, Nil, "/root/testdata/sf0.1")
       assert(line.length <= 1950, s"n=$n overflows: ${line.length}")
       val js = parse(line)
-      val kept = js.get("queries").size()
-      val omitted = if (js.has("queries_omitted")) js.get("queries_omitted").asInt() else 0
-      assert(kept + omitted === n)
-      if (omitted > 0)
+      val (kept, omitted) =
+        if (js.has("qn")) {
+          val names = js.get("qn").asText().split(",")
+          assert(names.length === js.get("qds").asText().split(",").length)
+          assert(js.get("qunit").asText() === "ds")
+          (names.length, 0)
+        } else {
+          val o = if (js.has("queries_omitted")) js.get("queries_omitted").asInt() else 0
+          (js.get("queries").size(), o)
+        }
+      assert(kept + omitted === n, s"n=$n lost entries: $kept + $omitted")
+      if (omitted > 0) {
         assert(js.get("sf").asText() === "sf0.1",
           s"n=$n dropped queries while sf still carried the full path")
+        // truncation keeps the SLOWEST queries — the informative tail
+        assert(js.get("queries").has(f"q_syn_$n%03d"))
+      }
+    }
+  }
+
+  test("the ladder degrades in order: seconds, short sf, deciseconds, packed, slowest-K") {
+    val t = synthetic(120)
+    val total = t.map(_._2).sum
+    def lineAt(lim: Int): String =
+      Bench.renderLine(t, total, Nil, "/root/testdata/sf0.1", limit = lim)
+    def kind(line: String): String = {
+      val js = parse(line)
+      if (js.has("queries_omitted")) "slowest-K"
+      else if (js.has("qn")) "packed"
+      else if (js.has("qunit")) "ds"
+      else if (js.get("sf").asText() === "sf0.1") "short-sf"
+      else "seconds"
+    }
+    // walk the ladder by shrinking the budget to just under each rung's
+    // rendered length: every rung must keep ALL queries in a strictly
+    // tighter line, and only the final fallback may omit any
+    val kinds = scala.collection.mutable.ArrayBuffer[String]()
+    var lim = 10000
+    var k = ""
+    while (k != "slowest-K" && kinds.size < 10) {
+      val line = lineAt(lim)
+      assert(line.length <= lim)
+      k = kind(line)
+      if (!kinds.lastOption.contains(k)) kinds += k
+      if (k != "slowest-K") {
+        val js = parse(line)
+        val n = if (js.has("qn")) js.get("qn").asText().split(",").length
+                else js.get("queries").size()
+        assert(n === 120, s"rung $k dropped entries")
+      }
+      lim = line.length - 1
+    }
+    assert(kinds.toSeq ===
+      Seq("seconds", "short-sf", "ds", "packed", "slowest-K"))
+    // the ds values are honest: position i of qds times position i of qn
+    val packed = parse(Iterator.iterate(10000)(l => lineAt(l).length - 1)
+      .map(lineAt).find(l => parse(l).has("qn")).get)
+    val names = packed.get("qn").asText().split(",")
+    val ds = packed.get("qds").asText().split(",").map(_.toLong)
+    val want = t.toMap
+    names.zip(ds).foreach { case (q, d) =>
+      assert(d === math.round(want(q) * 10), q)
     }
   }
 
