@@ -77,13 +77,14 @@ object Bench {
       val qds = timings.map(t => ds(t._2)).mkString(",")
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$qn","qds":"$qds","qunit":"ds"${failedJson(failCap)},"sf":"$sfShown"}"""
     }
-    Iterator(
-        render(2, Int.MaxValue, timings.size, sfDir),
-        render(1, Int.MaxValue, timings.size, sfDir),
-        render(1, 8, timings.size, sfDir),
-        render(1, 8, timings.size, sfShort),
-        render(0, 8, timings.size, sfShort),
-        renderPacked(8, sfShort))
+    Iterator[() => String](
+        () => render(2, Int.MaxValue, timings.size, sfDir),
+        () => render(1, Int.MaxValue, timings.size, sfDir),
+        () => render(1, 8, timings.size, sfDir),
+        () => render(1, 8, timings.size, sfShort),
+        () => render(0, 8, timings.size, sfShort),
+        () => renderPacked(8, sfShort))
+      .map(_.apply())
       .find(_.length <= limit)
       .getOrElse {
         // every zero-omission encoding is too long: keep the slowest K

@@ -136,6 +136,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 4, threshold: Double = 0.7, bands: Int = -1, rows: Int = -1,
       seed: Long = 77L, rowHint: Long = -1L): DataFrame = {
+    // pinning only bands would silently pair them with auto-steepened
+    // rows and drop recall below the 0.999 design point; pinning only
+    // rows would skip the recall-restoring band resolve — a shape is
+    // pinned whole or sized whole
+    require((bands > 0) == (rows > 0),
+      s"graft: pass bands AND rows together (got bands=$bands, rows=$rows) " +
+        "— pinning one half of the S-curve silently breaks the recall or " +
+        "occupancy invariant the other half was sized for")
     val r = if (rows > 0) rows
             else autoNgramRows(if (rowHint > 0) rowHint else df.count())
     val b = if (bands > 0) bands else autoNgramBands(r)

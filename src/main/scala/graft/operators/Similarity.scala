@@ -154,6 +154,9 @@ object Similarity {
                else autoNlist(if (rowHint > 0) rowHint else corpus.count())
       trainQuantizer(corpus, vecCol, idCol, nl, lloydIters)
     }
+    // an empty supplied centroid set would make nl = 0 and rot the
+    // probe fanout into bogus list ids — reject it like ivfPqEncode does
+    require(cents.nonEmpty, "graft: IVF-PQ needs >= 1 centroid")
     val nl = cents.length
     val centRef = broadcastCentroids(corpus, cents)
     val books = codebooks.getOrElse(
@@ -450,16 +453,19 @@ object Similarity {
     * every float bit pattern plus shape — same scheme as
     * [[bookFingerprint]], so any retrained quantizer hashes
     * differently even at equal shape. */
-  def centroidFingerprint(cents: Array[Seq[Float]]): String = {
+  def centroidFingerprint(cents: Array[Seq[Float]]): String =
+    md5Ints(Iterator(cents.length) ++ cents.iterator.flatMap { c =>
+      Iterator(c.length) ++ c.iterator.map(java.lang.Float.floatToIntBits)
+    })
+
+  /** MD5 over a shape-prefixed int stream — the one hashing scheme
+    * behind both artifact fingerprints, so a future change (digest,
+    * version byte, endianness) lands in both or neither. */
+  private def md5Ints(ints: Iterator[Int]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(4)
-    def addInt(i: Int): Unit = {
+    ints.foreach { i =>
       buf.clear(); buf.putInt(i); md.update(buf.array(), 0, 4)
-    }
-    addInt(cents.length)
-    cents.foreach { c =>
-      addInt(c.length)
-      c.foreach(f => addInt(java.lang.Float.floatToIntBits(f)))
     }
     md.digest().map("%02x".format(_)).mkString
   }
@@ -467,22 +473,12 @@ object Similarity {
   /** Deterministic fingerprint of a codebook set: MD5 over every float
     * bit pattern (plus shape), so any retrained or edited book — even
     * one equal in shape — hashes differently. */
-  def bookFingerprint(books: Array[Array[Array[Float]]]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val buf = java.nio.ByteBuffer.allocate(4)
-    def addInt(i: Int): Unit = {
-      buf.clear(); buf.putInt(i); md.update(buf.array(), 0, 4)
-    }
-    addInt(books.length)
-    books.foreach { b =>
-      addInt(b.length)
-      b.foreach { c =>
-        addInt(c.length)
-        c.foreach(f => addInt(java.lang.Float.floatToIntBits(f)))
+  def bookFingerprint(books: Array[Array[Array[Float]]]): String =
+    md5Ints(Iterator(books.length) ++ books.iterator.flatMap { b =>
+      Iterator(b.length) ++ b.iterator.flatMap { c =>
+        Iterator(c.length) ++ c.iterator.map(java.lang.Float.floatToIntBits)
       }
-    }
-    md.digest().map("%02x".format(_)).mkString
-  }
+    })
 
   /** Injected codebooks must satisfy the PQEncode64 packing invariants
     * that trainCodebooks guarantees by construction: a 9th subspace

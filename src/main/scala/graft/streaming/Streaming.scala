@@ -307,7 +307,10 @@ object Streaming {
   // (type, from_ms, n, last-accepted ts) of the island still open for
   // the key — last_ms is the out-of-order detector: any later-arriving
   // event with ts_ms < last_ms would have changed already-emitted
-  // history
+  // history. NOTE: adding last_ms changed the ValueState schema — a
+  // streaming query checkpointed under the 3-field shape fails state
+  // restore on upgrade and must replay from a fresh checkpoint (no
+  // migration; the topic replay rebuilds open islands deterministically)
   case class OpenIsland(event_type: String, from_ms: Long, n: Long,
       last_ms: Long)
 
