@@ -70,16 +70,63 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard) for word-shingle Jaccard >=
-    * `threshold`. 16 bands x 4 rows -> S-curve midpoint
-    * (1/16)^(1/4) = 0.5 = the default threshold. */
+    * `threshold`. The legacy 16 bands x 4 rows put the S-curve
+    * midpoint at (1/16)^(1/4) = 0.5 = the default threshold.
+    *
+    * `numHashes`/`bands` default to AUTO (-1): the same fixed-S-curve
+    * background term as [[ngramJaccardPairs]] — candidates ≈ bands ·
+    * J_bg^rows · n²/2, quadratic at any constant shape; word-shingle
+    * background between unrelated docs is low (~0.05-0.1, why the
+    * fixed 16x4 measured ~linear to 100x on this corpus) but the term
+    * only takes a bigger n to surface. [[autoMinhashRows]] steepens
+    * rows with corpus count (n · J_bg^rows <= ~64 per band at the
+    * J_bg = 0.15 design background), [[autoMinhashBands]] re-solves
+    * bands for >= 0.999 recall at the J = 0.8 near-dup design point,
+    * and numHashes = bands · rows. Steepening raises the midpoint
+    * above `threshold`, so borderline pairs (J just over threshold)
+    * lose recall while the near-dup design point holds — the same
+    * documented trade as the ngram and embedding AUTO paths. At the
+    * test corpus sizes AUTO resolves to exactly the legacy 64/16.
+    * AUTO costs one count() UNLESS `rowHint` (> 0) supplies the row
+    * count; pass numHashes AND bands together to pin a shape (the
+    * oracled contract queries do — pinning one half is rejected). */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = -1, bands: Int = -1,
+      threshold: Double = 0.5, seed: Long = 42L,
+      rowHint: Long = -1L): DataFrame = {
+    require((numHashes > 0) == (bands > 0),
+      s"graft: pass numHashes AND bands together (got numHashes=$numHashes, " +
+        s"bands=$bands) — pinning one half of the S-curve silently breaks " +
+        "the recall or occupancy invariant the other half was sized for")
+    val (b, r) =
+      if (bands > 0) (bands, numHashes / bands)
+      else {
+        val rr = autoMinhashRows(if (rowHint > 0) rowHint else df.count())
+        (autoMinhashBands(rr), rr)
+      }
     val sh = df.select(col(idCol).as("id"),
       Bridge.column(HashedWordShingles(
         Bridge.expression(col(textCol)), shingleK)).as("sh"))
-    lshJaccardPairs(sh, bands, numHashes / bands, threshold, seed)
+    lshJaccardPairs(sh, b, r, threshold, seed)
   }
+
+  /** Occupancy-held S-curve steepness for [[minhashPairs]]: smallest
+    * rows-per-band with expected background collisions per (document,
+    * band) bounded — n · J_bg^rows <= ~64 at the word-shingle design
+    * background J_bg = 0.15 — clamped to [4, 12] (4 = the legacy
+    * shape, which AUTO reproduces up to ~126k docs). */
+  private[graft] def autoMinhashRows(n: Long, jBg: Double = 0.15): Int =
+    math.min(12, math.max(4,
+      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(1.0 / jBg)).toInt))
+
+  /** Recall-restoring band count for [[minhashPairs]]: bands grows
+    * with steeper rows to keep >= 0.999 recall at the J = 0.8
+    * near-dup design point, clamped to >= 16 (the legacy floor). */
+  private[graft] def autoMinhashBands(rows: Int, jTrue: Double = 0.8,
+      recall: Double = 0.999): Int =
+    math.max(16,
+      math.ceil(math.log(1.0 - recall) /
+        math.log(1.0 - math.pow(jTrue, rows))).toInt)
 
   /** SimHash near-dup pairs: (id_a, id_b, hamming) with Hamming
     * distance <= `maxHamming` over 64-bit token-vote signatures. */

@@ -1095,8 +1095,11 @@ object Pipeline {
         WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) >= 0.5)"""
 
   val dDedupMinhash: QueryDef = QueryDef(
+    // contract queries pin explicit shapes — 64/16 is what AUTO
+    // resolves to at these corpus sizes (DedupSpec proves equality)
     fn = (s, dir) =>
-      Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id")
+      Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        numHashes = 64, bands = 16)
         .orderBy(col("id_a"), col("id_b")),
     oracle = Some(s"""
       WITH $shinglePairsSql
@@ -1120,7 +1123,8 @@ object Pipeline {
       // broadcast the PAIR side of both lookups (it is corpus-small by
       // construction) so the corpus streams through as the probe side —
       // a corpus-side broadcast/shuffle would invert the size argument
-      val pairs = broadcast(Dedup.minhashPairs(docs, "text", "doc_id"))
+      val pairs = broadcast(Dedup.minhashPairs(docs, "text", "doc_id",
+        numHashes = 64, bands = 16))
       broadcast(pairs
           .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
             "id_a"))
@@ -1272,7 +1276,8 @@ object Pipeline {
   val dDedupClusters: QueryDef = QueryDef(
     fn = (s, dir) =>
       Dedup.clusters(
-        Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id"))
+        Dedup.minhashPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+          numHashes = 64, bands = 16))
         .orderBy(col("id")),
     oracle = Some(s"""
       WITH RECURSIVE $shinglePairsSql,

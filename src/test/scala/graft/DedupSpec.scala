@@ -191,6 +191,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash blocking auto-steepens its S-curve with corpus size") {
+    // same structural term as ngram (bands * J_bg^rows * n^2/2), lower
+    // word-shingle background constant — legacy 64/16 recovered at
+    // test sizes, steeper shapes past ~126k docs
+    assert(Dedup.autoMinhashRows(0) === 4)
+    assert(Dedup.autoMinhashRows(5000) === 4)
+    assert(Dedup.autoMinhashRows(126000) === 4)
+    assert(Dedup.autoMinhashRows(130000) === 5)
+    assert(Dedup.autoMinhashRows(100000000L) === 8)
+    assert(Dedup.autoMinhashRows(Long.MaxValue) === 12)
+    for (n <- Seq(500000L, 50000000L))
+      assert(n * math.pow(0.15, Dedup.autoMinhashRows(n)) <= 64.0 + 1e-9)
+    for (r <- 4 to 12) {
+      val b = Dedup.autoMinhashBands(r)
+      val recall = 1 - math.pow(1 - math.pow(0.8, r), b)
+      assert(recall >= 0.999, s"rows=$r bands=$b recall=$recall")
+    }
+    assert(Dedup.autoMinhashBands(4) === 16) // the legacy shape, recovered
+    val docs = Tables.load(spark, sf, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val auto = pairs(Dedup.minhashPairs(docs, "text", "doc_id"))
+    val pinned = pairs(Dedup.minhashPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16))
+    val hinted = pairs(Dedup.minhashPairs(docs, "text", "doc_id",
+      rowHint = docs.count()))
+    assert(auto === pinned)
+    assert(hinted === auto)
+    assert(auto.nonEmpty)
+    // half-pinned shapes are rejected, not silently mis-sized
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, "text", "doc_id", numHashes = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", bands = 12)
+    }
+  }
+
   test("ngram blocking auto-steepens its S-curve with corpus size") {
     // fixed (bands, rows) leaves a background-collision candidate term
     // bands * J_bg^rows * n^2/2 — quadratic (the 100x probe filled the

@@ -133,4 +133,16 @@ class NoHiddenScanSpec extends SparkSpec {
       Dedup.ngramJaccardPairs(docs, "text", "doc_id"))
     assert(auto >= 1, "AUTO without hint sizes from a real count() job")
   }
+
+  test("minhashPairs with rowHint or pinned shape launches no job") {
+    val hinted = jobsDuringConstruction(
+      Dedup.minhashPairs(docs, "text", "doc_id", rowHint = 10000L))
+    assert(hinted === 0, "rowHint call must not launch any Spark job")
+    val pinned = jobsDuringConstruction(
+      Dedup.minhashPairs(docs, "text", "doc_id", numHashes = 64, bands = 16))
+    assert(pinned === 0, "pinned shape must not launch any Spark job")
+    val auto = jobsDuringConstruction(
+      Dedup.minhashPairs(docs, "text", "doc_id"))
+    assert(auto >= 1, "AUTO without hint sizes from a real count() job")
+  }
 }
