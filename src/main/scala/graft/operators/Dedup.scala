@@ -129,7 +129,17 @@ object Dedup {
         math.log(1.0 - math.pow(jTrue, rows))).toInt)
 
   /** SimHash near-dup pairs: (id_a, id_b, hamming) with Hamming
-    * distance <= `maxHamming` over 64-bit token-vote signatures. */
+    * distance <= `maxHamming` over 64-bit token-vote signatures.
+    *
+    * Scale bound, by construction: the pigeonhole guarantee (any
+    * Hamming-<=3 pair shares one intact block) REQUIRES exactly 4
+    * blocks of 16 bits on a 64-bit signature, so unlike the tunable
+    * LSH paths this blocking cannot steepen with corpus size — bucket
+    * occupancy is n/2^16 per band and the verify term grows ~n²/2^18.
+    * Fine to ~10M docs (occupancy ~150, measured 6.5x wall at the
+    * 100x/500k-doc probe); past that the honest fix is a wider
+    * signature (128-bit simhash -> 8 x 16-bit blocks for Hamming<=7,
+    * or 32-bit blocks), not a recall-losing bucket cap. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sig = df.select(col(idCol).as("id"),
