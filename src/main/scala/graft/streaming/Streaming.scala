@@ -144,7 +144,15 @@ object Streaming {
     * S-curve). Emits one verified `(doc_id, ref_id, jaccard)` pair per
     * colliding band set; duplicates across bands collapse via
     * within-watermark dedup on the pair key (batch: plain distinct).
-    */
+    *
+    * The default 64/16 shape suits reference corpora to ~126k docs;
+    * per incoming doc the background-collision candidate count grows
+    * linearly with the reference at any fixed shape, so at a larger
+    * reference size STEEPEN the curve:
+    * `rows = Dedup.autoMinhashRows(refCount)` /
+    * `bands = Dedup.autoMinhashBands(rows)` and pass
+    * `numHashes = bands * rows` here — a long-running ingest job knows
+    * its reference count, so no hidden sizing scan is needed. */
   def nearDupAgainstReference(docs: DataFrame, reference: DataFrame,
       shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, seed: Long = 42L,
