@@ -1307,7 +1307,10 @@ object Pipeline {
       import graft.streaming.Streaming
       val docs = Streaming.decodeDocuments(
         graft.sources.MessageLog.documentsTopic(s, dir))
-      Streaming.nearDupAgainstReference(Streaming.dedupedDocs(docs), docs)
+      // contract queries pin explicit shapes — 64/16 is what AUTO
+      // resolves to at these reference sizes (StreamingSpec drives AUTO)
+      Streaming.nearDupAgainstReference(Streaming.dedupedDocs(docs), docs,
+          numHashes = 64, bands = 16)
         .orderBy(col("doc_id"), col("ref_id"))
     },
     oracle = Some(s"""

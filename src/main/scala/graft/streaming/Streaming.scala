@@ -145,26 +145,41 @@ object Streaming {
     * colliding band set; duplicates across bands collapse via
     * within-watermark dedup on the pair key (batch: plain distinct).
     *
-    * The default 64/16 shape suits reference corpora to ~126k docs;
-    * per incoming doc the background-collision candidate count grows
-    * linearly with the reference at any fixed shape, so at a larger
-    * reference size STEEPEN the curve:
-    * `rows = Dedup.autoMinhashRows(refCount)` /
-    * `bands = Dedup.autoMinhashBands(rows)` and pass
-    * `numHashes = bands * rows` here — a long-running ingest job knows
-    * its reference count, so no hidden sizing scan is needed. */
+    * `numHashes`/`bands` default to AUTO (-1), sized from the
+    * REFERENCE side ([[graft.operators.Dedup.autoMinhashRows]] /
+    * `autoMinhashBands` — per incoming doc the background-collision
+    * candidate count grows linearly with the reference at any fixed
+    * shape, and it is the reference whose size the curve must answer;
+    * the legacy 64/16 is recovered up to ~126k reference docs). AUTO
+    * costs one count() of the (static, batch-side) reference UNLESS
+    * `refCountHint` (> 0) supplies it — a long-running ingest job
+    * knows its reference count. Pass numHashes AND bands together to
+    * pin a shape; half-pinned shapes are rejected like the batch
+    * operators'. */
   def nearDupAgainstReference(docs: DataFrame, reference: DataFrame,
-      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, numHashes: Int = -1, bands: Int = -1,
       threshold: Double = 0.5, seed: Long = 42L,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours", refCountHint: Long = -1L): DataFrame = {
+    import graft.operators.Dedup
     import graft.plans.{HashedWordShingles, JaccardLong, MinHashBandKeys}
     import org.apache.spark.sql.graft.Bridge
+    require((numHashes > 0) == (bands > 0),
+      s"graft: pass numHashes AND bands together (got numHashes=$numHashes, " +
+        s"bands=$bands) — pinning one half of the S-curve silently breaks " +
+        "the recall or occupancy invariant the other half was sized for")
+    val (bandsN, rowsN) =
+      if (bands > 0) (bands, numHashes / bands)
+      else {
+        val r = Dedup.autoMinhashRows(
+          if (refCountHint > 0) refCountHint else reference.count())
+        (Dedup.autoMinhashBands(r), r)
+      }
     def banded(df: DataFrame, idOut: String, shOut: String, keep: Seq[Column]) = {
       val sh = Bridge.column(HashedWordShingles(
         Bridge.expression(col("text")), shingleK))
       df.select((keep :+ col("doc_id").as(idOut) :+ sh.as(shOut)): _*)
         .withColumn("bkey", explode(Bridge.column(MinHashBandKeys(
-          Bridge.expression(col(shOut)), bands, numHashes / bands, seed))))
+          Bridge.expression(col(shOut)), bandsN, rowsN, seed))))
     }
     val s = banded(docs, "doc_id", "sh_s", Seq(col("ts")))
     val r = banded(reference, "ref_id", "sh_r", Seq.empty)
