@@ -94,20 +94,39 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = -1, bands: Int = -1,
       threshold: Double = 0.5, seed: Long = 42L,
       rowHint: Long = -1L): DataFrame = {
-    require((numHashes > 0) == (bands > 0),
-      s"graft: pass numHashes AND bands together (got numHashes=$numHashes, " +
-        s"bands=$bands) — pinning one half of the S-curve silently breaks " +
-        "the recall or occupancy invariant the other half was sized for")
-    val (b, r) =
-      if (bands > 0) (bands, numHashes / bands)
-      else {
-        val rr = autoMinhashRows(if (rowHint > 0) rowHint else df.count())
-        (autoMinhashBands(rr), rr)
-      }
+    val (b, r) = resolveMinhashShape(numHashes, bands, rowHint, df.count())
     val sh = df.select(col(idCol).as("id"),
       Bridge.column(HashedWordShingles(
         Bridge.expression(col(textCol)), shingleK)).as("sh"))
     lshJaccardPairs(sh, b, r, threshold, seed)
+  }
+
+  /** Shared numHashes/bands resolution for the minhash-family
+    * blockings ([[minhashPairs]] and the streaming reference join):
+    * pinned-or-AUTO with every invalid quadrant rejected in ONE place.
+    * Half-pins break the invariant the other half was sized for; a
+    * non-divisible pin silently runs a different shape than the caller
+    * named; and numHashes < bands gives rows = 0, which folds ZERO
+    * minima into every band key — every document lands in one bucket
+    * per band and the candidate self-join is the full n²/2 cross
+    * product. `count` is by-name: only evaluated on the AUTO path
+    * without a hint. */
+  private[graft] def resolveMinhashShape(numHashes: Int, bands: Int,
+      rowHint: Long, count: => Long): (Int, Int) = {
+    require((numHashes > 0) == (bands > 0),
+      s"graft: pass numHashes AND bands together (got numHashes=$numHashes, " +
+        s"bands=$bands) — pinning one half of the S-curve silently breaks " +
+        "the recall or occupancy invariant the other half was sized for")
+    if (bands > 0) {
+      require(numHashes % bands == 0 && numHashes >= bands,
+        s"graft: numHashes ($numHashes) must be a positive multiple of " +
+          s"bands ($bands) — rows = numHashes/bands must be >= 1, and a " +
+          "remainder would silently drop hashes from the pinned shape")
+      (bands, numHashes / bands)
+    } else {
+      val r = autoMinhashRows(if (rowHint > 0) rowHint else count)
+      (autoMinhashBands(r), r)
+    }
   }
 
   /** Occupancy-held S-curve steepness for [[minhashPairs]]: smallest

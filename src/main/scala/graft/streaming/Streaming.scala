@@ -163,17 +163,8 @@ object Streaming {
     import graft.operators.Dedup
     import graft.plans.{HashedWordShingles, JaccardLong, MinHashBandKeys}
     import org.apache.spark.sql.graft.Bridge
-    require((numHashes > 0) == (bands > 0),
-      s"graft: pass numHashes AND bands together (got numHashes=$numHashes, " +
-        s"bands=$bands) — pinning one half of the S-curve silently breaks " +
-        "the recall or occupancy invariant the other half was sized for")
-    val (bandsN, rowsN) =
-      if (bands > 0) (bands, numHashes / bands)
-      else {
-        val r = Dedup.autoMinhashRows(
-          if (refCountHint > 0) refCountHint else reference.count())
-        (Dedup.autoMinhashBands(r), r)
-      }
+    val (bandsN, rowsN) = Dedup.resolveMinhashShape(
+      numHashes, bands, refCountHint, reference.count())
     def banded(df: DataFrame, idOut: String, shOut: String, keep: Seq[Column]) = {
       val sh = Bridge.column(HashedWordShingles(
         Bridge.expression(col("text")), shingleK))

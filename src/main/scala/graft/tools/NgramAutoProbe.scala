@@ -22,7 +22,8 @@ object NgramAutoProbe {
     val spark = GraftSession.local()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val n = docs.count()
-    val (r, b) = (Dedup.autoNgramRows(n), Dedup.autoNgramBands(Dedup.autoNgramRows(n)))
+    val r = Dedup.autoNgramRows(n)
+    val b = Dedup.autoNgramBands(r)
     println(s"[ngramprobe] n=$n auto shape: bands=$b rows=$r")
     def time(label: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()

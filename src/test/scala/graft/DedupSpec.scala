@@ -227,6 +227,15 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", bands = 12)
     }
+    // swapped pins (rows = 16/64 = 0 would fold ZERO minima into every
+    // band key: one bucket per band, the full n^2 cross product) and
+    // non-divisible pins (silently a different shape) are rejected too
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, "text", "doc_id", numHashes = 16, bands = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, "text", "doc_id", numHashes = 64, bands = 10)
+    }
   }
 
   test("ngram blocking auto-steepens its S-curve with corpus size") {

@@ -145,4 +145,20 @@ class NoHiddenScanSpec extends SparkSpec {
       Dedup.minhashPairs(docs, "text", "doc_id"))
     assert(auto >= 1, "AUTO without hint sizes from a real count() job")
   }
+
+  test("nearDupAgainstReference with refCountHint launches no job at construction") {
+    import graft.streaming.Streaming
+    val topic = Streaming.decodeDocuments(
+      graft.sources.MessageLog.documentsTopic(spark, sf))
+    topic.count() // warm the topic's listing/decode outside the window
+    val hinted = jobsDuringConstruction(
+      Streaming.nearDupAgainstReference(topic, topic, refCountHint = 10000L))
+    assert(hinted === 0, "refCountHint call must not count the reference")
+    val pinned = jobsDuringConstruction(
+      Streaming.nearDupAgainstReference(topic, topic, numHashes = 64, bands = 16))
+    assert(pinned === 0, "pinned shape must not launch any Spark job")
+    val auto = jobsDuringConstruction(
+      Streaming.nearDupAgainstReference(topic, topic))
+    assert(auto >= 1, "AUTO without hint sizes from a real reference count()")
+  }
 }

@@ -326,7 +326,11 @@ class StreamingSpec extends SparkSpec {
       assert(emitted.toSet === Set(
         (1L, "x", 1000L, 3000L, 1L),
         (1L, "y", 3000L, 4000L, 1L)))
-      assert(late.value === 1L)
+      // >= not ===: the counter increments inside the stateful
+      // transformation, where Spark accumulators are at-least-once (a
+      // task retry under load double-counts); the closed SET above is
+      // the exactly-once contract, the counter is observability
+      assert(late.value >= 1L)
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
