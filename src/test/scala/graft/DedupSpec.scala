@@ -275,6 +275,44 @@ class DedupSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("steeper AUTO shapes execute end-to-end and keep the high-J pairs") {
+    // local corpora are small, so AUTO normally resolves to the legacy
+    // shapes — force the large-corpus sizing with an oversized rowHint
+    // so the steep path (more rows, re-solved bands) actually RUNS:
+    // precision stays exact (every returned pair is brute-verified in
+    // the legacy set, which the d_dedup_* oracles prove complete) and
+    // the near-saturated pairs survive (per-pair miss ~1e-6 at J>=0.95)
+    val docs = Tables.load(spark, sf, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // ngram: hint 200k docs -> rows 8, bands 13 (vs legacy 12x6)
+    assert(Dedup.autoNgramRows(200000) === 8)
+    val ngLegacy = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      bands = 12, rows = 6))
+    val ngSteep = pairs(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      rowHint = 200000L))
+    assert(ngSteep.nonEmpty)
+    ngSteep.foreach { case (k, v) =>
+      assert(ngLegacy.get(k).contains(v), s"steep emitted a non-brute pair $k")
+    }
+    val ngHigh = ngLegacy.filter(_._2 >= 0.95).keySet
+    assert(ngHigh.subsetOf(ngSteep.keySet),
+      s"steep ngram lost near-saturated pairs: ${ngHigh -- ngSteep.keySet}")
+    // minhash: hint 10M docs -> rows 7, bands 30 (vs legacy 16x4)
+    assert(Dedup.autoMinhashRows(10000000L) === 7)
+    val mhLegacy = pairs(Dedup.minhashPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16))
+    val mhSteep = pairs(Dedup.minhashPairs(docs, "text", "doc_id",
+      rowHint = 10000000L))
+    assert(mhSteep.nonEmpty)
+    mhSteep.foreach { case (k, v) =>
+      assert(mhLegacy.get(k).contains(v), s"steep emitted a non-brute pair $k")
+    }
+    val mhHigh = mhLegacy.filter(_._2 >= 0.95).keySet
+    assert(mhHigh.subsetOf(mhSteep.keySet),
+      s"steep minhash lost near-saturated pairs: ${mhHigh -- mhSteep.keySet}")
+  }
+
   test("semantic pairs: default k auto-sizes occupancy-held (autoK wiring)") {
     // sqrt-sizing via Similarity.autoNlist: mean cluster occupancy and
     // within-cluster comparison count both ~sqrt(n) — a fixed default
