@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated star schema (see TESTDATA.md).
   *
@@ -14,8 +16,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The data generator has shipped `events.ts` two ways: a
+    * nanosecond-precision parquet timestamp (surfaced as LONG nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong`) and a
+    * microsecond-precision TIMESTAMP. Every operator downstream codes
+    * against one contract — `ts` = long epoch nanos — so normalize
+    * here, at the single load point, instead of branching in each
+    * consumer. Metadata-only projection: no shuffle, pushdowns on the
+    * other columns are unaffected.
+    */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df                           // already long nanos
+      case _: TimestampType =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case TimestampNTZType =>
+        // session tz is pinned UTC (GraftSession), so this cast reads
+        // the naive wall-clock as UTC — the same convention DuckDB
+        // applies to a naive parquet timestamp.
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"graft: events.ts has unsupported type $other — expected " +
+          "LONG (nanos) or TIMESTAMP")
+    }
 
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
