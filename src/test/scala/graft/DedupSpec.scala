@@ -55,6 +55,34 @@ class DedupSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("clusters: a 50-hop chain resolves without a diameter dependence") {
+    import spark.implicits._
+    // the r9 weak mark: min-label propagation needed diameter rounds and
+    // silently returned partial labels past maxIter=20. The alternating
+    // large-star/small-star rewrite converges in O(log^2 n) rounds, so a
+    // chain far beyond the old cap resolves to ONE cluster rooted at 0 —
+    // under the default maxIter, no tuning.
+    val pairs = (0L until 50L).map(i => (i, i + 1, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.clusters(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === 51)
+    assert(got.forall(_._2 === 0L), "all 51 chained ids share cluster 0")
+    assert(got.count(_._3) === 1 && got.head === ((0L, 0L, true)))
+  }
+
+  test("clusters: hitting the iteration cap fails loudly, never partial labels") {
+    import spark.implicits._
+    // maxIter=1 cannot finish any multi-edge component; the call must
+    // throw, not return mislabeled keepers
+    val pairs = (0L until 40L).map(i => (i, i + 1, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusters(pairs, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("clusters: universe emits unpaired ids as their own canonical cluster") {
     import spark.implicits._
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("id_a", "id_b", "jaccard")
