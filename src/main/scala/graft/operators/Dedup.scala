@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import graft.plans.{CosineSim, HashedCharNgrams, HashedWordShingles, HyperplaneSig, JaccardLong, MinHashBandKeys, SimHash64}
+import graft.plans.{BroadcastCentroids, CentroidCosines, CosineSim, HashedCharNgrams, HashedWordShingles, HyperplaneSig, JaccardLong, MinHashBandKeys, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,8 +22,9 @@ import org.apache.spark.sql.graft.Bridge
   *    background Jaccard of shared-vocabulary char n-grams), then
   *    exact n-gram Jaccard on candidates only.
   *  - embedding: random-hyperplane LSH buckets, cosine-verified.
-  *  - clusters: connected components over any pair list (iterative
-  *    min-label propagation), for keep-one-per-cluster dedup.
+  *  - clusters: connected components over any pair list (alternating
+  *    large-star/small-star contraction), for keep-one-per-cluster
+  *    dedup.
   *
   * At 100 TB each strategy's shuffle is linear in input (+bucket
   * fanout); skew from hot buckets is handled by AQE skew-join. All
@@ -449,33 +450,105 @@ object Dedup {
     * count (sqrt sizing needs only the order of magnitude —
     * NoHiddenScanSpec pins that a hinted call launches no job); pass
     * explicit k to pin a shape (the d_semdedup oracle contract does,
-    * k=16 on an id-capped corpus). */
+    * k=16 on an id-capped corpus).
+    *
+    * `probes` is the recall knob (default 1 = the paper's
+    * single-assignment blocking): each vector joins its `probes`
+    * nearest clusters — IVF's nprobe idea applied to pair blocking —
+    * so a tau-pair straddling a cluster boundary is recovered when the
+    * two vectors share ANY probed cluster. Candidate volume grows
+    * <= probes² per cluster-occupancy unit (in practice ~probes×,
+    * pairs sharing several probed clusters are DISTINCT'd before the
+    * exact-cosine verify, the same two-phase shape as
+    * [[embeddingPairs]]). The multi-probe assignment is one map-side
+    * [[CentroidCosines]] projection + per-row top-p slice over the
+    * broadcast centroid matrix — no crossJoin fanout, no window
+    * shuffle; the centroid matrix is collected driver-side first (k x
+    * dim floats, KB-scale, same as the IVF quantizer plumbing). */
   def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
       k: Int = -1, tau: Double = 0.35,
-      centroids: Option[DataFrame] = None, rowHint: Long = -1L): DataFrame = {
-    val seeds = centroids.getOrElse {
-      val kk = if (k > 0) k
-               else autoK(if (rowHint > 0) rowHint else df.count())
-      df.orderBy(col(idCol)).limit(kk)
-        .select(col(idCol).as("seed_id"), col(vecCol).as("sv"))
+      centroids: Option[DataFrame] = None, rowHint: Long = -1L,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"semanticPairs: probes must be >= 1, got $probes")
+    if (probes == 1) {
+      // single-assignment: one declarative plan, SQL-oracle-able end to
+      // end (rounded-cosine max_by with seed-id tie-break)
+      val seeds = centroids.getOrElse {
+        val kk = if (k > 0) k
+                 else autoK(if (rowHint > 0) rowHint else df.count())
+        df.orderBy(col(idCol)).limit(kk)
+          .select(col(idCol).as("seed_id"), col(vecCol).as("sv"))
+      }
+      val scored = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+        .crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("seed_id"),
+          round(cosine(col("v"), col("sv")), 4).as("cos4"))
+      val assigned = scored.groupBy(col("vec_id"))
+        .agg(max_by(col("seed_id"),
+          struct(col("cos4"), (-col("seed_id")).as("nid"))).as("cluster_id"))
+      val withVec = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+        .join(assigned, "vec_id")
+      withVec.as("l")
+        .join(withVec.as("r"),
+          col("l.cluster_id") === col("r.cluster_id") &&
+            col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+          col("l.cluster_id").as("cluster_id"),
+          round(cosine(col("l.v"), col("r.v")), 4).as("cos"))
+        .filter(col("cos") >= tau)
+    } else {
+      import org.apache.spark.sql.Row
+      // centroid matrix + its seed ids, ordered by seed id (KB-scale)
+      val (seedIds, cents) = centroids match {
+        case Some(c) =>
+          val rows = c.orderBy(col("seed_id"))
+            .select(col("seed_id").cast("long"), col("sv")).collect()
+          (rows.map(_.getLong(0)),
+            rows.map { case Row(_, v: scala.collection.Seq[_]) =>
+              v.map(_.asInstanceOf[Float]).toSeq })
+        case None =>
+          val kk = if (k > 0) k
+                   else autoK(if (rowHint > 0) rowHint else df.count())
+          val rows = df.orderBy(col(idCol)).limit(kk)
+            .select(col(idCol).cast("long"), col(vecCol)).collect()
+          (rows.map(_.getLong(0)),
+            rows.map { case Row(_, v: scala.collection.Seq[_]) =>
+              v.map(_.asInstanceOf[Float]).toSeq })
+      }
+      val centRef = BroadcastCentroids(
+        df.sparkSession.sparkContext.broadcast(cents.map(_.toArray)))
+      val nlist = cents.length
+      // per-row top-p cluster assignment, all map-side: rounded cosine
+      // with smaller-seed-id tie-break (lid ascends with seed_id), the
+      // same argmax rule as the single-probe path at p=1
+      val ranked = slice(reverse(array_sort(arrays_zip(
+        transform(Bridge.column(CentroidCosines(
+          Bridge.expression(col(vecCol)), centRef)), c => round(c, 4)).as("c"),
+        transform(sequence(lit(0), lit(nlist - 1)), i => -i).as("nlid")))),
+        1, math.min(probes, nlist))
+      // same two-phase shape as [[embeddingPairs]]: the cluster join
+      // moves (id, lid) rows, never embeddings; candidate pairs are
+      // deduped (min shared lid) before vectors join back and the
+      // cosine kernel runs once per distinct pair
+      val assigned = df.select(col(idCol).as("vec_id"),
+          explode(ranked).as("pr"))
+        .select(col("vec_id"), (-col("pr.nlid")).as("lid"))
+      val cand = assigned.as("l")
+        .join(assigned.as("r"),
+          col("l.lid") === col("r.lid") && col("l.vec_id") < col("r.vec_id"))
+        .groupBy(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+        .agg(min(col("l.lid")).as("lid"))
+      val lidToSeed = map(seedIds.zipWithIndex.flatMap {
+        case (sid, i) => Seq(lit(i), lit(sid)) }: _*)
+      val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      cand
+        .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          lidToSeed(col("lid")).as("cluster_id"),
+          round(cosine(col("va"), col("vb")), 4).as("cos"))
+        .filter(col("cos") >= tau)
     }
-    val scored = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("seed_id"),
-        round(cosine(col("v"), col("sv")), 4).as("cos4"))
-    val assigned = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("seed_id"),
-        struct(col("cos4"), (-col("seed_id")).as("nid"))).as("cluster_id"))
-    val withVec = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .join(assigned, "vec_id")
-    withVec.as("l")
-      .join(withVec.as("r"),
-        col("l.cluster_id") === col("r.cluster_id") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-        col("l.cluster_id").as("cluster_id"),
-        round(cosine(col("l.v"), col("r.v")), 4).as("cos"))
-      .filter(col("cos") >= tau)
   }
 
   /** Exact all-pairs cosine ground truth — the verification baseline

@@ -1457,6 +1457,51 @@ object Pipeline {
       WHERE vec_id NOT IN (SELECT id FROM lab)
       ORDER BY id"""))
 
+  /** SemDeDup recall contract — the one quality axis d_semdedup's
+    * hash oracle can't see: does the cluster-blocked pair set recover
+    * the brute-force tau-pair set? Measured with TRAINED k-means
+    * centroids (3 Lloyd rounds at autoNlist, the quality quantizer —
+    * seeds-by-id is the deterministic oracle shape, not the production
+    * one) and multi-probe blocking `probes = 4`: recall 0.91/0.77 at
+    * sf0.01/sf0.1 (tools/SemRecallProbe; single-assignment probes=1
+    * measures 0.25/0.18 — the paper's blocking trades exactly this
+    * away, which is why the knob exists). Floor pinned under the worst
+    * measurement, r7 PQ-contract methodology. The precision leg is
+    * structural (every emitted pair carries its exact verified cosine
+    * >= tau, so found ⊆ truth) — asserted anyway to pin the kernel. */
+  val dSemdedupRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count()
+      val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id",
+        Similarity.autoNlist(n), 3)
+      val centDf = {
+        import s.implicits._
+        cents.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("seed_id", "sv")
+      }
+      val truth = Dedup.bruteEmbeddingPairs(emb, "embedding", "vec_id")
+        .select(col("id_a"), col("id_b"))
+      val found = Dedup.semanticPairs(emb, "embedding", "vec_id",
+          centroids = Some(centDf), probes = 4)
+        .select(col("id_a"), col("id_b"), lit(1L).as("_hit"))
+      val stats = truth.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("_n_true"),
+          sum(coalesce(col("_hit"), lit(0L))).as("_n_hit"))
+      val extra = found.join(truth, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("_n_extra"))
+      emb.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(stats).crossJoin(extra)
+        .select(col("n_vectors"),
+          (col("_n_hit").cast("double") / col("_n_true") >= 0.7)
+            .as("recall_ok"),
+          (col("_n_extra") === 0L).as("precision_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors, TRUE AS recall_ok,
+             TRUE AS precision_ok
+      FROM embeddings"""))
+
   // ---- similarity search ----
 
   /** Exact top-k is plain SQL: the oracle recomputes every cosine in
@@ -1925,6 +1970,7 @@ object Pipeline {
     "d_dedup_embed" -> dDedupEmbed,
     "d_semdedup" -> dSemdedup,
     "d_semdedup_keep" -> dSemdedupKeep,
+    "d_semdedup_recall" -> dSemdedupRecall,
     "d_ann_brute" -> dAnnBrute,
     "d_ann_lsh" -> dAnnLsh,
     "d_ann_ivf" -> dAnnIvf,

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.sources.avro
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming surface: the Spark-native replacement for the
@@ -352,14 +352,14 @@ object Streaming {
     * last ts) stay accepted: cross-batch tie ORDER is unknowable at
     * the processor, matching the batch window's event_id tie-break
     * only when ties arrive together — the same caveat as any
-    * at-least-once CDC consumer. A reorder-tolerant variant would
-    * hold islands until the event-time watermark and emit on timer —
-    * rejected here because it delays every close by the watermark lag
-    * and still drops post-watermark stragglers; loud-or-counted is
-    * the honest contract for an offset-ordered source (the reference
-    * delivers in offset order, and event time diverges from offset
-    * order in real topics — which is exactly when this detector
-    * fires). */
+    * at-least-once CDC consumer. For a topic with BOUNDED disorder,
+    * [[Scd2HoldProcessor]] is the third policy: it holds events until
+    * the event-time watermark passes them (TimeMode.EventTime +
+    * timers), absorbing any reorder inside the watermark delay at the
+    * cost of emission latency; loud-or-counted remains the right
+    * contract for an offset-ordered source (the reference delivers in
+    * offset order, and event time diverges from offset order in real
+    * topics — which is exactly when this detector fires). */
   class Scd2Processor(dropLate: Boolean = false,
       lateCounter: Option[org.apache.spark.util.LongAccumulator] = None)
       extends StatefulProcessor[Long, TypedEvent, ClosedInterval] {
@@ -400,6 +400,127 @@ object Streaming {
     }
   }
 
+  /** SCD-2 input row for the watermark-hold processor: keeps the
+    * event-time TIMESTAMP column (the watermark rides the column's
+    * event-time attribute, which `unix_millis` projection would strip
+    * before transformWithState's EventTime-mode validation sees it). */
+  case class HeldEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  /** The reorder-TOLERANT streaming SCD-2 policy ([[Scd2Processor]]'s
+    * scaladoc third mode, now code): events buffer in a per-key
+    * ListState until the event-time watermark passes them, then flush
+    * through the same island state machine in (ts, event_id) order —
+    * so any disorder INSIDE the watermark delay is absorbed and the
+    * emitted closed set equals the in-order replay's, delayed by the
+    * watermark lag. An event arriving with ts already BEHIND the
+    * watermark (disorder the delay was too small for) is dropped and
+    * counted in `lateCounter` — the same explicit accounting as
+    * `dropLate`, but now only post-watermark stragglers pay it.
+    *
+    * Mechanics: one timer per key at the earliest buffered event time
+    * (kept in `nextTs` so input batches never re-read the buffer);
+    * when the watermark passes it, the expired-timer callback
+    * partitions the buffer at the CURRENT watermark, folds the ready
+    * prefix into [[OpenIsland]] exactly as [[Scd2Processor]] does, and
+    * re-arms the timer at the earliest remaining event. Per-key state
+    * is O(events inside the watermark horizon) — the same bound as any
+    * event-time stateful operator — and each flush's input is strictly
+    * later than the previous flush's (arrivals behind the watermark
+    * never reach the operator), so the fold can never see a late
+    * event: that branch is defensively unreachable here.
+    *
+    * Late-beyond-watermark ACCOUNTING lives in the engine, not here:
+    * transformWithState in EventTime mode filters rows older than the
+    * watermark BEFORE the processor (StreamingSpec proves the operator
+    * never sees them), and each drop increments the standard
+    * `numRowsDroppedByWatermark` state-operator metric in
+    * StreamingQueryProgress — monitor that, exactly as for any
+    * watermarked aggregation. The arrival-side guard below is defense
+    * in depth for an engine that ever stopped pre-filtering: such a
+    * row is dropped here too (never folded into history), silently —
+    * by then the engine's metric no longer counts it, and a loud
+    * throw would turn an accounting gap into an outage. */
+  class Scd2HoldProcessor
+      extends StatefulProcessor[Long, HeldEvent, ClosedInterval] {
+    @transient private var open: ValueState[OpenIsland] = _
+    @transient private var buf: ListState[TypedEvent] = _
+    @transient private var nextTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[OpenIsland]("open",
+        org.apache.spark.sql.Encoders.product[OpenIsland], TTLConfig.NONE)
+      buf = getHandle.getListState[TypedEvent]("buf",
+        org.apache.spark.sql.Encoders.product[TypedEvent], TTLConfig.NONE)
+      nextTs = getHandle.getValueState[Long]("nextTs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[HeldEvent],
+        timers: TimerValues): Iterator[ClosedInterval] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val fresh = rows.flatMap { h =>
+        val e = TypedEvent(h.user_id, h.event_id, h.ts.getTime, h.event_type)
+        // ts == wm stays buffered: the watermark only promises no MORE
+        // data strictly below it, so the flush boundary is `< wm` too.
+        // ts < wm is normally unreachable (the engine pre-filters and
+        // counts such rows in numRowsDroppedByWatermark) — see scaladoc
+        if (e.ts_ms < wm) None else Some(e)
+      }.toArray
+      if (fresh.nonEmpty) {
+        buf.appendList(fresh)
+        val mn = fresh.map(_.ts_ms).min
+        val cur = if (nextTs.exists()) nextTs.get() else Long.MaxValue
+        if (mn < cur) {
+          if (cur != Long.MaxValue) getHandle.deleteTimer(cur)
+          nextTs.update(mn)
+          getHandle.registerTimer(mn)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedInterval] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val (ready, rest) = buf.get().toArray.partition(_.ts_ms < wm)
+      buf.clear()
+      if (rest.isEmpty) nextTs.clear()
+      else {
+        buf.put(rest)
+        val mn = rest.map(_.ts_ms).min
+        nextTs.update(mn)
+        getHandle.registerTimer(mn)
+      }
+      if (ready.isEmpty) Iterator.empty
+      else {
+        val out = Seq.newBuilder[ClosedInterval]
+        var cur = if (open.exists()) Option(open.get()) else None
+        ready.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+          cur match {
+            case Some(s) if e.ts_ms < s.last_ms =>
+              // unreachable: every arrival behind the watermark was
+              // dropped at input, and flushes are watermark-monotonic
+              throw new IllegalStateException(
+                s"graft: watermark-hold invariant broken for user $key at " +
+                  s"event ${e.event_id} (ts_ms=${e.ts_ms} < open island " +
+                  s"last_ms=${s.last_ms})")
+            case Some(s) if s.event_type == e.event_type =>
+              cur = Some(s.copy(n = s.n + 1, last_ms = e.ts_ms))
+            case Some(s) =>
+              out += ClosedInterval(key, s.event_type, s.from_ms, e.ts_ms, s.n)
+              cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
+            case None =>
+              cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
+          }
+        }
+        cur.foreach(open.update)
+        out.result().iterator
+      }
+    }
+  }
+
   /** Closed SCD-2 intervals from a decoded events frame (batch or
     * stream — same processor, same state semantics). `dropLate` /
     * `lateCounter` configure the out-of-order policy (see
@@ -416,6 +537,31 @@ object Streaming {
       .groupByKey(_.user_id)
       .transformWithState(new Scd2Processor(dropLate, lateCounter),
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Closed SCD-2 intervals under the watermark-hold policy (see
+    * [[Scd2HoldProcessor]]): disorder inside `delay` is absorbed, every
+    * close is delayed by the watermark lag, and post-watermark
+    * stragglers are dropped by the engine's watermark filter and
+    * counted in the standard `numRowsDroppedByWatermark` progress
+    * metric. Streaming-only by construction — batch input has no
+    * watermark to hold against, so nothing would ever flush; use
+    * [[scd2Intervals]] for batch (the two agree on any topic whose
+    * disorder stays inside `delay`). */
+  def scd2IntervalsHeld(events: DataFrame, delay: String = "10 minutes")
+      : Dataset[ClosedInterval] = {
+    import events.sparkSession.implicits._
+    require(events.isStreaming,
+      "scd2IntervalsHeld is streaming-only (the hold policy flushes on the " +
+        "event-time watermark, which batch execution never advances); use " +
+        "scd2Intervals for batch input")
+    prepareStateV2(events.sparkSession)
+    events.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", delay)
+      .as[HeldEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2HoldProcessor,
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   // ---- custom state: explicit sessionization ----

@@ -1,0 +1,49 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Measurement harness behind the d_semdedup_recall contract floor:
+  * cluster-blocked pair recall of [[Dedup.semanticPairs]] vs the
+  * brute-force tau-pair set, per quantizer (seeds-by-id vs trained
+  * k-means at several Lloyd budgets). Dev tool, not library surface —
+  * run at each SF, pin the contract floor under the worst measured
+  * value (the r7 PQ-contract methodology).
+  */
+object SemRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    import spark.implicits._
+    for (dir <- dirs) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val n = emb.count()
+      val truthAll = Dedup.bruteEmbeddingPairs(emb, "embedding", "vec_id")
+        .select(col("id_a"), col("id_b"), col("cos")).cache()
+      truthAll.count()
+      def recallOf(found: org.apache.spark.sql.DataFrame, tau: Double): (Long, Double) = {
+        val t = truthAll.filter(col("cos") >= tau)
+        val nTrue = t.count()
+        val hit = t.join(found.select("id_a", "id_b"), Seq("id_a", "id_b")).count()
+        (nTrue, hit.toDouble / math.max(nTrue, 1L))
+      }
+      for (k <- Seq(16, Similarity.autoNlist(n)); iters <- Seq(3);
+           p <- Seq(1, 2, 3, 4)) {
+        val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id", k, iters)
+        val centDf = cents.toSeq.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toDF("seed_id", "sv")
+        val found = Dedup.semanticPairs(emb, "embedding", "vec_id",
+          centroids = Some(centDf), probes = p).cache()
+        val nFound = found.count()
+        val (nt, r) = recallOf(found, 0.35)
+        println(f"[semrecall] $dir n=$n k=$k iters=$iters probes=$p " +
+          f"n_true=$nt n_found=$nFound recall=$r%.4f")
+        found.unpersist()
+      }
+      truthAll.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -219,6 +219,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic pairs: multi-probe blocking is monotone in recall, precision intact") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val brute = Dedup.bruteEmbeddingPairs(emb, "embedding", "vec_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val cents = emb.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+    def pairs(p: Int): Map[(Long, Long), Double] =
+      Dedup.semanticPairs(emb, "embedding", "vec_id",
+        centroids = Some(cents), probes = p)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val p1 = pairs(1); val p2 = pairs(2); val p3 = pairs(3)
+    // each extra probe can only ADD shared clusters: pair-set chain
+    assert(p1.keySet.subsetOf(p2.keySet), "probes=2 lost a probes=1 pair")
+    assert(p2.keySet.subsetOf(p3.keySet), "probes=3 lost a probes=2 pair")
+    assert(p3.size > p1.size, "extra probes recovered no boundary pair")
+    // precision stays structural on every path: exact verified cosines
+    for (m <- Seq(p1, p2, p3); (k, cos) <- m)
+      assert(brute.get(k).contains(cos), s"not a brute pair: $k")
+    // probes >= nlist degenerates to every pair sharing a cluster —
+    // i.e. exact all-pairs, same as the k=1 degeneracy
+    assert(pairs(16).keySet === brute.keySet)
+    // a tie-broken argmax pair found by single-assignment keeps its
+    // cluster provenance; multi-probe may relabel to the smallest
+    // SHARED probed cluster, so cluster_id is provenance, not identity
+    require(probesRejected(emb, cents))
+  }
+
+  private def probesRejected(emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): Boolean = {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticPairs(emb, "embedding", "vec_id",
+        centroids = Some(cents), probes = 0)
+    }
+    e.getMessage.contains("probes")
+  }
+
   test("minhash blocking auto-steepens its S-curve with corpus size") {
     // same structural term as ngram (bands * J_bg^rows * n^2/2), lower
     // word-shingle background constant — legacy 64/16 recovered at

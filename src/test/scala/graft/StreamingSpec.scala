@@ -335,6 +335,100 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming SCD-2 watermark-hold absorbs bounded disorder; beyond-watermark counted") {
+    import spark.implicits._
+    // user 1's true event-time order: x@1000, x@2000, y@3000, y@4000,
+    // x@5000 — delivered OUT of order across batches, all inside the
+    // 10 s watermark delay. Sentinel user 99 exists only to advance the
+    // global watermark past every real event so the hold buffer
+    // flushes; its own intervals are excluded from the comparison.
+    val b0 = Seq((1L, 1L, 1000L, "x"), (1L, 3L, 3000L, "y"), (1L, 5L, 5000L, "x"))
+    val b1 = Seq((1L, 2L, 2000L, "x"), (1L, 4L, 4000L, "y"))
+    val b2 = Seq((99L, 90L, 1000000L, "x"))
+    val b3 = Seq((99L, 91L, 2000000L, "x"))
+    def write(path: String, n: Int, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ms", "event_type")
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(col("ms")).as("ts"), col("event_type"))
+        .write.parquet(s"$path/b$n")
+    def src(path: String) = spark.readStream
+      .schema("user_id long, event_id long, ts timestamp, event_type string")
+      .parquet(path + "/*")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val held = java.nio.file.Files.createTempDirectory("graft_scd2_hold").toString
+      val emitted =
+        scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)]()
+      val q = Streaming.scd2IntervalsHeld(src(held), delay = "10 seconds")
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.ClosedInterval], _: Long) =>
+            val rows = d.collect().map(i =>
+              (i.user_id, i.event_type, i.valid_from_ms, i.valid_to_ms, i.n_events))
+            emitted.synchronized { emitted ++= rows; () }
+        }.start()
+      Seq(b0, b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+        write(held, i, b); q.processAllAvailable()
+      }
+      q.stop()
+      // the held replay of the disordered delivery equals the batch
+      // processor's run over the IN-ORDER event sequence
+      val inOrder = (b0 ++ b1).sortBy(_._3)
+        .toDF("user_id", "event_id", "ms", "event_type")
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(col("ms")).as("ts"), col("event_type"))
+      val batch = Streaming.scd2Intervals(inOrder).collect()
+        .map(i => (i.user_id, i.event_type, i.valid_from_ms, i.valid_to_ms,
+          i.n_events)).toSet
+      assert(batch === Set(
+        (1L, "x", 1000L, 3000L, 2L),
+        (1L, "y", 3000L, 5000L, 2L)))
+      assert(emitted.toSet.filter(_._1 != 99L) === batch)
+
+      // disorder BEYOND the delay: a 1 s watermark has passed ts=100000
+      // by the time the straggler arrives — the ENGINE's watermark
+      // filter drops it before the operator (never a corrupt interval)
+      // and counts it in numRowsDroppedByWatermark, the standard
+      // late-loss accounting for any watermarked stateful operator
+      val lateDir = java.nio.file.Files.createTempDirectory("graft_scd2_hold2").toString
+      val emitted2 =
+        scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)]()
+      val q2 = Streaming.scd2IntervalsHeld(src(lateDir), delay = "1 second")
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.ClosedInterval], _: Long) =>
+            val rows = d.collect().map(i =>
+              (i.user_id, i.event_type, i.valid_from_ms, i.valid_to_ms, i.n_events))
+            emitted2.synchronized { emitted2 ++= rows; () }
+        }.start()
+      val dropped = () => q2.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      write(lateDir, 0, Seq((1L, 1L, 1000L, "x"), (1L, 2L, 200000L, "y")))
+      q2.processAllAvailable() // watermark now 199000
+      write(lateDir, 1, Seq((1L, 3L, 100000L, "x"))) // straggler, beyond wm
+      q2.processAllAvailable()
+      val droppedAfterStraggler = dropped()
+      write(lateDir, 2, Seq((99L, 90L, 1000000L, "x")))
+      q2.processAllAvailable()
+      write(lateDir, 3, Seq((99L, 91L, 2000000L, "x")))
+      q2.processAllAvailable()
+      q2.stop()
+      // the straggler was dropped pre-operator (the x island would read
+      // n=2 had it been folded) and the engine metric accounts for it
+      assert(emitted2.toSet.filter(_._1 != 99L) ===
+        Set((1L, "x", 1000L, 200000L, 1L)))
+      assert(droppedAfterStraggler >= 1L,
+        s"numRowsDroppedByWatermark=$droppedAfterStraggler")
+      // batch input is rejected up front: nothing would ever flush
+      val ex = intercept[IllegalArgumentException] {
+        Streaming.scd2IntervalsHeld(inOrder)
+      }
+      assert(ex.getMessage.contains("streaming-only"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint recovery: transformWithState totals survive a kill-and-restart") {
     import spark.implicits._
     // The reference exists to make consumption RESUMABLE (committed
