@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import graft.plans.{BroadcastCentroids, CentroidCosines, CosineSim, HashedCharNgrams, HashedWordShingles, HyperplaneSig, JaccardLong, MinHashBandKeys, SimHash64}
+import graft.plans.{BroadcastCentroids, CentroidCosines, CosineSim, HashedCharNgrams, HashedWordShingles, HyperplaneSig, JaccardLong, MinHashBandKeys, SimHash128, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -149,35 +149,76 @@ object Dedup {
         math.log(1.0 - math.pow(jTrue, rows))).toInt)
 
   /** SimHash near-dup pairs: (id_a, id_b, hamming) with Hamming
-    * distance <= `maxHamming` over 64-bit token-vote signatures.
+    * distance <= `maxHamming` over token-vote signatures of `bits`
+    * (64 or 128) bits.
     *
     * Scale bound, by construction: the pigeonhole guarantee (any
-    * Hamming-<=3 pair shares one intact block) REQUIRES exactly 4
-    * blocks of 16 bits on a 64-bit signature, so unlike the tunable
-    * LSH paths this blocking cannot steepen with corpus size — bucket
-    * occupancy is n/2^16 per band and the verify term grows ~n²/2^18.
-    * Fine to ~10M docs (occupancy ~150, measured 6.5x wall at the
-    * 100x/500k-doc probe); past that the honest fix is a wider
-    * signature (128-bit simhash -> 8 x 16-bit blocks for Hamming<=7,
-    * or 32-bit blocks), not a recall-losing bucket cap. */
+    * within-radius pair shares one intact 16-bit block) fixes the
+    * block count at bits/16, so unlike the tunable LSH paths this
+    * blocking cannot steepen with corpus size — bucket occupancy is
+    * n/2^16 per band and the verify term grows ~bands²·n²/2^(16+...).
+    * The 64-bit default (4 blocks, exact Hamming <= 3, verify term
+    * n²/2^18) is fine to ~10M docs (occupancy ~150, measured 6.5x
+    * wall at the 100x/500k-doc probe); past that, `bits = 128`
+    * ([[graft.plans.SimHash128]]: two decorrelated 64-bit vote
+    * families) is the documented remedy — 8 x 16-bit blocks give
+    * exact recall at TWICE the radius (Hamming <= 7) while the
+    * verify constant grows only 2x (8²/2 vs 4²/2 band pairings on
+    * the same 2^16 key space), and a same-radius run (maxHamming <= 3
+    * still allowed) simply verifies fewer false candidates per block
+    * because 128-bit signatures decorrelate harder. Not a
+    * recall-losing bucket cap in either shape. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      Bridge.column(SimHash64(Bridge.expression(TF.tokens(col(textCol))))).as("sig"))
-    // 4 sub-keys of 16 bits: any pair within Hamming 3 shares one intact
-    val banded = sig.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xffffL).as("bkey"))): _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    banded.as("l")
-      .join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      maxHamming: Int = 3, bits: Int = 64): DataFrame = {
+    require(bits == 64 || bits == 128,
+      s"simhashPairs: bits must be 64 or 128, got $bits")
+    val blocks = bits / 16
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"simhashPairs: pigeonhole exactness needs maxHamming < $blocks " +
+        s"(= bits/16) at bits=$bits, got $maxHamming — raise bits, don't " +
+        "stretch the radius past the guarantee")
+    val toks = Bridge.expression(TF.tokens(col(textCol)))
+    if (bits == 64) {
+      val sig = df.select(col(idCol).as("id"),
+        Bridge.column(SimHash64(toks)).as("sig"))
+      // 4 sub-keys of 16 bits: any pair within Hamming 3 shares one intact
+      val banded = sig.select(col("id"), col("sig"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xffffL).as("bkey"))): _*)).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      banded.as("l")
+        .join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    } else {
+      // [hi, lo] signature; 8 sub-keys of 16 bits — bands 0-3 slice lo,
+      // 4-7 slice hi, so any pair within Hamming 7 shares one intact
+      val sig = df.select(col(idCol).as("id"),
+          Bridge.column(SimHash128(toks)).as("s"))
+        .select(col("id"), col("s").getItem(0).as("hi"), col("s").getItem(1).as("lo"))
+      val banded = sig.select(col("id"), col("hi"), col("lo"),
+        explode(array((0 until 8).map { b =>
+          val word = if (b < 4) col("lo") else col("hi")
+          struct(lit(b).as("band"),
+            shiftrightunsigned(word, (b % 4) * 16).bitwiseAND(0xffffL).as("bkey"))
+        }: _*)).as("bk"))
+        .select(col("id"), col("hi"), col("lo"),
+          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      banded.as("l")
+        .join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+          (bit_count(col("l.hi").bitwiseXOR(col("r.hi"))) +
+            bit_count(col("l.lo").bitwiseXOR(col("r.lo")))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming)
+    }
   }
 
   /** Exact character-n-gram Jaccard pairs, MinHash-LSH blocked.

@@ -44,6 +44,42 @@ object TextOps {
     sig
   }
 
+  /** 128-bit SimHash over a token array, returned as [hi, lo]: the
+    * low 64 vote on fnv1a(token), the high 64 on its SplitMix64
+    * remix — two decorrelated 64-bit families, one token hash each.
+    * Doubling the signature doubles the pigeonhole block count (8 x
+    * 16-bit), which is what lifts the banded verify bound from
+    * n²/2^18 to n²/2^19 at TWICE the exact radius (Hamming <= 7) —
+    * the documented remedy once a corpus outgrows the 64-bit path's
+    * ~10M-doc bound. */
+  def simhash128(tokens: ArrayData): ArrayData = {
+    val counts = new Array[Int](128)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h1 = fnv1a(tokens.getUTF8String(i))
+        val h2 = mix64(h1)
+        var b = 0
+        while (b < 64) {
+          if (((h1 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          if (((h2 >>> b) & 1L) == 1L) counts(64 + b) += 1 else counts(64 + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) lo |= (1L << b)
+      if (counts(64 + b) > 0) hi |= (1L << b)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(hi, lo))
+  }
+
   /** SplitMix64 finalizer: decorrelates raw shingle hashes before the
     * universal-hash minhash family is applied on top. */
   def mix64(z0: Long): Long = {
@@ -266,6 +302,18 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.simhash64($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** simhash128(array<string>) -> array<long> [hi, lo]. */
+case class SimHash128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash128"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.simhash128(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.simhash128($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash128 = copy(child = c)
 }
 
 /** hashed_word_shingles(string, k) -> array<long> (sorted distinct). */

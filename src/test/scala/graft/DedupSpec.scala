@@ -36,6 +36,55 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 50L)) && got.contains((5L, 450L)))
   }
 
+  test("simhash 128-bit: pigeonhole-exact at Hamming <= 7, banded = brute") {
+    // exactness, not just coverage: the 8 x 16-bit banding must return
+    // EXACTLY the brute-force within-radius pair set — a missed pair
+    // would falsify the pigeonhole guarantee the wider kernel exists
+    // for (the 64-bit path can only promise radius 3)
+    val sigs = docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.Bridge.column(graft.plans.SimHash128(
+          org.apache.spark.sql.graft.Bridge.expression(
+            graft.functions.TextFunctions.tokens(col("text"))))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa(0) ^ sb(0)) +
+        java.lang.Long.bitCount(sa(1) ^ sb(1))
+      if h <= 7
+    } yield ((ia, ib), h)).toMap
+    val banded = Dedup.simhashPairs(docs, "text", "doc_id",
+        maxHamming = 7, bits = 128)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(banded === brute)
+    assert(brute.nonEmpty, "radius-7 pair set empty — corpus lost its planted dups")
+    // like-for-like operating point: expected Hamming distance DOUBLES
+    // with bits (each 64-bit vote family contributes its own flips), so
+    // radius 7 on 128 bits plays the role radius 3 plays on 64 — as a
+    // STATISTIC, not per pair (an individual near-dup can draw a large
+    // second-family distance; (0,50) does, deterministically, on this
+    // corpus). The wider kernel must recover the bulk of the 64-bit
+    // radius-3 set, including a named planted dup
+    val h64 = Dedup.simhashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recovered = h64.count(banded.keySet)
+    assert(recovered * 2 >= h64.size,
+      s"128-bit radius-7 recovered $recovered of ${h64.size} 64-bit pairs")
+    assert(banded.contains((5L, 450L)))
+    val r3 = Dedup.simhashPairs(docs, "text", "doc_id",
+        maxHamming = 3, bits = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r3.subsetOf(banded.keySet), "tighter radius produced a non-subset")
+    // the guarantee boundary is enforced, not silently degraded
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8, bits = 128)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+    val e64 = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 4)
+    }
+    assert(e64.getMessage.contains("pigeonhole"))
+  }
+
   test("ngram jaccard pairs respect the threshold and ordering") {
     val got = Dedup.ngramJaccardPairs(docs, "text", "doc_id").collect()
     assert(got.nonEmpty)
