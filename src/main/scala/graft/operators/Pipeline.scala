@@ -1765,6 +1765,40 @@ object Pipeline {
     },
     oracle = Some(recallOracleSql))
 
+  /** AUTO-shape recall contracts: the dense-shape contracts above pin
+    * explicit configurations (24x4, nlist=16); these two pin what a
+    * user gets with NO tuning — autoBits/autoNlist sized from the
+    * corpus count, the shapes every scale argument about occupancy
+    * rests on. Floors from tools/AnnAutoRecallProbe at both SFs (r7
+    * PQ-contract methodology, pinned under the worst measurement):
+    * IVF-AUTO 0.94/0.98 at sf0.01/sf0.1 -> floor 0.85 (sqrt-n lists,
+    * nprobe=4 — occupancy falls as n grows, so probed lists hold a
+    * SMALLER corpus fraction yet recall holds); LSH-AUTO 0.32/0.24 ->
+    * floor 0.2 (the default 8-table shape targets high-cosine dedup;
+    * these queries' exact top-5 sit at background ~0.3-0.4 cosine
+    * where 6-bit buckets rarely collide — the dense 24x4 contract
+    * above is the knob for that regime, and the AUTO row pins that
+    * the no-tuning shape stays a usable-not-degenerate baseline). */
+  val dAnnIvfAutoRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.ivfTopK(emb, q, "embedding", "vec_id"),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.85)
+    },
+    oracle = Some(recallOracleSql))
+
+  val dAnnLshAutoRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.lshTopK(emb, q, "embedding", "vec_id"),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.2)
+    },
+    oracle = Some(recallOracleSql))
+
   /** The default (8x6) LSH shape targets high-cosine dedup hits; this
     * corpus's exact top-5 sit at background similarity (~0.3-0.4 cos),
     * where 6-bit buckets rarely collide (measured recall 0.32). The
@@ -1977,6 +2011,8 @@ object Pipeline {
     "d_dedup_embed_recall" -> dDedupEmbedRecall,
     "d_ann_ivf_recall" -> dAnnIvfRecall,
     "d_ann_lsh_recall" -> dAnnLshRecall,
+    "d_ann_ivf_auto_recall" -> dAnnIvfAutoRecall,
+    "d_ann_lsh_auto_recall" -> dAnnLshAutoRecall,
     "d_ann_ivf_precision" -> dAnnIvfPrecision,
     "d_ann_lsh_precision" -> dAnnLshPrecision,
     "d_ann_pq" -> dAnnPq,
