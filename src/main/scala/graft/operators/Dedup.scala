@@ -579,14 +579,18 @@ object Dedup {
           col("l.lid") === col("r.lid") && col("l.vec_id") < col("r.vec_id"))
         .groupBy(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
         .agg(min(col("l.lid")).as("lid"))
-      val lidToSeed = map(seedIds.zipWithIndex.flatMap {
-        case (sid, i) => Seq(lit(i), lit(sid)) }: _*)
+      // lid -> seed_id via a broadcast k-row join, NOT a literal map
+      // expression: at the autoK clamp (4096) a CreateMap literal is
+      // thousands of plan nodes and an O(k) scan per candidate row
+      import df.sparkSession.implicits._
+      val lidToSeed = broadcast(seedIds.zipWithIndex
+        .map { case (sid, i) => (i, sid) }.toSeq.toDF("lid", "cluster_id"))
       val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       cand
+        .join(lidToSeed, "lid")
         .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
         .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          lidToSeed(col("lid")).as("cluster_id"),
+        .select(col("id_a"), col("id_b"), col("cluster_id"),
           round(cosine(col("va"), col("vb")), 4).as("cos"))
         .filter(col("cos") >= tau)
     }
