@@ -187,14 +187,8 @@ object Dedup {
           struct(lit(b).as("band"),
             shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xffffL).as("bkey"))): _*)).as("bk"))
         .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      banded.as("l")
-        .join(banded.as("r"),
-          col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-            col("l.id") < col("r.id"))
-        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-          bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= maxHamming)
+      bandedHammingPairs(banded, maxHamming,
+        (l, r) => bit_count(col(s"$l.sig").bitwiseXOR(col(s"$r.sig"))))
     } else {
       // [hi, lo] signature; 8 sub-keys of 16 bits — bands 0-3 slice lo,
       // 4-7 slice hi, so any pair within Hamming 7 shares one intact
@@ -209,17 +203,27 @@ object Dedup {
         }: _*)).as("bk"))
         .select(col("id"), col("hi"), col("lo"),
           col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      banded.as("l")
-        .join(banded.as("r"),
-          col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-            col("l.id") < col("r.id"))
-        .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-          (bit_count(col("l.hi").bitwiseXOR(col("r.hi"))) +
-            bit_count(col("l.lo").bitwiseXOR(col("r.lo")))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= maxHamming)
+      bandedHammingPairs(banded, maxHamming,
+        (l, r) => bit_count(col(s"$l.hi").bitwiseXOR(col(s"$r.hi"))) +
+          bit_count(col(s"$l.lo").bitwiseXOR(col(s"$r.lo"))))
     }
   }
+
+  /** The shared verify half of both simhash widths: candidate pairs
+    * from the (band, bkey) self-join, exact Hamming from the signature
+    * columns riding alongside, DISTINCT'd before the radius filter —
+    * one implementation so join plumbing (orientation, dedup
+    * placement, a future skew hint) can't drift between widths. */
+  private def bandedHammingPairs(banded: DataFrame, maxHamming: Int,
+      hamming: (String, String) => Column): DataFrame =
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hamming("l", "r").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
 
   /** Exact character-n-gram Jaccard pairs, MinHash-LSH blocked.
     * Character n-grams over a shared vocabulary give unrelated docs a
@@ -355,7 +359,8 @@ object Dedup {
       .select(greatest(col(idA), col(idB)).as("hi"),
         least(col(idA), col(idB)).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct())
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var i = 0
     while (!converged && i < maxIter) {
       // large-star: for each node u, every neighbor v > u re-hangs off
@@ -380,11 +385,14 @@ object Dedup {
           .unionByName(smin.select(col("hi"), col("m").as("lo")))
           .distinct())
       // fixed point = star forest: both half-rounds map it to itself.
-      // Set equality over two DISTINCT sets; probes are cheap because
-      // `small` is already checkpointed.
-      converged = small.exceptAll(edges).isEmpty &&
-        edges.exceptAll(small).isEmpty
+      // Both sides are DISTINCT sets, so equal counts + an empty
+      // one-sided difference IS set equality — one count (cheap on the
+      // checkpointed frame) replaces the second exceptAll join, and
+      // the exceptAll runs only on rounds whose counts already match
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.exceptAll(edges).isEmpty
       edges = small
+      edgeCount = smallCount
       i += 1
     }
     require(converged,
@@ -539,23 +547,21 @@ object Dedup {
         .filter(col("cos") >= tau)
     } else {
       import org.apache.spark.sql.Row
-      // centroid matrix + its seed ids, ordered by seed id (KB-scale)
-      val (seedIds, cents) = centroids match {
-        case Some(c) =>
-          val rows = c.orderBy(col("seed_id"))
-            .select(col("seed_id").cast("long"), col("sv")).collect()
-          (rows.map(_.getLong(0)),
-            rows.map { case Row(_, v: scala.collection.Seq[_]) =>
-              v.map(_.asInstanceOf[Float]).toSeq })
-        case None =>
-          val kk = if (k > 0) k
-                   else autoK(if (rowHint > 0) rowHint else df.count())
-          val rows = df.orderBy(col(idCol)).limit(kk)
-            .select(col(idCol).cast("long"), col(vecCol)).collect()
-          (rows.map(_.getLong(0)),
-            rows.map { case Row(_, v: scala.collection.Seq[_]) =>
-              v.map(_.asInstanceOf[Float]).toSeq })
+      // centroid matrix + its seed ids, ordered by seed id (KB-scale
+      // driver collect — multi-probe needs the matrix broadcast, same
+      // plumbing as the IVF quantizer; vectors must be array<float>
+      // and seed ids long-castable, the library-wide embedding shape)
+      val seedDf = centroids.getOrElse {
+        val kk = if (k > 0) k
+                 else autoK(if (rowHint > 0) rowHint else df.count())
+        df.orderBy(col(idCol)).limit(kk)
+          .select(col(idCol).as("seed_id"), col(vecCol).as("sv"))
       }
+      val seedRows = seedDf.orderBy(col("seed_id"))
+        .select(col("seed_id").cast("long"), col("sv")).collect()
+      val seedIds = seedRows.map(_.getLong(0))
+      val cents = seedRows.map { case Row(_, v: scala.collection.Seq[_]) =>
+        v.map(_.asInstanceOf[Float]).toSeq }
       val centRef = BroadcastCentroids(
         df.sparkSession.sparkContext.broadcast(cents.map(_.toArray)))
       val nlist = cents.length

@@ -372,32 +372,47 @@ object Streaming {
     override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
         timers: TimerValues): Iterator[ClosedInterval] = {
       val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
-      val out = Seq.newBuilder[ClosedInterval]
-      var cur = if (open.exists()) Option(open.get()) else None
-      sorted.foreach { e =>
-        cur match {
-          case Some(s) if e.ts_ms < s.last_ms =>
-            // late cross-batch event: accepting it would rewrite
-            // emitted history (within a batch, sorting makes this
-            // unreachable)
-            if (!dropLate) throw new IllegalStateException(
-              s"graft: out-of-order delivery for user $key: event " +
-                s"${e.event_id} at ts_ms=${e.ts_ms} arrived after the open " +
-                s"island had advanced to ${s.last_ms} — deliver in " +
-                "event-time order or run with dropLate = true")
-            lateCounter.foreach(_.add(1L))
-          case Some(s) if s.event_type == e.event_type =>
-            cur = Some(s.copy(n = s.n + 1, last_ms = e.ts_ms))
-          case Some(s) =>
-            out += ClosedInterval(key, s.event_type, s.from_ms, e.ts_ms, s.n)
-            cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
-          case None =>
-            cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
-        }
-      }
+      val (cur, closed) = foldIslands(key,
+        if (open.exists()) Option(open.get()) else None, sorted,
+        // late cross-batch event: accepting it would rewrite emitted
+        // history (within a batch, sorting makes this unreachable)
+        (e, s) => {
+          if (!dropLate) throw new IllegalStateException(
+            s"graft: out-of-order delivery for user $key: event " +
+              s"${e.event_id} at ts_ms=${e.ts_ms} arrived after the open " +
+              s"island had advanced to ${s.last_ms} — deliver in " +
+              "event-time order or run with dropLate = true")
+          lateCounter.foreach(_.add(1L))
+        })
       cur.foreach(open.update)
-      out.result().iterator
+      closed.iterator
     }
+  }
+
+  /** The island state machine both SCD-2 processors fold events
+    * through — ONE implementation so the hold processor's flush and
+    * the direct processor's batch can never diverge: extend the open
+    * island on same-type, close-and-reopen on type change, `onLate`
+    * (then skip) for an event behind the island's last accepted ts.
+    * `sorted` must be (ts_ms, event_id)-ascending. */
+  private def foldIslands(key: Long, start: Option[OpenIsland],
+      sorted: Seq[TypedEvent], onLate: (TypedEvent, OpenIsland) => Unit)
+      : (Option[OpenIsland], Seq[ClosedInterval]) = {
+    val out = Seq.newBuilder[ClosedInterval]
+    var cur = start
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts_ms < s.last_ms => onLate(e, s)
+        case Some(s) if s.event_type == e.event_type =>
+          cur = Some(s.copy(n = s.n + 1, last_ms = e.ts_ms))
+        case Some(s) =>
+          out += ClosedInterval(key, s.event_type, s.from_ms, e.ts_ms, s.n)
+          cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
+        case None =>
+          cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
+      }
+    }
+    (cur, out.result())
   }
 
   /** SCD-2 input row for the watermark-hold processor: keeps the
@@ -410,42 +425,46 @@ object Streaming {
   /** The reorder-TOLERANT streaming SCD-2 policy ([[Scd2Processor]]'s
     * scaladoc third mode, now code): events buffer in a per-key
     * ListState until the event-time watermark passes them, then flush
-    * through the same island state machine in (ts, event_id) order —
-    * so any disorder INSIDE the watermark delay is absorbed and the
-    * emitted closed set equals the in-order replay's, delayed by the
-    * watermark lag. An event arriving with ts already BEHIND the
-    * watermark (disorder the delay was too small for) is dropped and
-    * counted in `lateCounter` — the same explicit accounting as
-    * `dropLate`, but now only post-watermark stragglers pay it.
+    * through the SAME island state machine ([[foldIslands]]) in
+    * (ts, event_id) order — so any disorder INSIDE the watermark delay
+    * is absorbed and the emitted closed set equals the in-order
+    * replay's, delayed by the watermark lag. An event whose ts is
+    * already behind the watermark when it arrives (disorder the delay
+    * was too small for) is filtered BEFORE the operator by the
+    * engine's late-row filter and counted in the standard
+    * `numRowsDroppedByWatermark` state-operator metric
+    * (StreamingSpec proves the operator never sees such rows) —
+    * monitor that, exactly as for any watermarked aggregation.
     *
     * Mechanics: one timer per key at the earliest buffered event time
     * (kept in `nextTs` so input batches never re-read the buffer);
     * when the watermark passes it, the expired-timer callback
     * partitions the buffer at the CURRENT watermark, folds the ready
-    * prefix into [[OpenIsland]] exactly as [[Scd2Processor]] does, and
-    * re-arms the timer at the earliest remaining event. Per-key state
-    * is O(events inside the watermark horizon) — the same bound as any
-    * event-time stateful operator — and each flush's input is strictly
-    * later than the previous flush's (arrivals behind the watermark
-    * never reach the operator), so the fold can never see a late
-    * event: that branch is defensively unreachable here.
+    * prefix into [[OpenIsland]], records the flush boundary in
+    * `flushedTo`, and re-arms the timer at the earliest remaining
+    * event. Per-key state is O(events inside the watermark horizon) —
+    * the same bound as any event-time stateful operator.
     *
-    * Late-beyond-watermark ACCOUNTING lives in the engine, not here:
-    * transformWithState in EventTime mode filters rows older than the
-    * watermark BEFORE the processor (StreamingSpec proves the operator
-    * never sees them), and each drop increments the standard
-    * `numRowsDroppedByWatermark` state-operator metric in
-    * StreamingQueryProgress — monitor that, exactly as for any
-    * watermarked aggregation. The arrival-side guard below is defense
-    * in depth for an engine that ever stopped pre-filtering: such a
-    * row is dropped here too (never folded into history), silently —
-    * by then the engine's metric no longer counts it, and a loud
-    * throw would turn an accounting gap into an outage. */
+    * The input side buffers EVERYTHING the engine admits, gated only
+    * by the key's own `flushedTo` boundary — deliberately NOT by
+    * `TimerValues.getCurrentWatermarkInMs()`: that value is the
+    * EVICTION watermark, which can run one batch AHEAD of the
+    * late-row filter's watermark under back-to-back data batches
+    * (Spark's two-watermark plumbing), and a guard on it would
+    * silently discard an admitted event in the gap — uncounted by the
+    * engine metric AND absent from history. Any admitted event with
+    * ts >= flushedTo folds correctly (the next flush sorts it in);
+    * ts < flushedTo would rewrite emitted history and is dropped as
+    * defense in depth (unreachable under the engine's filter
+    * invariant: admitted rows are never behind the last flush
+    * boundary, because flushes never pass the late-filter
+    * watermark). */
   class Scd2HoldProcessor
       extends StatefulProcessor[Long, HeldEvent, ClosedInterval] {
     @transient private var open: ValueState[OpenIsland] = _
     @transient private var buf: ListState[TypedEvent] = _
     @transient private var nextTs: ValueState[Long] = _
+    @transient private var flushedTo: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       open = getHandle.getValueState[OpenIsland]("open",
@@ -454,18 +473,18 @@ object Streaming {
         org.apache.spark.sql.Encoders.product[TypedEvent], TTLConfig.NONE)
       nextTs = getHandle.getValueState[Long]("nextTs",
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      flushedTo = getHandle.getValueState[Long]("flushedTo",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[HeldEvent],
         timers: TimerValues): Iterator[ClosedInterval] = {
-      val wm = timers.getCurrentWatermarkInMs()
+      val floor = if (flushedTo.exists()) flushedTo.get() else Long.MinValue
       val fresh = rows.flatMap { h =>
         val e = TypedEvent(h.user_id, h.event_id, h.ts.getTime, h.event_type)
-        // ts == wm stays buffered: the watermark only promises no MORE
-        // data strictly below it, so the flush boundary is `< wm` too.
-        // ts < wm is normally unreachable (the engine pre-filters and
-        // counts such rows in numRowsDroppedByWatermark) — see scaladoc
-        if (e.ts_ms < wm) None else Some(e)
+        // see scaladoc: gate on the key's flush boundary, not the
+        // (eviction) watermark — ts < floor is defensively unreachable
+        if (e.ts_ms < floor) None else Some(e)
       }.toArray
       if (fresh.nonEmpty) {
         buf.appendList(fresh)
@@ -484,6 +503,8 @@ object Streaming {
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
         : Iterator[ClosedInterval] = {
       val wm = timers.getCurrentWatermarkInMs()
+      // ts == wm stays buffered: the watermark only promises no MORE
+      // data strictly below it
       val (ready, rest) = buf.get().toArray.partition(_.ts_ms < wm)
       buf.clear()
       if (rest.isEmpty) nextTs.clear()
@@ -495,28 +516,18 @@ object Streaming {
       }
       if (ready.isEmpty) Iterator.empty
       else {
-        val out = Seq.newBuilder[ClosedInterval]
-        var cur = if (open.exists()) Option(open.get()) else None
-        ready.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
-          cur match {
-            case Some(s) if e.ts_ms < s.last_ms =>
-              // unreachable: every arrival behind the watermark was
-              // dropped at input, and flushes are watermark-monotonic
-              throw new IllegalStateException(
-                s"graft: watermark-hold invariant broken for user $key at " +
-                  s"event ${e.event_id} (ts_ms=${e.ts_ms} < open island " +
-                  s"last_ms=${s.last_ms})")
-            case Some(s) if s.event_type == e.event_type =>
-              cur = Some(s.copy(n = s.n + 1, last_ms = e.ts_ms))
-            case Some(s) =>
-              out += ClosedInterval(key, s.event_type, s.from_ms, e.ts_ms, s.n)
-              cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
-            case None =>
-              cur = Some(OpenIsland(e.event_type, e.ts_ms, 1, e.ts_ms))
-          }
-        }
+        flushedTo.update(wm)
+        val (cur, closed) = foldIslands(key,
+          if (open.exists()) Option(open.get()) else None,
+          ready.sortBy(e => (e.ts_ms, e.event_id)).toSeq,
+          // unreachable: arrivals behind the flush boundary were
+          // dropped at input, and flushes are watermark-monotonic
+          (e, s) => throw new IllegalStateException(
+            s"graft: watermark-hold invariant broken for user $key at " +
+              s"event ${e.event_id} (ts_ms=${e.ts_ms} < open island " +
+              s"last_ms=${s.last_ms})"))
         cur.foreach(open.update)
-        out.result().iterator
+        closed.iterator
       }
     }
   }

@@ -425,6 +425,48 @@ class StreamingSpec extends SparkSpec {
         Streaming.scd2IntervalsHeld(inOrder)
       }
       assert(ex.getMessage.contains("streaming-only"))
+
+      // two-watermark gap: under BACK-TO-BACK data batches (files
+      // pre-written, maxFilesPerTrigger=1, one processAllAvailable) the
+      // engine's late-row filter can lag the eviction watermark by a
+      // batch, so an event in the gap may be ADMITTED while
+      // getCurrentWatermarkInMs already reads past it. Whichever side
+      // of the filter the engine lands on, silent loss is the one
+      // forbidden outcome: either the event was engine-dropped AND
+      // counted in numRowsDroppedByWatermark, or it reached the
+      // operator and MUST be folded into history (the old
+      // watermark-gated guard discarded it, uncounted)
+      val gapDir = java.nio.file.Files.createTempDirectory("graft_scd2_hold3").toString
+      write(gapDir, 0, Seq((1L, 1L, 1000L, "x"), (99L, 90L, 1000000L, "x")))
+      write(gapDir, 1, Seq((1L, 2L, 500000L, "y"))) // in the gap at batch 1
+      write(gapDir, 2, Seq((99L, 91L, 2000000L, "x")))
+      write(gapDir, 3, Seq((99L, 92L, 3000000L, "x")))
+      val emitted3 =
+        scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)]()
+      val q3 = Streaming.scd2IntervalsHeld(
+          spark.readStream
+            .schema("user_id long, event_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1").parquet(gapDir + "/*"),
+          delay = "10 seconds")
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.ClosedInterval], _: Long) =>
+            val rows = d.collect().map(i =>
+              (i.user_id, i.event_type, i.valid_from_ms, i.valid_to_ms, i.n_events))
+            emitted3.synchronized { emitted3 ++= rows; () }
+        }.start()
+      q3.processAllAvailable()
+      val dropped3 = q3.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      q3.stop()
+      val user1 = emitted3.toSet.filter(_._1 == 1L)
+      info(s"gap case: dropped=$dropped3 user1=$user1")
+      if (dropped3 == 0L)
+        assert(user1 === Set((1L, "x", 1000L, 500000L, 1L)),
+          s"gap event reached the operator but was not folded (emitted $user1)")
+      else
+        assert(user1.isEmpty || user1 === Set((1L, "x", 1000L, 500000L, 1L)),
+          s"inconsistent gap handling: dropped=$dropped3 emitted=$user1")
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
