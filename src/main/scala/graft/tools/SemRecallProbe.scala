@@ -20,11 +20,17 @@ object SemRecallProbe {
     for (dir <- dirs) {
       val emb = Tables.load(spark, dir, "embeddings")
       val n = emb.count()
+      // full-corpus truth AND the contract's capped (vec_id < 1000)
+      // truth — the driver row floors against the capped one
       val truthAll = Dedup.bruteEmbeddingPairs(emb, "embedding", "vec_id")
         .select(col("id_a"), col("id_b"), col("cos")).cache()
       truthAll.count()
-      def recallOf(found: org.apache.spark.sql.DataFrame, tau: Double): (Long, Double) = {
-        val t = truthAll.filter(col("cos") >= tau)
+      val truthCap = truthAll
+        .filter(col("id_a") < 1000 && col("id_b") < 1000).cache()
+      truthCap.count()
+      def recallOf(truth: org.apache.spark.sql.DataFrame,
+          found: org.apache.spark.sql.DataFrame, tau: Double): (Long, Double) = {
+        val t = truth.filter(col("cos") >= tau)
         val nTrue = t.count()
         val hit = t.join(found.select("id_a", "id_b"), Seq("id_a", "id_b")).count()
         (nTrue, hit.toDouble / math.max(nTrue, 1L))
@@ -37,11 +43,14 @@ object SemRecallProbe {
         val found = Dedup.semanticPairs(emb, "embedding", "vec_id",
           centroids = Some(centDf), probes = p).cache()
         val nFound = found.count()
-        val (nt, r) = recallOf(found, 0.35)
+        val (nt, r) = recallOf(truthAll, found, 0.35)
+        val (ntc, rc) = recallOf(truthCap, found, 0.35)
         println(f"[semrecall] $dir n=$n k=$k iters=$iters probes=$p " +
-          f"n_true=$nt n_found=$nFound recall=$r%.4f")
+          f"n_true=$nt n_found=$nFound recall=$r%.4f " +
+          f"capped_true=$ntc capped_recall=$rc%.4f")
         found.unpersist()
       }
+      truthCap.unpersist()
       truthAll.unpersist()
     }
     spark.stop()
