@@ -131,4 +131,27 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(h1 === h2, "bag-of-tokens order invariance")
     }
   }
+
+  test("simhash128: lo word IS simhash64, order invariant, families decorrelated") {
+    var agree = 0
+    for (_ <- 1 to 100) {
+      val toks = Seq.fill(rnd.nextInt(30) + 1)(
+        UTF8String.fromString(rnd.alphanumeric.take(5).mkString))
+      val s = TextOps.simhash128(ArrayData.toArrayData(toks.toArray))
+      val (hi, lo) = (s.getLong(0), s.getLong(1))
+      // the low family votes on the SAME fnv1a hashes as simhash64 —
+      // a 128-bit run is the 64-bit signature plus an independent word,
+      // never a different 64-bit signature
+      assert(lo === TextOps.simhash64(ArrayData.toArrayData(toks.toArray)))
+      val s2 = TextOps.simhash128(ArrayData.toArrayData(rnd.shuffle(toks).toArray))
+      assert(s2.getLong(0) === hi && s2.getLong(1) === lo,
+        "bag-of-tokens order invariance")
+      agree += java.lang.Long.bitCount(~(hi ^ lo))
+    }
+    // decorrelation: each word has 64 bits, so independent vote
+    // families agree on ~32 of them per doc (measured 33.3); a
+    // correlated remix would sit near 64
+    assert(agree > 20 * 100 && agree < 44 * 100,
+      s"hi/lo bit agreement $agree out of 6400 — families look correlated")
+  }
 }

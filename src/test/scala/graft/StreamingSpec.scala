@@ -471,6 +471,62 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("checkpoint recovery: watermark-hold buffer and timers survive a kill-and-restart") {
+    import spark.implicits._
+    // the hold processor's correctness rides THREE recovered pieces:
+    // the ListState buffer, the per-key timer, and the flushedTo
+    // boundary. Kill the query while events sit buffered (watermark
+    // not yet past them), restart from the checkpoint, advance the
+    // watermark — the flush must emit intervals only recoverable from
+    // pre-kill buffered state
+    val path = java.nio.file.Files.createTempDirectory("graft_hold_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hold_ckpt_dir").toString
+    def batch(n: Int, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ms", "event_type")
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(col("ms")).as("ts"), col("event_type"))
+        .write.parquet(s"$path/b$n")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emitted =
+        scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)]()
+      def run(): Unit = {
+        val src = spark.readStream
+          .schema("user_id long, event_id long, ts timestamp, event_type string")
+          .option("maxFilesPerTrigger", "1").parquet(path + "/*")
+        val q = Streaming.scd2IntervalsHeld(src, delay = "10 seconds")
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (d: org.apache.spark.sql.Dataset[Streaming.ClosedInterval], _: Long) =>
+              val rows = d.collect().map(i =>
+                (i.user_id, i.event_type, i.valid_from_ms, i.valid_to_ms, i.n_events))
+              emitted.synchronized { emitted ++= rows; () }
+          }.start()
+        q.processAllAvailable(); q.stop()
+      }
+      // run 1: ONLY user 1's events — the watermark stays at 0 for the
+      // whole run (max ts 5000, delay 10 s), so the kill happens with
+      // both events in the ListState buffer and the timer armed
+      batch(0, Seq((1L, 1L, 1000L, "x"), (1L, 2L, 5000L, "y")))
+      run()
+      val afterRun1 = emitted.size
+      assert(emitted.take(afterRun1).forall(_._1 != 1L),
+        "user 1 flushed before the kill — scenario broken")
+      // run 2: sentinels advance the watermark past the buffer only
+      // AFTER recovery, so this close can only come from the recovered
+      // buffer + timer + open-island state
+      batch(1, Seq((99L, 90L, 1000000L, "x")))
+      batch(2, Seq((99L, 91L, 2000000L, "x")))
+      run()
+      val post = emitted.drop(afterRun1).toSet.filter(_._1 == 1L)
+      assert(post === Set((1L, "x", 1000L, 5000L, 1L)),
+        s"recovered flush emitted $post")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint recovery: transformWithState totals survive a kill-and-restart") {
     import spark.implicits._
     // The reference exists to make consumption RESUMABLE (committed
