@@ -1457,6 +1457,57 @@ object Pipeline {
       WHERE vec_id NOT IN (SELECT id FROM lab)
       ORDER BY id"""))
 
+  /** The PRODUCTION SemDeDup keep decision end-to-end: trained
+    * k-means quantizer + multi-probe blocking + connected components
+    * over the full corpus — the composition a user actually deploys
+    * (d_semdedup_keep pins the hash-oracle shape with seeds-by-id
+    * probes=1; d_semdedup_recall floors the pair recall; this row
+    * proves the quality path RUNS end-to-end and emits a valid keep
+    * decision). The trained artifacts aren't SQL-replayable, so the
+    * contract is structural and total: the output is a PARTITION of
+    * the corpus (every vector exactly once), every cluster has
+    * exactly one canonical keeper, the keeper is the cluster's
+    * minimum id, and is_canonical is exactly id == cluster_id —
+    * each a property the decision step's consumers (data drop!)
+    * silently corrupt on if violated. */
+  val dSemdedupKeepTrained: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count()
+      val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id",
+        Similarity.autoNlist(n), 3)
+      val centDf = {
+        import s.implicits._
+        cents.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("seed_id", "sv")
+      }
+      val keep = Dedup.clusters(
+        Dedup.semanticPairs(emb, "embedding", "vec_id",
+          centroids = Some(centDf), probes = 4),
+        universe = Some(emb.select(col("vec_id"))))
+      val total = keep.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) === countDistinct(col("id"))).as("ids_unique"),
+        (sum(when(col("is_canonical") =!= (col("id") === col("cluster_id")),
+          1L).otherwise(0L)) === 0L).as("canonical_iff_self_cluster"))
+      val perCluster = keep.groupBy(col("cluster_id"))
+        .agg(sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canon"),
+          min(col("id")).as("min_id"))
+        .agg((min(col("n_canon")) === 1L && max(col("n_canon")) === 1L)
+            .as("one_canonical_per_cluster"),
+          (sum(when(col("cluster_id") === col("min_id"), 0L).otherwise(1L))
+            === 0L).as("canonical_is_min"))
+      total.crossJoin(perCluster)
+        .select(col("n_rows"), col("ids_unique"),
+          col("canonical_iff_self_cluster"),
+          col("one_canonical_per_cluster"), col("canonical_is_min"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS ids_unique,
+             TRUE AS canonical_iff_self_cluster,
+             TRUE AS one_canonical_per_cluster, TRUE AS canonical_is_min
+      FROM embeddings"""))
+
   /** SemDeDup recall contract — the one quality axis d_semdedup's
     * hash oracle can't see: does the cluster-blocked pair set recover
     * the brute-force tau-pair set? Measured with TRAINED k-means
@@ -2019,6 +2070,7 @@ object Pipeline {
     "d_semdedup" -> dSemdedup,
     "d_semdedup_keep" -> dSemdedupKeep,
     "d_semdedup_recall" -> dSemdedupRecall,
+    "d_semdedup_keep_trained" -> dSemdedupKeepTrained,
     "d_ann_brute" -> dAnnBrute,
     "d_ann_lsh" -> dAnnLsh,
     "d_ann_ivf" -> dAnnIvf,
