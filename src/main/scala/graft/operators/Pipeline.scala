@@ -1760,6 +1760,58 @@ object Pipeline {
       SELECT CAST(5 * count(*) AS BIGINT) AS n_scored, TRUE AS fidelity_ok
       FROM embeddings WHERE vec_id < 10"""))
 
+  /** Scalar-quantization (SQ8) ANN top-k — approximate scores over
+    * dim-byte codes (4x compression at float32 input), rows-only;
+    * quality pinned by d_ann_sq_recall + d_ann_sq_fidelity. */
+  val dAnnSq: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id")
+    },
+    oracle = None)
+
+  /** SQ8 recall contracts the RAW-score path — no rerank: per-dimension
+    * resolution (error <= span_i/510 per coordinate) keeps rank order
+    * near-exact, unlike PQ where only the reranked path is stable.
+    * Measured 1.0 at sf0.01, 0.96 at sf0.1 (tools/Sq8Probe); pinned
+    * at 0.9. */
+  val dAnnSqRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.sq8TopK(emb, q, "embedding", "vec_id"),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.9)
+    },
+    oracle = Some(recallOracleSql))
+
+  /** SQ8 analogue of d_ann_pq_fidelity: over every returned neighbor,
+    * the dequantized cosine must sit close to the true cosine of the
+    * same pair. 8-bit per-dimension codes reconstruct far tighter than
+    * 8-subspace PQ (measured mean error ~7e-4 at both SFs vs PQ's
+    * ~0.04-0.05, tools/Sq8Probe); pinned at 0.005 — an order under
+    * the PQ bound, so a regression to PQ-grade error fails loudly. */
+  val dAnnSqFidelity: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val sq = Similarity.sq8TopK(emb, q, "embedding", "vec_id")
+        .join(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), "query_id")
+      // corpus scanned once; the (queries x k) sq result broadcasts in
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .join(broadcast(sq), "neighbor_id")
+        .select(abs(col("cos_sq") -
+          Bridge.column(CosineSim(Bridge.expression(col("qv")),
+            Bridge.expression(col("cv"))))).as("err"))
+        .agg(count(lit(1)).as("n_scored"),
+          (avg(col("err")) <= 0.005).as("fidelity_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(5 * count(*) AS BIGINT) AS n_scored, TRUE AS fidelity_ok
+      FROM embeddings WHERE vec_id < 10"""))
+
   /** Pair-level recall contract for embedding LSH dedup: the default
     * 16x6 shape trades away borderline pairs near the 0.35 threshold
     * (measured recall 0.63 — by design); the dense 32x5 configuration
@@ -2084,6 +2136,9 @@ object Pipeline {
     "d_ann_pq" -> dAnnPq,
     "d_ann_pq_recall" -> dAnnPqRecall,
     "d_ann_pq_fidelity" -> dAnnPqFidelity,
+    "d_ann_sq" -> dAnnSq,
+    "d_ann_sq_recall" -> dAnnSqRecall,
+    "d_ann_sq_fidelity" -> dAnnSqFidelity,
     "d_ann_ivfpq" -> dAnnIvfPq,
     "d_ann_ivfpq_recall" -> dAnnIvfPqRecall,
     "d_cluster_kmeans" -> dClusterKmeans,

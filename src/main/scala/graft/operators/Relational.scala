@@ -266,6 +266,34 @@ object Relational {
       GROUP BY p_brand
       ORDER BY p_brand"""))
 
+  /** Salted skew join: the same join+agg shape as a plain
+    * lineitem x part revenue rollup, executed through
+    * [[SkewJoin.saltedJoin]] — the manual skew decomposition for the
+    * cases AQE's runtime split can't touch (bucketed inputs, or a
+    * skewed side feeding a co-partitioned downstream stage). Salting
+    * is pure execution strategy: each hot l_partkey spreads over 8
+    * salt buckets while part replicates 8 ways, and the result is
+    * row-identical to the unsalted join, which is exactly what the
+    * plain-SQL oracle checks. */
+  val qSkewJoin: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      SkewJoin.saltedJoin(t(s, dir, "lineitem"), t(s, dir, "part"),
+          "l_partkey", "p_partkey", salt = 8)
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+    oracle = Some("""
+      SELECT p_brand,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand"""))
+
   /** Scalar expression battery: strings, dates, arithmetic. */
   val qScalarFuncs: QueryDef = QueryDef(
     fn = (s, dir) =>
@@ -892,6 +920,7 @@ object Relational {
     "q_semi_anti" -> qSemiAnti,
     "q_union" -> qUnion,
     "q_broadcast_join" -> qBroadcastJoin,
+    "q_skew_join" -> qSkewJoin,
     "q_scalar_funcs" -> qScalarFuncs,
     "q_having" -> qHaving,
     "q_orderby_multi" -> qOrderbyMulti,

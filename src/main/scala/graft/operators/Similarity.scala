@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.{BroadcastCentroids, BroadcastCodebooks, CentroidCosines, CentroidRef, CosineSim, HyperplaneSig, NearestCentroid, PQCosine, PQEncode64}
+import graft.plans.{BroadcastCentroids, BroadcastCodebooks, BroadcastSq8, CentroidCosines, CentroidRef, CosineSim, HyperplaneSig, NearestCentroid, PQCosine, PQEncode64, SQ8Cosine, SQ8Encode}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -379,6 +379,110 @@ object Similarity {
         .filter(col("rnk") <= k)
         .orderBy(col("query_id"), col("rnk"))
     else rerankExact(scored, "cos_pq", corpus, q, vecCol, idCol, k,
+      math.max(rerank, k))
+  }
+
+  /** SQ8 per-dimension quantization bounds — the train-ONCE artifact
+    * of scalar-quantized ANN ([[trainSq8]] -> [[sq8Encode]] ->
+    * [[sq8TopK]]`(scales=, codes=)`). Driver-resident: 2 x dim floats. */
+  final case class Sq8Scales(mins: Array[Float], spans: Array[Float]) {
+    require(mins.length == spans.length && mins.nonEmpty,
+      s"graft: SQ8 scales need matched non-empty mins/spans " +
+        s"(got ${mins.length}/${spans.length})")
+    require(spans.forall(s => s >= 0f && !s.isNaN && !s.isInfinite),
+      "graft: SQ8 spans must be finite and non-negative (span = max - min)")
+    def dim: Int = mins.length
+  }
+
+  /** Train SQ8 bounds: exact per-dimension min/max over the corpus in
+    * ONE distributed pass — posexplode to (dim, value), min/max per
+    * dim. Map-side partial aggregation collapses each task's output to
+    * `dim` rows before the shuffle, so shuffle volume is
+    * O(partitions x dim) no matter the corpus size; `dim` rows reach
+    * the driver. Deterministic: exact extrema carry no sample or seed. */
+  def trainSq8(corpus: DataFrame, vecCol: String): Sq8Scales = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("d"))
+      .collect()
+    require(rows.nonEmpty, "graft: SQ8 training needs a non-empty corpus")
+    Sq8Scales(
+      rows.map(_.getFloat(1)),
+      rows.map(r => r.getFloat(2) - r.getFloat(1)))
+  }
+
+  /** Column-metadata key carrying the fingerprint of the scales an SQ8
+    * codes table was encoded with. */
+  val Sq8FingerprintKey: String = "graft.sq8.scales"
+
+  /** Deterministic fingerprint of SQ8 scales — same MD5-over-float-bits
+    * scheme as [[centroidFingerprint]]/[[bookFingerprint]]. */
+  def sq8Fingerprint(s: Sq8Scales): String =
+    md5Ints(Iterator(s.mins.length) ++
+      s.mins.iterator.map(java.lang.Float.floatToIntBits) ++
+      s.spans.iterator.map(java.lang.Float.floatToIntBits))
+
+  /** The SQ8 codes table — (id, code binary of dim bytes): what a
+    * production pipeline materializes once so subsequent ANN scans
+    * never touch the raw vectors (4x smaller at float32 input). Pure
+    * map-side projection; the code column carries the scales'
+    * fingerprint so [[sq8TopK]] rejects a codes table paired with
+    * retrained bounds instead of scoring silently wrong. */
+  def sq8Encode(corpus: DataFrame, vecCol: String, idCol: String,
+      scales: Sq8Scales): DataFrame = {
+    val ref = BroadcastSq8(corpus.sparkSession.sparkContext
+      .broadcast((scales.mins, scales.spans)))
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(Sq8FingerprintKey, sq8Fingerprint(scales)).build()
+    corpus.select(col(idCol),
+      Bridge.column(SQ8Encode(Bridge.expression(col(vecCol)), ref))
+        .as("code", meta))
+  }
+
+  /** Scalar-quantization ANN top-k: approximate scores over dim-byte
+    * codes (asymmetric — exact query against the dequantized corpus
+    * row). Same scan shape as [[pqTopK]]: the codes table streams
+    * through one codegen'd scoring pass against the broadcast query
+    * set, per-query top-k via window — no corpus shuffle. SQ8 keeps
+    * per-dimension resolution (error <= span_i/510 per coordinate), so
+    * raw-score rank order is far closer to exact than PQ's
+    * shared-centroid codes; `rerank > 0` re-scores a candidate
+    * shortlist with exact cosines, the belt-and-braces production
+    * shape. A production job trains once ([[trainSq8]]), materializes
+    * codes once ([[sq8Encode]]), and passes both back in so the scan
+    * reads codes only. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int = 5, rerank: Int = 0,
+      scales: Option[Sq8Scales] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
+    require(codes.isEmpty || scales.isDefined,
+      "graft: a precomputed SQ8 codes table needs the scales it was encoded with")
+    val sc = scales.getOrElse(trainSq8(corpus, vecCol))
+    val ref = BroadcastSq8(corpus.sparkSession.sparkContext
+      .broadcast((sc.mins, sc.spans)))
+    val codesDf = codes
+      .map { df =>
+        verifyStamp(df, "code", Sq8FingerprintKey, sq8Fingerprint(sc),
+          "SQ8 scales", "re-encode via sq8Encode")
+        df.select(col(idCol).as("neighbor_id"), col("code"))
+      }
+      .getOrElse(corpus.select(col(idCol).as("neighbor_id"),
+        Bridge.column(SQ8Encode(Bridge.expression(col(vecCol)), ref)).as("code")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = codesDf.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Bridge.column(SQ8Cosine(Bridge.expression(col("qv")),
+          Bridge.expression(col("code")), ref)), 4).as("cos_sq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sq").desc, col("neighbor_id"))
+    if (rerank <= 0)
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .orderBy(col("query_id"), col("rnk"))
+    else rerankExact(scored, "cos_sq", corpus, q, vecCol, idCol, k,
       math.max(rerank, k))
   }
 

@@ -144,6 +144,51 @@ object VectorOps {
     code
   }
 
+  /** Scalar-quantization (SQ8) encode: dimension i maps affinely from
+    * [min_i, min_i + span_i] onto the 256 levels of one byte. A
+    * 64-float embedding compresses 256 B -> 64 B with per-dimension
+    * resolution span/255 — far finer than PQ's shared-centroid codes,
+    * the standard accuracy/compression middle rung (FAISS SQ8).
+    * Out-of-range values (a vector outside the trained bounds) clamp
+    * to the edge levels. */
+  def sq8Encode(v: ArrayData, mins: Array[Float], spans: Array[Float]): Array[Byte] = {
+    val d = v.numElements()
+    if (d != mins.length)
+      throw new IllegalArgumentException(
+        s"graft: SQ8 scales trained for dim ${mins.length} cannot encode a $d-dim vector")
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      val span = spans(i).toDouble
+      val t = if (span == 0.0) 0.0
+              else (v.getFloat(i).toDouble - mins(i).toDouble) / span
+      val lvl = math.round(t * 255.0).toInt
+      out(i) = ((if (lvl < 0) 0 else if (lvl > 255) 255 else lvl) - 128).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Asymmetric SQ8 cosine: cosine(exact query, dequantized corpus
+    * code) in one pass, never materializing the reconstruction. */
+  def sq8Cosine(q: ArrayData, code: Array[Byte], mins: Array[Float],
+      spans: Array[Float]): Double = {
+    val d = q.numElements()
+    if (d != mins.length || code.length != d)
+      throw new IllegalArgumentException(
+        s"graft: SQ8 dims disagree (query $d, scales ${mins.length}, code ${code.length})")
+    var dp = 0.0; var nq = 0.0; var nr = 0.0
+    var i = 0
+    while (i < d) {
+      val x = q.getFloat(i).toDouble
+      val y = mins(i).toDouble + ((code(i).toInt + 128) / 255.0) * spans(i).toDouble
+      dp += x * y; nq += x * x; nr += y * y
+      i += 1
+    }
+    val den = math.sqrt(nq) * math.sqrt(nr)
+    if (den == 0.0) 0.0 else dp / den
+  }
+
   /** Asymmetric-distance cosine: cosine(q, reconstruct(code)) in one
     * pass, never materializing the reconstructed vector — the exact
     * query vector against the codebook centroids the code names. */
@@ -337,6 +382,68 @@ case class PQCosine(left: Expression, right: Expression, codebooks: CodebookRef)
     defineCodeGen(ctx, ev, (q, c) => s"$ref.kernel($q, $c)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PQCosine =
+    copy(left = l, right = r)
+}
+
+/** How SQ8 per-dimension bounds (2 x dim floats) reach executors —
+  * same design as [[CentroidRef]]/[[CodebookRef]]: the plan holds an
+  * O(1) reference, never 2 x dim inlined literals. */
+sealed trait Sq8Ref extends Serializable {
+  def mins: Array[Float]
+  def spans: Array[Float]
+}
+
+case class InlineSq8(minsSeq: Seq[Float], spansSeq: Seq[Float]) extends Sq8Ref {
+  @transient override lazy val mins: Array[Float] = minsSeq.toArray
+  @transient override lazy val spans: Array[Float] = spansSeq.toArray
+  override def toString: String = s"inline(dim=${minsSeq.length})"
+}
+
+case class BroadcastSq8(
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Float], Array[Float])])
+    extends Sq8Ref {
+  override def mins: Array[Float] = bc.value._1
+  override def spans: Array[Float] = bc.value._2
+  override def toString: String = s"broadcast(id=${bc.id})"
+}
+
+/** SQ8 code of an embedding — `binary` of dim bytes. The corpus-side
+  * compression map of scalar-quantized ANN. */
+case class SQ8Encode(child: Expression, scales: Sq8Ref)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq8_encode"
+  @transient private lazy val mn: Array[Float] = scales.mins
+  @transient private lazy val sp: Array[Float] = scales.spans
+  def kernel(v: ArrayData): Array[Byte] = VectorOps.sq8Encode(v, mn, sp)
+  override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8Encode", this, classOf[SQ8Encode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): SQ8Encode =
+    copy(child = c)
+}
+
+/** cosine(exact query vector, SQ8-dequantized corpus code) —
+  * asymmetric-distance scoring, whole-stage-codegen'd. */
+case class SQ8Cosine(left: Expression, right: Expression, scales: Sq8Ref)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sq8_cosine"
+  @transient private lazy val mn: Array[Float] = scales.mins
+  @transient private lazy val sp: Array[Float] = scales.spans
+  def kernel(q: ArrayData, code: Array[Byte]): Double =
+    VectorOps.sq8Cosine(q, code, mn, sp)
+  override protected def nullSafeEval(q: Any, code: Any): Any =
+    kernel(q.asInstanceOf[ArrayData], code.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8Cosine", this, classOf[SQ8Cosine].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"$ref.kernel($q, $c)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SQ8Cosine =
     copy(left = l, right = r)
 }
 

@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import graft.plans.CosineSim
+
+/** Measurement harness behind the d_ann_sq_recall / d_ann_sq_fidelity
+  * contract floors: raw-score (no-rerank) recall vs brute-force exact
+  * top-k, and mean |cos_sq - cos| over the returned neighbors, per SF.
+  * Dev tool, not library surface — run at each SF, pin the floors
+  * under/over the worst measured value (the r7 PQ-contract
+  * methodology).
+  */
+object Sq8Probe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    for (dir <- dirs) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val n = emb.count()
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteTopK(emb, q, "embedding", "vec_id")
+        .select(col("query_id"), col("neighbor_id")).cache()
+      val nExact = exact.count()
+      val sq = Similarity.sq8TopK(emb, q, "embedding", "vec_id").cache()
+      val hit = exact.join(sq.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+      val recall = hit.toDouble / math.max(nExact, 1L)
+      val withQ = sq.join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))), "query_id")
+      val err = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .join(broadcast(withQ), "neighbor_id")
+        .select(abs(col("cos_sq") -
+          Bridge.column(CosineSim(Bridge.expression(col("qv")),
+            Bridge.expression(col("cv"))))).as("err"))
+        .agg(avg(col("err")).as("mean_err"), max(col("err")).as("max_err"))
+        .head()
+      println(f"[sq8] $dir n=$n recall=$recall%.4f " +
+        f"mean_err=${err.getDouble(0)}%.6f max_err=${err.getDouble(1)}%.6f")
+      exact.unpersist(); sq.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -161,4 +161,13 @@ class NoHiddenScanSpec extends SparkSpec {
       Streaming.nearDupAgainstReference(topic, topic))
     assert(auto >= 1, "AUTO without hint sizes from a real reference count()")
   }
+
+  test("sq8TopK with precomputed artifacts launches no job at construction") {
+    val scales = Similarity.trainSq8(emb, "embedding")
+    val codes = Similarity.sq8Encode(emb, "embedding", "vec_id", scales)
+    val jobs = jobsDuringConstruction(
+      Similarity.sq8TopK(emb, queries, "embedding", "vec_id",
+        scales = Some(scales), codes = Some(codes)))
+    assert(jobs === 0)
+  }
 }

@@ -328,4 +328,71 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(default === explicit)
   }
+
+  test("SQ8: per-coordinate error bound, self-cosine near 1, top-k near brute") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.plans.{BroadcastSq8, SQ8Cosine, SQ8Encode}
+    val scales = Similarity.trainSq8(emb, "embedding")
+    assert(scales.dim === 64)
+    val ref = BroadcastSq8(spark.sparkContext.broadcast((scales.mins, scales.spans)))
+    // dequantized coordinate i must sit within span_i/510 (+ float eps)
+    // of the original — the SQ8 resolution guarantee, per vector
+    val spansB = spark.sparkContext.broadcast(scales.spans)
+    val minsB = spark.sparkContext.broadcast(scales.mins)
+    val rows = emb.select(col("embedding"),
+      Bridge.column(SQ8Encode(Bridge.expression(col("embedding")), ref)).as("code"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val code = r.getAs[Array[Byte]](1)
+      var i = 0
+      while (i < v.length) {
+        val rec = minsB.value(i) + ((code(i).toInt + 128) / 255.0) * spansB.value(i)
+        val tol = spansB.value(i) / 510.0 + 1e-6
+        assert(math.abs(rec - v(i)) <= tol,
+          s"dim $i: |$rec - ${v(i)}| > $tol")
+        i += 1
+      }
+    }
+    // asymmetric self-cosine: a vector against its own code ~ 1
+    val self = emb.limit(100).select(
+      Bridge.column(SQ8Cosine(Bridge.expression(col("embedding")),
+        Bridge.expression(Bridge.column(SQ8Encode(
+          Bridge.expression(col("embedding")), ref))), ref)).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => c > 0.999 && c <= 1.0 + 1e-9),
+      s"SQ8 self-cosine too lossy: min=${self.min}")
+    // raw-order top-k: shape right, high overlap with brute
+    val got = Similarity.sq8TopK(emb, queries, "embedding", "vec_id", k = 5)
+    assert(got.columns.toSeq === Seq("query_id", "neighbor_id", "cos_sq", "rnk"))
+    val sq = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq.size === 50)
+    val brute = Similarity.bruteTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((sq intersect brute).size >= 45,
+      s"SQ8 raw recall too low: ${(sq intersect brute).size}/50")
+  }
+
+  test("SQ8 artifacts: codes round-trip through parquet, wrong scales rejected") {
+    val scales = Similarity.trainSq8(emb, "embedding")
+    val codes = Similarity.sq8Encode(emb, "embedding", "vec_id", scales)
+    val dir = java.nio.file.Files.createTempDirectory("sq8codes").toString
+    codes.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    // right scales: full-artifact result equals the self-contained run
+    val viaArtifacts = Similarity.sq8TopK(emb, queries, "embedding", "vec_id",
+      scales = Some(scales), codes = Some(reloaded))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val selfContained = Similarity.sq8TopK(emb, queries, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaArtifacts === selfContained)
+    // wrong scales: the parquet-persisted fingerprint must reject
+    val other = Similarity.Sq8Scales(
+      scales.mins.map(_ + 1f), scales.spans)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(emb, queries, "embedding", "vec_id",
+        scales = Some(other), codes = Some(reloaded))
+    }
+    assert(ex.getMessage.contains("SQ8 scales"), ex.getMessage)
+  }
 }
