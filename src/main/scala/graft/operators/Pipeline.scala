@@ -1812,6 +1812,77 @@ object Pipeline {
       SELECT CAST(5 * count(*) AS BIGINT) AS n_scored, TRUE AS fidelity_ok
       FROM embeddings WHERE vec_id < 10"""))
 
+  /** PCA variance-accounting contract. One training pass
+    * (Similarity.trainPca: per-partition Gram accumulation, d x d
+    * driver eigensolve) then one distributed residual pass asserting
+    * the Pythagorean identity mean(residual^2) = totalVar -
+    * retainedVar — which holds ONLY if the components are genuine
+    * orthonormal eigenvectors of the corpus covariance, so one boolean
+    * checks the whole train/project chain. explained_ok pins the
+    * r=32/64 explained-variance ratio: the top half of ANY spectrum
+    * carries >= 0.5 of the trace by construction, so the floor must
+    * clear that tautology — measured 0.6512/0.5737 at sf0.01/sf0.1
+    * (tools/Sq8Probe), pinned at 0.55: a model that stops capturing
+    * the corpus's real anisotropy fails. identity_gap measured ~1e-16
+    * at both SFs; pinned at 1e-6 relative. */
+  val dEmbedPca: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = Similarity.trainPca(emb, "embedding", r = 32)
+      val q = model.components
+      var maxDev = 0.0
+      for (i <- q.indices; j <- q.indices) {
+        var dot = 0.0
+        var t = 0
+        while (t < q(i).length) { dot += q(i)(t) * q(j)(t); t += 1 }
+        maxDev = math.max(maxDev,
+          math.abs(dot - (if (i == j) 1.0 else 0.0)))
+      }
+      val expectedRes = model.totalVar - model.eigenvalues.sum
+      Similarity.pcaResidual2(emb, "embedding", model)
+        .agg(count(lit(1)).as("n_vectors"),
+          avg(col("residual2")).as("_mean_res2"))
+        .select(col("n_vectors"),
+          lit(32L).as("r"),
+          lit(model.explainedRatio >= 0.55).as("explained_ok"),
+          lit(maxDev <= 1e-9).as("orthonormal_ok"),
+          (abs(col("_mean_res2") - lit(expectedRes)) <=
+            lit(1e-6 * math.max(model.totalVar, 1.0)))
+            .as("variance_identity_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(32 AS BIGINT) AS r, TRUE AS explained_ok,
+             TRUE AS orthonormal_ok, TRUE AS variance_identity_ok
+      FROM embeddings"""))
+
+  /** PCA-reduced ANN top-k (32-dim shortlist, exact rerank) —
+    * rows-only; quality pinned by d_ann_pca_recall. */
+  val dAnnPca: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.pcaTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id")
+    },
+    oracle = None)
+
+  /** PCA-ANN recall contracts the reduce-then-rerank path: the true
+    * top-5 must appear in the 100-deep projected shortlist (then
+    * exact rerank restores order). Measured 1.0 at sf0.01, 0.84 at
+    * sf0.1 at the r=32/shortlist=100 defaults (tools/Sq8Probe sweep —
+    * the corpus is near-isotropic, the hard case for linear
+    * reduction; r=16 reads 0.60, which is why 32 is the default);
+    * pinned at 0.75. */
+  val dAnnPcaRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.pcaTopK(emb, q, "embedding", "vec_id"),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.75)
+    },
+    oracle = Some(recallOracleSql))
+
   /** Pair-level recall contract for embedding LSH dedup: the default
     * 16x6 shape trades away borderline pairs near the 0.35 threshold
     * (measured recall 0.63 — by design); the dense 32x5 configuration
@@ -2139,6 +2210,9 @@ object Pipeline {
     "d_ann_sq" -> dAnnSq,
     "d_ann_sq_recall" -> dAnnSqRecall,
     "d_ann_sq_fidelity" -> dAnnSqFidelity,
+    "d_embed_pca" -> dEmbedPca,
+    "d_ann_pca" -> dAnnPca,
+    "d_ann_pca_recall" -> dAnnPcaRecall,
     "d_ann_ivfpq" -> dAnnIvfPq,
     "d_ann_ivfpq_recall" -> dAnnIvfPqRecall,
     "d_cluster_kmeans" -> dClusterKmeans,

@@ -486,6 +486,207 @@ object Similarity {
       math.max(rerank, k))
   }
 
+  /** PCA model — the train-ONCE artifact of linear dimensionality
+    * reduction: corpus mean, the top-r principal directions as
+    * orthonormal rows, their eigenvalues (descending), and the total
+    * variance (trace of the covariance). Driver-resident:
+    * (r+1) x dim doubles. */
+  final case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double],
+      totalVar: Double) {
+    def dim: Int = mean.length
+    def r: Int = components.length
+    /** Fraction of corpus variance the r retained directions carry. */
+    def explainedRatio: Double =
+      if (totalVar <= 0.0) 1.0 else eigenvalues.sum / totalVar
+  }
+
+  /** Train a PCA model in ONE distributed pass: per-partition
+    * accumulation of (count, coordinate sums, upper-triangular Gram
+    * matrix) — the RowMatrix pattern, genuine per-partition imperative
+    * work, so this is one of the few deliberate RDD uses — followed by
+    * a tree-combine of d(d+3)/2-double summaries (~17 KB at d=64,
+    * independent of corpus size) and a driver-side Jacobi
+    * eigendecomposition of the d x d covariance (d is the EMBEDDING
+    * width, never the corpus). Components are sign-canonicalized
+    * (largest-|coordinate| positive) so retrains on identical data
+    * agree. */
+  def trainPca(corpus: DataFrame, vecCol: String, r: Int): PcaModel = {
+    val rdd = corpus.select(col(vecCol)).rdd
+      .map(_.getSeq[Float](0))
+    val head = rdd.take(1)
+    require(head.nonEmpty, "graft: PCA training needs a non-empty corpus")
+    val d = head(0).length
+    require(r >= 1 && r <= d, s"graft: PCA rank r=$r must lie in [1, $d]")
+    val tri = d * (d + 1) / 2
+    val (n, s, g) = rdd.treeAggregate(
+        (0L, new Array[Double](d), new Array[Double](tri)))(
+      seqOp = { case ((c, sum, gram), v) =>
+        require(v.length == d,
+          s"graft: ragged embedding (dim ${v.length}, expected $d) in PCA training")
+        var i = 0
+        var t = 0
+        while (i < d) {
+          val xi = v(i).toDouble
+          sum(i) += xi
+          var j = i
+          while (j < d) { gram(t) += xi * v(j).toDouble; t += 1; j += 1 }
+          i += 1
+        }
+        (c + 1, sum, gram)
+      },
+      combOp = { case ((c1, s1, g1), (c2, s2, g2)) =>
+        var i = 0
+        while (i < d) { s1(i) += s2(i); i += 1 }
+        var t = 0
+        while (t < tri) { g1(t) += g2(t); t += 1 }
+        (c1 + c2, s1, g1)
+      })
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val cij = g(t) / n - mean(i) * mean(j)
+        cov(i)(j) = cij; cov(j)(i) = cij
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    val totalVar = (0 until d).map(k => cov(k)(k)).sum
+    val (vals, vecs) = symEigen(cov)
+    val comps = vecs.take(r).map { v =>
+      val m = v.indices.maxBy(k => math.abs(v(k)))
+      if (v(m) < 0) v.map(-_) else v
+    }
+    PcaModel(mean, comps, vals.take(r), totalVar)
+  }
+
+  /** Cyclic-Jacobi eigendecomposition of a symmetric matrix —
+    * driver-side, O(d^3) per sweep at d = embedding width (64 here:
+    * microseconds). Returns (eigenvalues descending, matching
+    * eigenvectors as rows). */
+  private def symEigen(m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    val tol = 1e-22 * math.max(1.0, m.map(r => r.map(x => x * x).sum).sum)
+    var sweep = 0
+    while (sweep < 64 && off() > tol) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val tan =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(tan * tan + 1.0)
+            val sn = tan * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq
+              v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => Array.tabulate(d)(k => v(k)(i))).toArray)
+  }
+
+  /** Wrap a PCA model for the projection kernels: broadcast, O(1) in
+    * plan and task closures. */
+  private def broadcastPca(df: DataFrame, model: PcaModel): graft.plans.BroadcastPca =
+    graft.plans.BroadcastPca(df.sparkSession.sparkContext
+      .broadcast((model.mean, model.components)))
+
+  /** The projected-embeddings table — (id, `proj` array<float> of
+    * length r): what a production pipeline materializes once so every
+    * downstream consumer (ANN, clustering, dedup) reads r-dim vectors.
+    * Pure map-side matvec, no shuffle. */
+  def pcaProject(corpus: DataFrame, vecCol: String, idCol: String,
+      model: PcaModel): DataFrame = {
+    val ref = broadcastPca(corpus, model)
+    corpus.select(col(idCol),
+      Bridge.column(graft.plans.PcaProject(
+        Bridge.expression(col(vecCol)), ref)).as("proj"))
+  }
+
+  /** Per-row squared reconstruction error under `model` — the
+    * distributed side of the variance-accounting identity
+    * mean(residual^2) = totalVar - retainedVar that d_embed_pca
+    * asserts (it holds ONLY if the components are genuine orthonormal
+    * eigenvectors, so it checks the whole train/project chain). */
+  def pcaResidual2(corpus: DataFrame, vecCol: String,
+      model: PcaModel): DataFrame = {
+    val ref = broadcastPca(corpus, model)
+    corpus.select(Bridge.column(graft.plans.PcaResidual2(
+      Bridge.expression(col(vecCol)), ref)).as("residual2"))
+  }
+
+  /** PCA-reduced ANN top-k: score the corpus by cosine in the r-dim
+    * projected space (map-side matvec both sides, r-dim arithmetic per
+    * candidate instead of d-dim), keep a `shortlist`-deep candidate
+    * set per query, re-rank exactly at full dimension — the standard
+    * reduce-then-rerank composition. Same scan shape as the other
+    * code-based indexes: no corpus shuffle. A production job trains
+    * once ([[trainPca]]) and passes the model back in; the default
+    * trains fresh, the self-contained benchmark shape. */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int = 5, shortlist: Int = 100,
+      r: Int = 32, model: Option[PcaModel] = None): DataFrame = {
+    val m = model.getOrElse(trainPca(corpus, vecCol, r))
+    val ref = broadcastPca(corpus, m)
+    def proj(c: Column): Column =
+      Bridge.column(graft.plans.PcaProject(Bridge.expression(c), ref))
+    val pc = corpus.select(col(idCol).as("neighbor_id"), proj(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      proj(col(vecCol)).as("qp"))
+    val scored = pc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qp"), col("cv")), 4).as("cos_pca"))
+    rerankExact(scored, "cos_pca", corpus,
+      q.select(col("query_id"), col("qv")), vecCol, idCol, k,
+      math.max(shortlist, k))
+  }
+
   /** The PQ codes table — (id, code long): what a production pipeline
     * materializes once so subsequent ANN scans never touch the raw
     * vectors. Pure map-side projection. */

@@ -189,6 +189,59 @@ object VectorOps {
     if (den == 0.0) 0.0 else dp / den
   }
 
+  /** PCA projection: out_j = component_j . (v - mean) — one
+    * mean-centered matvec, `r` output floats from a d-dim input. */
+  def pcaProject(v: ArrayData, mean: Array[Double],
+      comps: Array[Array[Double]]): ArrayData = {
+    val d = v.numElements()
+    if (d != mean.length)
+      throw new IllegalArgumentException(
+        s"graft: PCA model trained for dim ${mean.length} cannot project a $d-dim vector")
+    val xc = new Array[Double](d)
+    var i = 0
+    while (i < d) { xc(i) = v.getFloat(i).toDouble - mean(i); i += 1 }
+    val out = new Array[Float](comps.length)
+    var j = 0
+    while (j < comps.length) {
+      val row = comps(j)
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += row(k) * xc(k); k += 1 }
+      out(j) = s.toFloat
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Squared PCA reconstruction error of one vector — for orthonormal
+    * components this is ||v - mean||^2 - ||project(v)||^2 (Pythagoras),
+    * computed in one pass without materializing the projection row. */
+  def pcaResidual2(v: ArrayData, mean: Array[Double],
+      comps: Array[Array[Double]]): Double = {
+    val d = v.numElements()
+    if (d != mean.length)
+      throw new IllegalArgumentException(
+        s"graft: PCA model trained for dim ${mean.length} cannot score a $d-dim vector")
+    val xc = new Array[Double](d)
+    var n2 = 0.0
+    var i = 0
+    while (i < d) {
+      val x = v.getFloat(i).toDouble - mean(i)
+      xc(i) = x; n2 += x * x; i += 1
+    }
+    var p2 = 0.0
+    var j = 0
+    while (j < comps.length) {
+      val row = comps(j)
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += row(k) * xc(k); k += 1 }
+      p2 += s * s
+      j += 1
+    }
+    math.max(0.0, n2 - p2)
+  }
+
   /** Asymmetric-distance cosine: cosine(q, reconstruct(code)) in one
     * pass, never materializing the reconstructed vector — the exact
     * query vector against the codebook centroids the code names. */
@@ -445,6 +498,65 @@ case class SQ8Cosine(left: Expression, right: Expression, scales: Sq8Ref)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SQ8Cosine =
     copy(left = l, right = r)
+}
+
+/** How a PCA model (mean + r x d component rows) reaches executors —
+  * same design as the other artifact refs: O(1) in the plan. */
+sealed trait PcaRef extends Serializable {
+  def mean: Array[Double]
+  def comps: Array[Array[Double]]
+}
+
+case class InlinePca(meanSeq: Seq[Double], compSeq: Seq[Seq[Double]]) extends PcaRef {
+  @transient override lazy val mean: Array[Double] = meanSeq.toArray
+  @transient override lazy val comps: Array[Array[Double]] =
+    compSeq.map(_.toArray).toArray
+  override def toString: String = s"inline(r=${compSeq.length}, d=${meanSeq.length})"
+}
+
+case class BroadcastPca(
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Double], Array[Array[Double]])])
+    extends PcaRef {
+  override def mean: Array[Double] = bc.value._1
+  override def comps: Array[Array[Double]] = bc.value._2
+  override def toString: String = s"broadcast(id=${bc.id})"
+}
+
+/** PCA projection of an embedding — `array<float>` of length r. The
+  * corpus-side dimensionality-reduction map. */
+case class PcaProject(child: Expression, model: PcaRef)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pca_project"
+  @transient private lazy val mn: Array[Double] = model.mean
+  @transient private lazy val cp: Array[Array[Double]] = model.comps
+  def kernel(v: ArrayData): ArrayData = VectorOps.pcaProject(v, mn, cp)
+  override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pcaProject", this, classOf[PcaProject].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PcaProject =
+    copy(child = c)
+}
+
+/** Squared PCA reconstruction error of an embedding — `double`. */
+case class PcaResidual2(child: Expression, model: PcaRef)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_pca_residual2"
+  @transient private lazy val mn: Array[Double] = model.mean
+  @transient private lazy val cp: Array[Array[Double]] = model.comps
+  def kernel(v: ArrayData): Double = VectorOps.pcaResidual2(v, mn, cp)
+  override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pcaResidual2", this, classOf[PcaResidual2].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PcaResidual2 =
+    copy(child = c)
 }
 
 /** LSH bucket signature of an embedding: `bits`-bit long. */

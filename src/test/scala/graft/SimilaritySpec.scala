@@ -373,6 +373,55 @@ class SimilaritySpec extends SparkSpec {
       s"SQ8 raw recall too low: ${(sq intersect brute).size}/50")
   }
 
+  test("PCA: planted 2-plane recovered exactly, deterministic retrain") {
+    import spark.implicits._
+    // 200 vectors confined to the plane spanned by two non-axis
+    // orthonormal directions u, w inside 64-dim space
+    val d = 64
+    val u = Array.tabulate(d)(i => if (i < 2) 1.0f / math.sqrt(2).toFloat else 0f)
+    val w = Array.tabulate(d)(i =>
+      if (i == 0) 1.0f / math.sqrt(2).toFloat
+      else if (i == 1) -1.0f / math.sqrt(2).toFloat else 0f)
+    val data = (0 until 200).map { i =>
+      val a = math.sin(i * 0.37).toFloat * 3f
+      val b = math.cos(i * 0.53).toFloat
+      (i.toLong, Array.tabulate(d)(k => a * u(k) + b * w(k)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.trainPca(data, "embedding", r = 2)
+    assert(model.dim === 64 && model.r === 2)
+    // all variance lives in the plane: explained ~ 1, residual ~ 0
+    assert(model.explainedRatio > 1.0 - 1e-7, s"explained=${model.explainedRatio}")
+    // tolerance reflects float32 inputs: the planted plane is itself
+    // only float-exact, so out-of-plane residual^2 lands ~1e-8 — still
+    // 8 orders under the ~5.0 total variance
+    val maxRes = Similarity.pcaResidual2(data, "embedding", model)
+      .agg(max(col("residual2"))).head().getDouble(0)
+    assert(maxRes < 1e-6, s"maxRes=$maxRes")
+    // components stay inside span{u, w}: projecting each component
+    // onto the plane loses nothing
+    model.components.foreach { c =>
+      val cu = c.indices.map(k => c(k) * u(k)).sum
+      val cw = c.indices.map(k => c(k) * w(k)).sum
+      assert(math.abs(cu * cu + cw * cw - 1.0) < 1e-6)
+    }
+    // retrain on identical data reproduces the model bit-for-bit
+    val again = Similarity.trainPca(data, "embedding", r = 2)
+    assert(java.util.Arrays.equals(model.mean, again.mean))
+    assert(model.components.zip(again.components)
+      .forall { case (x, y) => java.util.Arrays.equals(x, y) })
+  }
+
+  test("PCA top-k at full rank equals brute-force exactly") {
+    // r = d keeps every direction: the projected shortlist ranks
+    // identically to exact cosine, so reduce-then-rerank is lossless
+    val got = Similarity.pcaTopK(emb, queries, "embedding", "vec_id",
+      k = 5, shortlist = 5000, r = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.bruteTopK(emb, queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+  }
+
   test("SQ8 artifacts: codes round-trip through parquet, wrong scales rejected") {
     val scales = Similarity.trainSq8(emb, "embedding")
     val codes = Similarity.sq8Encode(emb, "embedding", "vec_id", scales)
