@@ -459,7 +459,24 @@ object Streaming {
     * invariant: admitted rows are never behind the last flush
     * boundary, because flushes never pass the late-filter
     * watermark). */
-  class Scd2HoldProcessor
+  /** Max-gauge accumulator (AccumulatorV2 semantics: add keeps the
+    * maximum, merge takes the larger side) — the vehicle for
+    * operator-level latency gauges the engine's progress metrics
+    * don't carry. `value` is Long.MinValue until first recorded. */
+  class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var _v: Long = Long.MinValue
+    override def isZero: Boolean = _v == Long.MinValue
+    override def copy(): MaxAccumulator = {
+      val c = new MaxAccumulator; c._v = _v; c
+    }
+    override def reset(): Unit = _v = Long.MinValue
+    override def add(v: Long): Unit = if (v > _v) _v = v
+    override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      add(other.value)
+    override def value: Long = _v
+  }
+
+  class Scd2HoldProcessor(lagMetric: Option[MaxAccumulator] = None)
       extends StatefulProcessor[Long, HeldEvent, ClosedInterval] {
     @transient private var open: ValueState[OpenIsland] = _
     @transient private var buf: ListState[TypedEvent] = _
@@ -516,6 +533,11 @@ object Streaming {
       }
       if (ready.isEmpty) Iterator.empty
       else {
+        // emission-latency gauge: the hold policy delays every flush
+        // until the watermark passes it, so wm - oldest flushed ts IS
+        // the realized event-time hold — numRowsDroppedByWatermark
+        // makes the loss observable, this makes the latency observable
+        lagMetric.foreach(_.add(wm - ready.iterator.map(_.ts_ms).min))
         flushedTo.update(wm)
         val (cur, closed) = foldIslands(key,
           if (open.exists()) Option(open.get()) else None,
@@ -558,8 +580,18 @@ object Streaming {
     * metric. Streaming-only by construction — batch input has no
     * watermark to hold against, so nothing would ever flush; use
     * [[scd2Intervals]] for batch (the two agree on any topic whose
-    * disorder stays inside `delay`). */
-  def scd2IntervalsHeld(events: DataFrame, delay: String = "10 minutes")
+    * disorder stays inside `delay`).
+    *
+    * `lagMetric` (a registered [[MaxAccumulator]]) makes the policy's
+    * deliberate delay OBSERVABLE: at every flush it records
+    * watermark - oldest-flushed-ts, the realized event-time hold. On a
+    * steadily-ticking topic this reads ~delay + one batch cadence; a
+    * sparse key can read much higher (its events wait for the GLOBAL
+    * watermark) — exactly the deployment signal that says whether the
+    * delay budget or the topic's key sparsity dominates close
+    * latency. */
+  def scd2IntervalsHeld(events: DataFrame, delay: String = "10 minutes",
+      lagMetric: Option[MaxAccumulator] = None)
       : Dataset[ClosedInterval] = {
     import events.sparkSession.implicits._
     require(events.isStreaming,
@@ -571,7 +603,7 @@ object Streaming {
       .withWatermark("ts", delay)
       .as[HeldEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new Scd2HoldProcessor,
+      .transformWithState(new Scd2HoldProcessor(lagMetric),
         TimeMode.EventTime(), OutputMode.Update())
   }
 

@@ -360,7 +360,10 @@ class StreamingSpec extends SparkSpec {
       val held = java.nio.file.Files.createTempDirectory("graft_scd2_hold").toString
       val emitted =
         scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long, Long)]()
-      val q = Streaming.scd2IntervalsHeld(src(held), delay = "10 seconds")
+      val lag = new Streaming.MaxAccumulator
+      spark.sparkContext.register(lag, "graft.scd2hold.flushLagMs")
+      val q = Streaming.scd2IntervalsHeld(src(held), delay = "10 seconds",
+        lagMetric = Some(lag))
         .writeStream.outputMode("update")
         .foreachBatch {
           (d: org.apache.spark.sql.Dataset[Streaming.ClosedInterval], _: Long) =>
@@ -385,6 +388,13 @@ class StreamingSpec extends SparkSpec {
         (1L, "x", 1000L, 3000L, 2L),
         (1L, "y", 3000L, 5000L, 2L)))
       assert(emitted.toSet.filter(_._1 != 99L) === batch)
+      // emission-latency gauge: user 1's buffer (oldest ts=1000) can
+      // only flush once the sentinel advances the watermark to
+      // 990000, so the realized hold reads 989000 ms — the latency
+      // the hold policy pays, now observable; an optional trailing
+      // empty batch may also flush user 99's buffer at lag 990000
+      assert(lag.value >= 989000L && lag.value <= 990000L,
+        s"flush lag gauge read ${lag.value}")
 
       // disorder BEYOND the delay: a 1 s watermark has passed ts=100000
       // by the time the straggler arrives — the ENGINE's watermark
