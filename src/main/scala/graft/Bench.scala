@@ -25,22 +25,23 @@ object Bench {
     * dot per entry, ~1 char x suite size) → the map PACKED into two
     * parallel CSV strings `"qn"`/`"qds"` (same names, same ds values;
     * drops the per-entry quote+colon glue, ~3 chars x suite size) →
-    * per-query map restricted to the SLOWEST K entries that fit
-    * (deciseconds), with a "queries_omitted" count. The headline
-    * total stays seconds at 1-decimal through every rung below the
-    * first. Queries that failed every pass appear ONLY in "failed",
-    * never in the map: their durations are meaningless, and a
-    * consumer diffing run-over-run must not mistake a persistently
-    * broken query for a fast one.
+    * qn FRONT-CODED (marked `"qenc":"fc"`: each sorted name rendered
+    * as one uppercase letter 'A'+lcp-with-predecessor plus the suffix
+    * from that lcp; the suite's family prefixes d_ann_/d_dedup_/q_/t_
+    * make the typical elision ~6 chars) → per-query map restricted to
+    * the SLOWEST K entries that fit (deciseconds), with a
+    * "queries_omitted" count. The headline total stays seconds at
+    * 1-decimal through every rung below the first. Queries that
+    * failed every pass appear ONLY in "failed", never in the map:
+    * their durations are meaningless, and a consumer diffing
+    * run-over-run must not mistake a persistently broken query for a
+    * fast one.
     *
     * Capacity, measured with the real suite's names (avg ~11.7
     * chars): 1-decimal carries ~97 queries, deciseconds ~110, packed
-    * ~125. Full names at 140 queries cost ~1780 chars BEFORE any
-    * values or JSON glue, so no self-describing single-line encoding
-    * reaches 140 with zero omissions inside a 1950-char budget — past
-    * the packed rung the ladder keeps the slowest entries plus the
-    * honest omission count, and bench_full.json remains the complete
-    * committed record. */
+    * ~125, front-coded ~170 on family-prefixed names — past THAT the
+    * ladder keeps the slowest entries plus the honest omission count,
+    * and bench_full.json remains the complete committed record. */
   private[graft] def renderLine(timings: Seq[(String, Double)], total: Double,
       failed: Seq[String], sfDir: String, limit: Int = 1950): String = {
     val sfShort = new java.io.File(sfDir).getName
@@ -77,13 +78,40 @@ object Bench {
       val qds = timings.map(t => ds(t._2)).mkString(",")
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$qn","qds":"$qds","qunit":"ds"${failedJson(failCap)},"sf":"$sfShown"}"""
     }
-    Iterator[() => String](
+    // the front-coded rung: each qn entry becomes one UPPERCASE letter
+    // ('A' + lcp-with-predecessor, capped at 25) followed by the
+    // name's suffix from that lcp — decode by prepending the previous
+    // DECODED name's first (letter - 'A') chars. Unambiguous because
+    // query keys are lowercase snake_case (uppercase never starts a
+    // suffix); a key outside that alphabet disables the rung rather
+    // than emit an undecodable line.
+    val fcSafe = timings.forall { case (n, _) =>
+      n.nonEmpty && n.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')
+    }
+    def renderFrontCoded(failCap: Int, sfShown: String): String = {
+      val sb = new StringBuilder
+      var prev = ""
+      timings.foreach { case (n, _) =>
+        var l = 0
+        val max = math.min(math.min(prev.length, n.length), 25)
+        while (l < max && prev.charAt(l) == n.charAt(l)) l += 1
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(('A' + l).toChar).append(n.substring(l))
+        prev = n
+      }
+      val qds = timings.map(t => ds(t._2)).mkString(",")
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$sb","qds":"$qds","qunit":"ds","qenc":"fc"${failedJson(failCap)},"sf":"$sfShown"}"""
+    }
+    (Iterator[() => String](
         () => render(2, Int.MaxValue, timings.size, sfDir),
         () => render(1, Int.MaxValue, timings.size, sfDir),
         () => render(1, 8, timings.size, sfDir),
         () => render(1, 8, timings.size, sfShort),
         () => render(0, 8, timings.size, sfShort),
-        () => renderPacked(8, sfShort))
+        () => renderPacked(8, sfShort)) ++
+      (if (fcSafe) Iterator(() => renderFrontCoded(8, sfShort))
+       else Iterator.empty))
       .map(_.apply())
       .find(_.length <= limit)
       .getOrElse {

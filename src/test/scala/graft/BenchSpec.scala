@@ -17,6 +17,24 @@ class BenchSpec extends AnyFunSuite {
   private def synthetic(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => (f"q_syn_$i%03d", i * 0.137))
 
+  // decoder for the front-coded rung: leading uppercase letter = lcp
+  // with the previous DECODED name
+  private def decodeFc(qn: String): Seq[String] = {
+    var prev = ""
+    qn.split(",").toSeq.map { tok =>
+      val lcp = tok.head - 'A'
+      val name = prev.substring(0, lcp) + tok.tail
+      prev = name
+      name
+    }
+  }
+
+  private def qnNames(js: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val raw = js.get("qn").asText()
+    if (js.has("qenc") && js.get("qenc").asText() == "fc") decodeFc(raw)
+    else raw.split(",").toSeq
+  }
+
   test("89-query-scale map renders at 2 decimals and fits") {
     val t = synthetic(89)
     val line = Bench.renderLine(t, t.map(_._2).sum, Nil, "/root/testdata/sf0.1")
@@ -44,20 +62,23 @@ class BenchSpec extends AnyFunSuite {
       assert(js.get("queries").has("q_syn_120"))
   }
 
-  test("sweep to 140 queries: always fits, every entry accounted, drops last") {
+  test("sweep to 200 queries: always fits, every entry accounted, drops last") {
     // wherever one encoding overflows, the next rung (short sf →
-    // deciseconds → packed csv) must absorb it first — a query row
-    // only drops once even the densest zero-omission form cannot fit
-    for (n <- 80 to 140) {
+    // deciseconds → packed csv → front-coded csv) must absorb it
+    // first — a query row only drops once even the densest
+    // zero-omission form cannot fit
+    for (n <- 80 to 200) {
       val t = synthetic(n)
       val line = Bench.renderLine(t, t.map(_._2).sum, Nil, "/root/testdata/sf0.1")
       assert(line.length <= 1950, s"n=$n overflows: ${line.length}")
       val js = parse(line)
       val (kept, omitted) =
         if (js.has("qn")) {
-          val names = js.get("qn").asText().split(",")
+          val names = qnNames(js)
           assert(names.length === js.get("qds").asText().split(",").length)
           assert(js.get("qunit").asText() === "ds")
+          assert(names.toSet === t.map(_._1).toSet,
+            s"n=$n qn names do not decode to the suite's keys")
           (names.length, 0)
         } else {
           val o = if (js.has("queries_omitted")) js.get("queries_omitted").asInt() else 0
@@ -73,7 +94,7 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
-  test("the ladder degrades in order: seconds, short sf, deciseconds, packed, slowest-K") {
+  test("the ladder degrades in order: seconds, short sf, ds, packed, fc, slowest-K") {
     val t = synthetic(120)
     val total = t.map(_._2).sum
     def lineAt(lim: Int): String =
@@ -81,6 +102,7 @@ class BenchSpec extends AnyFunSuite {
     def kind(line: String): String = {
       val js = parse(line)
       if (js.has("queries_omitted")) "slowest-K"
+      else if (js.has("qenc")) "fc"
       else if (js.has("qn")) "packed"
       else if (js.has("qunit")) "ds"
       else if (js.get("sf").asText() === "sf0.1") "short-sf"
@@ -99,14 +121,14 @@ class BenchSpec extends AnyFunSuite {
       if (!kinds.lastOption.contains(k)) kinds += k
       if (k != "slowest-K") {
         val js = parse(line)
-        val n = if (js.has("qn")) js.get("qn").asText().split(",").length
+        val n = if (js.has("qn")) qnNames(js).length
                 else js.get("queries").size()
         assert(n === 120, s"rung $k dropped entries")
       }
       lim = line.length - 1
     }
     assert(kinds.toSeq ===
-      Seq("seconds", "short-sf", "ds", "packed", "slowest-K"))
+      Seq("seconds", "short-sf", "ds", "packed", "fc", "slowest-K"))
     // the ds values are honest: position i of qds times position i of qn
     val packed = parse(Iterator.iterate(10000)(l => lineAt(l).length - 1)
       .map(lineAt).find(l => parse(l).has("qn")).get)
@@ -116,6 +138,30 @@ class BenchSpec extends AnyFunSuite {
     names.zip(ds).foreach { case (q, d) =>
       assert(d === math.round(want(q) * 10), q)
     }
+  }
+
+  test("front-coded rung: decodes exactly, carries 160 family-prefixed keys, refuses unsafe keys") {
+    // family-prefixed names like the real suite's (d_ann_*, d_dedup_*,
+    // q_*, t_*): long shared prefixes are where fc earns its keep
+    val fams = Seq("d_ann_variant", "d_dedup_method", "q_relational_op", "t_text_stage")
+    val t = (0 until 160).map(i => (f"${fams(i % 4)}_$i%03d", i * 0.113)).sortBy(_._1)
+    val line = Bench.renderLine(t, t.map(_._2).sum, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= 1950, s"overflows: ${line.length}")
+    val js = parse(line)
+    assert(js.get("qenc").asText() === "fc")
+    val names = qnNames(js)
+    assert(names === t.map(_._1), "fc decode must reproduce the sorted key list")
+    val ds = js.get("qds").asText().split(",").map(_.toLong)
+    names.zip(ds).foreach { case (q, d) =>
+      assert(d === math.round(t.toMap.apply(q) * 10), q)
+    }
+    // a key outside lowercase snake_case would collide with the lcp
+    // letter — the rung must disable itself, not emit garbage
+    val unsafe = t.updated(0, ("Q_Uppercase_Key", 0.1))
+    val line2 = Bench.renderLine(unsafe, 1.0, Nil, "/root/testdata/sf0.1", limit = 600)
+    val js2 = parse(line2)
+    assert(!js2.has("qenc"))
+    assert(js2.has("queries_omitted"))
   }
 
   test("failed queries are named but never appear in the queries map") {
