@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => TF}
-import graft.plans.{CosineSim, HashedCharNgrams, HashedWordShingles, JaccardLong, RollingFingerprint}
+import graft.plans.{BloomMightContain, CosineSim, HashedCharNgrams, HashedWordShingles, JaccardLong, RollingFingerprint}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -844,6 +844,42 @@ object Pipeline {
              coalesce(n_bench_hits, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
       ORDER BY d.doc_id"""))
+
+  /** Contamination via a BLOOM pre-filter — the memory-viable form of
+    * [[tContamination]] when the benchmark gram set outgrows a cheap
+    * broadcast join relation (a 10M-gram suite is ~hundreds of MB as a
+    * hash relation, ~12 MB as a 1% bloom). The bounded benchmark side
+    * folds into a driver bloom once (distributed build under
+    * stat.bloomFilter — train-once, like the quantizer artifacts); the
+    * corpus streams through one codegen'd mightContain probe, and only
+    * surviving candidate grams reach the exact verify join. Bloom
+    * errors are ONE-SIDED (no lost members), so the verified output is
+    * byte-identical to the exact operator's — which is precisely what
+    * the shared oracle checks. */
+  val tContaminationBloom: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.select(col("doc_id").as(idAs),
+          explode(graft.functions.MinHash.hashedWordShingles(col("text"), 8)).as("g"))
+      val bench = grams(docs.filter(col("doc_id") < 20), "bench_id")
+      val bloom = s.sparkContext.broadcast(
+        bench.stat.bloomFilter("g", 1L << 22, 0.01))
+      val cand = grams(docs, "doc_id").filter(
+        Bridge.column(BloomMightContain(Bridge.expression(col("g")), bloom)))
+      val hits = cand.join(broadcast(bench), Seq("g"))
+        .filter(col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+          count(lit(1)).as("n_gram_hits"))
+      docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+          coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+          (coalesce(col("n_bench_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = tContamination.oracle)
 
   /** Corpus-frequency token scoring with an explicit Zipf-head split:
     * the vocab's top `headK` tokens (bounded rows) ride as a BROADCAST
@@ -2221,6 +2257,7 @@ object Pipeline {
     "t_repetition" -> tRepetition,
     "t_rarity" -> tRarity,
     "t_contamination" -> tContamination,
+    "t_contamination_bloom" -> tContaminationBloom,
     "m_modal_meta" -> mModalMeta,
     "m_modal_resize" -> mModalResize,
     "m_modal_frames" -> mModalFrames)

@@ -391,3 +391,29 @@ case class RollingFingerprint(child: Expression, k: Int) extends UnaryExpression
     defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.rollingFingerprint($c, $k)")
   override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(child = c)
 }
+
+/** bloom_might_contain(long) -> boolean against a broadcast
+  * [[org.apache.spark.util.sketch.BloomFilter]] — the memory-viable
+  * membership probe when the reference set outgrows a broadcast hash
+  * join (a 10M-gram benchmark suite is ~hundreds of MB as a join
+  * relation, ~12 MB as a 1% bloom). One-sided by construction: false
+  * NEVER occurs for a member (no lost hits), true may be a false
+  * positive — callers verify candidates with an exact join downstream,
+  * which then shuffles only the pruned candidate rows. */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_might_contain"
+  @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter = bloom.value
+  def kernel(h: Long): Boolean = bf.mightContainLong(h)
+  override protected def nullSafeEval(h: Any): Any = kernel(h.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomMightContain", this,
+      classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}

@@ -113,4 +113,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(small.getLong(5) === 10L)
     assert(big.getLong(5) < 160L && big.getLong(5) > 0L)
   }
+
+  test("bloom-filtered contamination equals the exact operator; bloom never loses a member") {
+    import graft.operators.Pipeline
+    val exact = Pipeline.tContamination.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val bloomed = Pipeline.tContaminationBloom.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(bloomed === exact)
+    // one-sidedness directly: every bench gram hash answers true
+    val docs = Tables.load(spark, sf, "documents")
+    val benchGrams = docs.filter(col("doc_id") < 20)
+      .select(explode(graft.functions.MinHash.hashedWordShingles(col("text"), 8)).as("g"))
+    val bf = benchGrams.stat.bloomFilter("g", 1L << 22, 0.01)
+    benchGrams.collect().foreach { r =>
+      assert(bf.mightContainLong(r.getLong(0)),
+        s"bloom lost member gram ${r.getLong(0)}")
+    }
+  }
 }
