@@ -508,6 +508,11 @@ class PlanSpec extends SparkSpec {
       "1755050099456, false"
     val out2 = graft.tools.PlanDump.normalize(two)
     assert(out2.contains("ts, ts, false"), out2)
+    // checkpointed-RDD scans carry the JVM-global RDD counter — the
+    // one identity that broke dump-over-dump fixpoint in r11
+    val rdd = "Arguments: [id#3L], MapPartitionsRDD[751] at localCheckpoint"
+    assert(graft.tools.PlanDump.normalize(rdd)
+      .contains("MapPartitionsRDD[x] at localCheckpoint"))
   }
 
   test("scalar pipeline stays in whole-stage codegen") {
