@@ -1989,6 +1989,36 @@ object Pipeline {
     },
     oracle = Some(recallOracleSql))
 
+  /** IVF-SQ composite (`Similarity.ivfSqTopK`, the FAISS `IVFx,SQ8`
+    * shape): inverted-file routing + 4x-compressed SQ8 code scan
+    * within probed lists, raw-score path (SQ8's ~7e-4 score error
+    * needs no rerank) — rows-only; quality pinned by
+    * d_ann_ivfsq_recall. */
+  val dAnnIvfSq: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfSqTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id")
+    },
+    oracle = None)
+
+  /** IVF-SQ recall vs brute at the SAME pinned coarse shape as
+    * d_ann_ivf_recall / d_ann_ivfpq_recall (nlist=16, nprobe=4), NO
+    * rerank: SQ8 scores are near-exact, so recall must track the
+    * IVF-flat contract — measured 0.90/0.94 at sf0.01/sf0.1
+    * (tools/Sq8Probe; flat reads 0.90/0.98 — the ~7e-4 score error
+    * flips rank only at near-ties) — and pins the same 0.6 floor. */
+  val dAnnIvfSqRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.ivfSqTopK(emb, q, "embedding", "vec_id",
+          nlist = 16, nprobe = 4),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.6)
+    },
+    oracle = Some(recallOracleSql))
+
   /** AUTO-shape recall contracts: the dense-shape contracts above pin
     * explicit configurations (24x4, nlist=16); these two pin what a
     * user gets with NO tuning — autoBits/autoNlist sized from the
@@ -2251,6 +2281,8 @@ object Pipeline {
     "d_ann_pca_recall" -> dAnnPcaRecall,
     "d_ann_ivfpq" -> dAnnIvfPq,
     "d_ann_ivfpq_recall" -> dAnnIvfPqRecall,
+    "d_ann_ivfsq" -> dAnnIvfSq,
+    "d_ann_ivfsq_recall" -> dAnnIvfSqRecall,
     "d_cluster_kmeans" -> dClusterKmeans,
     "d_knn_label" -> dKnnLabel,
     "t_langid_confusion" -> tLangidConfusion,

@@ -29,6 +29,11 @@ object Sq8Probe {
       val hit = exact.join(sq.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id")).count()
       val recall = hit.toDouble / math.max(nExact, 1L)
+      val ivfsq = Similarity.ivfSqTopK(emb, q, "embedding", "vec_id",
+        nlist = 16, nprobe = 4)
+      val ivfsqHit = exact.join(ivfsq.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id")).count()
+      println(f"[ivfsq] $dir recall=${ivfsqHit.toDouble / math.max(nExact, 1L)}%.4f")
       val withQ = sq.join(broadcast(q.select(col("vec_id").as("query_id"),
         col("embedding").as("qv"))), "query_id")
       val err = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))

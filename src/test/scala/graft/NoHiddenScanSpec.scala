@@ -170,4 +170,15 @@ class NoHiddenScanSpec extends SparkSpec {
         scales = Some(scales), codes = Some(codes)))
     assert(jobs === 0)
   }
+
+  test("ivfSqTopK with precomputed artifacts launches no job at construction") {
+    val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id",
+      nlist = 16, iters = 1)
+    val scales = Similarity.trainSq8(emb, "embedding")
+    val index = Similarity.ivfSqEncode(emb, "embedding", "vec_id", cents, scales)
+    val jobs = jobsDuringConstruction(
+      Similarity.ivfSqTopK(emb, queries, "embedding", "vec_id",
+        centroids = Some(cents), scales = Some(scales), index = Some(index)))
+    assert(jobs === 0)
+  }
 }

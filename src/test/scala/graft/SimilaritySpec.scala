@@ -373,6 +373,40 @@ class SimilaritySpec extends SparkSpec {
       s"SQ8 raw recall too low: ${(sq intersect brute).size}/50")
   }
 
+  test("IVF-SQ: pass-through artifacts reproduce the self-contained run; wrong artifacts rejected") {
+    val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id",
+      nlist = 16, iters = 1)
+    val scales = Similarity.trainSq8(emb, "embedding")
+    val index = Similarity.ivfSqEncode(emb, "embedding", "vec_id", cents, scales)
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq").toString
+    index.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val viaArtifacts = Similarity.ivfSqTopK(emb, queries, "embedding", "vec_id",
+      nlist = 16, centroids = Some(cents), scales = Some(scales),
+      index = Some(reloaded))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val selfContained = Similarity.ivfSqTopK(emb, queries, "embedding", "vec_id",
+      nlist = 16, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaArtifacts === selfContained)
+    // retrained scales: the parquet-persisted stamp must reject
+    val otherScales = Similarity.Sq8Scales(scales.mins.map(_ + 1f), scales.spans)
+    val exS = intercept[IllegalArgumentException] {
+      Similarity.ivfSqTopK(emb, queries, "embedding", "vec_id",
+        centroids = Some(cents), scales = Some(otherScales),
+        index = Some(reloaded))
+    }
+    assert(exS.getMessage.contains("SQ8 scales"), exS.getMessage)
+    // retrained centroids: rejected on the routing axis
+    val otherCents = cents.map(_.map(_ + 1f))
+    val exC = intercept[IllegalArgumentException] {
+      Similarity.ivfSqTopK(emb, queries, "embedding", "vec_id",
+        centroids = Some(otherCents), scales = Some(scales),
+        index = Some(reloaded))
+    }
+    assert(exC.getMessage.contains("centroids"), exC.getMessage)
+  }
+
   test("PCA: planted 2-plane recovered exactly, deterministic retrain") {
     import spark.implicits._
     // 200 vectors confined to the plane spanned by two non-axis
