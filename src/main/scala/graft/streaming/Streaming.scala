@@ -422,6 +422,23 @@ object Streaming {
   case class HeldEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       event_type: String)
 
+  /** Max-gauge accumulator (AccumulatorV2 semantics: add keeps the
+    * maximum, merge takes the larger side) — the vehicle for
+    * operator-level latency gauges the engine's progress metrics
+    * don't carry. `value` is Long.MinValue until first recorded. */
+  class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var _v: Long = Long.MinValue
+    override def isZero: Boolean = _v == Long.MinValue
+    override def copy(): MaxAccumulator = {
+      val c = new MaxAccumulator; c._v = _v; c
+    }
+    override def reset(): Unit = _v = Long.MinValue
+    override def add(v: Long): Unit = if (v > _v) _v = v
+    override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      add(other.value)
+    override def value: Long = _v
+  }
+
   /** The reorder-TOLERANT streaming SCD-2 policy ([[Scd2Processor]]'s
     * scaladoc third mode, now code): events buffer in a per-key
     * ListState until the event-time watermark passes them, then flush
@@ -459,23 +476,6 @@ object Streaming {
     * invariant: admitted rows are never behind the last flush
     * boundary, because flushes never pass the late-filter
     * watermark). */
-  /** Max-gauge accumulator (AccumulatorV2 semantics: add keeps the
-    * maximum, merge takes the larger side) — the vehicle for
-    * operator-level latency gauges the engine's progress metrics
-    * don't carry. `value` is Long.MinValue until first recorded. */
-  class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Long, Long] {
-    private var _v: Long = Long.MinValue
-    override def isZero: Boolean = _v == Long.MinValue
-    override def copy(): MaxAccumulator = {
-      val c = new MaxAccumulator; c._v = _v; c
-    }
-    override def reset(): Unit = _v = Long.MinValue
-    override def add(v: Long): Unit = if (v > _v) _v = v
-    override def merge(other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
-      add(other.value)
-    override def value: Long = _v
-  }
-
   class Scd2HoldProcessor(lagMetric: Option[MaxAccumulator] = None)
       extends StatefulProcessor[Long, HeldEvent, ClosedInterval] {
     @transient private var open: ValueState[OpenIsland] = _

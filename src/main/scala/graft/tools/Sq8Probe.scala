@@ -46,19 +46,23 @@ object Sq8Probe {
       println(f"[sq8] $dir n=$n recall=$recall%.4f " +
         f"mean_err=${err.getDouble(0)}%.6f max_err=${err.getDouble(1)}%.6f")
       // PCA: explained-variance ratio and reduce-then-rerank recall
-      // across (r, shortlist) — floor methodology inputs
-      for (r <- Seq(16, 24, 32); short <- Seq(50, 100)) {
+      // across (r, shortlist) — floor methodology inputs. Model and
+      // residual pass depend only on r; only the top-k reruns per
+      // shortlist.
+      for (r <- Seq(16, 24, 32)) {
         val model = Similarity.trainPca(emb, "embedding", r = r)
-        val pca = Similarity.pcaTopK(emb, q, "embedding", "vec_id",
-          shortlist = short, model = Some(model))
-        val pcaHit = exact.join(pca.select(col("query_id"), col("neighbor_id")),
-          Seq("query_id", "neighbor_id")).count()
         val meanRes = Similarity.pcaResidual2(emb, "embedding", model)
           .agg(avg(col("residual2"))).head().getDouble(0)
-        println(f"[pca] $dir n=$n r=$r short=$short " +
-          f"explained=${model.explainedRatio}%.4f " +
-          f"recall=${pcaHit.toDouble / math.max(nExact, 1L)}%.4f " +
-          f"identity_gap=${math.abs(meanRes - (model.totalVar - model.eigenvalues.sum)) / math.max(model.totalVar, 1.0)}%.3e")
+        for (short <- Seq(50, 100)) {
+          val pca = Similarity.pcaTopK(emb, q, "embedding", "vec_id",
+            shortlist = short, model = Some(model))
+          val pcaHit = exact.join(pca.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id")).count()
+          println(f"[pca] $dir n=$n r=$r short=$short " +
+            f"explained=${model.explainedRatio}%.4f " +
+            f"recall=${pcaHit.toDouble / math.max(nExact, 1L)}%.4f " +
+            f"identity_gap=${math.abs(meanRes - (model.totalVar - model.eigenvalues.sum)) / math.max(model.totalVar, 1.0)}%.3e")
+        }
       }
       exact.unpersist(); sq.unpersist()
     }
