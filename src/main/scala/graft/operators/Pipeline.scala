@@ -1989,6 +1989,31 @@ object Pipeline {
     },
     oracle = Some(recallOracleSql))
 
+  /** Random-projection ANN (train-free JL reduction + exact rerank) —
+    * rows-only; quality pinned by d_ann_rp_recall. */
+  val dAnnRp: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.rpTopK(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id")
+    },
+    oracle = None)
+
+  /** RP-ANN recall at the defaults (r=32, shortlist=200 — twice
+    * PCA's shortlist, the price of a data-blind matrix): measured
+    * 0.92/0.78 at sf0.01/sf0.1 (tools/Sq8Probe sweep; trained PCA
+    * reads 1.0/0.84 at shortlist=100 — the corpus's anisotropy is
+    * real signal RP cannot see); pinned at 0.7. */
+  val dAnnRpRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.rpTopK(emb, q, "embedding", "vec_id"),
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.7)
+    },
+    oracle = Some(recallOracleSql))
+
   /** IVF-SQ composite (`Similarity.ivfSqTopK`, the FAISS `IVFx,SQ8`
     * shape): inverted-file routing + 4x-compressed SQ8 code scan
     * within probed lists, raw-score path (SQ8's ~7e-4 score error
@@ -2279,6 +2304,8 @@ object Pipeline {
     "d_embed_pca" -> dEmbedPca,
     "d_ann_pca" -> dAnnPca,
     "d_ann_pca_recall" -> dAnnPcaRecall,
+    "d_ann_rp" -> dAnnRp,
+    "d_ann_rp_recall" -> dAnnRpRecall,
     "d_ann_ivfpq" -> dAnnIvfPq,
     "d_ann_ivfpq_recall" -> dAnnIvfPqRecall,
     "d_ann_ivfsq" -> dAnnIvfSq,

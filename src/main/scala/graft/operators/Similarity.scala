@@ -766,6 +766,36 @@ object Similarity {
       math.max(shortlist, k))
   }
 
+  /** Random-projection ANN top-k — [[pcaTopK]]'s TRAIN-FREE sibling:
+    * a seeded Johnson-Lindenstrauss Gaussian matrix (regenerated from
+    * (seed, dim, r) on each executor — no training pass, no artifact,
+    * no broadcast) reduces both sides to r dims for the shortlist
+    * scan, then the exact full-dim rerank restores true ranking. The
+    * zero-setup reduction path: where PCA needs a corpus pass and
+    * ships a model, RP needs a seed — the JL guarantee makes the
+    * shortlist distance-faithful without looking at the data, at the
+    * cost of ignoring the corpus's actual anisotropy: at r=32 RP
+    * recalls 0.92/0.78 with a 200-deep shortlist where PCA reads
+    * 1.0/0.84 at HALF the shortlist (tools/Sq8Probe sweep) — the
+    * default shortlist is 2x PCA's for exactly that reason. */
+  def rpTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int = 5, shortlist: Int = 200,
+      r: Int = 32, seed: Long = 4242L): DataFrame = {
+    require(r >= 1, s"graft: RP rank r=$r must be >= 1")
+    def proj(c: Column): Column =
+      Bridge.column(graft.plans.RpProject(Bridge.expression(c), r, seed))
+    val pc = corpus.select(col(idCol).as("neighbor_id"), proj(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      proj(col(vecCol)).as("qp"))
+    val scored = pc.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qp"), col("cv")), 4).as("cos_rp"))
+    rerankExact(scored, "cos_rp", corpus,
+      q.select(col("query_id"), col("qv")), vecCol, idCol, k,
+      math.max(shortlist, k))
+  }
+
   /** The PQ codes table — (id, code long): what a production pipeline
     * materializes once so subsequent ANN scans never touch the raw
     * vectors. Pure map-side projection. */

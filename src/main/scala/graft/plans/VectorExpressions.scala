@@ -189,6 +189,35 @@ object VectorOps {
     if (den == 0.0) 0.0 else dp / den
   }
 
+  /** Johnson-Lindenstrauss random projection: out_j = row_j . v /
+    * sqrt(r) over a seeded Gaussian matrix — derived deterministically
+    * from (seed, dim, r) on every executor (same planesFor scheme as
+    * the LSH hyperplanes: nothing ships), so reduction needs NO
+    * training pass and NO artifact at all. */
+  def rpProject(v: ArrayData, r: Int, seed: Long): ArrayData = {
+    val dim = v.numElements()
+    val mat = rpMatrixFor(dim, r, seed)
+    val scale = 1.0 / math.sqrt(r.toDouble)
+    val out = new Array[Float](r)
+    var j = 0
+    while (j < r) {
+      val row = mat(j)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += row(i) * v.getFloat(i).toDouble; i += 1 }
+      out(j) = (s * scale).toFloat
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  private val rpCache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+  private def rpMatrixFor(dim: Int, r: Int, seed: Long): Array[Array[Double]] =
+    rpCache.computeIfAbsent((dim, r, seed), { _ =>
+      val rnd = new java.util.Random(seed)
+      Array.fill(r)(Array.fill(dim)(rnd.nextGaussian()))
+    })
+
   /** PCA projection: out_j = component_j . (v - mean) — one
     * mean-centered matvec, `r` output floats from a d-dim input. */
   def pcaProject(v: ArrayData, mean: Array[Double],
@@ -556,6 +585,22 @@ case class PcaResidual2(child: Expression, model: PcaRef)
     defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
   }
   override protected def withNewChildInternal(c: Expression): PcaResidual2 =
+    copy(child = c)
+}
+
+/** Seeded random projection of an embedding — `array<float>` of
+  * length r; the matrix regenerates from (seed, dim, r) per executor,
+  * so the expression carries no payload at all. */
+case class RpProject(child: Expression, r: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rp_project"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.rpProject(v.asInstanceOf[ArrayData], r, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.rpProject($c, $r, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): RpProject =
     copy(child = c)
 }
 

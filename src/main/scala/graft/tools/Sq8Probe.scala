@@ -34,6 +34,14 @@ object Sq8Probe {
       val ivfsqHit = exact.join(ivfsq.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id")).count()
       println(f"[ivfsq] $dir recall=${ivfsqHit.toDouble / math.max(nExact, 1L)}%.4f")
+      for (r <- Seq(16, 32, 48); short <- Seq(100, 200)) {
+        val rp = Similarity.rpTopK(emb, q, "embedding", "vec_id",
+          r = r, shortlist = short)
+        val rpHit = exact.join(rp.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id")).count()
+        println(f"[rp] $dir r=$r short=$short " +
+          f"recall=${rpHit.toDouble / math.max(nExact, 1L)}%.4f")
+      }
       val withQ = sq.join(broadcast(q.select(col("vec_id").as("query_id"),
         col("embedding").as("qv"))), "query_id")
       val err = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))

@@ -445,6 +445,29 @@ class SimilaritySpec extends SparkSpec {
       .forall { case (x, y) => java.util.Arrays.equals(x, y) })
   }
 
+  test("RP top-k: seed-deterministic, seed-sensitive, recalls most of brute") {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.plans.RpProject
+    // same seed => bit-identical projections on every executor
+    def projSet(seed: Long) = emb.limit(50)
+      .select(col("vec_id"), Bridge.column(RpProject(
+        Bridge.expression(col("embedding")), 32, seed)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val a = projSet(4242L)
+    assert(projSet(4242L) === a)
+    val b = projSet(999L)
+    assert(a.keySet.exists(k => a(k) != b(k)),
+      "different seeds must project differently")
+    // shortlist + exact rerank: high overlap with brute top-k, and
+    // every returned cos is the TRUE cosine (rerank re-scores exactly)
+    val rp = Similarity.rpTopK(emb, queries, "embedding", "vec_id")
+    val rpSet = rp.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.bruteTopK(emb, queries, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hits = rpSet.count(t => brute.contains(t))
+    assert(hits >= 40, s"RP recall too low at sf0.001: $hits/50")
+  }
+
   test("PCA top-k at full rank equals brute-force exactly") {
     // r = d keeps every direction: the projected shortlist ranks
     // identically to exact cosine, so reduce-then-rerank is lossless
