@@ -136,7 +136,28 @@ object StreamQueries {
       FROM s WHERE valid_to_ms IS NOT NULL
       ORDER BY user_id, valid_from_ms, valid_to_ms"""))
 
+  /** Ingest-time decontamination ([[Streaming.contaminationHits]] —
+    * bloom screen per document, exact verify join for suspects only).
+    * The driver's batch gate left-joins the corpus back for the full
+    * flags table, which must equal the batch t_contamination result
+    * (same oracle); StreamingSpec replays the topic as a stream in
+    * update mode and asserts the identical verified-hit set. */
+  val sContamination: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Streaming.decodeDocuments(MessageLog.documentsTopic(s, dir))
+      val bench = docs.filter(col("doc_id") < 20)
+      val hits = Streaming.contaminationHits(docs, bench)
+      docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+          coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Pipeline.tContamination.oracle)
+
   val defs: Map[String, QueryDef] = Map(
+    "s_contamination" -> sContamination,
     "s_scd2" -> sScd2,
     "s_window_agg" -> sWindowAgg,
     "s_sliding_window" -> sSlidingWindow,

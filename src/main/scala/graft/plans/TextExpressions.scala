@@ -417,3 +417,36 @@ case class BloomMightContain(child: Expression,
   override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)
 }
+
+/** bloom_count_contained(array<long>) -> int: how many of a document's
+  * gram hashes the broadcast bloom admits — ONE kernel pass per
+  * document (no explode, no higher-order function), so a streaming
+  * decontamination pass can route clean documents (count = 0, the
+  * overwhelming majority) past the verify join entirely. */
+case class BloomCountContained(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_count_contained"
+  @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter = bloom.value
+  def kernel(hs: ArrayData): Int = {
+    var n = 0
+    var i = 0
+    val len = hs.numElements()
+    while (i < len) {
+      if (bf.mightContainLong(hs.getLong(i))) n += 1
+      i += 1
+    }
+    n
+  }
+  override protected def nullSafeEval(hs: Any): Any =
+    kernel(hs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomCountContained", this,
+      classOf[BloomCountContained].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomCountContained =
+    copy(child = c)
+}

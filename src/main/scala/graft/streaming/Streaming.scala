@@ -607,6 +607,54 @@ object Streaming {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  /** Stream decontamination against a STATIC benchmark set — the
+    * ingest-time form of [[graft.operators.Pipeline.tContamination]]:
+    * the bounded benchmark side folds into a driver bloom ONCE
+    * (train-once, like the quantizer artifacts), every incoming
+    * document is screened by one codegen'd pass over its gram-hash
+    * array ([[graft.plans.BloomCountContained]] — no explode, no
+    * shuffle, no state for the clean majority), and only SUSPECT
+    * documents explode their grams into the broadcast exact-verify
+    * join. Output: one row per suspect document with verified hits
+    * (doc_id, n_bench_hits, n_gram_hits, contaminated) — a document
+    * absent from the output is clean, the natural streaming contract
+    * (alerts, not a table); the batch driver row left-joins the corpus
+    * back for the full flags table. Bloom errors are one-sided and
+    * false positives cannot FLAG a document — they only route it
+    * through the verify join, which scores exact matches; a
+    * false-positive-only suspect produces no output row. Streaming:
+    * stream-static broadcast join + per-doc aggregation (update mode).
+    * n_bench_hits uses size(collect_set(...)) rather than
+    * countDistinct — identical result, and legal in a streaming
+    * aggregation where distinct aggregates are not; the per-doc set is
+    * bounded by the benchmark's document count. */
+  def contaminationHits(docs: DataFrame, bench: DataFrame, gramK: Int = 8,
+      expectedGrams: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    import graft.plans.{BloomCountContained, BloomMightContain}
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.MinHash
+    require(!bench.isStreaming,
+      "graft: contaminationHits needs a STATIC benchmark side (the bloom " +
+        "and verify join are built once from it)")
+    val benchGrams = bench.select(col("doc_id").as("bench_id"),
+      explode(MinHash.hashedWordShingles(col("text"), gramK)).as("g"))
+    val bloom = docs.sparkSession.sparkContext.broadcast(
+      benchGrams.stat.bloomFilter("g", expectedGrams, fpp))
+    val grams = MinHash.hashedWordShingles(col("text"), gramK)
+    docs
+      .withColumn("_cand", Bridge.column(BloomCountContained(
+        Bridge.expression(grams), bloom)))
+      .filter(col("_cand") > 0)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .filter(Bridge.column(BloomMightContain(Bridge.expression(col("g")), bloom)))
+      .join(broadcast(benchGrams), Seq("g"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"))
+      .agg(size(collect_set(col("bench_id"))).cast("long").as("n_bench_hits"),
+        count(lit(1)).as("n_gram_hits"))
+      .withColumn("contaminated", col("n_bench_hits") > 0)
+  }
+
   // ---- custom state: explicit sessionization ----
 
   case class SessionEvent(user_id: Long, ts_ms: Long)

@@ -335,6 +335,48 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming decontamination equals batch; clean docs never reach the verify join") {
+    import spark.implicits._
+    def text(tag: String): String =
+      (0 until 20).map(i => s"${tag}w$i").mkString(" ")
+    // benchmark: 2 docs; stream: 11 shares an 8-gram run with bench 1
+    // (contaminated), 12 and 13 are clean, 14 shares with bench 2
+    val bench = Seq((1L, text("b1")), (2L, text("b2"))).toDF("doc_id", "text")
+    val leak1 = (text("b1").split(" ").slice(0, 10) ++
+      (0 until 10).map(i => s"xw$i")).mkString(" ")
+    val leak2 = ((0 until 10).map(i => s"yw$i") ++
+      text("b2").split(" ").slice(8, 18)).mkString(" ")
+    val batches = Seq(
+      Seq((11L, leak1), (12L, text("c12"))),
+      Seq((13L, text("c13")), (14L, leak2)))
+    val path = java.nio.file.Files.createTempDirectory("graft_scontam").toString
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").write.parquet(s"$path/b$i")
+    }
+    val batchDocs = spark.read.parquet(path + "/*")
+    val want = Streaming.contaminationHits(batchDocs, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(want.map(_._1) === Set(11L, 14L))
+    assert(want.forall(_._4))
+    // replayed as a stream, one file per micro-batch, update mode
+    val src = spark.readStream.schema("doc_id long, text string")
+      .option("maxFilesPerTrigger", "1").parquet(path + "/*")
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Boolean)]()
+    val q = Streaming.contaminationHits(src, bench)
+      .writeStream.outputMode("update")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        d.collect().foreach { r =>
+          got.synchronized {
+            got(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getBoolean(3)); ()
+          }
+        }
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.map { case (id, (b, g, c)) => (id, b, g, c) }.toSet === want)
+  }
+
   test("streaming SCD-2 watermark-hold absorbs bounded disorder; beyond-watermark counted") {
     import spark.implicits._
     // user 1's true event-time order: x@1000, x@2000, y@3000, y@4000,
