@@ -15,6 +15,8 @@ object SparkEntry {
     operators.Relational.defs,
     operators.KafkaSurface.defs,
     operators.Pipeline.defs,
+    operators.Retrieval.defs,
+    operators.Corpus.defs,
     operators.StreamQueries.defs)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -102,6 +102,52 @@ object Dedup {
     lshJaccardPairs(sh, b, r, threshold, seed)
   }
 
+  /** Incremental (delta) dedup: near-dup pairs BETWEEN two corpora —
+    * `incoming` screened against `reference` — without ever forming
+    * within-side pairs. The production shape for "dedup today's crawl
+    * against the accumulated corpus": the reference side's banded
+    * keys are computed once per run (on a cluster, persist or bucket
+    * them by `bkey` across runs), the incoming batch blocks against
+    * them with one equi-join, candidates are DISTINCT'd before the
+    * exact-Jaccard verify joins the two shingle sets back. Returns
+    * (doc_id, ref_id, jaccard) directed incoming → reference at
+    * word-`shingleK`-shingle Jaccard >= `threshold`.
+    *
+    * Banding shape follows the REFERENCE corpus size (the big,
+    * growing side — same convention as the streaming reference join):
+    * AUTO via [[resolveMinhashShape]] unless pinned whole, count
+    * skipped when `refCountHint` > 0. The batch sibling of
+    * [[graft.streaming.Streaming.nearDupAgainstReference]]. */
+  def crossCorpusPairs(incoming: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 3,
+      numHashes: Int = -1, bands: Int = -1, threshold: Double = 0.5,
+      seed: Long = 42L, refCountHint: Long = -1L): DataFrame = {
+    val (b, r) = resolveMinhashShape(numHashes, bands, refCountHint,
+      reference.count())
+    def shingled(df: DataFrame, idOut: String, shOut: String) =
+      df.select(col(idCol).as(idOut),
+        Bridge.column(HashedWordShingles(
+          Bridge.expression(col(textCol)), shingleK)).as(shOut))
+    val shIn = shingled(incoming, "doc_id", "sh_s")
+    val shRef = shingled(reference, "ref_id", "sh_r")
+    def banded(sh: DataFrame, id: String, shCol: String) =
+      sh.select(col(id), explode(Bridge.column(MinHashBandKeys(
+        Bridge.expression(col(shCol)), b, r, seed))).as("bkey"))
+    val cand = banded(shIn, "doc_id", "sh_s")
+      .join(banded(shRef, "ref_id", "sh_r"), "bkey")
+      .filter(col("doc_id") =!= col("ref_id"))
+      .select(col("doc_id"), col("ref_id"))
+      .distinct()
+    cand
+      .join(shIn, "doc_id")
+      .join(shRef, "ref_id")
+      .select(col("doc_id"), col("ref_id"),
+        round(Bridge.column(JaccardLong(
+          Bridge.expression(col("sh_s")), Bridge.expression(col("sh_r")))), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Shared numHashes/bands resolution for the minhash-family
     * blockings ([[minhashPairs]] and the streaming reference join):
     * pinned-or-AUTO with every invalid quadrant rejected in ONE place.

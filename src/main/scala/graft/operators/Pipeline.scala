@@ -1113,7 +1113,7 @@ object Pipeline {
     * [[wordWindowSql]]). The LSH blocking must reach 100% recall on
     * the planted near-dups for the hash check to pass — the oracle
     * verifies recall, not just precision. */
-  private val shinglePairsSql: String = s"""${wordWindowSql(3)},
+  private[operators] val shinglePairsSql: String = s"""${wordWindowSql(3)},
       sizes AS (SELECT doc_id, len(sh) AS sz FROM g),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

@@ -895,7 +895,50 @@ object Relational {
       GROUP BY cohort_week, week_offset
       ORDER BY cohort_week, week_offset"""))
 
+  /** CDC MERGE (upsert) semantics as a batch operator: a deterministic
+    * change batch — updates re-pricing every 10th order plus inserts
+    * at fresh (negated) keys — merged into the orders base table.
+    * Spark shape: one left_anti join evicts the updated keys, then
+    * unionByName appends the change rows — key-partitioned shuffle,
+    * no window, no broadcast of either full side, which is the MERGE
+    * plan that survives a base table too big to broadcast. The oracle
+    * replays the same upsert with NOT IN + UNION ALL. */
+  val qMerge: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+      val updates = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        // -(k+1), not -k: the generator's keys start at 0 and -0 would
+        // collide with the base row it came from
+        .withColumn("o_orderkey", (col("o_orderkey") + 1) * -1)
+        .withColumn("o_orderstatus", lit("N"))
+      val upserts = updates.unionByName(inserts)
+      base.join(upserts.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .unionByName(upserts)
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      WITH upserts AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT -(o_orderkey + 1), o_custkey, 'N', o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM (
+        SELECT * FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upserts)
+        UNION ALL SELECT * FROM upserts)
+      ORDER BY o_orderkey"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_merge" -> qMerge,
     "q_cohort" -> qCohort,
     "q_scd2" -> qScd2,
     "q_funnel" -> qFunnel,

@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text retrieval + data-selection scoring over the documents corpus —
+  * the query-side operators a training-data pipeline runs to FIND data
+  * (BM25 keyword retrieval), DESCRIBE it (per-document TF-IDF terms),
+  * and SELECT it against a target distribution (hashed-n-gram
+  * importance weights, the DSIR recipe of Xie et al., "Data Selection
+  * for Language Models via Importance Resampling", NeurIPS 2023).
+  *
+  * Every score here is computed in ALL-INTEGER algebra (the repo's
+  * oracle convention, see [[Pipeline]].tOutlier): ratios are rendered
+  * as exact BIGINT expressions with explicit integer division instead
+  * of float idf/log terms, so Spark and the DuckDB oracle decide
+  * every comparison identically — no ulp-sensitive `ln` in either
+  * engine. The quantization (a floor at 3-4 decimal digits of the
+  * classical formulas) is documented per operator; ordering ties are
+  * always broken by id so top-k cutoffs are engine-identical too.
+  */
+object Retrieval {
+
+  /** Integer idf: floor((N - df + 0.5) / (df + 0.5) * 1000) rendered
+    * exactly over BIGINTs as (2N - 2df + 1) * 1000 div (2df + 1) —
+    * the BM25 idf numerator/denominator each scaled by 2 so the two
+    * half-counts become integers. Bound: N * 2000 must stay under
+    * 2^63 — fine to ~4e15 documents. */
+  private val idfSql = "((2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1)"
+  private val idfSpark = "((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"
+
+  /** Top-5 TF-IDF terms per document — the per-doc keyword profile
+    * used for corpus browsing and topic drift audits.
+    *
+    * Scale shape: tf is one explode + (doc_id, token) partial-agg
+    * (map-side combined); df folds tf by token (vocab-sized, NOT
+    * corpus-sized); the scalar doc count broadcasts via crossJoin of
+    * a 1-row aggregate; the final window partitions by doc_id — no
+    * global window, no driver loop. Both shuffles (token, doc_id) are
+    * key-partitioned and survive a 1000x corpus. */
+  val tTfidf: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(dfreq, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * expr(idfSpark))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+          col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    oracle = Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+      dfreq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, token, tf, df, tf * ($idfSql) AS score
+        FROM tf JOIN dfreq USING (token), n)
+      SELECT doc_id, rnk, token, tf, df, score
+      FROM (SELECT *,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token) AS BIGINT) AS rnk
+            FROM scored)
+      WHERE rnk <= 5
+      ORDER BY doc_id, rnk"""))
+
+  /** The fixed keyword benchmark: three queries over the corpus
+    * vocabulary, shared verbatim by the Spark side and the oracle. */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "spark join filter",
+    2L -> "vector hash merge",
+    3L -> "customer query order window")
+
+  /** BM25 top-10 retrieval (k1 = 1.2, b = 0.75) with both the idf and
+    * the tf-normalization term rendered as exact integer ratios:
+    * with k1 = 6/5, b = 3/4 and avgdl = total/N, the classical
+    * tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) multiplies through to
+    * 22·tf·total / (10·tf·total + 3·total + 9·dl·N) — BIGINT-exact —
+    * which is floored at 4 digits and scaled by the integer idf. The
+    * per-(doc,term) contribution is an integer, so the document score
+    * is an ORDER-FREE integer sum: no float accumulation ordering to
+    * diverge between engines. Bound: 22·tf·total·10⁴ under 2^63 —
+    * fine to ~4e13 corpus tokens at tf ≤ 10³.
+    *
+    * Scale shape: corpus tokens are filtered against the broadcast
+    * term list BEFORE the (doc_id, token) aggregation, so the shuffle
+    * carries only matching postings (the inverted-index slice, not
+    * the corpus); df and the corpus scalars are 1-to-tens-of-rows
+    * broadcasts; doc lengths join the postings on doc_id; top-10 per
+    * query is a window over the query partition. */
+  val tBm25: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      val qterms = qdf.select(col("query_id"),
+        explode(TF.tokens(col("qtext"))).as("token"))
+      val termSet = qterms.select(col("token")).distinct()
+      val tf = docs
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .join(broadcast(termSet), "token")
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val lens = docs.select(col("doc_id"),
+        TF.tokenCountWs(col("text")).as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCountWs(col("text"))).as("total"))
+      val contrib = tf
+        .join(broadcast(qterms), "token")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .join(broadcast(dfreq), "token")
+        .withColumn("t1", expr(
+          "(22 * tf * total * 10000) div (10 * tf * total + 3 * total + 9 * dl * n_docs)"))
+        .withColumn("c", expr(idfSpark) * col("t1"))
+      val score = contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      score.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    oracle = Some(s"""
+      WITH q(query_id, qtext) AS (VALUES
+        ${bm25Queries.map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }
+          .mkString(", ")}),
+      qt AS (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS token
+        FROM q),
+      tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+      dfreq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      lens AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl
+        FROM documents),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS total
+        FROM lens),
+      contrib AS (
+        SELECT query_id, doc_id,
+               ($idfSql) *
+               ((22 * tf * total * 10000)
+                // (10 * tf * total + 3 * total + 9 * dl * n_docs)) AS c
+        FROM tf JOIN qt USING (token) JOIN dfreq USING (token)
+             JOIN lens USING (doc_id), st),
+      sc AS (
+        SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score
+        FROM contrib GROUP BY 1, 2)
+      SELECT query_id, rnk, doc_id, score
+      FROM (SELECT *,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+            FROM sc)
+      WHERE rnk <= 10
+      ORDER BY query_id, rnk"""))
+
+  private val hexAlphabet = "0123456789abcdef"
+
+  /** DSIR-style importance weights: every token hashes (md5, identical
+    * bytes in both engines) into one of 256 buckets; the target
+    * distribution is the corpus' English slice, the raw distribution
+    * the whole corpus; a document's weight is the sum over its tokens
+    * of the bucket's add-one-smoothed likelihood ratio
+    * (cnt_t + 1)/(tot_t) ÷ (cnt_r + 1)/(tot_r), rendered in integer
+    * algebra as ((cnt_t+1)·10⁴ div (cnt_r+1)) · tot_r div tot_t.
+    * Because the target corpus is a SUBSET of the raw corpus,
+    * cnt_t ≤ cnt_r holds per bucket and the first factor is ≤ 10⁴ —
+    * the product stays far under 2^63 at any corpus size (the sum of
+    * ratios replaces DSIR's sum of logs: same ordering for selection,
+    * zero `ln` calls to diverge on). `selected` marks docs whose
+    * per-token weight clears the neutral ratio 10⁴·(tot_r/tot_t)
+    * rendered as 10⁴·tot_r div tot_t — "looks more like the target
+    * than the average document does".
+    *
+    * Scale shape: the bucket table is 256 rows (a broadcast by
+    * construction at any corpus size — THE point of hashed features in
+    * DSIR); the corpus makes two passes (bucket counts, then weight
+    * sum), both map-side-combined aggs; nothing driver-side. */
+  val tDsir: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def hexVal(i: Int) =
+        instr(lit(hexAlphabet), substring(md5(col("token").cast("binary")), i, 1)) - 1
+      val btoks = docs
+        .select(col("doc_id"), col("lang"),
+          explode(TF.tokens(col("text"))).as("token"))
+        .withColumn("bucket", (hexVal(1) * 16 + hexVal(2)).cast("long"))
+      val bstats = btoks.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt_r"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+      val tots = bstats.agg(sum(col("cnt_r")).as("tot_r"),
+        sum(col("cnt_t")).as("tot_t"))
+      val ratios = bstats.crossJoin(broadcast(tots))
+        .withColumn("ratio_r",
+          expr("((((cnt_t + 1) * 10000) div (cnt_r + 1)) * tot_r) div tot_t"))
+        .withColumn("neutral", expr("(10000 * tot_r) div tot_t"))
+        .select(col("bucket"), col("ratio_r"), col("neutral"))
+      btoks.join(broadcast(ratios), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("ratio_r")).as("weight"),
+          max(col("neutral")).as("neutral"))
+        .withColumn("w_norm", expr("weight div n_grams"))
+        .withColumn("selected", (col("w_norm") >= col("neutral")).cast("boolean"))
+        .select(col("doc_id"), col("n_grams"), col("weight"), col("w_norm"),
+          col("selected"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      bt AS (
+        SELECT doc_id, lang,
+               CAST((strpos('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substring(md5(token), 2, 1)) - 1)
+                    AS BIGINT) AS bucket
+        FROM tok),
+      bstats AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_r,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+        FROM bt GROUP BY 1),
+      tots AS (
+        SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+               CAST(sum(cnt_t) AS BIGINT) AS tot_t
+        FROM bstats),
+      ratios AS (
+        SELECT bucket,
+               ((((cnt_t + 1) * 10000) // (cnt_r + 1)) * tot_r) // tot_t AS ratio_r,
+               (10000 * tot_r) // tot_t AS neutral
+        FROM bstats, tots)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(ratio_r) AS BIGINT) AS weight,
+             CAST(sum(ratio_r) AS BIGINT) // CAST(count(*) AS BIGINT) AS w_norm,
+             (CAST(sum(ratio_r) AS BIGINT) // CAST(count(*) AS BIGINT))
+               >= max(neutral) AS selected
+      FROM bt JOIN ratios USING (bucket)
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  val defs: Map[String, QueryDef] = Map(
+    "t_tfidf" -> tTfidf,
+    "t_bm25" -> tBm25,
+    "t_dsir" -> tDsir)
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, Relational, Retrieval}
+import org.apache.spark.sql.functions._
+
+/** Properties of the retrieval / corpus-management operators (round-11
+  * additions): integer-BM25/TF-IDF ranking invariants, DSIR importance
+  * weight semantics, MERGE upsert row accounting, per-domain caps,
+  * cross-corpus delta dedup vs the single-corpus pair kernel, and the
+  * dedup report's conservation identities. */
+class RetrievalSpec extends SparkSpec {
+
+  test("t_tfidf: at most 5 ranked terms per doc, scores descending, ranks dense") {
+    val out = Retrieval.tTfidf.fn(spark, sf).cache()
+    val perDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("rnk").as("max_rnk"),
+      min("rnk").as("min_rnk")).collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("n") <= 5 && r.getAs[Long]("min_rnk") == 1L)
+      assert(r.getAs[Long]("max_rnk") == r.getAs[Long]("n")) // dense ranks
+    }
+    // scores never increase as rank grows within a doc
+    val bad = out.as("a").join(out.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("a.rnk") < col("b.rnk") && col("a.score") < col("b.score"))
+    assert(bad.isEmpty)
+  }
+
+  test("t_bm25: every hit contains a query term; ranks dense and score-ordered") {
+    val out = Retrieval.tBm25.fn(spark, sf).cache()
+    assert(out.filter(col("rnk") > 10).isEmpty)
+    assert(out.filter(col("score") <= 0).isEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+    val terms = Seq("spark", "join", "filter", "vector", "hash", "merge",
+      "customer", "query", "order", "window")
+    val hasTerm = docs.select(col("doc_id"),
+      terms.map(t => array_contains(split(lower(trim(col("text"))), "\\s+"), t))
+        .reduce(_ || _).as("has"))
+    val misses = out.join(hasTerm, "doc_id").filter(!col("has"))
+    assert(misses.isEmpty)
+    val badOrder = out.as("a").join(out.as("b"),
+      col("a.query_id") === col("b.query_id") &&
+        col("a.rnk") < col("b.rnk") && col("a.score") < col("b.score"))
+    assert(badOrder.isEmpty)
+  }
+
+  test("t_dsir: selected ≡ w_norm >= neutral, and English docs score higher on average") {
+    val out = Retrieval.tDsir.fn(spark, sf).cache()
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "lang")
+    assert(out.count() == docs.count())
+    val j = out.join(docs, "doc_id")
+      .withColumn("is_en", col("lang") === "en")
+    val means = j.groupBy("is_en").agg(avg(col("w_norm")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the target slice must look more target-like than the rest — the
+    // operator's entire reason to exist
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} !> non-en mean ${means(false)}")
+    // re-derive the neutral threshold from the output's own token
+    // accounting (tot_r = all tokens, tot_t = target-slice tokens) and
+    // check the selection flag is exactly w_norm >= 10000*tot_r div tot_t
+    val tots = j.agg(sum("n_grams").as("tot_r"),
+      sum(when(col("is_en"), col("n_grams")).otherwise(0L)).as("tot_t"))
+      .collect()(0)
+    val neutral = 10000L * tots.getLong(0) / tots.getLong(1)
+    val flagBad = out.filter(
+      col("selected") =!= (col("w_norm") >= lit(neutral)))
+    assert(flagBad.isEmpty)
+    assert(out.filter(col("n_grams") <= 0).isEmpty)
+  }
+
+  test("q_merge: update/insert/carry-over row accounting") {
+    val out = Relational.qMerge.fn(spark, sf).cache()
+    val base = Tables.load(spark, sf, "orders").cache()
+    val nBase = base.count()
+    val nIns = base.filter(col("o_orderkey") % 97 === 0).count()
+    assert(out.count() == nBase + nIns)
+    // every updated key carries status U and price shifted by exactly 1000
+    val upd = out.filter(col("o_orderkey") % 10 === 3 && col("o_orderkey") > 0)
+    assert(upd.filter(col("o_orderstatus") =!= "U").isEmpty)
+    val priceCheck = upd.as("u").join(base.as("b"), "o_orderkey")
+      .filter(col("u.o_totalprice") =!= col("b.o_totalprice") + 1000.0)
+    assert(priceCheck.isEmpty)
+    // inserts landed at negated keys with status N
+    val ins = out.filter(col("o_orderkey") < 0)
+    assert(ins.count() == nIns)
+    assert(ins.filter(col("o_orderstatus") =!= "N").isEmpty)
+    // untouched keys are byte-identical to base
+    val untouched = out.filter(col("o_orderkey") % 10 =!= 3 && col("o_orderkey") > 0)
+    assert(untouched.exceptAll(
+      base.filter(col("o_orderkey") % 10 =!= 3)).isEmpty)
+  }
+
+  test("t_domain_cap: at most 12 docs per source, priority respected") {
+    val out = Corpus.tDomainCap.fn(spark, sf).cache()
+    val per = out.groupBy("source").agg(count(lit(1)).as("n")).collect()
+    per.foreach(r => assert(r.getAs[Long]("n") <= 12))
+    // rank 1 has the max n_chars of its source's kept set
+    val bad = out.as("a").join(out.as("b"),
+      col("a.source") === col("b.source") &&
+        col("a.rnk") < col("b.rnk") && col("a.n_chars") < col("b.n_chars"))
+    assert(bad.isEmpty)
+  }
+
+  test("crossCorpusPairs ≡ cross-side slice of the single-corpus pair kernel") {
+    val docs = Tables.load(spark, sf, "documents")
+    val delta = Corpus.dDedupDelta.fn(spark, sf)
+    val full = Dedup.minhashPairs(docs, "text", "doc_id",
+      numHashes = 64, bands = 16)
+    val expected = full
+      .filter(col("id_a") % 2 =!= col("id_b") % 2)
+      .select(
+        when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")).as("doc_id"),
+        when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")).as("ref_id"),
+        col("jaccard"))
+    assert(delta.exceptAll(expected).isEmpty &&
+      expected.exceptAll(delta).isEmpty)
+    // and no within-side pair ever leaks out
+    assert(delta.filter(col("doc_id") % 2 =!= 1).isEmpty)
+    assert(delta.filter(col("ref_id") % 2 =!= 0).isEmpty)
+  }
+
+  test("d_dedup_report: conservation — docs partition into clusters") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rep = Corpus.dDedupReport.fn(spark, sf).cache()
+    val tot = rep.agg(sum("n_docs"), sum(expr("n_clusters")),
+      sum("n_dropped")).collect()(0)
+    assert(tot.getLong(0) == docs.count()) // every doc in exactly one cluster
+    assert(tot.getLong(0) - tot.getLong(1) == tot.getLong(2)) // dropped = docs - keepers
+    // per-row identity: n_docs = size * n_clusters, dropped = docs - clusters
+    val bad = rep.filter(
+      col("n_docs") =!= col("cluster_size") * col("n_clusters") ||
+        col("n_dropped") =!= col("n_docs") - col("n_clusters"))
+    assert(bad.isEmpty)
+  }
+}
