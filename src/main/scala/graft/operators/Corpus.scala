@@ -1,8 +1,11 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.plans.DeflateSize
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Corpus-management operators: the bookkeeping a 100 TB curation
   * pipeline runs AROUND its dedup/selection kernels — per-domain
@@ -112,8 +115,114 @@ object Corpus {
       FROM csizes GROUP BY cluster_size
       ORDER BY cluster_size"""))
 
+  private def deflated(text: Column): Column =
+    Bridge.column(DeflateSize(Bridge.expression(text), 6))
+
+  /** Compression-ratio quality signal: DEFLATE'd size per document as
+    * basis points of the input bytes — the gzip-compressibility
+    * heuristic curation pipelines use to flag BOTH tails (templated
+    * boilerplate compresses far below the corpus norm; binary junk and
+    * mojibake barely compress). Pure map over the corpus — one
+    * codegen'd [[graft.plans.DeflateSize]] kernel per row, no shuffle
+    * at any scale. DEFLATE output bytes are not SQL-recomputable, so
+    * the entry is rows-only; [[tCompressContract]] carries the oracled
+    * assertions. */
+  val tCompress: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("octet_length(text)").cast("long").as("n_in"),
+          deflated(col("text")).as("n_out"))
+        .withColumn("ratio_bp",
+          expr("(n_out * 10000) div greatest(n_in, 1)"))
+        .orderBy(col("doc_id")),
+    oracle = None)
+
+  /** The oracled contract behind [[tCompress]]: (1) every DEFLATE
+    * size is positive and bounded by input + 64 slack bytes (raw
+    * deflate's worst-case stored-block overhead at these sizes), and
+    * (2) doubling a document must compress to LESS than twice the
+    * original — the second copy is one back-reference, which is
+    * exactly the redundancy-detection property the quality signal
+    * relies on. Both properties fold to corpus-wide booleans the
+    * oracle pins TRUE. */
+  val tCompressContract: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val sized = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("octet_length(text)").cast("long").as("n_in"),
+          deflated(col("text")).as("n_out"),
+          deflated(concat(col("text"), col("text"))).as("n_out2"))
+      sized.agg(count(lit(1)).as("n_docs"),
+        min(col("n_out") > 0 && col("n_out") <= col("n_in") + 64)
+          .as("bounds_ok"),
+        min(when(col("n_in") >= 32, col("n_out2") < col("n_out") * 2)
+          .otherwise(lit(true))).as("doubling_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             TRUE AS bounds_ok, TRUE AS doubling_ok
+      FROM documents"""))
+
+  /** Per-image 64-bit DCT perceptual hash over the near-dup camera
+    * roll ([[Multimodal.phashMediaTable]] — groups of 5 docs sharing
+    * one smooth base image at five scales): the image-dedup signal
+    * byte hashing cannot produce (every member's PNG bytes differ).
+    * Pure per-partition decode+hash, no shuffle. Hash bytes are not
+    * SQL-recomputable → rows-only; [[mModalPhashContract]] is the
+    * oracled quality gate. */
+  val mModalPhash: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Multimodal.phashMedia(s, Multimodal.phashMediaTable(s, dir))
+        .select(col("doc_id"), col("group_id"), col("width"), col("height"),
+          col("phash"))
+        .orderBy(col("doc_id")),
+    oracle = None)
+
+  /** The oracled pHash quality contract: every within-group Hamming
+    * distance (same photo, different scale) must stay at or under
+    * `intraMax`, and adjacent-group representative distances (different
+    * photos) at or above `interMin` — a separation gap, not a point
+    * estimate. The intra join is keyed by group_id (bounded fan-out
+    * `groupSize`², linear in corpus); the inter leg compares each
+    * group's representative to the NEXT group only (linear), so the
+    * contract itself survives a 100x corpus. Measured at sf0.01/sf0.1
+    * (tools/PhashProbe): intra max 6/6 (mean 0.8), inter-adjacent min
+    * 24/16, full cross-group min 16/14 — pinned with headroom at
+    * intra ≤ 8 / inter ≥ 12, inside the measured 8-bit gap. */
+  val mModalPhashContract: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val h = Multimodal.phashMedia(s, Multimodal.phashMediaTable(s, dir))
+        .select(col("doc_id"), col("group_id"), col("phash_bits"))
+      val intra = h.as("a").join(h.as("b"),
+        col("a.group_id") === col("b.group_id") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(expr("bit_count(a.phash_bits ^ b.phash_bits)").as("d"))
+        .agg(max(col("d")).as("intra_max"))
+      val reps = h.filter(col("doc_id") === col("group_id"))
+      val inter = reps.as("a").join(reps.as("b"),
+        col("a.group_id") + 5 === col("b.group_id"))
+        .select(expr("bit_count(a.phash_bits ^ b.phash_bits)").as("d"))
+        .agg(min(col("d")).as("inter_min"))
+      h.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"))
+        .crossJoin(intra).crossJoin(inter)
+        .select(col("n_docs"), col("n_groups"),
+          (col("intra_max") <= 8).as("intra_ok"),
+          (col("inter_min") >= 12).as("inter_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT doc_id - doc_id % 5) AS BIGINT) AS n_groups,
+             TRUE AS intra_ok, TRUE AS inter_ok
+      FROM documents"""))
+
   val defs: Map[String, QueryDef] = Map(
     "t_domain_cap" -> tDomainCap,
     "d_dedup_delta" -> dDedupDelta,
-    "d_dedup_report" -> dDedupReport)
+    "d_dedup_report" -> dDedupReport,
+    "t_compress" -> tCompress,
+    "t_compress_contract" -> tCompressContract,
+    "m_modal_phash" -> mModalPhash,
+    "m_modal_phash_contract" -> mModalPhashContract)
 }

@@ -199,6 +199,59 @@ object Multimodal {
   case class FrameMeta(doc_id: Long, n_frames: Int, sampled: Int,
       frame_bytes: Int, mean_luma: Double)
 
+  /** Deterministic near-dup "camera roll" for perceptual-hash dedup:
+    * documents come in groups of `groupSize` that share one SMOOTH
+    * base image (low-order polynomial luminance field seeded by the
+    * group id — the natural-photo stand-in whose energy lives in low
+    * spatial frequencies), each member a bilinear re-render at a
+    * different scale (0.4–1.0 of 160x120). The ingest shape of "the
+    * same photo crawled at five thumbnail sizes" — exactly what pHash
+    * dedup exists to catch and what byte-level dedup cannot (every
+    * member's PNG bytes differ). Memoized like [[fakeMediaTable]]. */
+  def phashMediaTable(spark: SparkSession, sfDir: String,
+      groupSize: Int = 5): DataFrame = {
+    phashCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    phashCache.getOrElseUpdate((spark, sfDir, groupSize), {
+      import spark.implicits._
+      val ids = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions { it =>
+        it.map { id =>
+          val gid = id - id % groupSize
+          val base = PngCodec.renderSmooth(gid, 160, 120)
+          val scale = 0.4 + 0.6 * (id % groupSize).toDouble /
+            math.max(1, groupSize - 1)
+          val img = PngCodec.resize(base, scale)
+          (id, gid, PngCodec.encode(img))
+        }
+      }.toDF("doc_id", "group_id", "data")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private val phashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  /** Per-image 64-bit perceptual hash (DCT pHash): decode, box-average
+    * to 32x32 luma, 2-D DCT-II, keep the 8x8 lowest-frequency block,
+    * threshold each coefficient at the block median. Same
+    * partition-batched decode shape as [[decodeMedia]]; emits the hash
+    * both as bits (for banded/XOR Hamming joins) and hex (for humans
+    * and the rows-only driver dump). */
+  def phashMedia(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("group_id"), col("data"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, gid, data) =>
+          val img = PngCodec.decode(data)
+          val h = PngCodec.phash64(img)
+          (id, gid, img.getWidth, img.getHeight, h, f"$h%016x")
+        }
+      }
+      .toDF("doc_id", "group_id", "width", "height", "phash_bits", "phash")
+  }
+
   /** Frame-sampling stage: decode the strip once, keep every
     * `stride`-th frame as a subimage (the video analogue of decode —
     * one decoder per partition, frames streamed), features over the
@@ -342,6 +395,138 @@ object PngCodec {
   def meanLuma(img: BufferedImage): Double =
     math.rint(lumaSumMilli(img) /
       (10.0 * img.getWidth * img.getHeight)) / 100
+
+  /** Deterministic SMOOTH test image for `id` at w x h: a band-limited
+    * cosine mixture — one seeded amplitude per (j,k) in the 8x8 lowest
+    * spatial frequencies, 1/(1+j+k) spectral decay — so EVERY
+    * coefficient the 8x8 pHash block reads carries genuine signal
+    * whose sign survives rescaling. A sparse field (e.g. a low-order
+    * polynomial: ~6 live coefficients) leaves the other ~58 block
+    * coefficients at numerical noise, and their median bits flip
+    * arbitrarily between scales — measured intra-group Hamming ~13/64
+    * there vs ~0 here. [[render]]'s sawtooth is worse still (aliases
+    * under rescaling). The natural-photo stand-in, by construction. */
+  def renderSmooth(id: Long, w: Int, h: Int): BufferedImage = {
+    // seeded amplitudes a(j,k) in [-1,1] via SplitMix64 on (id, j, k)
+    val a = Array.tabulate(8, 8) { (j, k) =>
+      if (j == 0 && k == 0) 0.0
+      else {
+        var z = id * 0x9e3779b97f4a7c15L + (j * 8 + k + 1) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= z >>> 31
+        ((z & 0xffffffffL).toDouble / 0xffffffffL.toDouble * 2.0 - 1.0) /
+          (1.0 + j + k)
+      }
+    }
+    val norm = 0.45 / a.map(_.map(math.abs).sum).sum
+    val cu = Array.tabulate(8, w)((j, x) =>
+      math.cos(math.Pi * j * (x + 0.5) / w))
+    val cv = Array.tabulate(8, h)((k, y) =>
+      math.cos(math.Pi * k * (y + 0.5) / h))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    val b = new Array[Double](8)
+    var y = 0
+    while (y < h) {
+      var j = 0
+      while (j < 8) { // fold the k axis once per row: field is separable
+        var s = 0.0
+        var k = 0
+        while (k < 8) { s += a(j)(k) * cv(k)(y); k += 1 }
+        b(j) = s
+        j += 1
+      }
+      var x = 0
+      while (x < w) {
+        var f = 0.5
+        j = 0
+        while (j < 8) { f += norm * b(j) * cu(j)(x); j += 1 }
+        val g = math.max(0, math.min(255, (f * 255.0).toInt))
+        px(y * w + x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  /** 64-bit DCT perceptual hash: box-average the luma plane to 32x32,
+    * separable 2-D DCT-II, keep the 8x8 lowest-frequency block
+    * (row-major, DC included), set bit i when coefficient i exceeds
+    * the block median. Scale-invariant by construction — the 32x32
+    * downsample erases resolution, the low block erases detail — and
+    * fully deterministic double math on one JVM. */
+  def phash64(img: BufferedImage): Long = {
+    val n = 32
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val lum = new Array[Double](n * n)
+    var cy = 0
+    while (cy < n) {
+      val y0 = cy * h / n; val y1 = math.max(y0 + 1, (cy + 1) * h / n)
+      var cx = 0
+      while (cx < n) {
+        val x0 = cx * w / n; val x1 = math.max(x0 + 1, (cx + 1) * w / n)
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = rgb(y * w + x)
+            sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+              0.114 * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        lum(cy * n + cx) = sum / ((y1 - y0) * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    // separable DCT-II: rows then columns, only the first 8 output
+    // frequencies of each pass are ever read
+    val cos = Array.tabulate(8, n)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+    val rowPass = new Array[Double](n * 8) // [y][u]
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += lum(y * n + x) * cos(u)(x); x += 1 }
+        rowPass(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val block = new Array[Double](64) // [v][u]
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rowPass(yy * 8 + u) * cos(v)(yy); yy += 1 }
+        block(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = block.clone().sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (block(i) > median) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
 
   /** Bilinear scale by `scale` (≤1), min 1px per side. */
   def resize(img: BufferedImage, scale: Double): BufferedImage = {

@@ -9,6 +9,28 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Static text-hash kernels (see VectorOps for the codegen pattern). */
 object TextOps {
 
+  /** DEFLATE'd size of the UTF-8 bytes at the given zlib level (raw
+    * stream, no zlib header). java.util.zip ships with the JVM and is
+    * deterministic for a fixed input/level, so the ratio is a stable
+    * per-document feature — the gzip-compressibility quality signal
+    * (low ratio = templated/repetitive text, near-1 = high-entropy
+    * noise; both tails are what a curation pass wants flagged). One
+    * Deflater per call: the expression runs inside codegen'd
+    * projections on many threads, and Deflater is not thread-safe —
+    * end() releases the native buffer eagerly. */
+  def deflateSize(s: UTF8String, level: Int): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — stable across JVMs/executors. */
   def fnv1a(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -381,6 +403,17 @@ case class JaccardLong(left: Expression, right: Expression)
 }
 
 /** rolling_fingerprint(string) -> long (window of `k` bytes). */
+case class DeflateSize(child: Expression, level: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_deflate_size"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.deflateSize(v.asInstanceOf[UTF8String], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.deflateSize($c, $level)")
+  override protected def withNewChildInternal(c: Expression): DeflateSize = copy(child = c)
+}
+
 case class RollingFingerprint(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

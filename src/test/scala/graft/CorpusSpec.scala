@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Corpus, Multimodal, PngCodec}
+import graft.plans.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression-signal and perceptual-hash properties (round-11
+  * additions): DEFLATE kernel determinism and redundancy detection,
+  * pHash scale-invariance and separation, and the oracled contract
+  * rows' booleans. */
+class CorpusSpec extends SparkSpec {
+
+  private def dsize(s: String): Long =
+    TextOps.deflateSize(UTF8String.fromString(s), 6)
+
+  test("deflateSize: deterministic, bounded, detects redundancy") {
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    assert(dsize(text) == dsize(text)) // deterministic
+    assert(dsize(text) > 0 && dsize(text) <= text.getBytes("UTF-8").length + 64)
+    // doubling compresses to (far) less than twice
+    assert(dsize(text + text) < 2 * dsize(text))
+    // repetitive text compresses harder than varied text of equal length
+    val rep = "ab" * 200
+    val varied = (0 until 400).map(i => ('a' + (i * 131 + i * i * 7) % 26).toChar).mkString
+    assert(rep.length == varied.length)
+    assert(dsize(rep) < dsize(varied))
+  }
+
+  test("t_compress_contract: both corpus-wide booleans hold") {
+    val r = Corpus.tCompressContract.fn(spark, sf).collect()(0)
+    assert(r.getAs[Boolean]("bounds_ok") && r.getAs[Boolean]("doubling_ok"))
+    assert(r.getAs[Long]("n_docs") > 0)
+  }
+
+  test("phash64: invariant under rescaling, separates distinct images") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val ids = Seq(0L, 5L, 10L, 15L, 77L)
+    val hashes = ids.map { id =>
+      val base = PngCodec.renderSmooth(id, 160, 120)
+      val h0 = PngCodec.phash64(base)
+      // every scaled re-render hashes within the pinned intra radius
+      Seq(0.4, 0.55, 0.7, 0.85).foreach { sc =>
+        val hs = PngCodec.phash64(PngCodec.resize(base, sc))
+        assert(hamming(h0, hs) <= 8, s"id=$id scale=$sc drift=${hamming(h0, hs)}")
+      }
+      h0
+    }
+    // distinct base images stay separated beyond the pinned inter floor
+    for (i <- hashes.indices; j <- hashes.indices if i < j)
+      assert(hamming(hashes(i), hashes(j)) >= 12,
+        s"ids ${ids(i)},${ids(j)} too close: ${hamming(hashes(i), hashes(j))}")
+  }
+
+  test("phash64 and renderSmooth are deterministic") {
+    val a = PngCodec.phash64(PngCodec.renderSmooth(42L, 160, 120))
+    val b = PngCodec.phash64(PngCodec.renderSmooth(42L, 160, 120))
+    assert(a == b)
+  }
+
+  test("m_modal_phash: one hash per doc, groups of ≤5, contract green") {
+    val out = Corpus.mModalPhash.fn(spark, sf).cache()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(out.count() == docs.count())
+    val per = out.groupBy("group_id").agg(count(lit(1)).as("n"))
+    assert(per.filter(col("n") > 5).isEmpty)
+    val c = Corpus.mModalPhashContract.fn(spark, sf).collect()(0)
+    assert(c.getAs[Boolean]("intra_ok") && c.getAs[Boolean]("inter_ok"))
+  }
+}
