@@ -68,6 +68,52 @@ object Corpus {
         WHERE id_b % 2 = 1 AND id_a % 2 = 0)
       ORDER BY doc_id, ref_id"""))
 
+  // One signature store per (session, sf dir): built from the even
+  // (reference) half, written to parquet and read BACK so the delta
+  // path exercises the real store lifecycle — shape metadata surviving
+  // the parquet round-trip included. Keyed by session so a stopped
+  // session's plans are never handed to a new one.
+  private val storeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def sigStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    storeCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    storeCache.getOrElseUpdate((s, dir), {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sigstore_" +
+        new java.io.File(dir).getName
+      Dedup.signatureStore(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", numHashes = 64, bands = 16)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+  }
+
+  /** [[dDedupDelta]] through the PERSISTED path: the reference half's
+    * signatures are materialized once ([[Dedup.signatureStore]] →
+    * parquet → read back), and the incoming half probes the store at
+    * the shape carried in its column metadata. Same oracle as
+    * d_dedup_delta — the store lifecycle (write, read, metadata
+    * round-trip, banded probe) must be RESULT-IDENTICAL to the
+    * recompute-everything path, which is exactly what an incremental
+    * 100 TB dedup needs to trust. */
+  val dDedupDeltaStored: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Dedup.crossCorpusPairsStored(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        sigStore(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"), col("ref_id")),
+    oracle = Some(s"""
+      WITH ${Pipeline.shinglePairsSql}
+      SELECT doc_id, ref_id, jaccard FROM (
+        SELECT id_a AS doc_id, id_b AS ref_id, jaccard FROM jpairs
+        WHERE id_a % 2 = 1 AND id_b % 2 = 0
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS ref_id, jaccard FROM jpairs
+        WHERE id_b % 2 = 1 AND id_a % 2 = 0)
+      ORDER BY doc_id, ref_id"""))
+
   /** Dedup run report: cluster-size histogram over the FULL corpus
     * (near-dup components + singletons via the `universe` leg) —
     * (cluster_size, n_clusters, n_docs, n_dropped) where n_dropped
@@ -217,9 +263,69 @@ object Corpus {
              TRUE AS intra_ok, TRUE AS inter_ok
       FROM documents"""))
 
+  /** Z-order (Morton) interleave of the low 16 bits of key `a` (even
+    * bit positions) and key `b` (odd positions), rendered per dialect
+    * from ONE bit loop so Spark and the oracle compute bit-identical
+    * values. Disjoint bit positions sum with `+` — no bitwise-or
+    * dialect differences. */
+  private def zOrderSql(a: String, b: String, spark: Boolean): String =
+    (0 until 16).flatMap { i =>
+      if (spark)
+        Seq(s"shiftleft(shiftright($a, $i) & 1, ${2 * i})",
+          s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})")
+      else
+        Seq(s"((($a >> $i) & 1) << ${2 * i})",
+          s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " + ", ")")
+
+  /** Z-order clustering audit: interleave (l_partkey, l_suppkey) into
+    * a Morton value, bucket by FIXED value ranges (top 6 z bits — a
+    * pure map, no global sort, no single-partition window), and report
+    * each bucket's row count and per-dimension key spans. This is the
+    * layout step a 100 TB table runs before writing multi-dimension-
+    * filtered data (Delta/Iceberg OPTIMIZE ZORDER BY): sorting by z
+    * co-locates rows that are close in BOTH keys, so min/max file
+    * stats prune 2-D predicates — the tight per-bucket spans this
+    * query reports are exactly the pruning the layout buys. At scale
+    * the same z expression feeds repartitionByRange(z) + sortWithin-
+    * Partitions before the write; the audit here is shuffle-free. */
+  val tZorder: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val z = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr(zOrderSql("l_partkey", "l_suppkey", spark = true)).as("z"))
+      // 64 value-range buckets normalized to the observed z span (one
+      // scalar agg + broadcast — key widths vary with SF, a fixed
+      // granularity collapses small corpora into one bucket)
+      val zmax = z.agg(max(col("z")).as("zmax"))
+      z.crossJoin(broadcast(zmax))
+        .withColumn("bucket", expr("(z * 64) div (zmax + 1)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some(s"""
+      WITH z AS (
+        SELECT l_partkey, l_suppkey,
+               ${zOrderSql("l_partkey", "l_suppkey", spark = false)} AS z
+        FROM lineitem),
+      zm AS (SELECT max(z) AS zmax FROM z)
+      SELECT (z * 64) // (zmax + 1) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(l_partkey) AS BIGINT) AS pk_min,
+             CAST(max(l_partkey) AS BIGINT) AS pk_max,
+             CAST(min(l_suppkey) AS BIGINT) AS sk_min,
+             CAST(max(l_suppkey) AS BIGINT) AS sk_max
+      FROM z, zm GROUP BY bucket
+      ORDER BY bucket"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "t_zorder" -> tZorder,
     "t_domain_cap" -> tDomainCap,
     "d_dedup_delta" -> dDedupDelta,
+    "d_dedup_delta_stored" -> dDedupDeltaStored,
     "d_dedup_report" -> dDedupReport,
     "t_compress" -> tCompress,
     "t_compress_contract" -> tCompressContract,

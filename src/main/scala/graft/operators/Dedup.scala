@@ -148,6 +148,80 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Column-metadata key carrying the banding shape a signature store
+    * was built with — (shingleK, bands, rows, seed) — so a delta run
+    * always reuses the STORE's shape instead of trusting the caller
+    * to re-specify it identically. */
+  private[graft] val SignatureShapeKey = "graft.sigstore.shape"
+
+  /** Materialized MinHash signature store for the accumulated
+    * reference corpus: (ref_id, sh, bkeys) — hashed shingle set plus
+    * pre-computed band keys. THE incremental-dedup artifact at 100 TB:
+    * the reference side's shingling and banding run ONCE when a batch
+    * is admitted (append the new rows to the store), and every later
+    * [[crossCorpusPairsStored]] delta run reads the store instead of
+    * re-hashing petabytes of text. Write it partitioned/bucketed by
+    * `bkey` after exploding if the delta join becomes shuffle-bound;
+    * the banding shape travels IN the `bkeys` column metadata (parquet
+    * round-trips field metadata), so a store can never be probed with
+    * a mismatched shape. */
+  def signatureStore(reference: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 3, numHashes: Int = -1, bands: Int = -1,
+      seed: Long = 42L, rowHint: Long = -1L): DataFrame = {
+    val (b, r) = resolveMinhashShape(numHashes, bands, rowHint,
+      reference.count())
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(SignatureShapeKey, s"$shingleK,$b,$r,$seed").build()
+    val sh = Bridge.column(HashedWordShingles(
+      Bridge.expression(col(textCol)), shingleK))
+    reference.select(col(idCol).as("ref_id"), sh.as("sh"))
+      .select(col("ref_id"), col("sh"),
+        Bridge.column(MinHashBandKeys(
+          Bridge.expression(col("sh")), b, r, seed)).as("bkeys", meta))
+  }
+
+  /** [[crossCorpusPairs]] against a materialized [[signatureStore]]:
+    * the incoming batch is shingled and banded AT THE STORE'S OWN
+    * SHAPE (read from the `bkeys` column metadata — a store written
+    * without it is rejected loudly), so reference text is never
+    * re-read and shape drift between store build and delta run is
+    * impossible by construction. Same output contract as
+    * [[crossCorpusPairs]]: (doc_id, ref_id, jaccard) directed
+    * incoming → reference. */
+  def crossCorpusPairsStored(incoming: DataFrame, store: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val field = store.schema.find(_.name == "bkeys").getOrElse(
+      throw new IllegalArgumentException(
+        "graft: signature store needs a bkeys column (see Dedup.signatureStore)"))
+    require(field.metadata.contains(SignatureShapeKey),
+      "graft: signature store carries no banding-shape metadata — " +
+        "rebuild it with Dedup.signatureStore, or the delta join would " +
+        "silently probe with a mismatched shape")
+    val Array(shingleK, b, r, seed) =
+      field.metadata.getString(SignatureShapeKey).split(",")
+    val shIn = incoming.select(col(idCol).as("doc_id"),
+      Bridge.column(HashedWordShingles(
+        Bridge.expression(col(textCol)), shingleK.toInt)).as("sh_s"))
+    val bIn = shIn.select(col("doc_id"),
+      explode(Bridge.column(MinHashBandKeys(
+        Bridge.expression(col("sh_s")), b.toInt, r.toInt, seed.toLong)))
+        .as("bkey"))
+    val bRef = store.select(col("ref_id"), explode(col("bkeys")).as("bkey"))
+    val cand = bIn.join(bRef, "bkey")
+      .filter(col("doc_id") =!= col("ref_id"))
+      .select(col("doc_id"), col("ref_id"))
+      .distinct()
+    cand
+      .join(shIn, "doc_id")
+      .join(store.select(col("ref_id"), col("sh").as("sh_r")), "ref_id")
+      .select(col("doc_id"), col("ref_id"),
+        round(Bridge.column(JaccardLong(
+          Bridge.expression(col("sh_s")), Bridge.expression(col("sh_r")))), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Shared numHashes/bands resolution for the minhash-family
     * blockings ([[minhashPairs]] and the streaming reference join):
     * pinned-or-AUTO with every invalid quadrant rejected in ONE place.

@@ -937,7 +937,73 @@ object Relational {
         UNION ALL SELECT * FROM upserts)
       ORDER BY o_orderkey"""))
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * Spark's hll_sketch_agg/hll_union_agg): per-nation customer
+    * sketches built in one pass, UNIONED — not recounted — into the
+    * global estimate. The production shape for 100 TB distinct
+    * counting: per-partition/per-day sketches are tiny (KBs),
+    * mergeable across any grouping after the data is gone, and never
+    * re-scan the corpus. Sketch bytes aren't SQL-replayable, so the
+    * driver row is the CONTRACT: the union estimate must land within
+    * the documented ±3% of the exact count (HLL lgK=12 standard error
+    * ~0.8%, 3% ≈ 3.7σ), plus exact per-group estimates at small
+    * cardinalities — the oracle pins the exact counts and TRUE. */
+  val qHllSketch: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val perNation = cust.groupBy(col("c_nationkey"))
+        .agg(expr("hll_sketch_agg(c_custkey, 12)").as("sk"),
+          countDistinct(col("c_custkey")).as("n_exact_grp"))
+      val merged = perNation.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
+        sum(col("n_exact_grp")).as("n_sum"),
+        count(lit(1)).as("n_nations"),
+        max(abs(expr("hll_sketch_estimate(sk)") - col("n_exact_grp"))
+          / col("n_exact_grp")).as("grp_err"))
+      val exact = cust.agg(countDistinct(col("c_custkey")).as("n_exact"))
+      exact.crossJoin(merged)
+        .select(col("n_exact"), col("n_nations"),
+          (abs(col("est") - col("n_exact")) / col("n_exact") <= 0.03)
+            .as("union_ok"),
+          (col("grp_err") <= 0.03).as("groups_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact,
+             CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+             TRUE AS union_ok, TRUE AS groups_ok
+      FROM customer"""))
+
+  /** Mergeable quantile sketch contract: approx_percentile at
+    * accuracy 10000 carries a RANK-error guarantee (≤ 1/accuracy of
+    * n, plus discretization at repeated values) — so the contract
+    * checks the honest property: the rank of each approximate
+    * quantile lands within 1% of the target rank. Rank re-derivation
+    * is one broadcast of 4 scalar values against a count aggregate —
+    * no second sort. The 100 TB story: quantile sketches are
+    * map-side-combined and mergeable, where exact quantiles
+    * (q_percentiles) cost a full shuffle of distinct values. */
+  val qQuantileSketch: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+      val approx = li.agg(expr(
+        "approx_percentile(v, array(0.25, 0.5, 0.75, 0.95), 10000)").as("ap"))
+      val checked = li.crossJoin(broadcast(approx))
+        .select(col("v"), col("ap"))
+        .agg(count(lit(1)).as("n_rows"),
+          (Seq(0, 1, 2, 3).map { i =>
+            sum(when(col("v") <= col("ap")(i), 1L).otherwise(0L))
+          } zip Seq(0.25, 0.5, 0.75, 0.95)).map { case (rank, p) =>
+            (abs(rank / count(lit(1)).cast("double") - p) <= 0.01)
+          }.reduce(_ && _).as("ranks_ok"))
+      checked.select(col("n_rows"), col("ranks_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS ranks_ok
+      FROM lineitem"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_hll_sketch" -> qHllSketch,
+    "q_quantile_sketch" -> qQuantileSketch,
     "q_merge" -> qMerge,
     "q_cohort" -> qCohort,
     "q_scd2" -> qScd2,

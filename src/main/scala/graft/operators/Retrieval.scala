@@ -268,8 +268,49 @@ object Retrieval {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** BPE merge-candidate counting — the inner loop of byte-pair
+    * tokenizer training: the top-30 adjacent CHARACTER pairs inside
+    * words, by corpus frequency (ties by pair). One explode over
+    * word-internal 2-grams built map-side with transform+sequence (no
+    * self-join, no shuffle before the pair aggregation, exactly the
+    * [[Pipeline]].tColloc shape one level down); a full BPE trainer
+    * iterates this count → merge → recount loop, and each iteration
+    * is this same aggregate over a re-encoded corpus. */
+  val tBpePairs: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val pairs = Tables.load(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      val w = Window.orderBy(col("n_occ").desc, col("pair"))
+      pairs.groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair")).limit(30)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("rnk"), col("pair"), col("n_occ"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+      pairs AS (
+        SELECT unnest([substring(w, CAST(x AS INT), 2)
+                       for x in range(1, length(w))]) AS pair
+        FROM words WHERE length(w) >= 2),
+      cnt AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n_occ
+        FROM pairs GROUP BY pair),
+      top AS (
+        SELECT pair, n_occ FROM cnt ORDER BY n_occ DESC, pair LIMIT 30)
+      SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT)
+               AS rnk, pair, n_occ
+      FROM top ORDER BY rnk"""))
+
   val defs: Map[String, QueryDef] = Map(
     "t_tfidf" -> tTfidf,
     "t_bm25" -> tBm25,
-    "t_dsir" -> tDsir)
+    "t_dsir" -> tDsir,
+    "t_bpe_pairs" -> tBpePairs)
 }

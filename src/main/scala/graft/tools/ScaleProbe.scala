@@ -112,6 +112,12 @@ object ScaleProbe {
         .write.mode("overwrite").format("noop").save()
       graft.operators.Multimodal.fakeMediaTable(spark, out)
         .write.mode("overwrite").format("noop").save()
+      if (probes.exists(_.startsWith("m_modal_phash"))) {
+        graft.operators.Multimodal.phashMediaTable(spark, base)
+          .write.mode("overwrite").format("noop").save()
+        graft.operators.Multimodal.phashMediaTable(spark, out)
+          .write.mode("overwrite").format("noop").save()
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
     probes.foreach { q => time(base, q); () } // warm code paths
     println(f"[probe] ${"query"}%-24s ${"1x"}%8s ${s"${k}x"}%8s ratio")

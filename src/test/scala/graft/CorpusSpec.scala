@@ -58,6 +58,34 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("signature store: shape survives parquet, stored delta ≡ recompute, bare store rejected") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sf, "documents")
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigstore_spec")
+    try {
+      Dedup.signatureStore(ref, "text", "doc_id", numHashes = 64, bands = 16)
+        .write.mode("overwrite").parquet(dir.toString)
+      val store = spark.read.parquet(dir.toString)
+      // shape metadata survived the parquet round-trip
+      val meta = store.schema.find(_.name == "bkeys").get.metadata
+      assert(meta.getString("graft.sigstore.shape") == "3,16,4,42")
+      val stored = Dedup.crossCorpusPairsStored(inc, store, "text", "doc_id")
+      val fresh = Dedup.crossCorpusPairs(inc, ref, "text", "doc_id",
+        numHashes = 64, bands = 16)
+      assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty)
+      // a store without shape metadata is rejected loudly, not probed
+      val bare = store.select(col("ref_id"), col("sh"),
+        col("bkeys").as("bkeys",
+          org.apache.spark.sql.types.Metadata.empty)) // strip field metadata
+      val e = intercept[IllegalArgumentException] {
+        Dedup.crossCorpusPairsStored(inc, bare, "text", "doc_id")
+      }
+      assert(e.getMessage.contains("banding-shape metadata"))
+    } finally deleteRecursively(dir.toFile)
+  }
+
   test("m_modal_phash: one hash per doc, groups of ≤5, contract green") {
     val out = Corpus.mModalPhash.fn(spark, sf).cache()
     val docs = Tables.load(spark, sf, "documents")

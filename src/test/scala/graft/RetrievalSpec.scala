@@ -121,6 +121,53 @@ class RetrievalSpec extends SparkSpec {
     assert(delta.filter(col("ref_id") % 2 =!= 0).isEmpty)
   }
 
+  test("t_bpe_pairs: 30 dense ranks, counts descending, pairs are 2 chars") {
+    val out = Retrieval.tBpePairs.fn(spark, sf).cache()
+    assert(out.count() == 30)
+    assert(out.filter(length(col("pair")) =!= 2).isEmpty)
+    val rows = out.orderBy("rnk").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_occ") >= b.getAs[Long]("n_occ"))
+      assert(a.getAs[Long]("rnk") + 1 == b.getAs[Long]("rnk"))
+    }
+    // the top pair must actually occur that often: recount one pair
+    val top = rows.head
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("p"))
+      .filter(col("p") === top.getAs[String]("pair")).count()
+    assert(n == top.getAs[Long]("n_occ"))
+  }
+
+  test("q_hll_sketch: union estimate and per-group estimates inside the 3% contract") {
+    val r = Relational.qHllSketch.fn(spark, sf).collect()(0)
+    assert(r.getAs[Boolean]("union_ok") && r.getAs[Boolean]("groups_ok"))
+    assert(r.getAs[Long]("n_exact") ==
+      Tables.load(spark, sf, "customer").select("c_custkey").distinct().count())
+  }
+
+  test("q_quantile_sketch: every approximate quantile ranks within 1% of target") {
+    val r = Relational.qQuantileSketch.fn(spark, sf).collect()(0)
+    assert(r.getAs[Boolean]("ranks_ok"))
+    assert(r.getAs[Long]("n_rows") == Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("t_zorder: buckets cover all rows; z-buckets bound the partkey span") {
+    val out = Corpus.tZorder.fn(spark, sf).cache()
+    val li = Tables.load(spark, sf, "lineitem")
+    assert(out.agg(sum("n_rows")).collect()(0).getLong(0) == li.count())
+    // the whole point of z-ordering: a z bucket pins the high bits of
+    // BOTH keys, so per-bucket key spans are a fraction of the global
+    // range (a bucket spanning the full key range = no pruning value)
+    val pkRange = li.agg(max("l_partkey") - min("l_partkey")).collect()(0).getLong(0)
+    val worst = out.agg(max(col("pk_max") - col("pk_min"))).collect()(0).getLong(0)
+    assert(worst <= pkRange / 2,
+      s"worst bucket partkey span $worst vs global range $pkRange")
+  }
+
   test("d_dedup_report: conservation — docs partition into clusters") {
     val docs = Tables.load(spark, sf, "documents")
     val rep = Corpus.dDedupReport.fn(spark, sf).cache()
