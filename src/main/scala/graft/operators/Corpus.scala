@@ -18,17 +18,31 @@ object Corpus {
   /** Per-domain document cap (CCNet/RefinedWeb-style): keep at most
     * `cap` documents per source, priority = longest first (ties by
     * doc_id). The anti-spam guard against one domain flooding the
-    * corpus. Window partitions by source — each domain's rank is
-    * computed inside its own partition, no global ordering, so the
-    * operator scales with the number of domains, not corpus size. */
+    * corpus.
+    *
+    * TWO-PHASE ranking, because domains are few and hot: a single
+    * window partitioned by source would funnel an entire domain's
+    * documents (corpus/#domains rows — terabytes at 100 TB over tens
+    * of sources) into one partition. Phase 1 ranks per (source,
+    * input-partition) — spark_partition_id() spreads each hot source
+    * over every input split — and keeps 12 per cell, which provably
+    * contains the global per-source top-12 (any globally-kept row is
+    * in its own cell's top-12 under the same ordering). Phase 2 ranks
+    * the survivors (<= 12 x #splits per source, KBs) per source. */
   val tDomainCap: QueryDef = QueryDef(
     fn = (s, dir) => {
-      val w = Window.partitionBy(col("source"))
+      val w1 = Window.partitionBy(col("source"), col("_cell"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val w2 = Window.partitionBy(col("source"))
         .orderBy(col("n_chars").desc, col("doc_id"))
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          spark_partition_id().as("_cell"))
+        .withColumn("_rnk1", row_number().over(w1))
+        .filter(col("_rnk1") <= 12)
+        .withColumn("rnk", row_number().over(w2).cast("long"))
         .filter(col("rnk") <= 12)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rnk"))
         .orderBy(col("doc_id"))
     },
     oracle = Some("""

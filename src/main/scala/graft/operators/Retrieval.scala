@@ -134,10 +134,18 @@ object Retrieval {
         .withColumn("c", expr(idfSpark) * col("t1"))
       val score = contrib.groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("c")).as("score"))
+      // top-10 per query as one TakeOrdered PER QUERY (distributed
+      // heap + driver merge), not a window partitioned by query_id —
+      // with a handful of queries over a 100 TB corpus that window
+      // funnels every scored posting for a query into ONE partition.
+      // The final rank window runs over <= 10 x #queries rows.
+      val topPer = bm25Queries.map { case (qid, _) =>
+        score.filter(col("query_id") === qid)
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+      }.reduce(_ unionByName _)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("doc_id"))
-      score.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
+      topPer.withColumn("rnk", row_number().over(w).cast("long"))
         .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
         .orderBy(col("query_id"), col("rnk"))
     },
