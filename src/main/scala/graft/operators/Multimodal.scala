@@ -462,7 +462,34 @@ object PngCodec {
     val n = 32
     val w = img.getWidth
     val h = img.getHeight
-    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    // one luma pass through the interleaved raster when the decoded
+    // layout allows (ImageIO yields TYPE_3BYTE_BGR for these PNGs —
+    // getRGB would route every pixel through the ColorModel, measured
+    // ~2x the whole hash); getRGB stays as the general fallback
+    val luma = new Array[Float](w * h)
+    img.getRaster.getDataBuffer match {
+      case b: java.awt.image.DataBufferByte
+          if img.getType == BufferedImage.TYPE_3BYTE_BGR &&
+            b.getOffset == 0 && b.getData.length >= w * h * 3 =>
+        val d = b.getData
+        var i = 0
+        var j = 0
+        while (j < w * h) {
+          luma(j) = (0.114 * (d(i) & 0xff) + 0.587 * (d(i + 1) & 0xff) +
+            0.299 * (d(i + 2) & 0xff)).toFloat
+          i += 3
+          j += 1
+        }
+      case _ =>
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        var j = 0
+        while (j < w * h) {
+          val p = rgb(j)
+          luma(j) = (0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+            0.114 * (p & 0xff)).toFloat
+          j += 1
+        }
+    }
     val lum = new Array[Double](n * n)
     var cy = 0
     while (cy < n) {
@@ -475,9 +502,7 @@ object PngCodec {
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            val p = rgb(y * w + x)
-            sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
-              0.114 * (p & 0xff)
+            sum += luma(y * w + x)
             x += 1
           }
           y += 1
