@@ -114,19 +114,21 @@ object Retrieval {
       val qterms = qdf.select(col("query_id"),
         explode(TF.tokens(col("qtext"))).as("token"))
       val termSet = qterms.select(col("token")).distinct()
+      // the doc length rides the posting rows (first(dl) per group) —
+      // a separate lens table would re-scan the corpus AND shuffle it
+      // by doc_id just to re-attach one integer
       val tf = docs
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .select(col("doc_id"), TF.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+          explode(col("ts")).as("token"))
         .join(broadcast(termSet), "token")
         .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val lens = docs.select(col("doc_id"),
-        TF.tokenCountWs(col("text")).as("dl"))
       val stats = docs.agg(count(lit(1)).as("n_docs"),
         sum(TF.tokenCountWs(col("text"))).as("total"))
       val contrib = tf
         .join(broadcast(qterms), "token")
-        .join(lens, "doc_id")
         .crossJoin(broadcast(stats))
         .join(broadcast(dfreq), "token")
         .withColumn("t1", expr(
@@ -134,18 +136,24 @@ object Retrieval {
         .withColumn("c", expr(idfSpark) * col("t1"))
       val score = contrib.groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("c")).as("score"))
-      // top-10 per query as one TakeOrdered PER QUERY (distributed
-      // heap + driver merge), not a window partitioned by query_id —
-      // with a handful of queries over a 100 TB corpus that window
-      // funnels every scored posting for a query into ONE partition.
-      // The final rank window runs over <= 10 x #queries rows.
-      val topPer = bm25Queries.map { case (qid, _) =>
-        score.filter(col("query_id") === qid)
-          .orderBy(col("score").desc, col("doc_id")).limit(10)
-      }.reduce(_ unionByName _)
-      val w = Window.partitionBy(col("query_id"))
+      // top-10 per query via TWO-PHASE ranking (the t_domain_cap
+      // shape): phase 1 ranks per (query_id, input-partition) cell and
+      // keeps 10 — provably a superset of the global per-query top-10
+      // — phase 2 ranks the <= 10 x #partitions survivors per query.
+      // A single window partitioned by query_id would funnel every
+      // scored posting for a query into ONE partition at any corpus
+      // size; a TakeOrdered per query (the first fix) re-evaluated the
+      // whole scoring subtree once PER QUERY (3x the corpus work,
+      // visible as triplicated scans in the archived plan).
+      val w1 = Window.partitionBy(col("query_id"), col("_cell"))
         .orderBy(col("score").desc, col("doc_id"))
-      topPer.withColumn("rnk", row_number().over(w).cast("long"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      score.withColumn("_cell", spark_partition_id())
+        .withColumn("_r1", row_number().over(w1))
+        .filter(col("_r1") <= 10)
+        .withColumn("rnk", row_number().over(w2).cast("long"))
+        .filter(col("rnk") <= 10)
         .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
         .orderBy(col("query_id"), col("rnk"))
     },
