@@ -802,6 +802,77 @@ object Relational {
       SELECT user_id, event_type, valid_from_ms, valid_to_ms, n_events
       FROM s ORDER BY user_id, valid_from_ms, valid_to_ms"""))
 
+  /** INCREMENTAL SCD-2 maintenance: merge a late delta batch into an
+    * existing interval table, touching only the keys the delta names —
+    * the nightly-batch pattern that keeps a 100 TB dimension current
+    * without re-reading its event history.
+    *
+    * The split is deterministic (t0 = lo + 4·(hi−lo)/5 of the event
+    * time range, integer ms): events before t0 play the accumulated
+    * history, the rest the delta. The base SCD-2 table is built once;
+    * untouched users' intervals PASS THROUGH by anti-join; affected
+    * users rebuild from the COMPRESSED representation — each base
+    * interval re-enters the island machine as one pseudo-event
+    * weighted by its n_events (adjacent base islands differ by
+    * construction, so they never re-merge with each other; only the
+    * last island can absorb same-type delta events). The result is
+    * provably identical to a full rebuild — which is exactly what the
+    * oracle computes (the q_scd2 islands SQL over ALL events) — while
+    * the incremental plan reads the interval table (islands-sized) +
+    * the delta, never the base events, and every shuffle keys on
+    * user_id. Island-start order is (ts_ms, first event id) with
+    * first_eid = min_by(event_id, (ts, id)), so the pseudo-event sort
+    * reproduces the original island sequence even when two type
+    * changes land on one truncated millisecond. */
+  val qScd2Incremental: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000000").as("ts_ms"))
+      val bounds = ev.agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+      val evB = ev.crossJoin(broadcast(bounds))
+        .withColumn("t0", expr("lo + ((hi - lo) * 4) div 5"))
+      val base = evB.filter(col("ts_ms") < col("t0"))
+        .withColumn("w", lit(1L))
+      val delta = evB.filter(col("ts_ms") >= col("t0"))
+        .withColumn("w", lit(1L))
+      def islandsW(e: DataFrame): DataFrame = {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ms"), col("event_id"))
+        e.withColumn("chg",
+          when(lag(col("event_type"), 1).over(wOrd) === col("event_type"),
+            lit(0L)).otherwise(lit(1L)))
+          .withColumn("grp", sum(col("chg")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(max(col("event_type")).as("event_type"),
+            min(col("ts_ms")).as("valid_from_ms"),
+            sum(col("w")).as("n_events"),
+            expr("min_by(event_id, struct(ts_ms, event_id))").as("first_eid"))
+      }
+      val baseIv = islandsW(base)
+      val touched = delta.select(col("user_id")).distinct()
+      val untouched = baseIv.join(touched, Seq("user_id"), "left_anti")
+      val pseudo = baseIv.join(touched, Seq("user_id"))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from_ms").as("ts_ms"), col("first_eid").as("event_id"),
+          col("n_events").as("w"))
+      val rebuilt = islandsW(pseudo.unionByName(
+        delta.select(col("user_id"), col("event_type"), col("ts_ms"),
+          col("event_id"), col("w"))))
+      val all = untouched.unionByName(rebuilt)
+      all
+        .withColumn("valid_to_ms",
+          lead(col("valid_from_ms"), 1).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from_ms"), col("first_eid"))))
+        .select(col("user_id"), col("event_type"), col("valid_from_ms"),
+          col("valid_to_ms"), col("n_events"))
+        .orderBy(col("user_id"), col("valid_from_ms"), col("valid_to_ms"))
+    },
+    oracle = Some(scd2IslandsSql + """
+      SELECT user_id, event_type, valid_from_ms, valid_to_ms, n_events
+      FROM s ORDER BY user_id, valid_from_ms, valid_to_ms"""))
+
   /** Ordered-stage funnel: users who did view, then click AFTER that
     * first view, then purchase AFTER that first qualifying click —
     * the product-analytics conversion query. Each stage is a per-user
@@ -1001,12 +1072,47 @@ object Relational {
       SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS ranks_ok
       FROM lineitem"""))
 
+  /** RANGE-frame window: 30-day trailing order count + revenue per
+    * customer — the moving-aggregate frame ROWS BETWEEN cannot
+    * express (the frame is bounded by VALUE distance on the ordering
+    * key, so same-day orders enter together and gaps shrink the
+    * frame). Partitioned by customer: per-key frames, no global
+    * window. Revenue rounds at 4dp per the float-aggregate
+    * convention. */
+  val qWindowRange: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          expr("unix_date(cast(o_orderdate as date))").cast("long").as("day"))
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .withColumn("rev_30d", round(sum(col("o_totalprice")).over(w), 4))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          col("n_30d"), col("rev_30d"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey, o_orderkey, CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+             CAST(count(*) OVER w AS BIGINT) AS n_30d,
+             round(sum(o_totalprice) OVER w, 4) AS rev_30d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY date_diff('day', DATE '1970-01-01',
+                     CAST(o_orderdate AS DATE))
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, day, o_orderkey"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_window_range" -> qWindowRange,
     "q_hll_sketch" -> qHllSketch,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_merge" -> qMerge,
     "q_cohort" -> qCohort,
     "q_scd2" -> qScd2,
+    "q_scd2_incremental" -> qScd2Incremental,
     "q_funnel" -> qFunnel,
     "q_grouping_sets" -> qGroupingSets,
     "q_outer_join" -> qOuterJoin,

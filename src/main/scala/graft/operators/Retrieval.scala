@@ -324,9 +324,76 @@ object Retrieval {
                AS rnk, pair, n_occ
       FROM top ORDER BY rnk"""))
 
+  /** ONE BPE merge iteration end-to-end: find the top pair
+    * ([[tBpePairs]]'s count), APPLY it (every occurrence collapses to
+    * a single marker symbol — SQL `replace` is left-to-right
+    * non-overlapping, exactly BPE's greedy application), and recount —
+    * the top-10 pairs of the re-encoded corpus, marker rendered as
+    * `<pair>`. This is the loop body of byte-pair tokenizer training;
+    * a full trainer iterates it with the growing merge table broadcast
+    * (each iteration: one map-side re-encode + one pair aggregate —
+    * nothing here shuffles more than (pair, count) rows). The merge
+    * target is DERIVED in-plan (1-row broadcast), not hardcoded, so
+    * the query is corpus-independent. */
+  val tBpeMerge: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val words = Tables.load(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+      def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("mp"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("mp"), col("pair")).agg(count(lit(1)).as("n_occ"))
+      val top1 = words.select(lit("").as("mp"), col("w"))
+        .transform(pairCounts)
+        .orderBy(col("n_occ").desc, col("pair")).limit(1)
+        .select(col("pair").as("mp"))
+      val merged = words.crossJoin(broadcast(top1))
+        .select(col("mp"), expr("replace(w, mp, char(1))").as("w"))
+        .filter(length(col("w")) >= 2)
+      val w2 = Window.orderBy(col("n_occ").desc, col("pair"))
+      pairCounts(merged)
+        .orderBy(col("n_occ").desc, col("pair")).limit(10)
+        .withColumn("rnk", row_number().over(w2).cast("long"))
+        .select(col("rnk"),
+          expr("replace(pair, char(1), concat('<', mp, '>'))").as("pair"),
+          col("n_occ"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH words AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+      w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+      p0 AS (
+        SELECT unnest([substring(w, CAST(x AS INT), 2)
+                       for x in range(1, length(w))]) AS pair
+        FROM w2),
+      top1 AS (
+        SELECT pair AS mp, CAST(count(*) AS BIGINT) AS n
+        FROM p0 GROUP BY pair ORDER BY n DESC, mp LIMIT 1),
+      mw AS (
+        SELECT mp, replace(w, mp, chr(1)) AS w FROM w2, top1),
+      mw2 AS (SELECT mp, w FROM mw WHERE length(w) >= 2),
+      p1 AS (
+        SELECT mp, unnest([substring(w, CAST(x AS INT), 2)
+                           for x in range(1, length(w))]) AS pair
+        FROM mw2),
+      cnt AS (
+        SELECT mp, pair, CAST(count(*) AS BIGINT) AS n_occ
+        FROM p1 GROUP BY mp, pair),
+      top AS (
+        SELECT mp, pair, n_occ FROM cnt ORDER BY n_occ DESC, pair LIMIT 10)
+      SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, pair) AS BIGINT)
+               AS rnk,
+             replace(pair, chr(1), '<' || mp || '>') AS pair, n_occ
+      FROM top ORDER BY rnk"""))
+
   val defs: Map[String, QueryDef] = Map(
     "t_tfidf" -> tTfidf,
     "t_bm25" -> tBm25,
     "t_dsir" -> tDsir,
-    "t_bpe_pairs" -> tBpePairs)
+    "t_bpe_pairs" -> tBpePairs,
+    "t_bpe_merge" -> tBpeMerge)
 }

@@ -168,6 +168,44 @@ class RetrievalSpec extends SparkSpec {
       s"worst bucket partkey span $worst vs global range $pkRange")
   }
 
+  test("q_scd2_incremental ≡ full SCD-2 rebuild") {
+    val full = Relational.qScd2.fn(spark, sf)
+    val inc = Relational.qScd2Incremental.fn(spark, sf)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
+  test("q_window_range: frame bounded by value distance, not row count") {
+    val out = Relational.qWindowRange.fn(spark, sf).cache()
+    // every frame holds at least its own row, and revenue is positive
+    assert(out.filter(col("n_30d") < 1).isEmpty)
+    assert(out.filter(col("rev_30d") <= 0).isEmpty)
+    // recompute one customer's trailing counts by brute force
+    val ck = out.select("o_custkey").first().getLong(0)
+    val rows = out.filter(col("o_custkey") === ck)
+      .select("o_orderkey", "day", "n_30d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val days = rows.map(_._2)
+    rows.foreach { case (_, d, n) =>
+      val expect = days.count(x => x >= d - 30 && x <= d)
+      assert(n == expect, s"cust $ck day $d: $n vs $expect")
+    }
+  }
+
+  test("t_bpe_merge: merged pair vanishes from the re-encoded corpus") {
+    val before = Retrieval.tBpePairs.fn(spark, sf).orderBy("rnk")
+      .select("pair").first().getString(0)
+    val after = Retrieval.tBpeMerge.fn(spark, sf).cache()
+    assert(after.count() == 10)
+    // the merged pair cannot survive as a plain pair (every occurrence
+    // collapsed to the 1-char marker), and marker pairs render as <pair>
+    assert(after.filter(col("pair") === before).isEmpty)
+    // counts never increase down the ranking
+    val rows = after.orderBy("rnk").collect()
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_occ") >= b.getAs[Long]("n_occ"))
+    }
+  }
+
   test("d_dedup_report: conservation — docs partition into clusters") {
     val docs = Tables.load(spark, sf, "documents")
     val rep = Corpus.dDedupReport.fn(spark, sf).cache()
