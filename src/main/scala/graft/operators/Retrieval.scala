@@ -284,39 +284,56 @@ object Retrieval {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Corpus word-frequency table — the compression every published
+    * BPE trainer starts from (GPT-2's, HF tokenizers): the corpus
+    * collapses to (word, count) via one map-side-combined aggregate,
+    * and every merge iteration's pair count then runs over the
+    * VOCABULARY (thousands of rows) weighted by count, not the corpus
+    * (billions of tokens). Measured at the 100x replica: per-token
+    * pair explosion cost 95 s where the weighted-vocabulary form
+    * costs ~2 s — the difference between re-scanning the corpus per
+    * merge and re-scanning a lookup table. */
+  private def wordCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+
+  private val wordCountsSql = """
+      words AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+      wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS wn
+        FROM words WHERE length(w) >= 2 GROUP BY w)"""
+
   /** BPE merge-candidate counting — the inner loop of byte-pair
     * tokenizer training: the top-30 adjacent CHARACTER pairs inside
-    * words, by corpus frequency (ties by pair). One explode over
-    * word-internal 2-grams built map-side with transform+sequence (no
-    * self-join, no shuffle before the pair aggregation, exactly the
-    * [[Pipeline]].tColloc shape one level down); a full BPE trainer
-    * iterates this count → merge → recount loop, and each iteration
-    * is this same aggregate over a re-encoded corpus. */
+    * words, by corpus frequency (ties by pair), counted over the
+    * word-frequency table ([[wordCounts]]) with per-word pair lists
+    * weighted by word count. */
   val tBpePairs: QueryDef = QueryDef(
     fn = (s, dir) => {
-      val pairs = Tables.load(s, dir, "documents")
-        .select(explode(TF.tokens(col("text"))).as("w"))
-        .filter(length(col("w")) >= 2)
-        .select(explode(expr(
+      val w = Window.orderBy(col("n_occ").desc, col("pair"))
+      wordCounts(s, dir)
+        .select(col("wn"), explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
           .as("pair"))
-      val w = Window.orderBy(col("n_occ").desc, col("pair"))
-      pairs.groupBy(col("pair")).agg(count(lit(1)).as("n_occ"))
+        .groupBy(col("pair")).agg(sum(col("wn")).as("n_occ"))
         .orderBy(col("n_occ").desc, col("pair")).limit(30)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .select(col("rnk"), col("pair"), col("n_occ"))
         .orderBy(col("rnk"))
     },
-    oracle = Some("""
-      WITH words AS (
-        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
-        FROM documents),
+    oracle = Some(s"""
+      WITH $wordCountsSql,
       pairs AS (
-        SELECT unnest([substring(w, CAST(x AS INT), 2)
-                       for x in range(1, length(w))]) AS pair
-        FROM words WHERE length(w) >= 2),
+        SELECT wn, unnest([substring(w, CAST(x AS INT), 2)
+                           for x in range(1, length(w))]) AS pair
+        FROM wc),
       cnt AS (
-        SELECT pair, CAST(count(*) AS BIGINT) AS n_occ
+        SELECT pair, CAST(sum(wn) AS BIGINT) AS n_occ
         FROM pairs GROUP BY pair),
       top AS (
         SELECT pair, n_occ FROM cnt ORDER BY n_occ DESC, pair LIMIT 30)
@@ -337,21 +354,22 @@ object Retrieval {
     * the query is corpus-independent. */
   val tBpeMerge: QueryDef = QueryDef(
     fn = (s, dir) => {
-      val words = Tables.load(s, dir, "documents")
-        .select(explode(TF.tokens(col("text"))).as("w"))
-        .filter(length(col("w")) >= 2)
+      val wc = wordCounts(s, dir)
       def pairCounts(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("mp"), explode(expr(
+        .select(col("mp"), col("wn"), explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
           .as("pair"))
-        .groupBy(col("mp"), col("pair")).agg(count(lit(1)).as("n_occ"))
-      val top1 = words.select(lit("").as("mp"), col("w"))
+        .groupBy(col("mp"), col("pair")).agg(sum(col("wn")).as("n_occ"))
+      val top1 = wc.select(lit("").as("mp"), col("w"), col("wn"))
         .transform(pairCounts)
         .orderBy(col("n_occ").desc, col("pair")).limit(1)
         .select(col("pair").as("mp"))
-      val merged = words.crossJoin(broadcast(top1))
-        .select(col("mp"), expr("replace(w, mp, char(1))").as("w"))
+      // apply the merge to the VOCABULARY and re-group: distinct words
+      // can collapse onto one re-encoded form, their counts sum
+      val merged = wc.crossJoin(broadcast(top1))
+        .select(col("mp"), expr("replace(w, mp, char(1))").as("w"), col("wn"))
         .filter(length(col("w")) >= 2)
+        .groupBy(col("mp"), col("w")).agg(sum(col("wn")).as("wn"))
       val w2 = Window.orderBy(col("n_occ").desc, col("pair"))
       pairCounts(merged)
         .orderBy(col("n_occ").desc, col("pair")).limit(10)
@@ -361,27 +379,26 @@ object Retrieval {
           col("n_occ"))
         .orderBy(col("rnk"))
     },
-    oracle = Some("""
-      WITH words AS (
-        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
-        FROM documents),
-      w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+    oracle = Some(s"""
+      WITH $wordCountsSql,
       p0 AS (
-        SELECT unnest([substring(w, CAST(x AS INT), 2)
-                       for x in range(1, length(w))]) AS pair
-        FROM w2),
+        SELECT wn, unnest([substring(w, CAST(x AS INT), 2)
+                           for x in range(1, length(w))]) AS pair
+        FROM wc),
       top1 AS (
-        SELECT pair AS mp, CAST(count(*) AS BIGINT) AS n
+        SELECT pair AS mp, CAST(sum(wn) AS BIGINT) AS n
         FROM p0 GROUP BY pair ORDER BY n DESC, mp LIMIT 1),
       mw AS (
-        SELECT mp, replace(w, mp, chr(1)) AS w FROM w2, top1),
-      mw2 AS (SELECT mp, w FROM mw WHERE length(w) >= 2),
+        SELECT mp, replace(w, mp, chr(1)) AS w, wn FROM wc, top1),
+      mw2 AS (
+        SELECT mp, w, CAST(sum(wn) AS BIGINT) AS wn
+        FROM mw WHERE length(w) >= 2 GROUP BY mp, w),
       p1 AS (
-        SELECT mp, unnest([substring(w, CAST(x AS INT), 2)
-                           for x in range(1, length(w))]) AS pair
+        SELECT mp, wn, unnest([substring(w, CAST(x AS INT), 2)
+                               for x in range(1, length(w))]) AS pair
         FROM mw2),
       cnt AS (
-        SELECT mp, pair, CAST(count(*) AS BIGINT) AS n_occ
+        SELECT mp, pair, CAST(sum(wn) AS BIGINT) AS n_occ
         FROM p1 GROUP BY mp, pair),
       top AS (
         SELECT mp, pair, n_occ FROM cnt ORDER BY n_occ DESC, pair LIMIT 10)
