@@ -20,31 +20,19 @@ object Corpus {
     * doc_id). The anti-spam guard against one domain flooding the
     * corpus.
     *
-    * TWO-PHASE ranking, because domains are few and hot: a single
-    * window partitioned by source would funnel an entire domain's
-    * documents (corpus/#domains rows — terabytes at 100 TB over tens
-    * of sources) into one partition. Phase 1 ranks per (source,
-    * input-partition) — spark_partition_id() spreads each hot source
-    * over every input split — and keeps 12 per cell, which provably
-    * contains the global per-source top-12 (any globally-kept row is
-    * in its own cell's top-12 under the same ordering). Phase 2 ranks
-    * the survivors (<= 12 x #splits per source, KBs) per source. */
+    * Ranks via the shared hot-partition-safe two-phase top-k
+    * ([[Ranking.topKPerGroup]] — domains are few and hot, so a single
+    * window partitioned by source would funnel an entire domain,
+    * corpus/#domains rows, into one partition). */
   val tDomainCap: QueryDef = QueryDef(
-    fn = (s, dir) => {
-      val w1 = Window.partitionBy(col("source"), col("_cell"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      val w2 = Window.partitionBy(col("source"))
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          spark_partition_id().as("_cell"))
-        .withColumn("_rnk1", row_number().over(w1))
-        .filter(col("_rnk1") <= 12)
-        .withColumn("rnk", row_number().over(w2).cast("long"))
-        .filter(col("rnk") <= 12)
+    fn = (s, dir) =>
+      Ranking.topKPerGroup(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          Seq(col("source")), Seq(col("n_chars").desc, col("doc_id")),
+          12, "rnk")
         .select(col("doc_id"), col("source"), col("n_chars"), col("rnk"))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     oracle = Some("""
       SELECT doc_id, source, n_chars, rnk
       FROM (SELECT doc_id, source, n_chars,
@@ -94,8 +82,13 @@ object Corpus {
       dir: String): org.apache.spark.sql.DataFrame = {
     storeCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     storeCache.getOrElseUpdate((s, dir), {
+      // path carries a hash of the FULL dir (the cache key), not just
+      // its basename: two corpora named sf0.1 under different parents
+      // must not clobber each other's store on shared /tmp
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
       val path = s"${sys.props("java.io.tmpdir")}/graft_sigstore_" +
-        new java.io.File(dir).getName
+        s"${new java.io.File(dir).getName}_$dirTag"
       Dedup.signatureStore(
         Tables.load(s, dir, "documents").filter(col("doc_id") % 2 === 0),
         "text", "doc_id", numHashes = 64, bands = 16)
@@ -254,16 +247,9 @@ object Corpus {
     fn = (s, dir) => {
       val h = Multimodal.phashMedia(s, Multimodal.phashMediaTable(s, dir))
         .select(col("doc_id"), col("group_id"), col("phash_bits"))
-      val intra = h.as("a").join(h.as("b"),
-        col("a.group_id") === col("b.group_id") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(expr("bit_count(a.phash_bits ^ b.phash_bits)").as("d"))
-        .agg(max(col("d")).as("intra_max"))
-      val reps = h.filter(col("doc_id") === col("group_id"))
-      val inter = reps.as("a").join(reps.as("b"),
-        col("a.group_id") + 5 === col("b.group_id"))
-        .select(expr("bit_count(a.phash_bits ^ b.phash_bits)").as("d"))
-        .agg(min(col("d")).as("inter_min"))
+      val (intraD, interD) = Multimodal.phashDistances(h)
+      val intra = intraD.agg(max(col("d")).as("intra_max"))
+      val inter = interD.agg(min(col("d")).as("inter_min"))
       h.agg(count(lit(1)).as("n_docs"),
         countDistinct(col("group_id")).as("n_groups"))
         .crossJoin(intra).crossJoin(inter)
@@ -277,13 +263,17 @@ object Corpus {
              TRUE AS intra_ok, TRUE AS inter_ok
       FROM documents"""))
 
-  /** Z-order (Morton) interleave of the low 16 bits of key `a` (even
+  /** Z-order (Morton) interleave of the low 28 bits of key `a` (even
     * bit positions) and key `b` (odd positions), rendered per dialect
     * from ONE bit loop so Spark and the oracle compute bit-identical
     * values. Disjoint bit positions sum with `+` — no bitwise-or
-    * dialect differences. */
+    * dialect differences. 28 bits per key: keys to 2^28 (~268M)
+    * interleave alias-free with z < 2^56 (the earlier 16-bit width
+    * aliased partkeys past 65k — i.e. any sf ≥ ~0.33 — which silently
+    * degenerates the clustering audit while still matching the
+    * oracle); past 2^28, right-shift the keys into range first. */
   private def zOrderSql(a: String, b: String, spark: Boolean): String =
-    (0 until 16).flatMap { i =>
+    (0 until 28).flatMap { i =>
       if (spark)
         Seq(s"shiftleft(shiftright($a, $i) & 1, ${2 * i})",
           s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})")

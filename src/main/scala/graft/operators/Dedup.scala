@@ -133,12 +133,25 @@ object Dedup {
     def banded(sh: DataFrame, id: String, shCol: String) =
       sh.select(col(id), explode(Bridge.column(MinHashBandKeys(
         Bridge.expression(col(shCol)), b, r, seed))).as("bkey"))
-    val cand = banded(shIn, "doc_id", "sh_s")
-      .join(banded(shRef, "ref_id", "sh_r"), "bkey")
+    directedVerify(
+      banded(shIn, "doc_id", "sh_s")
+        .join(banded(shRef, "ref_id", "sh_r"), "bkey"),
+      shIn, shRef, threshold)
+  }
+
+  /** Shared candidate → verified tail of the cross-corpus paths
+    * ([[crossCorpusPairs]], [[crossCorpusPairsStored]]): DISTINCT the
+    * directed candidate id-pairs, join both shingle sets back, keep
+    * round(Jaccard, 4) >= threshold — the rounding-then-threshold
+    * order is load-bearing (it must match the oracle's, see the
+    * shinglePairsSql comment in [[Pipeline]]), so it lives in exactly
+    * one place. */
+  private def directedVerify(cand: DataFrame, shIn: DataFrame,
+      shRef: DataFrame, threshold: Double): DataFrame =
+    cand
       .filter(col("doc_id") =!= col("ref_id"))
       .select(col("doc_id"), col("ref_id"))
       .distinct()
-    cand
       .join(shIn, "doc_id")
       .join(shRef, "ref_id")
       .select(col("doc_id"), col("ref_id"),
@@ -146,7 +159,6 @@ object Dedup {
           Bridge.expression(col("sh_s")), Bridge.expression(col("sh_r")))), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Column-metadata key carrying the banding shape a signature store
     * was built with — (shingleK, bands, rows, seed) — so a delta run
@@ -208,18 +220,8 @@ object Dedup {
         Bridge.expression(col("sh_s")), b.toInt, r.toInt, seed.toLong)))
         .as("bkey"))
     val bRef = store.select(col("ref_id"), explode(col("bkeys")).as("bkey"))
-    val cand = bIn.join(bRef, "bkey")
-      .filter(col("doc_id") =!= col("ref_id"))
-      .select(col("doc_id"), col("ref_id"))
-      .distinct()
-    cand
-      .join(shIn, "doc_id")
-      .join(store.select(col("ref_id"), col("sh").as("sh_r")), "ref_id")
-      .select(col("doc_id"), col("ref_id"),
-        round(Bridge.column(JaccardLong(
-          Bridge.expression(col("sh_s")), Bridge.expression(col("sh_r")))), 4)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    directedVerify(bIn.join(bRef, "bkey"), shIn,
+      store.select(col("ref_id"), col("sh").as("sh_r")), threshold)
   }
 
   /** Shared numHashes/bands resolution for the minhash-family

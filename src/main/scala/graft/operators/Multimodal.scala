@@ -201,9 +201,10 @@ object Multimodal {
 
   /** Deterministic near-dup "camera roll" for perceptual-hash dedup:
     * documents come in groups of `groupSize` that share one SMOOTH
-    * base image (low-order polynomial luminance field seeded by the
-    * group id — the natural-photo stand-in whose energy lives in low
-    * spatial frequencies), each member a bilinear re-render at a
+    * base image ([[PngCodec.renderSmooth]]'s band-limited cosine
+    * mixture seeded by the group id — the natural-photo stand-in
+    * whose energy fills exactly the frequencies the hash reads),
+    * each member a bilinear re-render at a
     * different scale (0.4–1.0 of 160x120). The ingest shape of "the
     * same photo crawled at five thumbnail sizes" — exactly what pHash
     * dedup exists to catch and what byte-level dedup cannot (every
@@ -216,12 +217,20 @@ object Multimodal {
       val ids = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id")).as[Long]
       ids.mapPartitions { it =>
+        // one render per group, not per member: ids arrive mostly
+        // sorted, so a last-base memo collapses the groupSize
+        // redundant renderSmooth calls a per-member render would make
+        var lastGid = Long.MinValue
+        var lastBase: java.awt.image.BufferedImage = null
         it.map { id =>
           val gid = id - id % groupSize
-          val base = PngCodec.renderSmooth(gid, 160, 120)
+          if (gid != lastGid) {
+            lastGid = gid
+            lastBase = PngCodec.renderSmooth(gid, 160, 120)
+          }
           val scale = 0.4 + 0.6 * (id % groupSize).toDouble /
             math.max(1, groupSize - 1)
-          val img = PngCodec.resize(base, scale)
+          val img = PngCodec.resize(lastBase, scale)
           (id, gid, PngCodec.encode(img))
         }
       }.toDF("doc_id", "group_id", "data")
@@ -250,6 +259,28 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "group_id", "width", "height", "phash_bits", "phash")
+  }
+
+  /** The pHash quality distributions — shared DEFINITIONALLY by the
+    * m_modal_phash_contract row and tools/PhashProbe (the measurement
+    * the contract's thresholds come from): `intra` = all within-group
+    * Hamming distances (same photo, different scales; join keyed by
+    * group_id, bounded groupSize² fan-out), `inter` = adjacent-group
+    * representative distances (different photos; linear leg — the
+    * full cross-group matrix is probe-only, quadratic in groups).
+    * Input: [[phashMedia]] output. */
+  def phashDistances(hashes: DataFrame,
+      groupSize: Int = 5): (DataFrame, DataFrame) = {
+    val h = hashes.select(col("doc_id"), col("group_id"), col("phash_bits"))
+    val intra = h.as("a").join(h.as("b"),
+      col("a.group_id") === col("b.group_id") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(expr("bit_count(a.phash_bits ^ b.phash_bits)").as("d"))
+    val reps = h.filter(col("doc_id") === col("group_id"))
+    val inter = reps.as("a").join(reps.as("b"),
+      col("a.group_id") + groupSize === col("b.group_id"))
+      .select(expr("bit_count(a.phash_bits ^ b.phash_bits)").as("d"))
+    (intra, inter)
   }
 
   /** Frame-sampling stage: decode the strip once, keep every
@@ -465,20 +496,36 @@ object PngCodec {
     // one luma pass through the interleaved raster when the decoded
     // layout allows (ImageIO yields TYPE_3BYTE_BGR for these PNGs —
     // getRGB would route every pixel through the ColorModel, measured
-    // ~2x the whole hash); getRGB stays as the general fallback
+    // ~2x the whole hash); getRGB stays as the general fallback. Same
+    // stride/translate guards as lumaSumMilliRows: a subimage's child
+    // raster must NOT take this path (its scanline stride is the
+    // parent's and its origin is translated — indexing it as origin-0
+    // would silently hash the wrong pixels). Both branches evaluate
+    // R*0.299 + G*0.587 + B*0.114 in the SAME operand order so the
+    // two paths are bit-identical (FP addition is order-sensitive).
+    val raster = img.getRaster
     val luma = new Array[Float](w * h)
-    img.getRaster.getDataBuffer match {
-      case b: java.awt.image.DataBufferByte
+    (raster.getDataBuffer, raster.getSampleModel) match {
+      case (b: java.awt.image.DataBufferByte,
+            sm: java.awt.image.PixelInterleavedSampleModel)
           if img.getType == BufferedImage.TYPE_3BYTE_BGR &&
-            b.getOffset == 0 && b.getData.length >= w * h * 3 =>
+            sm.getPixelStride == 3 && b.getOffset == 0 &&
+            raster.getSampleModelTranslateX == 0 &&
+            raster.getSampleModelTranslateY == 0 =>
         val d = b.getData
-        var i = 0
-        var j = 0
-        while (j < w * h) {
-          luma(j) = (0.114 * (d(i) & 0xff) + 0.587 * (d(i + 1) & 0xff) +
-            0.299 * (d(i + 2) & 0xff)).toFloat
-          i += 3
-          j += 1
+        val stride = sm.getScanlineStride
+        var y = 0
+        while (y < h) {
+          var i = y * stride
+          var j = y * w
+          val end = j + w
+          while (j < end) {
+            luma(j) = (0.299 * (d(i + 2) & 0xff) + 0.587 * (d(i + 1) & 0xff) +
+              0.114 * (d(i) & 0xff)).toFloat
+            i += 3
+            j += 1
+          }
+          y += 1
         }
       case _ =>
         val rgb = img.getRGB(0, 0, w, h, null, 0, w)

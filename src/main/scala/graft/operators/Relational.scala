@@ -1027,7 +1027,6 @@ object Relational {
           countDistinct(col("c_custkey")).as("n_exact_grp"))
       val merged = perNation.agg(
         expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
-        sum(col("n_exact_grp")).as("n_sum"),
         count(lit(1)).as("n_nations"),
         max(abs(expr("hll_sketch_estimate(sk)") - col("n_exact_grp"))
           / col("n_exact_grp")).as("grp_err"))

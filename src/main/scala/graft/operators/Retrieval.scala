@@ -104,9 +104,11 @@ object Retrieval {
     * Scale shape: corpus tokens are filtered against the broadcast
     * term list BEFORE the (doc_id, token) aggregation, so the shuffle
     * carries only matching postings (the inverted-index slice, not
-    * the corpus); df and the corpus scalars are 1-to-tens-of-rows
-    * broadcasts; doc lengths join the postings on doc_id; top-10 per
-    * query is a window over the query partition. */
+    * the corpus); the doc length rides the posting rows (no separate
+    * corpus scan or doc_id-keyed lens join); df and the corpus
+    * scalars are 1-to-tens-of-rows broadcasts; top-10 per query is
+    * the two-phase (query_id, input-split) rank — see the inline
+    * comment for the two rejected shapes. */
   val tBm25: QueryDef = QueryDef(
     fn = (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -136,24 +138,14 @@ object Retrieval {
         .withColumn("c", expr(idfSpark) * col("t1"))
       val score = contrib.groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("c")).as("score"))
-      // top-10 per query via TWO-PHASE ranking (the t_domain_cap
-      // shape): phase 1 ranks per (query_id, input-partition) cell and
-      // keeps 10 — provably a superset of the global per-query top-10
-      // — phase 2 ranks the <= 10 x #partitions survivors per query.
-      // A single window partitioned by query_id would funnel every
+      // top-10 per query via the shared two-phase rank ([[Ranking]]):
+      // a single window partitioned by query_id would funnel every
       // scored posting for a query into ONE partition at any corpus
       // size; a TakeOrdered per query (the first fix) re-evaluated the
       // whole scoring subtree once PER QUERY (3x the corpus work,
       // visible as triplicated scans in the archived plan).
-      val w1 = Window.partitionBy(col("query_id"), col("_cell"))
-        .orderBy(col("score").desc, col("doc_id"))
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col("doc_id"))
-      score.withColumn("_cell", spark_partition_id())
-        .withColumn("_r1", row_number().over(w1))
-        .filter(col("_r1") <= 10)
-        .withColumn("rnk", row_number().over(w2).cast("long"))
-        .filter(col("rnk") <= 10)
+      Ranking.topKPerGroup(score, Seq(col("query_id")),
+          Seq(col("score").desc, col("doc_id")), 10, "rnk")
         .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
         .orderBy(col("query_id"), col("rnk"))
     },

@@ -402,7 +402,7 @@ case class JaccardLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** rolling_fingerprint(string) -> long (window of `k` bytes). */
+/** deflate_size(string) -> long (raw-DEFLATE byte count at `level`). */
 case class DeflateSize(child: Expression, level: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -414,6 +414,7 @@ case class DeflateSize(child: Expression, level: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): DeflateSize = copy(child = c)
 }
 
+/** rolling_fingerprint(string) -> long (window of `k` bytes). */
 case class RollingFingerprint(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

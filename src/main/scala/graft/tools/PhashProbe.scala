@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 /** Measurement behind m_modal_phash_contract's pinned thresholds:
   * intra-group (same photo, five scales) and inter-group (different
   * photos) Hamming-distance distributions of the 64-bit DCT pHash
-  * over the near-dup camera roll. Run per SF dir:
+  * over the near-dup camera roll. The intra/adjacent-inter legs are
+  * [[Multimodal.phashDistances]] — the SAME DataFrames the contract
+  * row aggregates, so the measurement and the contract cannot drift
+  * apart; only the full cross-group matrix (quadratic in groups) is
+  * probe-only. Run per SF dir:
   *
   *   sbt "runMain graft.tools.PhashProbe /root/testdata/sf0.01"
   */
@@ -18,15 +22,9 @@ object PhashProbe {
     val h = Multimodal.phashMedia(spark, Multimodal.phashMediaTable(spark, dir))
       .select(col("doc_id"), col("group_id"), col("phash_bits")).cache()
 
-    val intra = h.as("a").join(h.as("b"),
-      col("a.group_id") === col("b.group_id") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(expr("bit_count(a.phash_bits ^ b.phash_bits)").as("d"))
-    val reps = h.filter(col("doc_id") === col("group_id"))
-    val inter = reps.as("a").join(reps.as("b"),
-      col("a.group_id") + 5 === col("b.group_id"))
-      .select(expr("bit_count(a.phash_bits ^ b.phash_bits)").as("d"))
+    val (intra, inter) = Multimodal.phashDistances(h)
     // full cross-group distribution too (quadratic in groups — probe-only)
+    val reps = h.filter(col("doc_id") === col("group_id"))
     val interAll = reps.as("a").join(reps.as("b"),
       col("a.group_id") < col("b.group_id"))
       .select(expr("bit_count(a.phash_bits ^ b.phash_bits)").as("d"))
