@@ -1104,7 +1104,44 @@ object Relational {
                    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       ORDER BY o_custkey, day, o_orderkey"""))
 
+  /** Hierarchy flattening over a synthetic parent-pointer forest on
+    * the customer keys (chains of 100: parent = key−1 except at
+    * multiples of 100, which root themselves): every node resolved to
+    * (root_id, depth) by [[Hierarchy.resolveRoots]]' pointer jumping —
+    * ~7 doubling rounds where a recursive walk (the oracle's
+    * recursive CTE — Spark has no recursive SQL) takes 100 steps. The
+    * org-chart/BOM/category-tree flattening a warehouse runs to make
+    * hierarchical rollups joinable. */
+  val qHierarchy: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          when(col("c_custkey") % 100 === 0, col("c_custkey"))
+            .otherwise(col("c_custkey") - 1).as("parent"))
+      Hierarchy.resolveRoots(nodes, "id", "parent")
+        .orderBy(col("id"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE n AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey % 100 = 0 THEN c_custkey
+                    ELSE c_custkey - 1 END AS parent
+        FROM customer),
+      walk AS (
+        SELECT id, id AS cur, 0 AS depth FROM n
+        UNION ALL
+        SELECT w.id, nn.parent, w.depth + 1
+        FROM walk w JOIN n nn ON w.cur = nn.id
+        WHERE nn.parent <> nn.id)
+      SELECT id, CAST(cur AS BIGINT) AS root_id,
+             CAST(depth AS BIGINT) AS depth
+      FROM (SELECT *, row_number() OVER (PARTITION BY id
+              ORDER BY depth DESC) AS rn FROM walk)
+      WHERE rn = 1
+      ORDER BY id"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_hierarchy" -> qHierarchy,
     "q_window_range" -> qWindowRange,
     "q_hll_sketch" -> qHllSketch,
     "q_quantile_sketch" -> qQuantileSketch,
