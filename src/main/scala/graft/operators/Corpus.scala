@@ -121,6 +121,35 @@ object Corpus {
         WHERE id_b % 2 = 1 AND id_a % 2 = 0)
       ORDER BY doc_id, ref_id"""))
 
+  /** The STREAMING ingest leg of the signature-store story,
+    * driver-checked on its batch equivalent: decode the documents
+    * topic, keep the odd half as the incoming stream, probe the even
+    * half's persisted store ([[sigStore]]) via
+    * [[graft.streaming.Streaming.nearDupAgainstStore]] — the
+    * steady-state topology where a nightly job appends signatures and
+    * the ingest stream never touches reference text. StreamingSpec
+    * replays the same path micro-batched; the oracle is the same
+    * brute cross-side Jaccard as d_dedup_delta, so store probing from
+    * the stream must lose nothing the recompute path finds. */
+  val sDeltaDedup: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      import graft.streaming.Streaming
+      val docs = Streaming.decodeDocuments(
+        graft.sources.MessageLog.documentsTopic(s, dir))
+      Streaming.nearDupAgainstStore(
+        docs.filter(col("doc_id") % 2 === 1), sigStore(s, dir))
+        .orderBy(col("doc_id"), col("ref_id"))
+    },
+    oracle = Some(s"""
+      WITH ${Pipeline.shinglePairsSql}
+      SELECT doc_id, ref_id, jaccard FROM (
+        SELECT id_a AS doc_id, id_b AS ref_id, jaccard FROM jpairs
+        WHERE id_a % 2 = 1 AND id_b % 2 = 0
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS ref_id, jaccard FROM jpairs
+        WHERE id_b % 2 = 1 AND id_a % 2 = 0)
+      ORDER BY doc_id, ref_id"""))
+
   /** Dedup run report: cluster-size histogram over the FULL corpus
     * (near-dup components + singletons via the `universe` leg) —
     * (cluster_size, n_clusters, n_docs, n_dropped) where n_dropped
@@ -330,6 +359,7 @@ object Corpus {
     "t_domain_cap" -> tDomainCap,
     "d_dedup_delta" -> dDedupDelta,
     "d_dedup_delta_stored" -> dDedupDeltaStored,
+    "s_delta_dedup" -> sDeltaDedup,
     "d_dedup_report" -> dDedupReport,
     "t_compress" -> tCompress,
     "t_compress_contract" -> tCompressContract,

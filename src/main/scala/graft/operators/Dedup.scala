@@ -200,9 +200,13 @@ object Dedup {
     * impossible by construction. Same output contract as
     * [[crossCorpusPairs]]: (doc_id, ref_id, jaccard) directed
     * incoming → reference. */
-  def crossCorpusPairsStored(incoming: DataFrame, store: DataFrame,
-      textCol: String, idCol: String,
-      threshold: Double = 0.5): DataFrame = {
+  /** Parse (shingleK, bands, rows, seed) out of a [[signatureStore]]'s
+    * column metadata — the ONLY sanctioned way to learn a store's
+    * shape (a bare store is rejected loudly, never probed with a
+    * guessed shape). Shared by the batch ([[crossCorpusPairsStored]])
+    * and streaming ([[graft.streaming.Streaming.nearDupAgainstStore]])
+    * probe paths. */
+  private[graft] def storeShape(store: DataFrame): (Int, Int, Int, Long) = {
     val field = store.schema.find(_.name == "bkeys").getOrElse(
       throw new IllegalArgumentException(
         "graft: signature store needs a bkeys column (see Dedup.signatureStore)"))
@@ -212,12 +216,19 @@ object Dedup {
         "silently probe with a mismatched shape")
     val Array(shingleK, b, r, seed) =
       field.metadata.getString(SignatureShapeKey).split(",")
+    (shingleK.toInt, b.toInt, r.toInt, seed.toLong)
+  }
+
+  def crossCorpusPairsStored(incoming: DataFrame, store: DataFrame,
+      textCol: String, idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val (shingleK, b, r, seed) = storeShape(store)
     val shIn = incoming.select(col(idCol).as("doc_id"),
       Bridge.column(HashedWordShingles(
-        Bridge.expression(col(textCol)), shingleK.toInt)).as("sh_s"))
+        Bridge.expression(col(textCol)), shingleK)).as("sh_s"))
     val bIn = shIn.select(col("doc_id"),
       explode(Bridge.column(MinHashBandKeys(
-        Bridge.expression(col("sh_s")), b.toInt, r.toInt, seed.toLong)))
+        Bridge.expression(col("sh_s")), b, r, seed)))
         .as("bkey"))
     val bRef = store.select(col("ref_id"), explode(col("bkeys")).as("bkey"))
     directedVerify(bIn.join(bRef, "bkey"), shIn,

@@ -207,6 +207,58 @@ object Streaming {
     } else verified.drop("ts").distinct()
   }
 
+  /** [[nearDupAgainstReference]] against a PERSISTED
+    * [[graft.operators.Dedup.signatureStore]]: the ingest stream
+    * probes the accumulated corpus's materialized signatures — the
+    * reference text is never re-read and never re-hashed, and the
+    * banding shape is whatever the store was built with (read from
+    * its column metadata; a bare store is rejected loudly, exactly
+    * like the batch probe path). This is the steady-state ingest
+    * topology at 100 TB: a nightly batch job appends new signatures
+    * to the store; the streaming job only ever sees (ref_id, sh,
+    * bkeys) rows. Stream-static equi-join on the exploded band keys,
+    * inline exact-Jaccard verify, pair-dedup bounded by the
+    * watermark; batch input takes the same plan with a plain
+    * DISTINCT (and equals [[graft.operators.Dedup
+    * .crossCorpusPairsStored]] by construction — the driver row's
+    * oracle checks exactly that). */
+  def nearDupAgainstStore(docs: DataFrame, store: DataFrame,
+      threshold: Double = 0.5,
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Dedup
+    import graft.plans.{HashedWordShingles, JaccardLong, MinHashBandKeys}
+    import org.apache.spark.sql.graft.Bridge
+    val (shingleK, b, r, seed) = Dedup.storeShape(store)
+    val s = docs.select(col("ts"), col("doc_id"),
+      Bridge.column(HashedWordShingles(
+        Bridge.expression(col("text")), shingleK)).as("sh_s"))
+      .withColumn("bkey", explode(Bridge.column(MinHashBandKeys(
+        Bridge.expression(col("sh_s")), b, r, seed))))
+    val ref = store.select(col("ref_id"), col("sh").as("sh_r"),
+      explode(col("bkeys")).as("bkey"))
+    val verified = s.join(ref, Seq("bkey"))
+      .filter(col("doc_id") =!= col("ref_id"))
+      .select(col("ts"), col("doc_id"), col("ref_id"),
+        round(Bridge.column(JaccardLong(
+          Bridge.expression(col("sh_s")), Bridge.expression(col("sh_r")))), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (verified.isStreaming) {
+      val wmCols = docs.queryExecution.analyzed.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+          e.eventTime.name
+      }
+      require(wmCols.isEmpty || wmCols.contains("ts"),
+        s"input stream is watermarked on [${wmCols.mkString(", ")}] but " +
+          "nearDupAgainstStore's pair dedup needs the event-time " +
+          "watermark on `ts`; watermark the stream on `ts` or pass it in " +
+          "unwatermarked")
+      val wm = if (wmCols.contains("ts")) verified
+               else verified.withWatermark("ts", watermark)
+      wm.dropDuplicatesWithinWatermark("doc_id", "ref_id").drop("ts")
+    } else verified.drop("ts").distinct()
+  }
+
   /** At-least-once-delivery dedup: keep one row per `event_id`,
     * with state bounded by the watermark (an id re-delivered within
     * the watermark horizon is dropped; state for older ids expires —

@@ -175,6 +175,55 @@ class StreamingSpec extends SparkSpec {
     assert(got === wantPairs)
   }
 
+  test("store-probed streaming delta dedup equals the batch path across micro-batches") {
+    import spark.implicits._
+    // the steady-state ingest topology: reference signatures persisted
+    // once (Dedup.signatureStore -> parquet), the incoming stream
+    // probes the store at the shape in its column metadata — reference
+    // text never re-read. Replayed one file per micro-batch, asserted
+    // equal to the batch run of the same path.
+    val t0 = 1704067200000L
+    def text(tag: String): String =
+      (0 until 20).map(i => s"${tag}w$i").mkString(" ")
+    val reference = (1L to 6L).map(d => (d, text(s"r$d")))
+      .toDF("doc_id", "text")
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_sigstore")
+    try {
+      operators.Dedup.signatureStore(reference, "text", "doc_id",
+        numHashes = 64, bands = 16)
+        .write.mode("overwrite").parquet(storeDir.toString)
+      val store = spark.read.parquet(storeDir.toString)
+      val nearCopy = text("r2").split(" ").updated(9, "CHANGED").mkString(" ")
+      val path = java.nio.file.Files.createTempDirectory("graft_sdelta").toString
+      def seg(n: Int, rows: Seq[(Long, Long, String)]): Unit =
+        rows.toDF("doc_id", "ts_ms", "text")
+          .select(col("doc_id"), timestamp_millis(col("ts_ms")).as("ts"),
+            col("text"))
+          .write.parquet(s"$path/seg$n")
+      seg(1, Seq((11L, t0, nearCopy), (12L, t0 + 60000, text("s12"))))
+      seg(2, Seq((13L, t0 + 120000, text("r4")), // exact copy of ref 4
+        (11L, t0, nearCopy))) // redelivered -> pair-dedup state drops it
+
+      val batchDocs = spark.read.parquet(path + "/*")
+      val want = Streaming.nearDupAgainstStore(batchDocs, store)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(want.map(p => (p._1, p._2)) === Set((11L, 2L), (13L, 4L)))
+      assert(want.forall(_._3 >= 0.5))
+
+      val src = spark.readStream
+        .schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", "1").parquet(path + "/*")
+      val q = Streaming.nearDupAgainstStore(src, store)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sdelta_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("sdelta_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want)
+    } finally deleteRecursively(storeDir.toFile)
+  }
+
   test("near-dup-vs-reference equals the oracled batch minhash operator on the corpus") {
     // self-reference: flagging the corpus against itself must find
     // exactly the pair set the (driver-oracled) Dedup.minhashPairs
