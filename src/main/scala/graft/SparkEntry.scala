@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Pipeline.defs,
     operators.Retrieval.defs,
     operators.Corpus.defs,
+    operators.Graph.defs,
     operators.StreamQueries.defs)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -1140,7 +1140,146 @@ object Relational {
       WHERE rn = 1
       ORDER BY id"""))
 
+  /** Last-touch marketing attribution: each purchase credits the most
+    * recent click/view by the same user within a 30-minute lookback,
+    * else 'direct'. The classic event-log asof pattern done with ONE
+    * pass and ONE keyed window (partition = user_id, order =
+    * (ts_ms, event_id)): the candidate touch rides the frame as a
+    * single BIGINT `ts_ms·10 + channel_code` (ms ~1.7e12, so the
+    * encoding tops out ~1.7e13 — five orders under 2^63), which keeps
+    * the "latest qualifying row" selection inside one codegen'd
+    * last(IGNORE NULLS) instead of a range self-join. Revenue sums in
+    * integer cents (floor(value·100) — IEEE multiply is
+    * correctly-rounded, so both engines floor the same double).
+    *
+    * Scale: the window keys on user_id (corpus-cardinality, no hot
+    * partition); the final aggregate is 3 groups. */
+  val qAttribution: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), expr("ts div 1000000").as("ts_ms"))
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("enc",
+          when(col("event_type") === "click", col("ts_ms") * 10 + 1)
+            .when(col("event_type") === "view", col("ts_ms") * 10 + 2))
+        .withColumn("last_touch", last(col("enc"), ignoreNulls = true)
+          .over(wPrev))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("last_touch").isNotNull &&
+              col("ts_ms") - expr("last_touch div 10") <= 1800000L,
+            when(col("last_touch") % 10 === 1, lit("click"))
+              .otherwise(lit("view")))
+            .otherwise(lit("direct")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 100).cast("long")).as("revenue_cents"))
+        .orderBy(col("channel"))
+    },
+    oracle = Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_ms(ts) AS ts_ms
+        FROM events),
+      enc AS (
+        SELECT *,
+               CASE WHEN event_type = 'click' THEN ts_ms * 10 + 1
+                    WHEN event_type = 'view'  THEN ts_ms * 10 + 2
+               END AS e,
+               last_value(CASE WHEN event_type = 'click' THEN ts_ms * 10 + 1
+                               WHEN event_type = 'view'  THEN ts_ms * 10 + 2
+                          END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_touch
+        FROM ev),
+      p AS (
+        SELECT CASE WHEN last_touch IS NOT NULL
+                     AND ts_ms - last_touch // 10 <= 1800000
+                    THEN CASE WHEN last_touch % 10 = 1 THEN 'click'
+                              ELSE 'view' END
+                    ELSE 'direct' END AS channel,
+               user_id, value
+        FROM enc WHERE event_type = 'purchase')
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM p GROUP BY channel ORDER BY channel"""))
+
+  /** Rate-spike detection on the event stream: hourly counts per
+    * event_type flagged against that type's median + 3·MAD — the
+    * robust anomaly gate an ops pipeline runs over ingest volumes.
+    * Median and MAD are LOWER medians picked by row_number at position
+    * (m+1) div 2 over the sorted counts — rank selection, not
+    * interpolation, so both engines pick the identical integer and no
+    * float percentile enters the plan.
+    *
+    * Scale: the raw aggregation is keyed on (event_type, hour) —
+    * corpus-sized input, bounded output (types × hours). The two
+    * per-type windows run over THAT bounded table (hours grow with
+    * calendar time, not data volume — ~9k rows/type/year), the same
+    * bounded-window argument as t_vocab's TakeOrdered tail. */
+  val qSpike: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cnt = t(s, dir, "events")
+        .select(col("event_type"), expr("(ts div 1000000) div 3600000").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val wType = Window.partitionBy(col("event_type"))
+      def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame =
+        df.withColumn("rn", row_number().over(
+            wType.orderBy(col(valueCol), col("bucket"))))
+          .withColumn("m", count(lit(1)).over(wType))
+          .filter(col("rn") === expr("(m + 1) div 2"))
+          .select(col("event_type"), col(valueCol).as(out))
+      val med = lowerMedian(cnt, "n", "med")
+      val dev = cnt.join(med, "event_type")
+        .withColumn("ad", abs(col("n") - col("med")))
+      val mad = lowerMedian(dev, "ad", "mad")
+      cnt.join(med, "event_type").join(mad, "event_type")
+        .withColumn("is_spike", col("n") > col("med") + lit(3) * col("mad"))
+        .select(col("event_type"), col("bucket"), col("n"), col("med"),
+          col("mad"), col("is_spike"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    oracle = Some("""
+      WITH cnt AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      med AS (
+        SELECT event_type, n AS med FROM (
+          SELECT event_type, n, bucket,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY n, bucket) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS m
+          FROM cnt)
+        WHERE rn = (m + 1) // 2),
+      dev AS (
+        SELECT c.event_type, c.bucket, abs(c.n - m.med) AS ad
+        FROM cnt c JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, ad AS mad FROM (
+          SELECT event_type, ad, bucket,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY ad, bucket) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS m
+          FROM dev)
+        WHERE rn = (m + 1) // 2)
+      SELECT c.event_type, c.bucket, c.n, m.med, d.mad,
+             c.n > m.med + 3 * d.mad AS is_spike
+      FROM cnt c JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      ORDER BY c.event_type, c.bucket"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_attribution" -> qAttribution,
+    "q_spike" -> qSpike,
     "q_hierarchy" -> qHierarchy,
     "q_window_range" -> qWindowRange,
     "q_hll_sketch" -> qHllSketch,
