@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Retrieval.defs,
     operators.Corpus.defs,
     operators.Graph.defs,
+    operators.Selection.defs,
     operators.StreamQueries.defs)
 
   private lazy val defs: Map[String, QueryDef] =

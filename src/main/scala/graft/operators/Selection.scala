@@ -1,0 +1,248 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => TF}
+import graft.plans.NfcNormalize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Data-selection and normalization operators — the curation steps a
+  * training-data pipeline runs between retrieval and packing: Unicode
+  * canonicalization, size-weighted corpus sampling, leakage-safe
+  * train/val/test splitting, and cross-document boilerplate
+  * measurement. All scores are integer-exact per the repo's oracle
+  * convention; randomness is always a salted md5 of a stable id, so
+  * every "draw" replays bit-identically in any engine.
+  */
+object Selection {
+
+  /** t_normalize — Unicode NFC canonicalization through the codegen'd
+    * [[graft.plans.NfcNormalize]] kernel. The synthetic corpus is
+    * ASCII, so the query first plants decomposed sequences
+    * deterministically (every 'a' becomes 'a' + U+0301 COMBINING
+    * ACUTE) IN BOTH ENGINES, then normalizes: NFC must compose each
+    * pair back to precomposed 'á', and the oracle's nfc_normalize
+    * agrees codepoint-for-codepoint or the hash fails. Character
+    * counts before/after expose the composition arithmetic
+    * (n_raw − n_norm = number of planted pairs).
+    *
+    * Scale: pure map — one projection, no shuffle; the kernel's
+    * quick-check fast path returns already-normalized rows with zero
+    * allocation, which is the overwhelming case on real corpora. */
+  val tNormalize: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val mutated = regexp_replace(col("text"), "a", "á")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), mutated.as("mut"))
+        .select(col("doc_id"),
+          Bridge.column(NfcNormalize(Bridge.expression(col("mut"))))
+            .as("text_norm"),
+          length(col("mut")).cast("long").as("n_chars_raw"))
+        .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT doc_id, replace(text, 'a', 'a' || chr(769)) AS mut
+        FROM documents)
+      SELECT doc_id, nfc_normalize(mut) AS text_norm,
+             CAST(length(mut) AS BIGINT) AS n_chars_raw,
+             CAST(length(nfc_normalize(mut)) AS BIGINT) AS n_chars_norm
+      FROM m ORDER BY doc_id"""))
+
+  /** Integer uniform draw for [[tWeightedSample]]: the first 8 hex
+    * digits of a salted md5 decoded to a BIGINT by an 8-term
+    * positional sum — generated per dialect from one loop so the two
+    * engines can't drift. (No conv()/from_hex: DuckDB lacks the
+    * former, Spark the latter; locate/strpos digit lookup is common
+    * ground.) */
+  private def hexToLongSpark(h: String): String =
+    (1 to 8).map(i =>
+      s"(locate(substring($h, $i, 1), '0123456789abcdef') - 1) * " +
+        s"${1L << (4 * (8 - i))}L")
+      .mkString("(", " + ", ")")
+  private def hexToLongDuck(h: String): String =
+    (1 to 8).map(i =>
+      s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+
+  /** t_weighted_sample — sequential Poisson sampling (Ohlsson): a
+    * size-weighted without-replacement sample of k=100 docs, priority
+    * = u/w with u a salted-md5 uniform and w = n_chars, realized as
+    * the BIGINT (u·1000) div w so the order — and therefore the
+    * sample — is engine-exact (IEEE ln() is NOT reproducible across
+    * libms; integer division is). Longer documents draw
+    * proportionally smaller priorities, so the sample is
+    * probability-proportional-to-size — the standard corpus
+    * downsampling draw.
+    *
+    * Scale: priorities are one map pass; the k smallest is a
+    * TakeOrdered (per-partition top-k then merge, O(k) memory per
+    * partition); the rank window runs over the 100-row result only
+    * — bounded by construction. */
+  val tWeightedSample: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val sampled = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("w"))
+        .withColumn("h", substring(
+          md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 8))
+        .withColumn("u", expr(hexToLongSpark("h")))
+        .withColumn("priority", expr("(u * 1000) div w"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(100)
+      sampled
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("priority"), col("doc_id"))).cast("long"))
+        .select(col("rnk"), col("doc_id"), col("w"), col("priority"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some(s"""
+      WITH p AS (
+        SELECT doc_id, greatest(n_chars, 1) AS w,
+               substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        FROM documents),
+      pr AS (
+        SELECT doc_id, w,
+               (${hexToLongDuck("h")} * 1000) // w AS priority
+        FROM p),
+      top AS (
+        SELECT doc_id, w, priority FROM pr
+        ORDER BY priority, doc_id LIMIT 100)
+      SELECT CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT)
+               AS rnk,
+             doc_id, CAST(w AS BIGINT) AS w, priority
+      FROM top ORDER BY rnk"""))
+
+  /** t_split_leakfree — train/val/test assignment that cannot leak
+    * near-duplicates across splits: documents are first clustered by
+    * the minhash near-dup graph ([[Dedup.minhashPairs]] →
+    * [[Dedup.clusters]] over the full doc universe), then the WHOLE
+    * cluster is assigned one split by salted md5 of its cluster_id
+    * (~80/10/10). A doc and its near-duplicate land in the same
+    * cluster by construction, hence the same split — the
+    * contamination guarantee a naive per-doc hash split lacks.
+    *
+    * Scale: inherits the banded-LSH pair generation and O(log n)
+    * component rounds already scale-proven for d_dedup_clusters; the
+    * split assignment itself is one map over the label table. */
+  val tSplitLeakfree: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.clusters(
+        Dedup.minhashPairs(docs, "text", "doc_id",
+          numHashes = 64, bands = 16),
+        universe = Some(docs.select(col("doc_id"))))
+        .withColumn("b", substring(
+          md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 2))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          when(col("b") < "cc", "train")
+            .when(col("b") < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE ${Pipeline.shinglePairsSql},
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+                UNION SELECT id_b, id_a FROM jpairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+      lab AS (
+        SELECT src AS id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      uni AS (
+        SELECT d.doc_id AS id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+      SELECT id AS doc_id, cluster_id,
+             CASE WHEN b < 'cc' THEN 'train'
+                  WHEN b < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT *, substring(md5('split:' || CAST(cluster_id AS VARCHAR)),
+                                1, 2) AS b
+            FROM uni)
+      ORDER BY doc_id"""))
+
+  /** t_boilerplate — cross-document boilerplate measurement (the
+    * CCNet/RefinedWeb shared-phrase signal): a word bigram is
+    * "boilerplate" when it appears in ≥ 1/25th of all documents; each
+    * doc reports how many of its bigram POSITIONS are boilerplate
+    * (ppm) and a keep flag at < 50%. Distinct from t_repetition
+    * (within-doc loops): this flags text SHARED ACROSS documents —
+    * templates, headers, navigation chrome.
+    *
+    * Scale: the frequency table aggregates (gram → df) with map-side
+    * combine; the boiler set is bounded above by 25·(corpus positions
+    * / n_docs) ≈ 25·avg_len grams and BROADCASTS to a semi join, so
+    * the by-definition-hot boilerplate grams never key a shuffle —
+    * the same hot-token shape t_rarity pins in its spec. */
+  val tBoilerplate: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val grams = docs
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+             ELSE transform(sequence(1, size(toks) - 1),
+                    i -> concat(element_at(toks, i), ' ',
+                                element_at(toks, i + 1))) END""").as("grams"))
+      val pos = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+      val dfreq = pos.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val boiler = dfreq.crossJoin(broadcast(n))
+        .filter(col("df") * 25 >= col("n_docs"))
+        .select(col("gram"))
+      val nBoiler = pos.join(broadcast(boiler), Seq("gram"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+      grams
+        .select(col("doc_id"), size(col("grams")).cast("long").as("n_pos"))
+        .join(nBoiler, Seq("doc_id"), "left")
+        .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+        .withColumn("boiler_ppm",
+          expr("CASE WHEN n_pos > 0 THEN (n_boiler * 1000000) div n_pos " +
+            "ELSE 0L END"))
+        .withColumn("keep", col("boiler_ppm") < 500000L)
+        .select(col("doc_id"), col("n_pos"), col("n_boiler"),
+          col("boiler_ppm"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               [toks[CAST(x AS INT)] || ' ' || toks[CAST(x AS INT) + 1]
+                for x in range(1, len(toks))] AS grams
+        FROM t),
+      pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      dfreq AS (
+        SELECT gram, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      boiler AS (SELECT gram FROM dfreq, n WHERE df * 25 >= n_docs),
+      bc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        FROM pos WHERE gram IN (SELECT gram FROM boiler)
+        GROUP BY 1),
+      np AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_pos FROM g)
+      SELECT np.doc_id, n_pos,
+             CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
+             CAST(CASE WHEN n_pos > 0
+                       THEN (coalesce(n_boiler, 0) * 1000000) // n_pos
+                       ELSE 0 END AS BIGINT) AS boiler_ppm,
+             CASE WHEN n_pos > 0
+                  THEN (coalesce(n_boiler, 0) * 1000000) // n_pos
+                  ELSE 0 END < 500000 AS keep
+      FROM np LEFT JOIN bc USING (doc_id)
+      ORDER BY np.doc_id"""))
+
+  val defs: Map[String, QueryDef] = Map(
+    "t_normalize" -> tNormalize,
+    "t_weighted_sample" -> tWeightedSample,
+    "t_split_leakfree" -> tSplitLeakfree,
+    "t_boilerplate" -> tBoilerplate)
+}

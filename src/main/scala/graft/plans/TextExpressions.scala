@@ -31,6 +31,16 @@ object TextOps {
     } finally d.end()
   }
 
+  /** Unicode NFC normalization (see [[NfcNormalize]]). isNormalized
+    * is the cheap quick-check scan; only rows that fail it pay the
+    * String decode + compose + re-encode. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — stable across JVMs/executors. */
   def fnv1a(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -412,6 +422,25 @@ case class DeflateSize(child: Expression, level: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.deflateSize($c, $level)")
   override protected def withNewChildInternal(c: Expression): DeflateSize = copy(child = c)
+}
+
+/** nfc_normalize(string) -> string: Unicode NFC (canonical
+  * composition, UAX #15) via the JDK's ICU-derived
+  * java.text.Normalizer — combining sequences compose to their
+  * precomposed forms, so byte-different but canonically-equal texts
+  * hash/dedup identically downstream. Quick-check fast path: NFC-clean
+  * input (the overwhelmingly common case for real corpora) returns
+  * the original UTF8String with ZERO allocation — the String
+  * round-trip only happens on rows that actually need composing. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_nfc_normalize"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.nfc(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
 }
 
 /** rolling_fingerprint(string) -> long (window of `k` bytes). */

