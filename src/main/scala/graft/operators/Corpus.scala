@@ -354,7 +354,61 @@ object Corpus {
       FROM z, zm GROUP BY bucket
       ORDER BY bucket"""))
 
+  /** t_freq_sketch — mergeable FREQUENCY sketch contract, completing
+    * the sketch family next to q_hll_sketch (distinct) and
+    * q_quantile_sketch (rank): a Count-Min sketch
+    * (org.apache.spark.util.sketch, built by the distributed
+    * treeAggregate under DataFrame.stat.countMinSketch) over the
+    * corpus token stream, probed at the EXACT top-20 tokens. CMS
+    * guarantees are one-sided — an estimate never undercounts, and
+    * overcounts by at most ε·N with the configured confidence — so
+    * the contract row pins exactly those two bounds per token. The
+    * 100 TB story: the sketch is fixed-size (ε=1e-4, δ=0.01 →
+    * ~2.7 MB), map-side mergeable, and answers any-token frequency
+    * after the corpus is gone — where the exact top-20 leg costs a
+    * full token shuffle.
+    *
+    * Sketch internals aren't SQL-replayable, so (as with
+    * q_hll_sketch) the estimates themselves stay OUT of the output;
+    * the oracle pins the exact counts and the two boolean bounds. */
+  val tFreqSketch: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+      val nTotal = toks.count()
+      val eps = 1e-4
+      val cms = toks.stat.countMinSketch("token", eps, 0.99, 42)
+      val top = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(20)
+        .collect()
+      val slack = math.ceil(eps * nTotal).toLong
+      val rows = top.zipWithIndex.map { case (r, i) =>
+        val est = cms.estimateCount(r.getString(0))
+        (i + 1L, r.getString(0), r.getLong(1),
+          est >= r.getLong(1), est <= r.getLong(1) + slack)
+      }
+      s.createDataFrame(rows.toSeq)
+        .toDF("rnk", "token", "n_exact", "one_sided_ok", "bound_ok")
+    },
+    oracle = Some("""
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS token
+        FROM documents),
+      top AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+        FROM tok GROUP BY token
+        ORDER BY n_exact DESC, token LIMIT 20)
+      SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, token) AS BIGINT)
+               AS rnk,
+             token, n_exact, TRUE AS one_sided_ok, TRUE AS bound_ok
+      FROM top ORDER BY rnk"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "t_freq_sketch" -> tFreqSketch,
     "t_zorder" -> tZorder,
     "t_domain_cap" -> tDomainCap,
     "d_dedup_delta" -> dDedupDelta,

@@ -1097,7 +1097,7 @@ object Pipeline {
     * 8-token substring dedup) so the tokenization contract — trim +
     * lower + whitespace split + whole-doc fallback under k tokens —
     * can only be edited in sync. */
-  private def wordWindowSql(k: Int): String = s"""t AS (
+  private[operators] def wordWindowSql(k: Int): String = s"""t AS (
         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
         FROM documents),
       g AS (

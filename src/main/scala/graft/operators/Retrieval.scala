@@ -399,7 +399,120 @@ object Retrieval {
              replace(pair, chr(1), '<' || mp || '>') AS pair, n_occ
       FROM top ORDER BY rnk"""))
 
+  /** t_rrf — reciprocal-rank fusion (Cormack et al., SIGIR 2009), the
+    * standard hybrid-retrieval combiner: per query, the lexical
+    * relevance ranking (tf·idf in the repo's integer algebra) fuses
+    * with a per-document quality prior (unique-token ratio — the
+    * repetition signal, higher = cleaner text) by
+    * Σ 1000000 div (60 + rank). Both constituent lists are TOP-100
+    * per query — RRF is defined over retrieved lists, which is also
+    * what makes it scale: a document outside both lists can score at
+    * most 2·10⁶/161 and is provably outside the fused top-10 long
+    * before the corpus matters.
+    *
+    * Scale: both rankings and the fused cut run through
+    * [[Ranking.topKPerGroup]] (two-phase, hot-query-safe); the fuse
+    * join is 100-row-per-query lists. Everything integer, ties broken
+    * by doc_id — the fused order is engine-exact. */
+  val tRrf: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val qdf = s.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      val qterms = qdf.select(col("query_id"),
+        explode(TF.tokens(col("qtext"))).as("token")).distinct()
+      val termSet = qterms.select(col("token")).distinct()
+      val base = docs
+        .select(col("doc_id"), TF.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+          size(array_distinct(col("ts"))).cast("long").as("du"),
+          explode(col("ts")).as("token"))
+        .join(broadcast(termSet), "token")
+      val tf = base.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"),
+          min(col("du")).as("du"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val rel = tf.join(broadcast(qterms), "token")
+        .join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("c", col("tf") * expr(idfSpark))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("rel"),
+          min(expr("(1000 * du) div dl")).as("uniq"))
+      val rl = Ranking.topKPerGroup(rel, Seq(col("query_id")),
+        Seq(col("rel").desc, col("doc_id")), 100, "r_rel")
+        .select(col("query_id"), col("doc_id"), col("r_rel"))
+      val ql = Ranking.topKPerGroup(rel, Seq(col("query_id")),
+        Seq(col("uniq").desc, col("doc_id")), 100, "r_q")
+        .select(col("query_id"), col("doc_id"), col("r_q"))
+      val fused = rl.join(ql, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("fused",
+          coalesce(expr("1000000 div (60 + r_rel)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_q)"), lit(0L)))
+      Ranking.topKPerGroup(fused, Seq(col("query_id")),
+          Seq(col("fused").desc, col("doc_id")), 10, "rnk")
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("fused"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    oracle = Some(s"""
+      WITH q(query_id, qtext) AS (VALUES
+        ${bm25Queries.map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }
+          .mkString(", ")}),
+      qt AS (
+        SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+'))
+                 AS token
+        FROM q),
+      t0 AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+')
+                 AS toks
+        FROM documents),
+      base AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS du,
+               unnest(toks) AS token
+        FROM t0),
+      tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+               min(dl) AS dl, min(du) AS du
+        FROM base WHERE token IN (SELECT token FROM qt)
+        GROUP BY 1, 2),
+      dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      rel AS (
+        SELECT query_id, doc_id, sum(tf * ($idfSql)) AS rel,
+               min((1000 * du) // dl) AS uniq
+        FROM tf JOIN qt USING (token) JOIN dfreq USING (token), n
+        GROUP BY 1, 2),
+      rl AS (
+        SELECT query_id, doc_id, r_rel FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, doc_id) AS r_rel
+          FROM rel) WHERE r_rel <= 100),
+      ql AS (
+        SELECT query_id, doc_id, r_q FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY uniq DESC, doc_id) AS r_q
+          FROM rel) WHERE r_q <= 100),
+      f AS (
+        SELECT coalesce(rl.query_id, ql.query_id) AS query_id,
+               coalesce(rl.doc_id, ql.doc_id) AS doc_id,
+               coalesce(1000000 // (60 + r_rel), 0)
+                 + coalesce(1000000 // (60 + r_q), 0) AS fused
+        FROM rl FULL OUTER JOIN ql
+          ON rl.query_id = ql.query_id AND rl.doc_id = ql.doc_id)
+      SELECT query_id, rnk, doc_id, CAST(fused AS BIGINT) AS fused FROM (
+        SELECT query_id, doc_id, fused,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY fused DESC, doc_id) AS BIGINT) AS rnk
+        FROM f) WHERE rnk <= 10
+      ORDER BY query_id, rnk"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "t_rrf" -> tRrf,
     "t_tfidf" -> tTfidf,
     "t_bm25" -> tBm25,
     "t_dsir" -> tDsir,

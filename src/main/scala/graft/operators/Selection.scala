@@ -169,74 +169,73 @@ object Selection {
   /** t_boilerplate — cross-document boilerplate measurement (the
     * CCNet/RefinedWeb shared-phrase signal): a word bigram is
     * "boilerplate" when it appears in ≥ 1/25th of all documents; each
-    * doc reports how many of its bigram POSITIONS are boilerplate
-    * (ppm) and a keep flag at < 50%. Distinct from t_repetition
-    * (within-doc loops): this flags text SHARED ACROSS documents —
-    * templates, headers, navigation chrome.
+    * doc reports what fraction of its DISTINCT bigram vocabulary is
+    * boilerplate (ppm) and a keep flag at < 50%. Distinct from
+    * t_repetition (within-doc loops): this flags text SHARED ACROSS
+    * documents — templates, headers, navigation chrome.
+    *
+    * Bigrams ride the codegen'd [[graft.plans.HashedWordShingles]]
+    * kernel (k=2; a first cut built them with a higher-order
+    * `transform` lambda — HOFs run INTERPRETED per element, measured
+    * 12 s at sf0.1 where the kernel path reads the corpus once in
+    * whole-stage codegen) and the oracle replays the same windows as
+    * strings via the shared wordWindowSql tokenization contract.
     *
     * Scale: the frequency table aggregates (gram → df) with map-side
-    * combine; the boiler set is bounded above by 25·(corpus positions
-    * / n_docs) ≈ 25·avg_len grams and BROADCASTS to a semi join, so
-    * the by-definition-hot boilerplate grams never key a shuffle —
-    * the same hot-token shape t_rarity pins in its spec. */
+    * combine; the boiler set is bounded above by 25·(corpus distinct
+    * positions / n_docs) ≈ 25·avg_len grams and BROADCASTS to a semi
+    * join, so the by-definition-hot boilerplate grams never key a
+    * shuffle — the same hot-token shape t_rarity pins in its spec. */
   val tBoilerplate: QueryDef = QueryDef(
     fn = (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val grams = docs
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), expr(
-          """CASE WHEN size(toks) < 2 THEN array()
-             ELSE transform(sequence(1, size(toks) - 1),
-                    i -> concat(element_at(toks, i), ' ',
-                                element_at(toks, i + 1))) END""").as("grams"))
-      val pos = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
-      val dfreq = pos.groupBy(col("gram"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // (doc, gram) is distinct-per-doc by kernel construction; one
+      // explode feeds df, the boiler cut, the per-doc tally, and the
+      // per-doc vocabulary size — cached so the corpus is read once
+      val counts = docs
+        .select(col("doc_id"),
+          explode(graft.functions.MinHash.hashedWordShingles(
+            col("text"), 2)).as("gram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = counts.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val boiler = dfreq.crossJoin(broadcast(n))
         .filter(col("df") * 25 >= col("n_docs"))
         .select(col("gram"))
-      val nBoiler = pos.join(broadcast(boiler), Seq("gram"), "left_semi")
+      val nBoiler = counts.join(broadcast(boiler), Seq("gram"), "left_semi")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-      grams
-        .select(col("doc_id"), size(col("grams")).cast("long").as("n_pos"))
+      val nPos = counts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pos"))
+      val out = nPos
         .join(nBoiler, Seq("doc_id"), "left")
         .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
         .withColumn("boiler_ppm",
-          expr("CASE WHEN n_pos > 0 THEN (n_boiler * 1000000) div n_pos " +
-            "ELSE 0L END"))
+          expr("(n_boiler * 1000000) div n_pos")) // kernel emits >= 1
         .withColumn("keep", col("boiler_ppm") < 500000L)
         .select(col("doc_id"), col("n_pos"), col("n_boiler"),
           col("boiler_ppm"), col("keep"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(eager = true)
+      counts.unpersist()
+      out
     },
-    oracle = Some("""
-      WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        FROM documents),
-      g AS (
-        SELECT doc_id,
-               [toks[CAST(x AS INT)] || ' ' || toks[CAST(x AS INT) + 1]
-                for x in range(1, len(toks))] AS grams
-        FROM t),
-      pos AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-      dfreq AS (
-        SELECT gram, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1),
+    oracle = Some(s"""
+      WITH ${Pipeline.wordWindowSql(2)},
+      dfreq AS (SELECT s, count(*) AS df FROM e GROUP BY s),
       n AS (SELECT count(*) AS n_docs FROM documents),
-      boiler AS (SELECT gram FROM dfreq, n WHERE df * 25 >= n_docs),
+      boiler AS (SELECT s FROM dfreq, n WHERE df * 25 >= n_docs),
       bc AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
-        FROM pos WHERE gram IN (SELECT gram FROM boiler)
+        FROM e WHERE s IN (SELECT s FROM boiler)
         GROUP BY 1),
-      np AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_pos FROM g)
+      np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos
+             FROM e GROUP BY 1)
       SELECT np.doc_id, n_pos,
              CAST(coalesce(n_boiler, 0) AS BIGINT) AS n_boiler,
-             CAST(CASE WHEN n_pos > 0
-                       THEN (coalesce(n_boiler, 0) * 1000000) // n_pos
-                       ELSE 0 END AS BIGINT) AS boiler_ppm,
-             CASE WHEN n_pos > 0
-                  THEN (coalesce(n_boiler, 0) * 1000000) // n_pos
-                  ELSE 0 END < 500000 AS keep
+             CAST((coalesce(n_boiler, 0) * 1000000) // n_pos AS BIGINT)
+               AS boiler_ppm,
+             (coalesce(n_boiler, 0) * 1000000) // n_pos < 500000 AS keep
       FROM np LEFT JOIN bc USING (doc_id)
       ORDER BY np.doc_id"""))
 

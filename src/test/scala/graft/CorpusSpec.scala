@@ -95,4 +95,13 @@ class CorpusSpec extends SparkSpec {
     val c = Corpus.mModalPhashContract.fn(spark, sf).collect()(0)
     assert(c.getAs[Boolean]("intra_ok") && c.getAs[Boolean]("inter_ok"))
   }
+
+  test("t_freq_sketch: CMS bounds hold and the top-20 is the exact top-20") {
+    val out = Corpus.tFreqSketch.fn(spark, sf).collect()
+    assert(out.length === 20)
+    assert(out.forall(_.getAs[Boolean]("one_sided_ok")))
+    assert(out.forall(_.getAs[Boolean]("bound_ok")))
+    val counts = out.map(_.getAs[Long]("n_exact"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -42,20 +42,31 @@ class GraphSpec extends SparkSpec {
   }
 
   test("q_triangles agrees with a brute-force recount") {
-    val out = Graph.qTriangles.fn(spark, sf)
-    val total3 = out.agg(sum(col("n_tri"))).collect()(0).getLong(0)
+    // sf0.01: sf0.001's ~10 suppliers spread over 25 nations leave the
+    // within-nation graph triangle-free — trivially true, so recount
+    // at the first SF with real within-nation structure
+    val sf01 = "/root/testdata/sf0.01"
+    val out = Graph.qTriangles.fn(spark, sf01)
+    val total3 = out.agg(coalesce(sum(col("n_tri")), lit(0L)))
+      .collect()(0).getLong(0)
+    assert(total3 > 0, "expected a non-trivial triangle count at sf0.01")
     // brute force: rebuild the capped pair set and count closed
     // triples directly (each triangle counted once via x<y<z).
-    val e0 = Tables.load(spark, sf, "lineitem")
+    val e0 = Tables.load(spark, sf01, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
       .distinct()
+      .join(Tables.load(spark, sf01, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("nk")),
+        col("sk") === col("s_suppkey"))
+      .select(col("p"), col("sk"), col("nk"))
     val capped = e0.withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
           .orderBy(md5(concat_ws(":", lit("tri"), col("p"), col("sk"))),
             col("sk"))))
-      .filter(col("rk") <= 64).select("p", "sk")
+      .filter(col("rk") <= 64).select("p", "sk", "nk")
     val pairs = capped.as("a").join(capped.as("b"),
-        col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+        col("a.p") === col("b.p") && col("a.nk") === col("b.nk") &&
+          col("a.sk") < col("b.sk"))
       .select(col("a.sk").as("x"), col("b.sk").as("y")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted

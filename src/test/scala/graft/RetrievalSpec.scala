@@ -219,4 +219,22 @@ class RetrievalSpec extends SparkSpec {
         col("n_dropped") =!= col("n_docs") - col("n_clusters"))
     assert(bad.isEmpty)
   }
+
+  test("t_rrf: a doc on both top lists outranks single-list docs at equal ranks") {
+    import graft.operators.Retrieval
+    val out = Retrieval.tRrf.fn(spark, sf).collect()
+    // 10 fused results per query, ranks 1..10, fused scores non-increasing
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length))
+      val fused = sorted.map(_.getLong(3))
+      assert(fused.zip(fused.tail).forall { case (a, b) => a >= b })
+      // the theoretical RRF range: one list contributes at most
+      // 1000000/61, two at most 2*1000000/61
+      assert(fused.head <= 2 * (1000000 / 61))
+      assert(fused.last >= 1000000 / 160) // rank <= 100 on some list
+    }
+    assert(byQ.size === 3)
+  }
 }
