@@ -156,7 +156,39 @@ object StreamQueries {
     },
     oracle = Pipeline.tContamination.oracle)
 
+  /** Streaming last-touch attribution through
+    * [[graft.streaming.Streaming.LastTouchProcessor]]: each purchase
+    * attributed online from O(1) per-user state. The driver's batch
+    * gate replays the full log in one call per user (processor sorts
+    * by the oracle's (ts_ms, event_id) frame order); StreamingSpec
+    * replays the same log across event-time-ordered micro-batches and
+    * asserts the emitted attribution set is identical. */
+  val sAttribution: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Streaming.lastTouch(events(s, dir)).toDF()
+        .orderBy(col("user_id"), col("ts_ms"), col("purchase_id")),
+    oracle = Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        FROM events),
+      enc AS (
+        SELECT *,
+               last_value(CASE WHEN event_type = 'click' THEN ts_ms * 10 + 1
+                               WHEN event_type = 'view'  THEN ts_ms * 10 + 2
+                          END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS lt
+        FROM ev)
+      SELECT user_id, event_id AS purchase_id, ts_ms,
+             CASE WHEN lt IS NOT NULL AND ts_ms - lt // 10 <= 1800000
+                  THEN CASE WHEN lt % 10 = 1 THEN 'click' ELSE 'view' END
+                  ELSE 'direct' END AS channel
+      FROM enc WHERE event_type = 'purchase'
+      ORDER BY user_id, ts_ms, purchase_id"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "s_attribution" -> sAttribution,
     "s_contamination" -> sContamination,
     "s_scd2" -> sScd2,
     "s_window_agg" -> sWindowAgg,

@@ -364,6 +364,68 @@ object Streaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- custom state: streaming last-touch attribution ----
+
+  case class TouchEvent(user_id: Long, event_id: Long, ts_ms: Long,
+      event_type: String)
+  case class AttributedPurchase(user_id: Long, purchase_id: Long,
+      ts_ms: Long, channel: String)
+
+  /** Per-user last-touch attribution as a streaming state machine: the
+    * candidate touch (ts, channel code) is the ONLY state — O(1) per
+    * user regardless of history length — and every purchase is
+    * attributed at arrival, the online mirror of q_attribution's
+    * batch window. Rows within one call sort by (ts_ms, event_id),
+    * the batch oracle's frame order; across micro-batches the premise
+    * is the same offset-follows-event-time contract the streaming
+    * SCD-2 replay documents (a cross-batch late touch would need the
+    * hold machinery to absorb). */
+  class LastTouchProcessor(lookbackMs: Long = 1800000L)
+      extends StatefulProcessor[Long, TouchEvent, AttributedPurchase] {
+    @transient private var lastTouch: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTouch = getHandle.getValueState[(Long, Long)]("last_touch",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TouchEvent],
+        timers: TimerValues): Iterator[AttributedPurchase] = {
+      val buf = rows.toArray.sortBy(e => (e.ts_ms, e.event_id))
+      var lt: Option[(Long, Long)] =
+        if (lastTouch.exists()) Some(lastTouch.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[AttributedPurchase]
+      buf.foreach { e =>
+        e.event_type match {
+          case "click" => lt = Some((e.ts_ms, 1L))
+          case "view"  => lt = Some((e.ts_ms, 2L))
+          case "purchase" =>
+            val ch = lt match {
+              case Some((t, c)) if e.ts_ms - t <= lookbackMs =>
+                if (c == 1L) "click" else "view"
+              case _ => "direct"
+            }
+            out += AttributedPurchase(key, e.event_id, e.ts_ms, ch)
+          case _ => ()
+        }
+      }
+      lt.foreach(lastTouch.update)
+      out.iterator
+    }
+  }
+
+  /** Apply [[LastTouchProcessor]] to a decoded events frame (batch or
+    * stream). */
+  def lastTouch(events: DataFrame): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    prepareStateV2(events.sparkSession)
+    events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .as[TouchEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new LastTouchProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- custom state: streaming SCD-2 interval maintenance ----
 
   case class TypedEvent(user_id: Long, event_id: Long, ts_ms: Long,

@@ -761,4 +761,50 @@ class StreamingSpec extends SparkSpec {
     // runs in append mode with state bounded by the watermark
     assert(spark.streams.active.isEmpty)
   }
+
+  test("streaming last-touch attribution equals the batch run across micro-batches") {
+    // same replay premise as the SCD-2 test: delivery follows event
+    // time, state (the candidate touch) persists across batches
+    val path = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"), col("event_type"))
+    val jan11 = 1704931200000L
+    val jan21 = 1705795200000L
+    val cuts = Seq(
+      col("ts") < timestamp_millis(lit(jan11)),
+      col("ts") >= timestamp_millis(lit(jan11)) &&
+        col("ts") < timestamp_millis(lit(jan21)),
+      col("ts") >= timestamp_millis(lit(jan21)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emitted =
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+      val src = spark.readStream
+        .schema("user_id long, event_id long, ts timestamp, event_type string")
+        .parquet(path + "/*")
+      val q = Streaming.lastTouch(src)
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.AttributedPurchase],
+              _: Long) =>
+            val rows = d.collect().map(a =>
+              (a.user_id, a.purchase_id, a.ts_ms, a.channel))
+            emitted.synchronized { emitted ++= rows; () }
+        }.start()
+      cuts.zipWithIndex.foreach { case (c, i) =>
+        ev.filter(c).write.parquet(s"$path/b$i")
+        q.processAllAvailable()
+      }
+      q.stop()
+      val batch = Streaming.lastTouch(ev).collect()
+        .map(a => (a.user_id, a.purchase_id, a.ts_ms, a.channel)).toSet
+      assert(emitted.toSet === batch)
+      assert(batch.nonEmpty)
+      // non-trivial: at least one purchase attributed to a real touch
+      assert(batch.exists(_._4 != "direct"))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
