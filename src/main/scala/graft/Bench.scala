@@ -157,6 +157,10 @@ object Bench {
       try operators.Multimodal.phashMediaTable(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case NonFatal(_) => () }
+    if (ordered.exists(_._1.startsWith("m_modal_audio")))
+      try operators.Multimodal.fakeAudioTable(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case NonFatal(_) => () }
     // Noise immunity: N full passes over the suite, per-query MIN across
     // passes. Passes (not back-to-back reps) because the observed noise is
     // ~30 s co-tenant load windows — back-to-back reps of one query all land

@@ -407,7 +407,141 @@ object Corpus {
              token, n_exact, TRUE AS one_sided_ok, TRUE AS bound_ok
       FROM top ORDER BY rnk"""))
 
+  /** d_corpus_diff — snapshot diff between corpus versions: v2 is a
+    * deterministic mutation of the corpus (salted-md5 draws: ~4% of
+    * docs removed, ~8% edited, ~5% re-added under fresh ids), and the
+    * diff classifies every id across both versions by full-outer join
+    * on (id, content hash) into added/removed/changed/unchanged,
+    * rolled up per source — the release-note accounting a corpus
+    * VERSIONING workflow runs between snapshots (what changed since
+    * the data the last model trained on?).
+    *
+    * Scale: two content-hash projections and one full-outer join
+    * keyed on doc_id; the rollup output is |sources|×4 rows. No
+    * windows, no skew (doc_id is unique on both sides). */
+  val dCorpusDiff: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def draw(salt: String) = substring(
+        md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 2)
+      val v1 = docs.select(col("doc_id"), col("source").as("src1"),
+        md5(col("text")).as("h1"))
+      val v2base = docs.filter(draw("del:") >= "0a")
+        .select(col("doc_id"), col("source").as("src2"),
+          md5(when(draw("mod:") < "15", concat(col("text"), lit(" v2marker")))
+            .otherwise(col("text"))).as("h2"))
+      val v2new = docs.filter(draw("add:") < "0d")
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          col("source").as("src2"),
+          md5(concat(col("text"), lit(" newdoc"))).as("h2"))
+      v1.join(v2base.union(v2new), Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src1"), col("src2")).as("source"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") === col("h2"), "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("status"))
+    },
+    oracle = Some("""
+      WITH v1 AS (
+        SELECT doc_id, source AS src1, md5(text) AS h1 FROM documents),
+      v2 AS (
+        SELECT doc_id, source AS src2,
+               CASE WHEN substring(md5('mod:' || CAST(doc_id AS VARCHAR)),
+                                   1, 2) < '15'
+                    THEN md5(text || ' v2marker') ELSE md5(text) END AS h2
+        FROM documents
+        WHERE substring(md5('del:' || CAST(doc_id AS VARCHAR)), 1, 2) >= '0a'
+        UNION ALL
+        SELECT doc_id + 10000000, source, md5(text || ' newdoc')
+        FROM documents
+        WHERE substring(md5('add:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'),
+      d AS (
+        SELECT coalesce(src1, src2) AS source,
+               CASE WHEN h1 IS NULL THEN 'added'
+                    WHEN h2 IS NULL THEN 'removed'
+                    WHEN h1 = h2 THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+      SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY source, status
+      ORDER BY source, status"""))
+
+  /** d_dedup_cascade — the production dedup PIPELINE as one query:
+    * exact dedup first (cheap content-hash pass), then minhash
+    * near-dup clustering over the exact survivors, with per-stage
+    * drop accounting — order matters (exact-first shrinks the
+    * expensive near-dup stage's input) and the stage ledger is what a
+    * data-governance report wants. Output: one row per stage with
+    * (n_remaining, n_dropped).
+    *
+    * The oracle replays both stages from first principles: exact
+    * survivors by content-hash row_number, then the brute Jaccard
+    * pair set RESTRICTED to survivor endpoints — valid because pair
+    * predicates are pairwise, so pairs(subset) = pairs(corpus) ∩
+    * subset² and LSH bucketing per doc is subset-independent —
+    * then the same recursive closure as d_dedup_clusters.
+    *
+    * Scale: inherits the stages' own proven shapes; the ledger is
+    * three 1-row aggregates stacked. */
+  val dDedupCascade: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val s1 = Dedup.exact(docs, "text", "doc_id")
+        .filter(!col("is_dup")).select(col("doc_id"))
+      val docs1 = docs.join(s1, "doc_id")
+      val s2 = Dedup.clusters(
+        Dedup.minhashPairs(docs1, "text", "doc_id",
+          numHashes = 64, bands = 16),
+        universe = Some(docs1.select(col("doc_id"))))
+        .filter(col("is_canonical"))
+      docs.agg(count(lit(1)).as("n0"))
+        .crossJoin(s1.agg(count(lit(1)).as("n1")))
+        .crossJoin(s2.agg(count(lit(1)).as("n2")))
+        .selectExpr("""stack(3,
+            '1_input',    n0, CAST(0 AS BIGINT),
+            '2_exact',    n1, n0 - n1,
+            '3_near_dup', n2, n1 - n2)
+          AS (stage, n_remaining, n_dropped)""")
+        .orderBy(col("stage"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE ${Pipeline.shinglePairsSql},
+      surv1 AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1),
+      sp AS (
+        SELECT id_a, id_b FROM jpairs
+        WHERE id_a IN (SELECT doc_id FROM surv1)
+          AND id_b IN (SELECT doc_id FROM surv1)),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM sp
+                UNION SELECT id_b, id_a FROM sp),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+      noncanon AS (
+        SELECT src AS id FROM reach GROUP BY src
+        HAVING src <> least(src, min(dst))),
+      n0 AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM documents),
+      n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM surv1),
+      n2 AS (SELECT CAST((SELECT n1 FROM n1) - count(*) AS BIGINT) AS n2
+             FROM noncanon)
+      SELECT '1_input' AS stage, n0 AS n_remaining, CAST(0 AS BIGINT)
+               AS n_dropped FROM n0
+      UNION ALL
+      SELECT '2_exact', n1, (SELECT n0 FROM n0) - n1 FROM n1
+      UNION ALL
+      SELECT '3_near_dup', n2, (SELECT n1 FROM n1) - n2 FROM n2
+      ORDER BY stage"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "d_corpus_diff" -> dCorpusDiff,
+    "d_dedup_cascade" -> dDedupCascade,
     "t_freq_sketch" -> tFreqSketch,
     "t_zorder" -> tZorder,
     "t_domain_cap" -> tDomainCap,

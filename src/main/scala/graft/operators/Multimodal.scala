@@ -309,6 +309,91 @@ object Multimodal {
         }
       }
   }
+
+  // ---- audio modality ----
+
+  private val audioContainerType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("fmt", StringType),
+    StructField("data", BinaryType)))
+
+  val audioContainerSchemaJson: String =
+    AvroCodec.avroSchemaFor(audioContainerType, "AudioContainer").toString
+
+  /** Deterministic synthetic audio shelf: one PCM s16le mono clip per
+    * document — sample(t) = ((doc_id·31 + 17·t) mod 4096) − 2048 over
+    * n = 1600 + doc_id mod 800 samples at 16 kHz — wrapped in a typed
+    * Avro container like [[fakeMediaTable]]'s images. The closed form
+    * makes every byte oracle-predictable while the decode side still
+    * does real little-endian PCM parsing. Memoized per corpus dir
+    * (synthesis = producer work, same reasoning as the image shelf). */
+  def fakeAudioTable(spark: SparkSession, sfDir: String): DataFrame = {
+    audioCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    audioCache.getOrElseUpdate((spark, sfDir), {
+      import spark.implicits._
+      val ids = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+      val rendered = ids.mapPartitions { it =>
+        it.map { id =>
+          val n = 1600 + (id % 800).toInt
+          val bytes = new Array[Byte](n * 2)
+          var t = 0
+          while (t < n) {
+            val v = (((id * 31 + 17L * t) % 4096) - 2048).toInt
+            bytes(2 * t) = (v & 0xff).toByte
+            bytes(2 * t + 1) = ((v >> 8) & 0xff).toByte
+            t += 1
+          }
+          (id, 16000, n, "audio/pcm-s16le", bytes)
+        }
+      }.toDF("doc_id", "sample_rate", "n_samples", "fmt", "data")
+      rendered.select(col("doc_id"),
+        avro.to_avro(struct(col("doc_id"), col("sample_rate"),
+          col("n_samples"), col("fmt"), col("data"))
+          .cast(audioContainerType), "AudioContainer").as("audio"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private val audioCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Partition-batched PCM decode → integer clip features: duration,
+    * Σ|s|, peak |s|, and zero crossings (strict sign flips, zeros
+    * neutral) — the audio analogue of [[decodeMediaExact]]: a real
+    * byte-level parse (little-endian s16) in per-partition batches,
+    * all outputs integer-exact for the oracle's closed-form replay. */
+  def decodeAudioExact(spark: SparkSession, audio: DataFrame): DataFrame = {
+    import spark.implicits._
+    audio.select(avro.from_avro(col("audio"), audioContainerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"),
+        col("c.sample_rate").as("sample_rate"), col("c.data").as("data"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, rate, data) =>
+          val n = data.length / 2
+          var sumAbs = 0L
+          var peak = 0L
+          var zc = 0L
+          var prev = 0
+          var t = 0
+          while (t < n) {
+            val v = ((data(2 * t) & 0xff) | (data(2 * t + 1) << 8)).toShort.toInt
+            val a = math.abs(v).toLong
+            sumAbs += a
+            if (a > peak) peak = a
+            if (t > 0 && prev * v < 0) zc += 1
+            prev = v
+            t += 1
+          }
+          (id, n.toLong, n.toLong * 1000L / rate, sumAbs, peak, zc)
+        }
+      }
+      .toDF("doc_id", "n_samples", "duration_ms", "sum_abs", "peak_abs",
+        "zero_crossings")
+  }
 }
 
 /** Pure-JVM PNG codec on `javax.imageio` — real encode/decode/resize,

@@ -2250,6 +2250,39 @@ object Pipeline {
       GROUP BY doc_id, n_frames, w
       ORDER BY doc_id"""))
 
+  /** Audio clip features over the synthetic PCM shelf
+    * ([[Multimodal.fakeAudioTable]]): duration, Σ|s|, peak, zero
+    * crossings from a REAL little-endian s16 byte parse in
+    * per-partition batches — the audio leg of the multimodal block,
+    * same closed-form-oracle contract as m_modal_meta (every sample
+    * value is predictable from doc_id, so the oracle replays the full
+    * waveform arithmetic in SQL). */
+  val mModalAudio: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Multimodal.decodeAudioExact(s, Multimodal.fakeAudioTable(s, dir))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH a AS (
+        SELECT doc_id, 1600 + doc_id % 800 AS n FROM documents),
+      smp AS (
+        SELECT doc_id, n, unnest(range(0, n)) AS t FROM a),
+      v AS (
+        SELECT doc_id, n, t,
+               (doc_id * 31 + 17 * t) % 4096 - 2048 AS s
+        FROM smp),
+      w AS (
+        SELECT doc_id, n, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS sp
+        FROM v)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+             CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+             CAST(sum(CASE WHEN sp IS NOT NULL AND sp * s < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM w GROUP BY doc_id, n
+      ORDER BY doc_id"""))
+
   val defs: Map[String, QueryDef] = Map(
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
@@ -2317,6 +2350,7 @@ object Pipeline {
     "t_rarity" -> tRarity,
     "t_contamination" -> tContamination,
     "t_contamination_bloom" -> tContaminationBloom,
+    "m_modal_audio" -> mModalAudio,
     "m_modal_meta" -> mModalMeta,
     "m_modal_resize" -> mModalResize,
     "m_modal_frames" -> mModalFrames)

@@ -104,4 +104,25 @@ class CorpusSpec extends SparkSpec {
     val counts = out.map(_.getAs[Long]("n_exact"))
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
+
+  test("d_dedup_cascade: ledger telescopes and stages only shrink") {
+    val rows = Corpus.dDedupCascade.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1) === Seq("1_input", "2_exact", "3_near_dup"))
+    val Seq(in, ex, nd) = rows
+    assert(in._3 === 0L)
+    assert(ex._2 + ex._3 === in._2) // exact drops telescope from input
+    assert(nd._2 + nd._3 === ex._2) // near-dup drops telescope from exact
+    assert(nd._2 > 0)
+  }
+
+  test("d_corpus_diff: statuses partition both snapshots") {
+    val byStatus = Corpus.dCorpusDiff.fn(spark, sf).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val n = Tables.load(spark, sf, "documents").count()
+    // v1 = removed + changed + unchanged; v2 = added + changed + unchanged
+    assert(byStatus.getOrElse("removed", 0L) + byStatus.getOrElse("changed", 0L)
+      + byStatus.getOrElse("unchanged", 0L) === n)
+    assert(byStatus.getOrElse("added", 0L) > 0)
+  }
 }

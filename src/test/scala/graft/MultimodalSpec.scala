@@ -68,4 +68,26 @@ class MultimodalSpec extends SparkSpec {
       assert(r.mean_luma > 0 && r.mean_luma < 255)
     }
   }
+
+  test("audio decode matches a hand-computed clip") {
+    import graft.operators.Multimodal
+    val out = Multimodal.decodeAudioExact(spark,
+        Multimodal.fakeAudioTable(spark, sf))
+      .filter(col("doc_id") === 3L).collect()(0)
+    // closed form replayed in Scala for doc_id = 3
+    val id = 3L
+    val n = 1600 + (id % 800).toInt
+    var sumAbs = 0L; var peak = 0L; var zc = 0L; var prev = 0
+    (0 until n).foreach { t =>
+      val v = (((id * 31 + 17L * t) % 4096) - 2048).toInt
+      sumAbs += math.abs(v); peak = math.max(peak, math.abs(v))
+      if (t > 0 && prev * v < 0) zc += 1
+      prev = v
+    }
+    assert(out.getAs[Long]("n_samples") === n.toLong)
+    assert(out.getAs[Long]("duration_ms") === n.toLong * 1000 / 16000)
+    assert(out.getAs[Long]("sum_abs") === sumAbs)
+    assert(out.getAs[Long]("peak_abs") === peak)
+    assert(out.getAs[Long]("zero_crossings") === zc)
+  }
 }
