@@ -39,9 +39,13 @@ object Bench {
     *
     * Capacity, measured with the real suite's names (avg ~11.7
     * chars): 1-decimal carries ~97 queries, deciseconds ~110, packed
-    * ~125, front-coded ~170 on family-prefixed names — past THAT the
-    * ladder keeps the slowest entries plus the honest omission count,
-    * and bench_full.json remains the complete committed record. */
+    * ~125, front-coded ~160 (the 163-query suite measured 2043 — the
+    * ~170 estimate assumed denser family prefixes than q_pagerank /
+    * t_rrf-era keys deliver) → the fc2 rung (comma-free front-coding,
+    * base-62 ds) carries ~175 (the 163-query suite measures 1843) —
+    * past THAT the ladder keeps the slowest entries plus the honest
+    * omission count, and bench_full.json remains the complete
+    * committed record. */
   private[graft] def renderLine(timings: Seq[(String, Double)], total: Double,
       failed: Seq[String], sfDir: String, limit: Int = 1950): String = {
     val sfShort = new java.io.File(sfDir).getName
@@ -103,6 +107,37 @@ object Bench {
       val qds = timings.map(t => ds(t._2)).mkString(",")
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$sb","qds":"$qds","qunit":"ds","qenc":"fc"${failedJson(failCap)},"sf":"$sfShown"}"""
     }
+    // the fc2 rung: front-coded names CONCATENATED (the uppercase lcp
+    // letter that starts every entry doubles as the separator — names
+    // are lowercase snake_case, so a comma per entry is pure waste)
+    // and qds values in base-62 (0-9A-Za-z, variable width, commas
+    // kept — ~6.1 s fits one character). "qenc":"fc2" implies both.
+    // Measured at the 163-query suite: fc read 2043 chars (93 over
+    // the window), fc2 reads 1843 — capacity ~175 real-suite keys
+    // before the slowest-K fallback.
+    def renderFc2(failCap: Int, sfShown: String): String = {
+      val sb = new StringBuilder
+      var prev = ""
+      timings.foreach { case (n, _) =>
+        var l = 0
+        val max = math.min(math.min(prev.length, n.length), 25)
+        while (l < max && prev.charAt(l) == n.charAt(l)) l += 1
+        sb.append(('A' + l).toChar).append(n.substring(l))
+        prev = n
+      }
+      val b62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+      def enc(v0: Long): String = {
+        var v = v0
+        if (v == 0) "0"
+        else {
+          val s = new StringBuilder
+          while (v > 0) { s.insert(0, b62((v % 62).toInt)); v /= 62 }
+          s.toString
+        }
+      }
+      val qds = timings.map(t => enc(math.round(t._2 * 10))).mkString(",")
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$sb","qds":"$qds","qunit":"ds","qenc":"fc2"${failedJson(failCap)},"sf":"$sfShown"}"""
+    }
     (Iterator[() => String](
         () => render(2, Int.MaxValue, timings.size, sfDir),
         () => render(1, Int.MaxValue, timings.size, sfDir),
@@ -110,7 +145,8 @@ object Bench {
         () => render(1, 8, timings.size, sfShort),
         () => render(0, 8, timings.size, sfShort),
         () => renderPacked(8, sfShort)) ++
-      (if (fcSafe) Iterator(() => renderFrontCoded(8, sfShort))
+      (if (fcSafe) Iterator(() => renderFrontCoded(8, sfShort),
+                            () => renderFc2(8, sfShort))
        else Iterator.empty))
       .map(_.apply())
       .find(_.length <= limit)

@@ -29,10 +29,28 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  // decoder for the fc2 rung: entries concatenated, every entry
+  // STARTS with its uppercase lcp letter (names are lowercase
+  // snake_case, so the case change is the separator)
+  private def decodeFc2(qn: String): Seq[String] =
+    decodeFc(qn.split("(?=[A-Z])").filter(_.nonEmpty).mkString(","))
+
+  private val b62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+  private def decodeB62(s: String): Long =
+    s.foldLeft(0L)((acc, c) => acc * 62 + b62.indexOf(c))
+
   private def qnNames(js: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
     val raw = js.get("qn").asText()
-    if (js.has("qenc") && js.get("qenc").asText() == "fc") decodeFc(raw)
+    val enc = if (js.has("qenc")) js.get("qenc").asText() else ""
+    if (enc == "fc2") decodeFc2(raw)
+    else if (enc == "fc") decodeFc(raw)
     else raw.split(",").toSeq
+  }
+
+  private def qdsValues(js: com.fasterxml.jackson.databind.JsonNode): Seq[Long] = {
+    val raw = js.get("qds").asText().split(",").toSeq
+    if (js.has("qenc") && js.get("qenc").asText() == "fc2") raw.map(decodeB62)
+    else raw.map(_.toLong)
   }
 
   test("89-query-scale map renders at 2 decimals and fits") {
@@ -162,6 +180,28 @@ class BenchSpec extends AnyFunSuite {
     val js2 = parse(line2)
     assert(!js2.has("qenc"))
     assert(js2.has("queries_omitted"))
+  }
+
+  test("fc2 rung: weak-prefix keys overflow fc, fc2 decodes exactly") {
+    // 26 distinct leading letters defeat front-coding's lcp savings —
+    // the shape the real 163-query suite hit when q_pagerank/t_rrf-era
+    // prefixes diluted the families (fc read 2043 chars, 93 over)
+    val t = (0 until 190)
+      .map(i => (f"${(97 + i % 26).toChar}x_operator_$i%03d", i * 1.37))
+      .sortBy(_._1)
+    val line = Bench.renderLine(t, t.map(_._2).sum, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= 1950, s"overflows: ${line.length}")
+    val js = parse(line)
+    assert(js.get("qenc").asText() === "fc2", line.take(120))
+    val names = qnNames(js)
+    assert(names === t.map(_._1), "fc2 decode must reproduce the sorted key list")
+    val ds = qdsValues(js)
+    names.zip(ds).foreach { case (q, d) =>
+      assert(d === math.round(t.toMap.apply(q) * 10), q)
+    }
+    assert(!js.has("queries_omitted"))
+    // base-62 exercises multi-char values too (1.37 * 169 * 10 > 62)
+    assert(ds.max > 61L)
   }
 
   test("failed queries are named but never appear in the queries map") {
