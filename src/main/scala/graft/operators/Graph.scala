@@ -158,29 +158,53 @@ object Graph {
     * bounded at Cap²/2 per part by the salted cap. No windows beyond
     * the capped rank, no driver state.
     */
+  /** The within-nation co-supply pair graph shared by [[qTriangles]]
+    * and [[qCommunities]]: distinct (nation, lo, hi) supplier pairs
+    * after the salted per-part cap. */
+  private def coSupplyPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e0 = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .distinct()
+      .join(broadcast(Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("nk"))),
+        col("sk") === col("s_suppkey"))
+      .select(col("p"), col("sk"), col("nk"))
+    val byPart = e0.withColumn("rk",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
+          .orderBy(md5(concat_ws(":", lit("tri"), col("p"), col("sk"))),
+            col("sk"))))
+      .filter(col("rk") <= TriangleCap)
+      .select(col("p"), col("sk"), col("nk"))
+    byPart.as("a")
+      .join(byPart.as("b"),
+        col("a.p") === col("b.p") && col("a.nk") === col("b.nk") &&
+          col("a.sk") < col("b.sk"))
+      .select(col("a.nk").as("nk"), col("a.sk").as("x"),
+        col("b.sk").as("y"))
+      .distinct()
+  }
+
+  /** Shared oracle CTEs mirroring [[coSupplyPairs]]. */
+  private val coSupplyPairsSql: String = s"""e0 AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS sk, s_nationkey AS nk
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+      capped AS (
+        SELECT p, sk, nk FROM (
+          SELECT p, sk, nk,
+                 row_number() OVER (PARTITION BY p
+                   ORDER BY md5('tri:' || CAST(p AS VARCHAR) || ':'
+                                || CAST(sk AS VARCHAR)), sk) AS rk
+          FROM e0) WHERE rk <= $TriangleCap),
+      pairs AS (
+        SELECT DISTINCT a.nk AS nk, a.sk AS x, b.sk AS y
+        FROM capped a JOIN capped b
+          ON a.p = b.p AND a.nk = b.nk AND a.sk < b.sk)"""
+
   val qTriangles: QueryDef = QueryDef(
     fn = (s, dir) => {
-      val e0 = Tables.load(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-        .distinct()
-        .join(broadcast(Tables.load(s, dir, "supplier")
-          .select(col("s_suppkey"), col("s_nationkey").as("nk"))),
-          col("sk") === col("s_suppkey"))
-        .select(col("p"), col("sk"), col("nk"))
-      val byPart = e0.withColumn("rk",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
-            .orderBy(md5(concat_ws(":", lit("tri"), col("p"), col("sk"))),
-              col("sk"))))
-        .filter(col("rk") <= TriangleCap)
-        .select(col("p"), col("sk"), col("nk"))
-      val pairs = byPart.as("a")
-        .join(byPart.as("b"),
-          col("a.p") === col("b.p") && col("a.nk") === col("b.nk") &&
-            col("a.sk") < col("b.sk"))
-        .select(col("a.nk").as("nk"), col("a.sk").as("x"),
-          col("b.sk").as("y"))
-        .distinct()
+      val pairs = coSupplyPairs(s, dir)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val wedges = pairs.as("p1")
         .join(pairs.as("p2"),
@@ -202,20 +226,7 @@ object Graph {
       out
     },
     oracle = Some(s"""
-      WITH e0 AS (
-        SELECT DISTINCT l_partkey AS p, l_suppkey AS sk, s_nationkey AS nk
-        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
-      capped AS (
-        SELECT p, sk, nk FROM (
-          SELECT p, sk, nk,
-                 row_number() OVER (PARTITION BY p
-                   ORDER BY md5('tri:' || CAST(p AS VARCHAR) || ':'
-                                || CAST(sk AS VARCHAR)), sk) AS rk
-          FROM e0) WHERE rk <= $TriangleCap),
-      pairs AS (
-        SELECT DISTINCT a.nk AS nk, a.sk AS x, b.sk AS y
-        FROM capped a JOIN capped b
-          ON a.p = b.p AND a.nk = b.nk AND a.sk < b.sk),
+      WITH $coSupplyPairsSql,
       tri AS (
         SELECT p1.x, p1.y, p2.y AS z
         FROM pairs p1
@@ -229,7 +240,163 @@ object Graph {
       FROM corners GROUP BY suppkey
       ORDER BY suppkey"""))
 
+  /** Per-customer basket cap for the co-purchase projection (same
+    * salted-md5 device as [[TriangleCap]]): a whale account's basket
+    * pairs are quadratic in its distinct-part count without it. */
+  private val BasketCap = 32
+
+  /** q_item_sim — item-item collaborative filtering ("customers who
+    * bought X also bought Y"): cosine similarity over the binary
+    * customer×part purchase matrix, top-5 neighbors per part.
+    * cos(a,b) = n_ab / √(n_a·n_b) is ranked WITHOUT square roots:
+    * cos² scaled to ppm, (n_ab²·10⁶) div (n_a·n_b), is
+    * order-isomorphic to cos on positives and BIGINT-exact, so both
+    * engines rank identically (ties broken by neighbor key).
+    *
+    * Scale shape: baskets are degree-capped per customer (salted md5,
+    * [[BasketCap]]) BEFORE pairing — co-occurrence counts then
+    * aggregate with map-side combine on (a, b) pair keys, diluting
+    * any hot part across its pair space; the per-part top-5 runs
+    * through the two-phase [[Ranking.topKPerGroup]]. Support floor
+    * n_ab ≥ 3 prunes the noise tail before ranking. n_a counts are
+    * computed on the SAME capped baskets, so the cosine is exact for
+    * the projected matrix. */
+  val qItemSim: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val bought = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val capped = bought.withColumn("rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+            .orderBy(md5(concat_ws(":", lit("basket"), col("c"), col("p"))),
+              col("p"))))
+        .filter(col("rk") <= BasketCap)
+        .select(col("c"), col("p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nPer = capped.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      val co = capped.as("a")
+        .join(capped.as("b"),
+          col("a.c") === col("b.c") && col("a.p") =!= col("b.p"))
+        .groupBy(col("a.p").as("p"), col("b.p").as("q"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      val scored = co
+        .join(nPer.select(col("p"), col("n").as("n_p")), "p")
+        .join(nPer.select(col("p").as("q"), col("n").as("n_q")), "q")
+        .withColumn("cos2_ppm",
+          expr("(n_ab * n_ab * 1000000) div (n_p * n_q)"))
+      val out = Ranking.topKPerGroup(scored, Seq(col("p")),
+          Seq(col("cos2_ppm").desc, col("q")), 5, "rnk")
+        .select(col("p"), col("rnk"), col("q"), col("n_ab"), col("cos2_ppm"))
+        .orderBy(col("p"), col("rnk"))
+        .localCheckpoint(eager = true)
+      capped.unpersist()
+      out
+    },
+    oracle = Some(s"""
+      WITH bought AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      capped AS (
+        SELECT c, p FROM (
+          SELECT c, p,
+                 row_number() OVER (PARTITION BY c
+                   ORDER BY md5('basket:' || CAST(c AS VARCHAR) || ':'
+                                || CAST(p AS VARCHAR)), p) AS rk
+          FROM bought) WHERE rk <= $BasketCap),
+      np AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY p),
+      co AS (
+        SELECT a.p AS p, b.p AS q, CAST(count(*) AS BIGINT) AS n_ab
+        FROM capped a JOIN capped b ON a.c = b.c AND a.p <> b.p
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      scored AS (
+        SELECT co.p, co.q, co.n_ab,
+               (co.n_ab * co.n_ab * 1000000) // (np1.n * np2.n) AS cos2_ppm
+        FROM co
+        JOIN np np1 ON np1.p = co.p
+        JOIN np np2 ON np2.p = co.q)
+      SELECT p, rnk, q, n_ab, cos2_ppm FROM (
+        SELECT p, q, n_ab, cos2_ppm,
+               CAST(row_number() OVER (PARTITION BY p
+                 ORDER BY cos2_ppm DESC, q) AS BIGINT) AS rnk
+        FROM scored) WHERE rnk <= 5
+      ORDER BY p, rnk"""))
+
+  private val LpaIters = 5
+
+  /** q_communities — synchronous label propagation (Raghavan et al.
+    * 2007) over the within-nation co-supply graph, [[LpaIters]]
+    * rounds: every node adopts the MODE of its neighbors' labels,
+    * ties to the smallest label — both picked by one integer max of
+    * (count, −label), so the propagation is deterministic and
+    * engine-replayable (classic LPA breaks ties randomly; a corpus
+    * pipeline needs reruns to agree). Labels start as own ids;
+    * output is (suppkey, community) after round 5 — fixed-round LPA
+    * is the production form (convergence is not guaranteed for
+    * synchronous LPA; label oscillation is bounded by the round
+    * cap, and the fixed count is what makes the oracle finite).
+    *
+    * Scale: each round is one edge join + two keyed aggregations
+    * (mode = max over (cnt, −lbl) — partial-aggregated, no window);
+    * the edge list partitioning is reused across rounds, the label
+    * table is node-sized. */
+  val qCommunities: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val pairs = coSupplyPairs(s, dir)
+      val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+        .union(pairs.select(col("y").as("src"), col("x").as("dst")))
+        .repartition(col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to LpaIters) {
+        labels = edges.as("e")
+          .join(labels.as("l"), col("e.dst") === col("l.node"))
+          .groupBy(col("e.src").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("node"))
+          .agg(max(struct(col("cnt"), (lit(0L) - col("lbl")).as("neg")))
+            .as("m"))
+          .select(col("node"), (lit(0L) - col("m.neg")).as("lbl"))
+      }
+      val out = labels
+        .select(col("node").as("suppkey"), col("lbl").as("community"))
+        .orderBy(col("suppkey"))
+        .localCheckpoint(eager = true)
+      edges.unpersist()
+      out
+    },
+    oracle = Some {
+      val iters = (1 to LpaIters).map { i =>
+        s"""l$i AS (
+        SELECT node, lbl FROM (
+          SELECT e.src AS node, l.lbl, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY e.src
+                   ORDER BY count(*) DESC, l.lbl) AS rn
+          FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+          GROUP BY e.src, l.lbl) WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $coSupplyPairsSql,
+      edges AS (
+        SELECT x AS src, y AS dst FROM pairs
+        UNION ALL SELECT y, x FROM pairs),
+      l0 AS (
+        SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      $iters
+      SELECT node AS suppkey, CAST(lbl AS BIGINT) AS community
+      FROM l$LpaIters
+      ORDER BY suppkey"""
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> qPagerank,
-    "q_triangles" -> qTriangles)
+    "q_triangles" -> qTriangles,
+    "q_item_sim" -> qItemSim,
+    "q_communities" -> qCommunities)
 }

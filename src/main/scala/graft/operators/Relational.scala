@@ -1277,8 +1277,78 @@ object Relational {
       FROM cnt c JOIN med m USING (event_type) JOIN mad d USING (event_type)
       ORDER BY c.event_type, c.bucket"""))
 
+  /** Multi-touch (linear) attribution — the fractional-credit
+    * companion to [[qAttribution]]'s last-touch: every click/view in
+    * the 30-minute lookback (inclusive of the purchase millisecond)
+    * shares the purchase's 1000 milli-credits proportionally;
+    * remainder milli-credits fall to the view share (1000 − click −
+    * direct), so credits sum to exactly 1000 per purchase and the
+    * totals are BIGINT-exact. Touch counts come from ONE RANGE-frame
+    * window per channel (value-distance frame over ts_ms — no
+    * purchase×touch range join materializes).
+    *
+    * Scale: the window keys on user_id; the final aggregate is one
+    * 1-row rollup of three integer sums. */
+  val qAttributionMulti: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000000").as("ts_ms"))
+      val wRange = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+        .rangeBetween(-1800000L, 0L)
+      val p = ev
+        .withColumn("n_click", sum(when(col("event_type") === "click", 1L)
+          .otherwise(0L)).over(wRange))
+        .withColumn("n_view", sum(when(col("event_type") === "view", 1L)
+          .otherwise(0L)).over(wRange))
+        .filter(col("event_type") === "purchase")
+        .withColumn("n_t", col("n_click") + col("n_view"))
+        .withColumn("click_milli",
+          when(col("n_t") > 0, expr("(1000 * n_click) div n_t"))
+            .otherwise(0L))
+        .withColumn("direct_milli", when(col("n_t") === 0, 1000L)
+          .otherwise(0L))
+        .withColumn("view_milli",
+          lit(1000L) - col("click_milli") - col("direct_milli"))
+      p.agg(count(lit(1)).as("n_purchases"),
+          sum(col("click_milli")).as("click_milli"),
+          sum(col("view_milli")).as("view_milli"),
+          sum(col("direct_milli")).as("direct_milli"))
+        .withColumn("milli_total",
+          col("click_milli") + col("view_milli") + col("direct_milli"))
+    },
+    oracle = Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+        FROM events),
+      w AS (
+        SELECT *,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 OVER r AS n_click,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 OVER r AS n_view
+        FROM ev
+        WINDOW r AS (PARTITION BY user_id ORDER BY ts_ms
+                     RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)),
+      p AS (
+        SELECT n_click, n_view, n_click + n_view AS n_t,
+               CASE WHEN n_click + n_view > 0
+                    THEN (1000 * n_click) // (n_click + n_view)
+                    ELSE 0 END AS click_milli,
+               CASE WHEN n_click + n_view = 0 THEN 1000 ELSE 0 END
+                 AS direct_milli
+        FROM w WHERE event_type = 'purchase')
+      SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(click_milli) AS BIGINT) AS click_milli,
+             CAST(sum(1000 - click_milli - direct_milli) AS BIGINT)
+               AS view_milli,
+             CAST(sum(direct_milli) AS BIGINT) AS direct_milli,
+             CAST(count(*) * 1000 AS BIGINT) AS milli_total
+      FROM p"""))
+
   val defs: Map[String, QueryDef] = Map(
     "q_attribution" -> qAttribution,
+    "q_attribution_multi" -> qAttributionMulti,
     "q_spike" -> qSpike,
     "q_hierarchy" -> qHierarchy,
     "q_window_range" -> qWindowRange,

@@ -239,7 +239,93 @@ object Selection {
       FROM np LEFT JOIN bc USING (doc_id)
       ORDER BY np.doc_id"""))
 
+  /** t_gopher — the Gopher quality-rule bundle (Rae et al. 2021,
+    * "Scaling Language Models", Appendix A1.1) as one per-document
+    * audit row: word count ∈ [50, 100k], mean word length ∈ [3, 10],
+    * symbol-to-word ratio < 0.1 (# and ellipsis), ≥80% alphabetic
+    * words, ≥2 stopword hits — each rule a named boolean, keep =
+    * conjunction. Every ratio is an integer CROSS-MULTIPLICATION
+    * (3·n ≤ Σlen ≤ 10·n, 10·(sym) < n, 5·alpha ≥ 4·n) so no division
+    * or float enters either engine. Stopword hits reuse the
+    * padded-replace-length identity ([[TF.markerCount]]) — adjacent
+    * repeats share a separator space and count every other
+    * occurrence, identically in both engines (documented there).
+    *
+    * Scale: pure map over the corpus — one projection, no shuffle;
+    * the alphabetic-word count is the one interpreted lambda
+    * (array-sized per row, not corpus-shaped — measured harmless
+    * next to the regex tokenize it rides with). */
+  val tGopher: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"),
+          col("text"))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .withColumn("sum_len",
+          length(regexp_replace(lower(trim(col("text"))), "\\s+", ""))
+            .cast("long"))
+        .withColumn("n_alpha", expr(
+          "CAST(size(filter(toks, t -> t rlike '^[a-z]+$')) AS BIGINT)"))
+        .withColumn("n_sym",
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "#", ""))).cast("long") +
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+            .cast("long"))
+        .withColumn("n_stop",
+          TF.markerCount(col("text"), " the ") +
+            TF.markerCount(col("text"), " a "))
+        .withColumn("wc_ok",
+          col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("wl_ok",
+          col("sum_len") >= col("n_words") * 3 &&
+            col("sum_len") <= col("n_words") * 10)
+        .withColumn("sym_ok", col("n_sym") * 10 < col("n_words"))
+        .withColumn("alpha_ok", col("n_alpha") * 5 >= col("n_words") * 4)
+        .withColumn("stop_ok", col("n_stop") >= 2)
+        .withColumn("keep", col("wc_ok") && col("wl_ok") && col("sym_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+        .select(col("doc_id"), col("n_words"), col("sum_len"),
+          col("n_alpha"), col("n_sym"), col("n_stop"), col("wc_ok"),
+          col("wl_ok"), col("sym_ok"), col("alpha_ok"), col("stop_ok"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+               ' ' || lower(text) || ' ' AS padded
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+                 AS BIGINT) AS sum_len,
+               CAST(len(list_filter(toks,
+                 t2 -> regexp_matches(t2, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+               CAST(length(text) - length(replace(text, '#', ''))
+                 + (length(text) - length(replace(text, '...', ''))) // 3
+                 AS BIGINT) AS n_sym,
+               CAST((length(padded) - length(replace(padded, ' the ', ''))) // 5
+                 + (length(padded) - length(replace(padded, ' a ', ''))) // 3
+                 AS BIGINT) AS n_stop
+        FROM t)
+      SELECT doc_id, n_words, sum_len, n_alpha, n_sym, n_stop,
+             n_words >= 50 AND n_words <= 100000 AS wc_ok,
+             sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS wl_ok,
+             n_sym * 10 < n_words AS sym_ok,
+             n_alpha * 5 >= n_words * 4 AS alpha_ok,
+             n_stop >= 2 AS stop_ok,
+             (n_words >= 50 AND n_words <= 100000)
+               AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+               AND (n_sym * 10 < n_words)
+               AND (n_alpha * 5 >= n_words * 4)
+               AND (n_stop >= 2) AS keep
+      FROM m ORDER BY doc_id"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "t_gopher" -> tGopher,
     "t_normalize" -> tNormalize,
     "t_weighted_sample" -> tWeightedSample,
     "t_split_leakfree" -> tSplitLeakfree,

@@ -32,4 +32,13 @@ class EventAnalyticsSpec extends SparkSpec {
     out.unpersist()
     ()
   }
+
+  test("q_attribution_multi: credits conserve exactly 1000 per purchase") {
+    val r = Relational.qAttributionMulti.fn(spark, sf).collect()(0)
+    val n = r.getAs[Long]("n_purchases")
+    assert(n > 0)
+    assert(r.getAs[Long]("milli_total") === n * 1000)
+    assert(r.getAs[Long]("click_milli") + r.getAs[Long]("view_milli")
+      + r.getAs[Long]("direct_milli") === n * 1000)
+  }
 }

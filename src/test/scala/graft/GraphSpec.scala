@@ -81,4 +81,41 @@ class GraphSpec extends SparkSpec {
     val out = Graph.qPagerank.fn(spark, sf)
     assert(out.count() > 0) // materializes through the localCheckpoint
   }
+
+  test("q_item_sim: cosine ranking is symmetric-consistent and support-floored") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = Graph.qItemSim.fn(spark, sf01).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_ab") < 3).count() === 0)
+    // rank is 1..k per part and cos2 is non-increasing within a part
+    val bad = out.selectExpr("p", "rnk", "cos2_ppm",
+        "lag(cos2_ppm) OVER (PARTITION BY p ORDER BY rnk) AS prev")
+      .filter(col("prev").isNotNull && col("prev") < col("cos2_ppm"))
+    assert(bad.count() === 0)
+    // cos^2 is bounded by 1e6 ppm
+    assert(out.filter(col("cos2_ppm") > 1000000L).count() === 0)
+    out.unpersist()
+    ()
+  }
+
+  test("q_communities: labels are node ids and nations never mix") {
+    val sf01 = "/root/testdata/sf0.01"
+    val out = Graph.qCommunities.fn(spark, sf01).cache()
+    assert(out.count() > 0)
+    // a community label is always some member node's id
+    val nodes = out.select(col("suppkey")).collect().map(_.getLong(0)).toSet
+    val lbls = out.select(col("community")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(lbls.subsetOf(nodes))
+    // co-supply edges are within-nation, so communities cannot span nations
+    val sup = Tables.load(spark, sf01, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val mixed = out.join(sup, col("suppkey") === col("s_suppkey"))
+      .groupBy(col("community"))
+      .agg(countDistinct(col("s_nationkey")).as("k"))
+      .filter(col("k") > 1)
+    assert(mixed.count() === 0)
+    out.unpersist()
+    ()
+  }
 }

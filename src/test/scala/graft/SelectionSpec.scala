@@ -85,4 +85,16 @@ class SelectionSpec extends SparkSpec {
     out.unpersist()
     ()
   }
+
+  test("t_gopher: keep is the exact conjunction and counts are consistent") {
+    import graft.operators.Selection
+    val out = Selection.tGopher.fn(spark, sf).cache()
+    assert(out.filter(col("keep") =!= (col("wc_ok") && col("wl_ok")
+      && col("sym_ok") && col("alpha_ok") && col("stop_ok"))).count() === 0)
+    assert(out.filter(col("n_alpha") > col("n_words")).count() === 0)
+    // clean synthetic corpus: everything alphabetic, no symbols
+    assert(out.filter(!col("alpha_ok") || !col("sym_ok")).count() === 0)
+    out.unpersist()
+    ()
+  }
 }
