@@ -1346,9 +1346,59 @@ object Relational {
              CAST(count(*) * 1000 AS BIGINT) AS milli_total
       FROM p"""))
 
+  /** Full MERGE semantics — [[qMerge]] plus the DELETE clause:
+    * matched keys in the delete set drop, matched keys in the update
+    * set rewrite (DELETE takes precedence when both match, the ANSI
+    * first-clause-wins order), unmatched inserts append. The plan
+    * stays the unbroadcastable-base shape: ONE left_anti on the
+    * combined touched-key set + union of the surviving upserts — the
+    * base table is read once and never broadcast.
+    */
+  val qMergeDelete: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+      val deleteKeys = base.filter(col("o_orderkey") % 13 === 7)
+        .select(col("o_orderkey"))
+      val updates = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        // DELETE precedence: an update whose key also matches the
+        // delete predicate never survives
+        .filter(!(col("o_orderkey") % 13 === 7))
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", (col("o_orderkey") + 1) * -1)
+        .withColumn("o_orderstatus", lit("N"))
+      val upserts = updates.unionByName(inserts)
+      val touched = upserts.select(col("o_orderkey"))
+        .union(deleteKeys)
+      base.join(touched, Seq("o_orderkey"), "left_anti")
+        .unionByName(upserts)
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      WITH dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 = 7),
+      upserts AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 13 <> 7
+        UNION ALL
+        SELECT -(o_orderkey + 1), o_custkey, 'N', o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM (
+        SELECT * FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upserts)
+          AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+        UNION ALL SELECT * FROM upserts)
+      ORDER BY o_orderkey"""))
+
   val defs: Map[String, QueryDef] = Map(
     "q_attribution" -> qAttribution,
     "q_attribution_multi" -> qAttributionMulti,
+    "q_merge_delete" -> qMergeDelete,
     "q_spike" -> qSpike,
     "q_hierarchy" -> qHierarchy,
     "q_window_range" -> qWindowRange,

@@ -187,8 +187,31 @@ object StreamQueries {
       FROM enc WHERE event_type = 'purchase'
       ORDER BY user_id, ts_ms, purchase_id"""))
 
+  /** Stream-stream LEFT OUTER interval join (the alerting companion
+    * to [[sStreamJoin]]'s inner): every error row survives — paired
+    * with its lookback clicks or emitted once as unanswered.
+    * StreamingSpec replays the same plan under readStream in append
+    * mode and asserts the unmatched rows emit after the watermark. */
+  val sOuterJoin: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Streaming.unansweredErrors(events(s, dir))
+        .orderBy(col("user_id"), col("error_ts_ms"), col("click_ts_ms")),
+    oracle = Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                         make_timestamp(epoch_ms(ts) * 1000) AS ts
+                  FROM events),
+      err AS (SELECT user_id, ts FROM ev WHERE event_type = 'error'),
+      clk AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+      SELECT err.user_id, epoch_ms(err.ts) AS error_ts_ms,
+             epoch_ms(clk.ts) AS click_ts_ms,
+             clk.ts IS NULL AS unanswered
+      FROM err LEFT JOIN clk ON clk.user_id = err.user_id
+        AND clk.ts >= err.ts - INTERVAL 30 MINUTE AND clk.ts <= err.ts
+      ORDER BY 1, 2, 3"""))
+
   val defs: Map[String, QueryDef] = Map(
     "s_attribution" -> sAttribution,
+    "s_outer_join" -> sOuterJoin,
     "s_contamination" -> sContamination,
     "s_scd2" -> sScd2,
     "s_window_agg" -> sWindowAgg,

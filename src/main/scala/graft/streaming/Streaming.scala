@@ -95,6 +95,33 @@ object Streaming {
         unix_millis(col("c_ts")).as("click_ts_ms"))
   }
 
+  /** LEFT OUTER leg of the interval correlation: every error paired
+    * with each click in its lookback, or emitted once with NULL
+    * click_ts_ms when none arrived — "errors with no preceding
+    * interaction", the alerting shape. Streaming-legal for outer
+    * interval joins: both sides watermarked + both event times
+    * bounded by the condition, so the engine can emit the unmatched
+    * left row once the watermark passes its window (batch: a plain
+    * left outer equi+range join, which is what the oracle replays). */
+  def unansweredErrors(events: DataFrame, lookback: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    errors.join(clicks,
+        col("c_user") === col("e_user") &&
+          col("c_ts") >= col("e_ts") - expr(s"INTERVAL $lookback") &&
+          col("c_ts") <= col("e_ts"),
+        "left_outer")
+      .select(col("e_user").as("user_id"),
+        unix_millis(col("e_ts")).as("error_ts_ms"),
+        unix_millis(col("c_ts")).as("click_ts_ms"),
+        col("c_ts").isNull.as("unanswered"))
+  }
+
   /** Decode a documents message-log (batch or stream) to typed columns
     * with an event-time `ts` — the ingest half of the streaming
     * training-data pipeline. */

@@ -807,4 +807,48 @@ class StreamingSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("stream-stream LEFT OUTER interval join: unmatched errors emit after the watermark") {
+    val path = java.nio.file.Files.createTempDirectory("graft_oj").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), timestamp_millis(expr("ts div 1000000")).as("ts"),
+        col("event_type"))
+    val jan11 = 1704931200000L
+    val cuts = Seq(
+      col("ts") < timestamp_millis(lit(jan11)),
+      col("ts") >= timestamp_millis(lit(jan11)))
+    // sentinel chunk far past the data: advances BOTH sides' watermarks
+    // so every real unmatched error flushes; the sentinel user (-1) is
+    // excluded from the comparison (its own outer row stays pending)
+    import spark.implicits._
+    val sentinel = Seq(
+      (-1L, new java.sql.Timestamp(jan11 + 86400000L * 400), "error"),
+      (-1L, new java.sql.Timestamp(jan11 + 86400000L * 400 + 7200000L), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long], Boolean)]()
+    val src = spark.readStream
+      .schema("user_id long, ts timestamp, event_type string")
+      .parquet(path + "/*")
+    val q = Streaming.unansweredErrors(src)
+      .writeStream.outputMode("append")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = d.collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+        emitted.synchronized { emitted ++= rows; () }
+      }.start()
+    (cuts.zipWithIndex.map { case (c, i) => (ev.filter(c), i) } :+
+      ((sentinel, cuts.size))).foreach { case (d, i) =>
+      d.write.parquet(s"$path/b$i")
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = emitted.filter(_._1 >= 0).toSet
+    val batch = Streaming.unansweredErrors(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+      .toSet
+    assert(streamed === batch)
+    assert(batch.exists(_._4), "expected at least one unanswered error")
+    assert(batch.exists(!_._4), "expected at least one answered error")
+  }
 }
