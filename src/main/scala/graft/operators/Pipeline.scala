@@ -1633,6 +1633,146 @@ object Pipeline {
       SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
       ORDER BY query_id, rnk"""))
 
+  /** MMR-diversified retrieval (Carbonell & Goldstein 1998): the
+    * brute top-30 shortlist per query re-ranked by maximal marginal
+    * relevance — each of 10 greedy picks maximizes
+    * 0.7·rel − 0.3·max-sim-to-already-picked, trading relevance
+    * against redundancy (the diversified top-k a retrieval API
+    * serves when near-duplicate neighbors waste result slots).
+    *
+    * Engine parity: relevance and pairwise similarities quantize to
+    * integers FIRST (round(cos,4)·10⁴ — the established ANN rounding
+    * convention), so the greedy loop itself is pure integer
+    * comparison: score = 7·relm − 3·maxsim, ties to the smaller id.
+    * The oracle replays all 10 picks exactly (unrolled argmax CTEs
+    * from a generator loop).
+    *
+    * Scale shape: the shortlist is bounded (30/query), so the
+    * pairwise-sim join and the greedy flatMapGroups are
+    * per-query-bounded work (≤30² integer rows per group) riding a
+    * corpus-linear brute scan — swap [[Similarity.ivfTopK]] in for
+    * the shortlist at larger corpora, the MMR stage is unchanged. */
+  val dAnnMmr: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val short = Similarity.bruteTopK(emb, queries, "embedding", "vec_id",
+          k = 30)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          round(col("cos") * 10000).cast("long").as("relm"))
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      val withVec = short
+        .join(vecs, col("id") === col("vec_id"))
+        .select(col("query_id"), col("id"), col("relm"),
+          col("embedding").as("v"))
+      val pairs = withVec.as("a")
+        .join(withVec.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.id") =!= col("b.id"))
+        .select(col("a.query_id").as("query_id"), col("a.id").as("a_id"),
+          col("a.relm").as("relm"), col("b.id").as("b_id"),
+          round(round(Similarity.cosine(col("a.v"), col("b.v")), 4) * 10000)
+            .cast("long").as("simm"))
+        .as[(Long, Long, Long, Long, Long)]
+      pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+        val rows = it.toArray
+        val relOf = rows.map(r => r._2 -> r._3).toMap
+        val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+        val ids = relOf.keys.toArray.sorted
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var rnk = 1L
+        while (rnk <= 10 && selected.size < ids.length) {
+          var bestId = -1L
+          var bestScore = Long.MinValue
+          ids.foreach { id => // ascending + strict '>': ties keep min id
+            if (!selected.contains(id)) {
+              val ms =
+                if (selected.isEmpty) 0L
+                else selected.map(sid => sim.getOrElse((id, sid), 0L)).max
+              val score = 7L * relOf(id) - 3L * ms
+              if (score > bestScore) { bestScore = score; bestId = id }
+            }
+          }
+          selected += bestId
+          out += ((qid, rnk, bestId, bestScore))
+          rnk += 1
+        }
+        out.iterator
+      }.toDF("query_id", "rnk", "vec_id", "mmr_score")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    oracle = Some {
+      val steps = (2 to 10).map { i =>
+        s"""m$i AS MATERIALIZED (
+        SELECT r.query_id, r.id, r.relm, max(sp.simm) AS ms
+        FROM rel r
+        JOIN spairs sp ON sp.query_id = r.query_id AND sp.a_id = r.id
+        JOIN selacc${i - 1} s ON s.query_id = sp.query_id
+                             AND s.id = sp.b_id
+        WHERE NOT EXISTS (SELECT 1 FROM selacc${i - 1} x
+                          WHERE x.query_id = r.query_id AND x.id = r.id)
+        GROUP BY 1, 2, 3),
+      s$i AS MATERIALIZED (
+        SELECT query_id, id, score FROM (
+          SELECT query_id, id, 7 * relm - 3 * ms AS score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY 7 * relm - 3 * ms DESC, id) AS rn
+          FROM m$i) WHERE rn = 1),
+      selacc$i AS MATERIALIZED (SELECT query_id, id FROM selacc${i - 1}
+                   UNION ALL SELECT query_id, id FROM s$i)"""
+      }.mkString(",\n      ")
+      val unions = (1 to 10)
+        .map(i => s"SELECT query_id, CAST($i AS BIGINT) AS rnk, id, score FROM s$i")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      elems AS (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(unnest(q.qv) AS DOUBLE) AS qe,
+               CAST(unnest(c.cv) AS DOUBLE) AS ce
+        FROM q, c WHERE c.neighbor_id <> q.query_id),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               round(SUM(qe*ce) / (sqrt(SUM(qe*qe)) * sqrt(SUM(ce*ce))), 4)
+                 AS cos
+        FROM elems GROUP BY query_id, neighbor_id),
+      rel AS MATERIALIZED (
+        SELECT query_id, neighbor_id AS id,
+               CAST(round(cos * 10000) AS BIGINT) AS relm
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+        WHERE rnk <= 30),
+      pel AS (
+        SELECT a.query_id, a.id AS a_id, b.id AS b_id,
+               CAST(unnest(va.embedding) AS DOUBLE) AS xe,
+               CAST(unnest(vb.embedding) AS DOUBLE) AS ye
+        FROM rel a
+        JOIN rel b ON a.query_id = b.query_id AND a.id <> b.id
+        JOIN embeddings va ON va.vec_id = a.id
+        JOIN embeddings vb ON vb.vec_id = b.id),
+      spairs AS MATERIALIZED (
+        SELECT query_id, a_id, b_id,
+               CAST(round(round(SUM(xe*ye) / (sqrt(SUM(xe*xe))
+                 * sqrt(SUM(ye*ye))), 4) * 10000) AS BIGINT) AS simm
+        FROM pel GROUP BY 1, 2, 3),
+      s1 AS MATERIALIZED (
+        SELECT query_id, id, 7 * relm AS score FROM (
+          SELECT query_id, id, relm,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY relm DESC, id) AS rn
+          FROM rel) WHERE rn = 1),
+      selacc1 AS MATERIALIZED (SELECT query_id, id FROM s1),
+      $steps
+      SELECT query_id, rnk, id AS vec_id, CAST(score AS BIGINT) AS mmr_score
+      FROM ($unions)
+      ORDER BY query_id, rnk"""
+    })
+
   val dAnnIvf: QueryDef = QueryDef(
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -2319,6 +2459,7 @@ object Pipeline {
     "d_semdedup_recall" -> dSemdedupRecall,
     "d_semdedup_keep_trained" -> dSemdedupKeepTrained,
     "d_ann_brute" -> dAnnBrute,
+    "d_ann_mmr" -> dAnnMmr,
     "d_ann_lsh" -> dAnnLsh,
     "d_ann_ivf" -> dAnnIvf,
     "d_dedup_embed_recall" -> dDedupEmbedRecall,

@@ -18,7 +18,7 @@ import org.apache.spark.sql.graft.Bridge
   */
 object Similarity {
 
-  private def cosine(a: Column, b: Column): Column =
+  private[operators] def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
   private def sig(c: Column, bits: Int, seed: Long): Column =

@@ -501,4 +501,26 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("SQ8 scales"), ex.getMessage)
   }
+
+  test("d_ann_mmr: first pick is the relevance top-1 and greedy scores never increase") {
+    import graft.operators.Pipeline
+    val out = Pipeline.dAnnMmr.fn(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    val brute = graft.operators.Similarity.bruteTopK(
+        Tables.load(spark, sf, "embeddings"),
+        Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 10),
+        "embedding", "vec_id", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length))
+      assert(sorted.head.getLong(2) === brute(qid),
+        s"q$qid first pick must be the relevance top-1")
+      val scores = sorted.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q$qid greedy scores increased: ${scores.mkString(",")}")
+      assert(sorted.map(_.getLong(2)).distinct.length === sorted.length)
+    }
+  }
 }
