@@ -42,10 +42,11 @@ object Bench {
     * ~125, front-coded ~160 (the 163-query suite measured 2043 — the
     * ~170 estimate assumed denser family prefixes than q_pagerank /
     * t_rrf-era keys deliver) → the fc2 rung (comma-free front-coding,
-    * base-62 ds) carries ~175 (the 163-query suite measures 1843) —
-    * past THAT the ladder keeps the slowest entries plus the honest
-    * omission count, and bench_full.json remains the complete
-    * committed record. */
+    * base-62 ds) carries ~175 (the 163-query suite measures 1843) →
+    * the fc3 rung (fc2 + the suffix dictionary) ~190 — past THAT the
+    * ladder keeps the slowest entries plus the honest omission
+    * count, and bench_full.json remains the complete committed
+    * record. */
   private[graft] def renderLine(timings: Seq[(String, Double)], total: Double,
       failed: Seq[String], sfDir: String, limit: Int = 1950): String = {
     val sfShort = new java.io.File(sfDir).getName
@@ -138,6 +139,46 @@ object Bench {
       val qds = timings.map(t => enc(math.round(t._2 * 10))).mkString(",")
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$sb","qds":"$qds","qunit":"ds","qenc":"fc2"${failedJson(failCap)},"sf":"$sfShown"}"""
     }
+    // the fc3 rung: fc2 plus a SUFFIX dictionary — the suite's key
+    // families share long tails (_recall, _precision, _contract,
+    // _fidelity, _sketch) that front-coding can't elide (they differ
+    // from the predecessor's tail). Each is rewritten to '~'+letter
+    // BEFORE front-coding ('~' is outside the snake_case alphabet, so
+    // decode is: split on uppercase, fc-decode, then expand the one
+    // trailing ~x marker). ~110 chars on the real suite → capacity
+    // ~190 keys.
+    val fc3Suffixes = Seq(
+      "_precision" -> "~p", "_contract" -> "~c", "_fidelity" -> "~f",
+      "_recall" -> "~r", "_sketch" -> "~k")
+    def renderFc3(failCap: Int, sfShown: String): String = {
+      def sub(n: String): String =
+        fc3Suffixes.collectFirst {
+          case (suf, short) if n.endsWith(suf) =>
+            n.dropRight(suf.length) + short
+        }.getOrElse(n)
+      val sb = new StringBuilder
+      var prev = ""
+      timings.foreach { case (n0, _) =>
+        val n = sub(n0)
+        var l = 0
+        val max = math.min(math.min(prev.length, n.length), 25)
+        while (l < max && prev.charAt(l) == n.charAt(l)) l += 1
+        sb.append(('A' + l).toChar).append(n.substring(l))
+        prev = n
+      }
+      val b62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+      def enc(v0: Long): String = {
+        var v = v0
+        if (v == 0) "0"
+        else {
+          val s = new StringBuilder
+          while (v > 0) { s.insert(0, b62((v % 62).toInt)); v /= 62 }
+          s.toString
+        }
+      }
+      val qds = timings.map(t => enc(math.round(t._2 * 10))).mkString(",")
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$sb","qds":"$qds","qunit":"ds","qenc":"fc3"${failedJson(failCap)},"sf":"$sfShown"}"""
+    }
     (Iterator[() => String](
         () => render(2, Int.MaxValue, timings.size, sfDir),
         () => render(1, Int.MaxValue, timings.size, sfDir),
@@ -146,7 +187,8 @@ object Bench {
         () => render(0, 8, timings.size, sfShort),
         () => renderPacked(8, sfShort)) ++
       (if (fcSafe) Iterator(() => renderFrontCoded(8, sfShort),
-                            () => renderFc2(8, sfShort))
+                            () => renderFc2(8, sfShort),
+                            () => renderFc3(8, sfShort))
        else Iterator.empty))
       .map(_.apply())
       .find(_.length <= limit)

@@ -39,17 +39,31 @@ class BenchSpec extends AnyFunSuite {
   private def decodeB62(s: String): Long =
     s.foldLeft(0L)((acc, c) => acc * 62 + b62.indexOf(c))
 
+  private val fc3Suffixes = Seq(
+    "_precision" -> "~p", "_contract" -> "~c", "_fidelity" -> "~f",
+    "_recall" -> "~r", "_sketch" -> "~k")
+
+  private def decodeFc3(qn: String): Seq[String] =
+    decodeFc2(qn).map { n =>
+      fc3Suffixes.collectFirst {
+        case (suf, short) if n.endsWith(short) =>
+          n.dropRight(short.length) + suf
+      }.getOrElse(n)
+    }
+
   private def qnNames(js: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
     val raw = js.get("qn").asText()
     val enc = if (js.has("qenc")) js.get("qenc").asText() else ""
-    if (enc == "fc2") decodeFc2(raw)
+    if (enc == "fc3") decodeFc3(raw)
+    else if (enc == "fc2") decodeFc2(raw)
     else if (enc == "fc") decodeFc(raw)
     else raw.split(",").toSeq
   }
 
   private def qdsValues(js: com.fasterxml.jackson.databind.JsonNode): Seq[Long] = {
     val raw = js.get("qds").asText().split(",").toSeq
-    if (js.has("qenc") && js.get("qenc").asText() == "fc2") raw.map(decodeB62)
+    if (js.has("qenc") && Set("fc2", "fc3")(js.get("qenc").asText()))
+      raw.map(decodeB62)
     else raw.map(_.toLong)
   }
 
@@ -202,6 +216,26 @@ class BenchSpec extends AnyFunSuite {
     assert(!js.has("queries_omitted"))
     // base-62 exercises multi-char values too (1.37 * 169 * 10 > 62)
     assert(ds.max > 61L)
+  }
+
+  test("fc3 rung: suffix dictionary + fc2 decodes exactly past fc2 capacity") {
+    // family keys with heavy dictionary suffixes and weak lcp sharing:
+    // enough volume that even fc2 overflows and fc3 must carry it
+    val sufs = Seq("_recall", "_precision", "_contract", "_fidelity", "_sketch")
+    val t = (0 until 205)
+      .map(i => (f"${(97 + i % 26).toChar}x_op_$i%03d${sufs(i % 5)}", i * 1.37))
+      .sortBy(_._1)
+    val line = Bench.renderLine(t, t.map(_._2).sum, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= 1950, s"overflows: ${line.length}")
+    val js = parse(line)
+    assert(js.get("qenc").asText() === "fc3", line.take(120))
+    val names = qnNames(js)
+    assert(names === t.map(_._1), "fc3 decode must reproduce the sorted key list")
+    val ds = qdsValues(js)
+    names.zip(ds).foreach { case (q, d) =>
+      assert(d === math.round(t.toMap.apply(q) * 10), q)
+    }
+    assert(!js.has("queries_omitted"))
   }
 
   test("failed queries are named but never appear in the queries map") {
