@@ -209,9 +209,25 @@ object StreamQueries {
         AND clk.ts >= err.ts - INTERVAL 30 MINUTE AND clk.ts <= err.ts
       ORDER BY 1, 2, 3"""))
 
+  /** Streaming rate-spike alerting ([[Streaming.rateAlerts]]): the
+    * stream pays one watermarked hourly count + a broadcast join
+    * against the offline-refreshed median/MAD threshold table (here
+    * derived from q_spike's own output, so the driver row reuses
+    * q_spike's oracle verbatim — the two plans must agree row for
+    * row). StreamingSpec replays the topic micro-batched. */
+  val sSpike: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val thresholds = Relational.qSpike.fn(s, dir)
+        .select(col("event_type"), col("med"), col("mad")).distinct()
+      Streaming.rateAlerts(events(s, dir), thresholds)
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    oracle = Relational.qSpike.oracle)
+
   val defs: Map[String, QueryDef] = Map(
     "s_attribution" -> sAttribution,
     "s_outer_join" -> sOuterJoin,
+    "s_spike" -> sSpike,
     "s_contamination" -> sContamination,
     "s_scd2" -> sScd2,
     "s_window_agg" -> sWindowAgg,

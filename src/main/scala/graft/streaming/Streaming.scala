@@ -95,6 +95,25 @@ object Streaming {
         unix_millis(col("c_ts")).as("click_ts_ms"))
   }
 
+  /** Streaming rate-spike alerting: hourly counts per event_type
+    * (event-time window, watermark-bounded state) scored against a
+    * STATIC threshold table (median + 3·MAD per type, refreshed
+    * offline — the production split: heavy robust statistics run
+    * batch-side, the stream pays one windowed count plus a broadcast
+    * join). Batch: identical plan, drives the driver row against
+    * q_spike's own oracle. */
+  def rateAlerts(events: DataFrame, thresholds: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("unix_millis(w.start) div 3600000").as("bucket"), col("n"))
+      .join(broadcast(thresholds), Seq("event_type"))
+      .withColumn("is_spike", col("n") > col("med") + lit(3) * col("mad"))
+      .select(col("event_type"), col("bucket"), col("n"), col("med"),
+        col("mad"), col("is_spike"))
+
   /** LEFT OUTER leg of the interval correlation: every error paired
     * with each click in its lookback, or emitted once with NULL
     * click_ts_ms when none arrived — "errors with no preceding

@@ -851,4 +851,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(_._4), "expected at least one unanswered error")
     assert(batch.exists(!_._4), "expected at least one answered error")
   }
+
+  test("streaming rate alerts equal the batch scoring across micro-batches") {
+    val path = java.nio.file.Files.createTempDirectory("graft_spk").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select(timestamp_millis(expr("ts div 1000000")).as("ts"),
+        col("event_type"))
+    val thresholds = graft.operators.Relational.qSpike.fn(spark, sf)
+      .select(col("event_type"), col("med"), col("mad")).distinct()
+      .cache()
+    val jan11 = 1704931200000L
+    val cuts = Seq(
+      col("ts") < timestamp_millis(lit(jan11)),
+      col("ts") >= timestamp_millis(lit(jan11)))
+    val src = spark.readStream
+      .schema("ts timestamp, event_type string")
+      .parquet(path + "/*")
+    val latest = scala.collection.mutable.Map[(String, Long), (Long, Long, Long, Boolean)]()
+    val q = Streaming.rateAlerts(src, thresholds)
+      .writeStream.outputMode("update")
+      .foreachBatch { (d: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = d.collect()
+        latest.synchronized {
+          rows.foreach { r =>
+            latest((r.getString(0), r.getLong(1))) =
+              (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+          }
+        }
+      }.start()
+    cuts.zipWithIndex.foreach { case (c, i) =>
+      ev.filter(c).write.parquet(s"$path/b$i")
+      q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits a window when late rows update it; the
+    // LATEST emission per key must equal the uninterrupted batch run
+    val batch = Streaming.rateAlerts(ev, thresholds).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(latest.toMap === batch)
+    assert(batch.values.exists(_._4), "expected at least one spike")
+    thresholds.unpersist()
+    ()
+  }
 }
