@@ -94,59 +94,55 @@ object Bench {
       n.nonEmpty && n.forall(c =>
         (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')
     }
-    def renderFrontCoded(failCap: Int, sfShown: String): String = {
+    // ONE front-coder serves the fc/fc2/fc3 rungs (each entry = 'A'+lcp
+    // uppercase letter + suffix from that lcp, capped at 25; lcp vs the
+    // previous ENCODED-input name): fc joins entries with commas, fc2+
+    // concatenates (the uppercase letter doubles as separator since
+    // names are lowercase snake_case).
+    def frontCode(names: Seq[String], sep: String): String = {
       val sb = new StringBuilder
       var prev = ""
-      timings.foreach { case (n, _) =>
+      names.foreach { n =>
         var l = 0
         val max = math.min(math.min(prev.length, n.length), 25)
         while (l < max && prev.charAt(l) == n.charAt(l)) l += 1
-        if (sb.nonEmpty) sb.append(',')
+        if (sb.nonEmpty) sb.append(sep)
         sb.append(('A' + l).toChar).append(n.substring(l))
         prev = n
       }
-      val qds = timings.map(t => ds(t._2)).mkString(",")
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$sb","qds":"$qds","qunit":"ds","qenc":"fc"${failedJson(failCap)},"sf":"$sfShown"}"""
+      sb.toString
     }
-    // the fc2 rung: front-coded names CONCATENATED (the uppercase lcp
-    // letter that starts every entry doubles as the separator — names
-    // are lowercase snake_case, so a comma per entry is pure waste)
-    // and qds values in base-62 (0-9A-Za-z, variable width, commas
-    // kept — ~6.1 s fits one character). "qenc":"fc2" implies both.
-    // Measured at the 163-query suite: fc read 2043 chars (93 over
-    // the window), fc2 reads 1843 — capacity ~175 real-suite keys
-    // before the slowest-K fallback.
-    def renderFc2(failCap: Int, sfShown: String): String = {
-      val sb = new StringBuilder
-      var prev = ""
-      timings.foreach { case (n, _) =>
-        var l = 0
-        val max = math.min(math.min(prev.length, n.length), 25)
-        while (l < max && prev.charAt(l) == n.charAt(l)) l += 1
-        sb.append(('A' + l).toChar).append(n.substring(l))
-        prev = n
+    val b62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    def encB62(v0: Long): String = {
+      var v = v0
+      if (v == 0) "0"
+      else {
+        val s = new StringBuilder
+        while (v > 0) { s.insert(0, b62((v % 62).toInt)); v /= 62 }
+        s.toString
       }
-      val b62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
-      def enc(v0: Long): String = {
-        var v = v0
-        if (v == 0) "0"
-        else {
-          val s = new StringBuilder
-          while (v > 0) { s.insert(0, b62((v % 62).toInt)); v /= 62 }
-          s.toString
-        }
-      }
-      val qds = timings.map(t => enc(math.round(t._2 * 10))).mkString(",")
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$sb","qds":"$qds","qunit":"ds","qenc":"fc2"${failedJson(failCap)},"sf":"$sfShown"}"""
     }
-    // the fc3 rung: fc2 plus a SUFFIX dictionary — the suite's key
-    // families share long tails (_recall, _precision, _contract,
-    // _fidelity, _sketch) that front-coding can't elide (they differ
-    // from the predecessor's tail). Each is rewritten to '~'+letter
-    // BEFORE front-coding ('~' is outside the snake_case alphabet, so
-    // decode is: split on uppercase, fc-decode, then expand the one
-    // trailing ~x marker). ~110 chars on the real suite → capacity
-    // ~190 keys.
+    def fcLine(qn: String, qds: String, tag: String, failCap: Int,
+        sfShown: String): String =
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$qn","qds":"$qds","qunit":"ds","qenc":"$tag"${failedJson(failCap)},"sf":"$sfShown"}"""
+    def renderFrontCoded(failCap: Int, sfShown: String): String =
+      fcLine(frontCode(timings.map(_._1), ","),
+        timings.map(t => ds(t._2)).mkString(","), "fc", failCap, sfShown)
+    // the fc2 rung: front-coded names CONCATENATED (no commas) and qds
+    // in base-62 (variable width, commas kept -- ~6.1 s fits one char).
+    // Measured at the 163-query suite: fc read 2043 chars (93 over the
+    // window), fc2 1843 -- capacity ~175 real-suite keys.
+    def qdsB62: String =
+      timings.map(t => encB62(math.round(t._2 * 10))).mkString(",")
+    def renderFc2(failCap: Int, sfShown: String): String =
+      fcLine(frontCode(timings.map(_._1), ""), qdsB62, "fc2", failCap, sfShown)
+    // the fc3 rung: fc2 plus a SUFFIX dictionary -- the key families
+    // share long tails (_recall, _precision, _contract, _fidelity,
+    // _sketch) that front-coding can't elide (they differ from the
+    // predecessor's tail). Each is rewritten to '~'+letter BEFORE
+    // front-coding ('~' is outside the snake_case alphabet, so decode
+    // is: split on uppercase, fc-decode, expand the trailing ~x).
+    // ~110 chars on the real suite -> capacity ~190 keys.
     val fc3Suffixes = Seq(
       "_precision" -> "~p", "_contract" -> "~c", "_fidelity" -> "~f",
       "_recall" -> "~r", "_sketch" -> "~k")
@@ -156,28 +152,8 @@ object Bench {
           case (suf, short) if n.endsWith(suf) =>
             n.dropRight(suf.length) + short
         }.getOrElse(n)
-      val sb = new StringBuilder
-      var prev = ""
-      timings.foreach { case (n0, _) =>
-        val n = sub(n0)
-        var l = 0
-        val max = math.min(math.min(prev.length, n.length), 25)
-        while (l < max && prev.charAt(l) == n.charAt(l)) l += 1
-        sb.append(('A' + l).toChar).append(n.substring(l))
-        prev = n
-      }
-      val b62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
-      def enc(v0: Long): String = {
-        var v = v0
-        if (v == 0) "0"
-        else {
-          val s = new StringBuilder
-          while (v > 0) { s.insert(0, b62((v % 62).toInt)); v /= 62 }
-          s.toString
-        }
-      }
-      val qds = timings.map(t => enc(math.round(t._2 * 10))).mkString(",")
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$sb","qds":"$qds","qunit":"ds","qenc":"fc3"${failedJson(failCap)},"sf":"$sfShown"}"""
+      fcLine(frontCode(timings.map(t => sub(t._1)), ""), qdsB62, "fc3",
+        failCap, sfShown)
     }
     (Iterator[() => String](
         () => render(2, Int.MaxValue, timings.size, sfDir),

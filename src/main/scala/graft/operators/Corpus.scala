@@ -374,8 +374,11 @@ object Corpus {
   val tFreqSketch: QueryDef = QueryDef(
     fn = (s, dir) => {
       import graft.functions.{TextFunctions => TF}
+      // three actions read the exploded stream (count, sketch build,
+      // exact top-20) — persist so the tokenize+explode runs once
       val toks = Tables.load(s, dir, "documents")
         .select(explode(TF.tokens(col("text"))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTotal = toks.count()
       val eps = 1e-4
       val cms = toks.stat.countMinSketch("token", eps, 0.99, 42)
@@ -384,6 +387,7 @@ object Corpus {
         .orderBy(col("n_exact").desc, col("token"))
         .limit(20)
         .collect()
+      toks.unpersist()
       val slack = math.ceil(eps * nTotal).toLong
       val rows = top.zipWithIndex.map { case (r, i) =>
         val est = cms.estimateCount(r.getString(0))

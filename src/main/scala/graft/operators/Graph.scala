@@ -288,8 +288,17 @@ object Graph {
       val scored = co
         .join(nPer.select(col("p"), col("n").as("n_p")), "p")
         .join(nPer.select(col("p").as("q"), col("n").as("n_q")), "q")
+        // n_ab²·10⁶ overflows BIGINT past n_ab ≈ 3.03e6 co-purchasers
+        // (Spark would wrap silently where DuckDB errors) — fail
+        // loudly at the bound instead; past it, rescale the ppm or
+        // move the scoring to DECIMAL
         .withColumn("cos2_ppm",
-          expr("(n_ab * n_ab * 1000000) div (n_p * n_q)"))
+          when(col("n_ab") > 3037000L,
+            raise_error(concat(
+              lit("graft: q_item_sim cos² ppm overflows BIGINT at " +
+                "n_ab > 3.037e6 (got n_ab="), col("n_ab").cast("string"),
+              lit(") — rescale the score or use DECIMAL"))).cast("long"))
+            .otherwise(expr("(n_ab * n_ab * 1000000) div (n_p * n_q)")))
       val out = Ranking.topKPerGroup(scored, Seq(col("p")),
           Seq(col("cos2_ppm").desc, col("q")), 5, "rnk")
         .select(col("p"), col("rnk"), col("q"), col("n_ab"), col("cos2_ppm"))
