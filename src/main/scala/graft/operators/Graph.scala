@@ -53,6 +53,46 @@ object Graph {
     * division per hop (`rank div outdeg`, then `(85·Σ) div 100`)
     * makes all 10 iterations reproducible bit-for-bit in any engine.
     */
+  /** Library entry point: integer fixed-point PageRank over a
+    * directed edge list `(src, dst)` where EVERY node must appear as
+    * a source (feed both directions for an undirected graph — a
+    * dangling node would silently leak its mass otherwise, so the
+    * degree join drops nodes with no out-edges and the scaladoc'd
+    * contract is "no dangling sources"). Returns (node, rank_fp) at
+    * [[Scale]] fixed-point after `iters` damped rounds; all
+    * arithmetic is BIGINT (rank div outdeg per hop, (85·Σ) div 100
+    * damping), so reruns and cross-engine replays agree bit-for-bit.
+    *
+    * Scale shape: the sender's out-degree is attached to the edge
+    * row ONCE (no rank⋈degree join per iteration); the edge list is
+    * partitioned by src once and every iteration is ONE join + ONE
+    * keyed aggregation on that layout, lineage cut every 5 hops. */
+  def pagerank(e0: DataFrame, iters: Int = Iters): DataFrame = {
+    val dirs = e0.select(col("src"), col("dst"))
+    val deg = dirs.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    val edges = dirs.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select(col("src").as("node"), lit(Scale).as("rank_fp"))
+    for (i <- 1 to iters) {
+      ranks = ranks.as("r")
+        .join(edges.as("e"), col("r.node") === col("e.src"))
+        .select(col("e.dst").as("node"),
+          expr("rank_fp div outdeg").as("c"))
+        .groupBy(col("node"))
+        .agg(expr("150000L + (85 * sum(c)) div 100").as("rank_fp"))
+      // cut the join-tree lineage every 5 hops: the rank table is
+      // node-sized (tiny next to edges), and re-planning a deep join
+      // tree costs more than materializing it
+      if (i % 5 == 0) ranks = ranks.localCheckpoint(eager = true)
+    }
+    val out = ranks.localCheckpoint(eager = true)
+    edges.unpersist()
+    out
+  }
+
   val qPagerank: QueryDef = QueryDef(
     fn = (s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
@@ -64,42 +104,16 @@ object Graph {
           (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
       // both directions; parity keeps them disjoint, so union-all is
-      // already duplicate-free. The sender's out-degree is attached to
-      // the edge row ONCE, which removes a rank⋈degree join from every
-      // iteration (10 joins and their shuffles at Iters=10); the edge
-      // list is partitioned by src once so all iterations reuse the
-      // layout.
+      // already duplicate-free and no source dangles
       val dirs = e0
         .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = dirs.groupBy(col("src"))
-        .agg(count(lit(1)).as("outdeg"))
-      val edges = dirs.join(deg, "src")
-        .select(col("src"), col("dst"), col("outdeg"))
-        .repartition(col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var ranks = deg.select(col("src").as("node"), lit(Scale).as("rank_fp"))
-      for (i <- 1 to Iters) {
-        ranks = ranks.as("r")
-          .join(edges.as("e"), col("r.node") === col("e.src"))
-          .select(col("e.dst").as("node"),
-            expr("rank_fp div outdeg").as("c"))
-          .groupBy(col("node"))
-          .agg(expr("150000L + (85 * sum(c)) div 100").as("rank_fp"))
-        // cut the join-tree lineage every 5 hops: the rank table is
-        // node-sized (tiny next to edges), and re-planning a 10-join
-        // tree costs more than materializing it twice
-        if (i % 5 == 0) ranks = ranks.localCheckpoint(eager = true)
-      }
-      val out = ranks
+      pagerank(dirs)
         .select(
           when(col("node") % 2 === 0, lit("customer")).otherwise(lit("part"))
             .as("node_type"),
           expr("node div 2").as("node_key"),
           col("rank_fp"))
         .orderBy(col("node_type"), col("node_key"))
-        .localCheckpoint(eager = true) // cut the 10-iteration lineage
-      edges.unpersist()
-      out
     },
     oracle = Some {
       val iters = (1 to Iters).map { i =>

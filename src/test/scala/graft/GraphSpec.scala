@@ -118,4 +118,21 @@ class GraphSpec extends SparkSpec {
     out.unpersist()
     ()
   }
+
+  test("pagerank matches a hand-computed fixed-point iteration on a known graph") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 attached to 1, undirected
+    val und = Seq((1L,2L),(2L,3L),(1L,3L),(1L,4L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = Graph.pagerank(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independently derived fixed point (hand-walked recurrence,
+    // cross-checked by a python replay of the integer arithmetic):
+    // degrees 1:3, 2:2, 3:2, 4:1; three damped rounds
+    val want = Map(1L -> 1606153L, 2L -> 945131L, 3L -> 945131L,
+      4L -> 503575L)
+    assert(got === want)
+    // the hub (node 1, degree 3) must outrank the pendant (node 4)
+    assert(got(1L) > got(4L))
+  }
 }
