@@ -56,28 +56,65 @@ object Graph {
   /** Library entry point: integer fixed-point PageRank over a
     * directed edge list `(src, dst)` where EVERY node must appear as
     * a source (feed both directions for an undirected graph — a
-    * dangling node would silently leak its mass otherwise, so the
-    * degree join drops nodes with no out-edges and the scaladoc'd
-    * contract is "no dangling sources"). Returns (node, rank_fp) at
-    * [[Scale]] fixed-point after `iters` damped rounds; all
-    * arithmetic is BIGINT (rank div outdeg per hop, (85·Σ) div 100
-    * damping), so reruns and cross-engine replays agree bit-for-bit.
+    * dangling node would absorb rank mass and never emit it). The
+    * contract is ENFORCED, not just documented: out-degrees are
+    * tallied over both edge roles and a node seen only as `dst`
+    * raises `graft: pagerank dangling node` from inside the plan on
+    * the first action — a contract-violating caller fails loudly
+    * instead of receiving silently wrong ranks. Returns
+    * (node, rank_fp) at [[Scale]] fixed-point after `iters` damped
+    * rounds; all arithmetic is BIGINT (rank div outdeg per hop,
+    * (85·Σ) div 100 damping), so reruns and cross-engine replays
+    * agree bit-for-bit.
+    *
+    * `tolFp` ≥ 0 enables early exit: after each round the summed
+    * absolute fixed-point rank change Σ|Δrank_fp| is measured (one
+    * co-partitioned node-sized join — cheap next to the edge join)
+    * and iteration stops once it is ≤ `tolFp`. Because the integer
+    * fixed-point map is a contraction up to floor rounding, ranks
+    * reach an EXACT fixpoint (Δ = 0) on most graphs within a few
+    * dozen rounds — but floor division can also settle into a ±1-unit
+    * limit cycle, so callers pinning `tolFp = 0` should keep `iters`
+    * as the backstop (it always bounds the round count); a tolerance
+    * of a few units per node is immune to the cycle. The default
+    * (-1) keeps the fixed-`iters` behavior with no per-round action,
+    * which is what the bit-exact oracle replays.
     *
     * Scale shape: the sender's out-degree is attached to the edge
     * row ONCE (no rank⋈degree join per iteration); the edge list is
     * partitioned by src once and every iteration is ONE join + ONE
     * keyed aggregation on that layout, lineage cut every 5 hops. */
-  def pagerank(e0: DataFrame, iters: Int = Iters): DataFrame = {
+  def pagerank(e0: DataFrame, iters: Int = Iters, tolFp: Long = -1L): DataFrame = {
     val dirs = e0.select(col("src"), col("dst"))
-    val deg = dirs.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"))
+    // out-degree tallied over BOTH roles so a dst-only (dangling)
+    // node surfaces as outdeg 0 and trips the in-plan guard, instead
+    // of vanishing in an inner join; when the contract holds the
+    // node set and every outdeg are identical to a src-only tally
+    val deg = dirs
+      .select(col("src").as("node"), lit(1L).as("is_src"))
+      .union(dirs.select(col("dst").as("node"), lit(0L).as("is_src")))
+      .groupBy(col("node"))
+      .agg(sum(col("is_src")).as("outdeg"))
+      // the guard rides the NODE column (not outdeg): every consumer
+      // of deg reads the node id, so column pruning can never drop the
+      // check the way it would an unused guarded outdeg projection
+      .select(
+        when(col("outdeg") > 0, col("node"))
+          .otherwise(raise_error(concat(
+            lit("graft: pagerank dangling node (appears as dst but has " +
+              "no out-edges; feed both directions or drop it): "),
+            col("node").cast("string")))).as("src"),
+        col("outdeg"))
     val edges = dirs.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("node"), lit(Scale).as("rank_fp"))
-    for (i <- 1 to iters) {
-      ranks = ranks.as("r")
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
+      val next = ranks.as("r")
         .join(edges.as("e"), col("r.node") === col("e.src"))
         .select(col("e.dst").as("node"),
           expr("rank_fp div outdeg").as("c"))
@@ -85,8 +122,19 @@ object Graph {
         .agg(expr("150000L + (85 * sum(c)) div 100").as("rank_fp"))
       // cut the join-tree lineage every 5 hops: the rank table is
       // node-sized (tiny next to edges), and re-planning a deep join
-      // tree costs more than materializing it
-      if (i % 5 == 0) ranks = ranks.localCheckpoint(eager = true)
+      // tree costs more than materializing it. The convergence check
+      // runs an action per round, so it checkpoints every round to
+      // keep the delta join from recomputing the whole prefix.
+      val mat = if (tolFp >= 0 || i % 5 == 0) next.localCheckpoint(eager = true)
+                else next
+      if (tolFp >= 0) {
+        val delta = mat.as("n")
+          .join(ranks.as("p"), col("n.node") === col("p.node"))
+          .agg(sum(abs(col("n.rank_fp") - col("p.rank_fp"))).as("d"))
+          .first().getLong(0)
+        if (delta <= tolFp) converged = true
+      }
+      ranks = mat
     }
     val out = ranks.localCheckpoint(eager = true)
     edges.unpersist()

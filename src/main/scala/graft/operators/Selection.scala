@@ -180,6 +180,15 @@ object Selection {
     * 12 s at sf0.1 where the kernel path reads the corpus once in
     * whole-stage codegen) and the oracle replays the same windows as
     * strings via the shared wordWindowSql tokenization contract.
+    * One assumption rides on top of that contract here: doc frequency
+    * is counted over the 64-bit gram HASHES on the Spark side but
+    * over the gram STRINGS in the oracle, so two distinct bigrams
+    * colliding at 64 bits would merge their df and could flip a
+    * threshold the string replay wouldn't. Birthday math keeps that
+    * negligible through ~10^8 distinct bigrams (collision odds ~3e-4);
+    * a corpus with a distinct-bigram vocabulary beyond ~10^9 should
+    * derive the boiler set from string bigrams (or a 128-bit hash)
+    * instead.
     *
     * Scale: the frequency table aggregates (gram → df) with map-side
     * combine; the boiler set is bounded above by 25·(corpus distinct

@@ -135,4 +135,38 @@ class GraphSpec extends SparkSpec {
     // the hub (node 1, degree 3) must outrank the pendant (node 4)
     assert(got(1L) > got(4L))
   }
+
+  test("pagerank early exit: converged result equals the fixed-iteration one") {
+    import spark.implicits._
+    val und = Seq((1L,2L),(2L,3L),(1L,3L),(1L,4L))
+    val edges = (und ++ und.map(e => (e._2, e._1))).toDF("src", "dst")
+    // a generous iteration budget with a small tolerance must land on
+    // the same integer fixed point the full budget computes — the
+    // early exit may only skip converged rounds, never change ranks
+    val full = Graph.pagerank(edges, iters = 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val early = Graph.pagerank(edges, iters = 60, tolFp = 4L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tolFp=4 over 4 nodes: once per-round movement is ≤1 unit/node
+    // the integer recurrence has settled (floor arithmetic can hold a
+    // ±1 limit cycle, so ranks agree within 1 unit per node)
+    assert(full.keySet === early.keySet)
+    full.foreach { case (n, r) =>
+      assert(math.abs(r - early(n)) <= 1L, s"node $n: $r vs ${early(n)}")
+    }
+  }
+
+  test("pagerank raises loudly on a dangling node instead of leaking its mass") {
+    import spark.implicits._
+    // node 3 appears only as dst — the documented contract violation
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      Graph.pagerank(edges, iters = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("pagerank dangling node")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+  }
 }
