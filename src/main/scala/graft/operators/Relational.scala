@@ -985,9 +985,7 @@ object Relational {
         // collide with the base row it came from
         .withColumn("o_orderkey", (col("o_orderkey") + 1) * -1)
         .withColumn("o_orderstatus", lit("N"))
-      val upserts = updates.unionByName(inserts)
-      base.join(upserts.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
-        .unionByName(upserts)
+      mergeUpsert(base, updates.unionByName(inserts), "o_orderkey")
         .orderBy(col("o_orderkey"))
     },
     oracle = Some("""
@@ -1395,8 +1393,66 @@ object Relational {
         UNION ALL SELECT * FROM upserts)
       ORDER BY o_orderkey"""))
 
+  /** Library MERGE core shared by the q_merge* family: evict the
+    * change batch's keys from the base with ONE left_anti join, then
+    * append the change rows — key-partitioned shuffle, no window, and
+    * neither side broadcast, the plan that survives a base table too
+    * big to broadcast. With `evolve = true` the change batch may ADD
+    * columns the base lacks (the next thing a production MERGE
+    * pipeline hits after upserts: a source team ships a new field):
+    * the output schema is the union-by-name of both sides, absent
+    * slots null. With `evolve = false` (default) a schema mismatch
+    * fails at plan time — silent widening is opt-in, never implied. */
+  def mergeUpsert(base: DataFrame, upserts: DataFrame, key: String,
+      evolve: Boolean = false): DataFrame =
+    base.join(upserts.select(col(key)), Seq(key), "left_anti")
+      .unionByName(upserts, allowMissingColumns = evolve)
+
+  /** q_merge_evolve — MERGE with SCHEMA EVOLUTION: the change batch
+    * carries a column the base table has never seen (`o_channel`,
+    * stamped by the new ingestion path), and the merge widens the
+    * table — untouched base rows read null, updated rows 'backfill',
+    * inserted rows 'api'. Same eviction/append plan as [[qMerge]]
+    * via [[mergeUpsert]] with `evolve = true`; the oracle replays
+    * the widening with an explicit CAST(NULL AS VARCHAR) leg. */
+  val qMergeEvolve: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+      val updates = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_channel", lit("backfill"))
+      val inserts = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", (col("o_orderkey") + 1) * -1)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_channel", lit("api"))
+      mergeUpsert(base, updates.unionByName(inserts), "o_orderkey",
+          evolve = true)
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      WITH upserts AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+               o_orderpriority, 'backfill' AS o_channel
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT -(o_orderkey + 1), o_custkey, 'N', o_totalprice, o_orderdate,
+               o_orderpriority, 'api'
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, o_channel
+      FROM (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, CAST(NULL AS VARCHAR) AS o_channel
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upserts)
+        UNION ALL SELECT * FROM upserts)
+      ORDER BY o_orderkey"""))
+
   val defs: Map[String, QueryDef] = Map(
     "q_attribution" -> qAttribution,
+    "q_merge_evolve" -> qMergeEvolve,
     "q_attribution_multi" -> qAttributionMulti,
     "q_merge_delete" -> qMergeDelete,
     "q_spike" -> qSpike,

@@ -92,6 +92,27 @@ class RetrievalSpec extends SparkSpec {
       base.filter(col("o_orderkey") % 10 =!= 3)).isEmpty)
   }
 
+  test("q_merge_evolve: widened column is null exactly on untouched rows; evolve=false rejects") {
+    import spark.implicits._
+    val out = Relational.qMergeEvolve.fn(spark, sf).cache()
+    // schema gained the evolved column, nullable
+    assert(out.schema.fieldNames.contains("o_channel"))
+    // untouched base rows: null channel; touched rows: stamped
+    assert(out.filter(col("o_channel").isNull &&
+      (col("o_orderkey") % 10 === 3 || col("o_orderkey") < 0)).isEmpty)
+    assert(out.filter(col("o_channel").isNotNull &&
+      col("o_orderkey") % 10 =!= 3 && col("o_orderkey") > 0).isEmpty)
+    assert(out.filter(col("o_channel") === "api").count() ==
+      out.filter(col("o_orderkey") < 0).count())
+    // the non-evolving merge refuses a widened change batch at plan time
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val wide = Seq((2L, "b", "extra")).toDF("k", "v", "w")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Relational.mergeUpsert(base, wide, "k")
+    }
+    ()
+  }
+
   test("t_domain_cap: at most 12 docs per source, priority respected") {
     val out = Corpus.tDomainCap.fn(spark, sf).cache()
     val per = out.groupBy("source").agg(count(lit(1)).as("n")).collect()
