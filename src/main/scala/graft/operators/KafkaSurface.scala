@@ -503,8 +503,51 @@ object KafkaSurface {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** Streaming write path: the loop the reference's producer side
+    * closes (KafkaOutputFormat.java:1) run as a NATIVE streaming
+    * pipeline — `readStream.format("graft-log")` over a produced
+    * segment log, `writeStream.format("graft-log")` into a second
+    * log under Trigger.AvailableNow (the Camus bounded-drain mode),
+    * then a batch re-read of the SINK decodes and summarizes. Every
+    * record must survive stream-copy byte-exactly, so the oracle
+    * recomputes the summary straight from the source table. The
+    * sink's per-epoch rename commit makes the copy exactly-once
+    * (LogSegmentSourceSpec pins retry overwrite); scratch dirs are
+    * cleaned per run so re-runs never accumulate epochs. */
+  val kSinkStream: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_stream/${new java.io.File(dir).getName}"
+      rmTree(new java.io.File(base))
+      val src = s"$base/src"
+      graft.sources.LogSegments.write(MessageLog.eventsTopic(s, dir), src)
+      val q = s.readStream.format("graft-log").load(src)
+        .writeStream.format("graft-log")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.format("graft-log").load(s"$base/out")
+        .withColumn("v", avro.from_topic(col("value"), "events"))
+        .groupBy(col("topic"), col("partition"))
+        .agg(count(lit(1)).as("n"),
+          max(col("offset")).as("max_offset"),
+          countDistinct(col("v.event_type")).as("n_types"),
+          sum(expr("cast(round(v.value * 100) as bigint)")).as("cents"))
+        .orderBy(col("topic"), col("partition"))
+    },
+    oracle = Some("""
+      SELECT 'events' AS topic, CAST(user_id % 8 AS INTEGER) AS partition,
+             count(*) AS n, count(*) - 1 AS max_offset,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events
+      GROUP BY 2
+      ORDER BY 1, 2"""))
+
   val defs: Map[String, QueryDef] = Map(
     "k_json_props" -> kJsonProps,
+    "k_sink_stream" -> kSinkStream,
     "k_evolve" -> kEvolve,
     "k_csv" -> kCsvRoundtrip,
     "k_compact" -> kCompact,

@@ -97,7 +97,8 @@ object LogSegmentSource {
 }
 
 private[sources] class SegmentTable(rawPath: String, decodeJson: Option[String] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(rawPath != null, "graft-log: .load(path) is required")
   // the session catalog hands a table's location back as a file: URI
   private val path: String =
@@ -110,9 +111,19 @@ private[sources] class SegmentTable(rawPath: String, decodeJson: Option[String] 
     case None => LogSegmentSource.schema
   }
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SegmentScanBuilder(path, PullBudget.fromOptions(options), decodeJson, schema())
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(decodeJson.isEmpty,
+      "graft-log: writes target a RAW log table (key/value bytes); a " +
+        "decodeTopic/avroSchemaFile table is a read-only typed view — " +
+        "encode the payload with to_avro and write the raw table instead")
+    new SegmentWriteBuilder(path, info)
+  }
 }
 
 /** Admission-control knobs — the reference's pull-budget surface
@@ -480,6 +491,164 @@ private[graft] object SegmentOffsets {
       (key.substring(0, i), key.substring(i + 1).toInt) -> v.trim.toLong
     }.toMap)
   }
+}
+
+// ───────────────────────── write path ─────────────────────────
+//
+// DSv2 WriteBuilder → Write → {BatchWrite, StreamingWrite} over the
+// same segment layout the read side scans — the reference's produce
+// path (KafkaOutputFormat.java:1, demoproducer/BaseProducer.java) as
+// a native Spark sink, closing the streaming loop:
+// `df.writeStream.format("graft-log")` now exists next to
+// `readStream`, no foreachBatch shim.
+//
+// Commit protocol (exactly-once for streaming epochs):
+//  - every task writes `.gseg.tmp` files named DETERMINISTICALLY from
+//    (queryId, epochId, task partitionId) — a retried task or a
+//    re-executed epoch regenerates the SAME names;
+//  - the driver publishes (tmp → final rename, REPLACE_EXISTING) only
+//    in commit(), after every task reported — readers never see a
+//    half-written or half-committed epoch (rename is atomic per file;
+//    a crash mid-commit re-runs the epoch, which overwrites);
+//  - LogicalWriteInfo.queryId is the STREAMING QUERY's persistent id
+//    (stable across restarts from the same checkpoint), so epoch
+//    re-execution after recovery lands on the same file names —
+//    overwrite, not duplication. Batch writes get a fresh queryId per
+//    job: task retries within a job are exactly-once, a re-run job
+//    appends (at-least-once), the same contract as a Kafka producer
+//    without a transactional id.
+//
+// Scale: one segment file per (epoch, task, topic-partition) touched;
+// rows need not arrive sorted or co-partitioned (each task streams to
+// per-topic-partition writers), so the sink imposes NO shuffle of its
+// own. Many small epochs make many small segments — bounded by the
+// epoch cadence, and the compaction operator (k_compact) is the
+// existing remedy, same as a real broker's log-compaction cycle.
+
+private[sources] class SegmentWriteBuilder(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new SegmentWriteImpl(path, info)
+}
+
+private[sources] class SegmentWriteImpl(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.Write {
+  import org.apache.spark.sql.connector.write._
+
+  // resolve input columns by NAME against the wire schema and fail at
+  // plan time on a drifted type — a misplaced binary column must not
+  // become a corrupt segment at task time
+  private val colIdx: Array[Int] = {
+    val in = info.schema()
+    LogSegmentSource.schema.fields.map { f =>
+      val i = in.fieldNames.indexOf(f.name)
+      require(i >= 0, s"graft-log write: missing column '${f.name}' " +
+        s"(input: ${in.fieldNames.mkString(", ")})")
+      require(in.fields(i).dataType == f.dataType,
+        s"graft-log write: column '${f.name}' is ${in.fields(i).dataType.simpleString}, " +
+          s"expected ${f.dataType.simpleString}")
+      i
+    }
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+      SegmentWriterFactory(path, s"b-${info.queryId()}", colIdx)
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      SegmentWriteImpl.publishAll(messages)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      SegmentWriteImpl.discardAll(messages)
+  }
+
+  override def toStreaming: streaming.StreamingWrite = new streaming.StreamingWrite {
+    override def createStreamingWriterFactory(p: PhysicalWriteInfo)
+        : streaming.StreamingDataWriterFactory =
+      SegmentWriterFactory(path, s"q-${info.queryId()}", colIdx)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      SegmentWriteImpl.publishAll(messages)
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      SegmentWriteImpl.discardAll(messages)
+  }
+}
+
+private[sources] object SegmentWriteImpl {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+  def publishAll(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SegmentTaskCommit(tmps) => tmps.foreach(LogSegments.publish)
+      case other => throw new IllegalStateException(
+        s"graft-log: foreign commit message $other")
+    }
+  def discardAll(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SegmentTaskCommit(tmps) =>
+        tmps.foreach(t => new java.io.File(t).delete())
+      case _ => ()
+    }
+}
+
+private[sources] case class SegmentTaskCommit(tmpPaths: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** One factory serves both batch and streaming: the stem carries the
+  * idempotency identity (batch: query id; streaming: query id +
+  * epoch id appended in createWriter). */
+private[sources] case class SegmentWriterFactory(path: String, stem: String,
+    colIdx: Array[Int])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SegmentDataWriter(path, s"$stem-t$partitionId", colIdx)
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SegmentDataWriter(path, s"$stem-e$epochId-t$partitionId", colIdx)
+}
+
+/** Task-side writer: streams each row into a per-(topic, partition)
+  * segment writer; file names are fully determined by (stem, topic,
+  * partition), so a task retry truncates-and-rewrites rather than
+  * appending a duplicate. The record payload (offset, event-time ms)
+  * is taken from the row — the graft-log write contract is the same
+  * frame the read side produces. */
+private[sources] class SegmentDataWriter(path: String, stem: String,
+    colIdx: Array[Int])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val Array(kI, vI, tI, pI, oI, tsI, _) = colIdx
+  private var writers = Map.empty[(String, Int), LogSegments.SegmentFileWriter]
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(tI) && !row.isNullAt(pI) && !row.isNullAt(oI),
+      "graft-log write: topic/partition/offset must be non-null")
+    val topic = row.getUTF8String(tI).toString
+    val part = row.getInt(pI)
+    val w = writers.getOrElse((topic, part), {
+      val nw = new LogSegments.SegmentFileWriter(new java.io.File(
+        s"$path/topic=$topic/partition=$part", s"$stem.gseg.tmp"))
+      writers += ((topic, part) -> nw); nw
+    })
+    w.append(
+      if (row.isNullAt(kI)) null else row.getBinary(kI),
+      if (row.isNullAt(vI)) null else row.getBinary(vI),
+      row.getLong(oI),
+      if (row.isNullAt(tsI)) 0L else row.getLong(tsI) / 1000L)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    SegmentTaskCommit(writers.values.map(_.tmpFile.getPath).toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach { w =>
+      try w.close() catch { case scala.util.control.NonFatal(_) => () }
+      w.tmpFile.delete()
+    }
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] case class SegmentPartition(dir: String, topic: String,

@@ -68,6 +68,48 @@ object LogSegments {
     }
   }
 
+  /** Streams records into ONE v2 segment file at `tmpFile` (callers
+    * name it `*.gseg.tmp`). Publication is by rename, in one of two
+    * disciplines: [[seal]] (close + rename now — the batch-write path,
+    * where the task owns publication) or plain [[close]] with the
+    * rename deferred to a coordinator ([[publish]] — the DSv2 commit
+    * protocol, where the DRIVER renames after every task reported, so
+    * a failed epoch leaves only `.tmp` litter and never a half-visible
+    * segment). */
+  private[sources] final class SegmentFileWriter(val tmpFile: File) {
+    tmpFile.getParentFile.mkdirs()
+    private val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(tmpFile)))
+    out.writeInt(Magic2)
+    private val crc = new RecordCrc
+    def append(k: Array[Byte], v: Array[Byte], offset: Long, tsMs: Long): Unit = {
+      def bytes(b: Array[Byte]): Unit =
+        if (b == null) out.writeInt(-1)
+        else { out.writeInt(b.length); out.write(b) }
+      bytes(k); bytes(v)
+      out.writeLong(offset); out.writeLong(tsMs)
+      out.writeInt(crc.of(k, v, offset, tsMs))
+    }
+    def close(): Unit = out.close()
+    def seal(): File = { close(); publish(tmpFile.getPath) }
+  }
+
+  /** Rename a finished `.tmp` segment into place. Idempotent under
+    * coordinator retry: a missing tmp whose final file exists is a
+    * previously-completed publish, not an error (REPLACE_EXISTING
+    * keeps a same-name re-publish an overwrite, never a duplicate). */
+  private[sources] def publish(tmpPath: String): File = {
+    val tmp = new File(tmpPath)
+    val fin = new File(tmpPath.stripSuffix(".tmp"))
+    if (tmp.exists())
+      java.nio.file.Files.move(tmp.toPath, fin.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else if (!fin.exists())
+      throw new java.io.IOException(
+        s"graft: segment $tmpPath vanished before publication")
+    fin
+  }
+
   /** Write a message-log DataFrame (spark-sql-kafka schema) as segment
     * dirs. One shuffle: co-locate each topic-partition, offset-sorted. */
   def write(log: DataFrame, path: String): String = {
@@ -81,37 +123,21 @@ object LogSegments {
       .foreachPartition { it: Iterator[(Array[Byte], Array[Byte], String, Int, Long, Long)] =>
         // write to .tmp, rename on close: concurrent readers (a live
         // micro-batch stream) must never see a half-written segment
-        var out: DataOutputStream = null
-        var tmp: File = null
-        val crc = new RecordCrc
-        def sealSegment(): Unit = if (out != null) {
-          out.close()
-          val fin = new File(tmp.getPath.stripSuffix(".tmp"))
-          if (!tmp.renameTo(fin)) throw new java.io.IOException(
-            s"graft: could not publish segment $fin")
-          out = null; tmp = null
-        }
+        var w: SegmentFileWriter = null
+        def sealSegment(): Unit = if (w != null) { w.seal(); w = null }
         var current: (String, Int) = null
         for ((k, v, topic, part, offset, tsMs) <- it) {
           if (current != (topic, part)) {
             sealSegment()
-            val dir = new File(s"$path/topic=$topic/partition=$part")
-            dir.mkdirs()
             // unique per write so appended batches never clobber files
             val taskId = org.apache.spark.TaskContext.getPartitionId()
             val unique = java.util.UUID.randomUUID().toString.take(8)
-            tmp = new File(dir, f"part-$taskId%05d-$unique.gseg.tmp")
-            out = new DataOutputStream(new BufferedOutputStream(
-              new FileOutputStream(tmp)))
-            out.writeInt(Magic2)
+            w = new SegmentFileWriter(new File(
+              s"$path/topic=$topic/partition=$part",
+              f"part-$taskId%05d-$unique.gseg.tmp"))
             current = (topic, part)
           }
-          def bytes(b: Array[Byte]): Unit =
-            if (b == null) out.writeInt(-1)
-            else { out.writeInt(b.length); out.write(b) }
-          bytes(k); bytes(v)
-          out.writeLong(offset); out.writeLong(tsMs)
-          out.writeInt(crc.of(k, v, offset, tsMs))
+          w.append(k, v, offset, tsMs)
         }
         sealSegment()
       }

@@ -299,4 +299,115 @@ class LogSegmentSourceSpec extends SparkSpec {
       .distinct().count()
     assert(n === MessageLog.eventsTopic(spark, sf).count())
   }
+
+  // ───────────── write path (KafkaOutputFormat.java parity) ─────────────
+
+  private def logDigest(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("topic"), col("partition"), col("offset"),
+        unix_millis(col("timestamp")).as("ts"),
+        md5(col("value")).as("vh"), md5(col("key")).as("kh"))
+      .orderBy(col("topic"), col("partition"), col("offset"))
+      .collect().toSeq
+
+  test("batch write through format(graft-log) equals the batch-append path") {
+    val out = java.nio.file.Files.createTempDirectory("graft_w_batch").toString
+    try {
+      MessageLog.eventsTopic(spark, sf)
+        .write.format("graft-log").mode("append").save(out)
+      assert(logDigest(spark.read.format("graft-log").load(out)) ===
+        logDigest(MessageLog.eventsTopic(spark, sf)))
+      // no .tmp litter after a clean commit
+      val tmps = new java.io.File(out).listFiles(); def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      assert(walk(new java.io.File(out)).forall(!_.getName.endsWith(".tmp")))
+      assert(tmps != null)
+    } finally deleteRecursively(new java.io.File(out))
+  }
+
+  test("writeStream through the graft-log sink closes the streaming loop") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_w_stream").toString
+    val src = s"$base/src"; val sink = s"$base/out"; val ckpt = s"$base/ckpt"
+    try {
+      LogSegments.write(MessageLog.eventsTopic(spark, sf), src)
+      val q = spark.readStream.format("graft-log").load(src)
+        .writeStream.format("graft-log")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the streamed copy is record-for-record the source log
+      assert(logDigest(spark.read.format("graft-log").load(sink)) ===
+        logDigest(spark.read.format("graft-log").load(src)))
+      // resume: appending to the source and re-running the SAME
+      // checkpoint writes only the delta (offsets checkpointed), and
+      // the sink now holds exactly the grown log — no re-duplication
+      // of the already-shipped prefix
+      LogSegments.write(
+        MessageLog.documentsTopic(spark, sf).filter(col("offset") < 5), src)
+      val q2 = spark.readStream.format("graft-log").load(src)
+        .writeStream.format("graft-log")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      assert(logDigest(spark.read.format("graft-log").load(sink)) ===
+        logDigest(spark.read.format("graft-log").load(src)))
+    } finally deleteRecursively(new java.io.File(base))
+  }
+
+  test("epoch re-execution through the commit protocol overwrites, never duplicates") {
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriterCommitMessage}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("graft_w_retry").toString
+    try {
+      // drive the DSv2 protocol directly: same queryId, same epoch,
+      // written twice — the injected-retry scenario (a crash after
+      // tasks ran but before the epoch landed in the commit log)
+      val table = new graft.sources.LogSegmentSource().getTable(
+        graft.sources.LogSegmentSource.schema, Array.empty,
+        Map("path" -> out).asJava)
+      val info = new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap =
+          new CaseInsensitiveStringMap(java.util.Map.of("path", out))
+        override def queryId(): String = "test-query-0"
+        override def schema() = graft.sources.LogSegmentSource.schema
+      }
+      val rows = MessageLog.eventsTopic(spark, sf)
+        .filter(col("partition") === 2 && col("offset") < 7)
+      def runEpoch(): Unit = {
+        val sw = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+          .newWriteBuilder(info).build().toStreaming
+        val factory = sw.createStreamingWriterFactory(null)
+        val data = rows.queryExecution.toRdd.collect() // InternalRows, one task's worth
+        val w = factory.createWriter(0, 0L, 7L) // (partitionId, taskId, epochId)
+        data.foreach(w.write)
+        val msg: WriterCommitMessage = w.commit()
+        sw.commit(7L, Array(msg))
+      }
+      runEpoch()
+      val first = logDigest(spark.read.format("graft-log").load(out))
+      runEpoch() // the retry
+      val second = logDigest(spark.read.format("graft-log").load(out))
+      assert(first.nonEmpty)
+      assert(second === first, "epoch retry must overwrite, not append")
+    } finally deleteRecursively(new java.io.File(out))
+  }
+
+  test("writes to a decodeTopic table are rejected as read-only typed views") {
+    // a frame that MATCHES the decoded schema reaches the write
+    // builder itself (a mismatched one already dies in the analyzer's
+    // cast check); the builder must refuse the typed view regardless
+    val typed = spark.read.format("graft-log")
+      .option("decodeTopic", "events").load(segDir)
+    val ex = intercept[Exception] {
+      typed.write.format("graft-log").option("decodeTopic", "events")
+        .mode("append")
+        .save(java.nio.file.Files.createTempDirectory("graft_w_ro").toString)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("read-only typed view")),
+      messages(ex).mkString(" | "))
+  }
 }
