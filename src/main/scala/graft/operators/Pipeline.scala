@@ -2192,12 +2192,14 @@ object Pipeline {
     * PQ-contract methodology, pinned under the worst measurement):
     * IVF-AUTO 0.94/0.98 at sf0.01/sf0.1 -> floor 0.85 (sqrt-n lists,
     * nprobe=4 — occupancy falls as n grows, so probed lists hold a
-    * SMALLER corpus fraction yet recall holds); LSH-AUTO 0.32/0.24 ->
-    * floor 0.2 (the default 8-table shape targets high-cosine dedup;
-    * these queries' exact top-5 sit at background ~0.3-0.4 cosine
-    * where 6-bit buckets rarely collide — the dense 24x4 contract
-    * above is the knob for that regime, and the AUTO row pins that
-    * the no-tuning shape stays a usable-not-degenerate baseline). */
+    * SMALLER corpus fraction yet recall holds); LSH-AUTO 0.68/0.68 ->
+    * floor 0.6 (r12: the no-tuning LSH shape is DENSITY-ADAPTIVE —
+    * Similarity.autoLshShape solves tables×bits from the measured
+    * background/k-th-neighbor cosines targeting ≥0.6 recall; the old
+    * fixed 8-table shape measured 0.32/0.24 here because this
+    * corpus's exact top-5 sit at background ~0.3 cosine, and its
+    * floor could only honestly be pinned at 0.2. The probe records
+    * the solved shapes: 7x4 at n=500, 21x6 at n=2000). */
   val dAnnIvfAutoRecall: QueryDef = QueryDef(
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -2214,17 +2216,16 @@ object Pipeline {
       val q = emb.filter(col("vec_id") < 10)
       annRecall(
         Similarity.lshTopK(emb, q, "embedding", "vec_id"),
-        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.2)
+        Similarity.bruteTopK(emb, q, "embedding", "vec_id"), 0.6)
     },
     oracle = Some(recallOracleSql))
 
-  /** The default (8x6) LSH shape targets high-cosine dedup hits; this
-    * corpus's exact top-5 sit at background similarity (~0.3-0.4 cos),
-    * where 6-bit buckets rarely collide (measured recall 0.32). The
-    * recall contract uses the dense 24-table x 4-bit configuration —
-    * collision probability 0.6^4 per table, ~0.95+ recall over 24
-    * tables — the knob a user turns when low-similarity neighbors
-    * matter more than scan fraction. */
+  /** The dense 24-table x 4-bit configuration — collision probability
+    * ~0.6^4 per table, ~0.95+ recall over 24 tables — the PINNED
+    * shape a user turns to when low-similarity neighbors matter more
+    * than scan fraction (the AUTO path now solves a comparable shape
+    * itself from measured density; this row keeps the explicit-config
+    * contract pinned independently of the solver). */
   val dAnnLshRecall: QueryDef = QueryDef(
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")

@@ -969,27 +969,143 @@ object Similarity {
     cents
   }
 
+  /** A solved LSH search shape: `tables` independent hyperplane
+    * bucketings of `bits` bits each. */
+  private[graft] case class LshShape(tables: Int, bits: Int)
+
+  /** Collision probability of ONE random hyperplane bit for a pair at
+    * cosine `c` (Goemans–Williamson: 1 − θ/π), clamped into (0.5,
+    * 0.995] — hyperplane LSH cannot discriminate below cos 0 and a
+    * probability pinned at 1 would make the shape solve degenerate. */
+  private def pBit(c: Double): Double =
+    math.min(0.995, math.max(0.505,
+      1.0 - math.acos(math.min(1.0, math.max(-1.0, c))) / math.Pi))
+
+  /** Density-adaptive LSH shape for [[lshTopK]]'s no-tuning path:
+    * solve (tables, bits) against the corpus's MEASURED similarity
+    * density instead of assuming one — the same
+    * measured-background-similarity discipline
+    * [[Dedup.autoMinhashBands]] applies to MinHash banding. A fixed
+    * default (the old 8 tables × occupancy bits) is honest only for
+    * high-cosine near-dup hunting; on a corpus whose true top-k sit
+    * near the background cosine it silently degrades to ~0.2 recall.
+    *
+    * The solve, from a background cosine `cBg` and a k-th-neighbor
+    * cosine `cTrue`:
+    *  1. occupancy bits: smallest `bits` holding per-table scored
+    *     candidates ≈ n · pBit(cBg)^bits ≤ ~64 (the [[Dedup.autoBits]]
+    *     constant, but at the MEASURED background — a 0.35-cosine
+    *     corpus collides at 0.61/bit, not the 0.5/bit a random-vector
+    *     corpus would);
+    *  2. recall tables: smallest `tables` with
+    *     1 − (1 − pBit(cTrue)^bits)^tables ≥ `targetRecall`;
+    *  3. if that demands > 64 tables, shed bits one at a time and
+    *     re-solve — trading per-table candidate volume for per-table
+    *     recall until the table budget holds (the correct direction:
+    *     fewer bits keeps the scan fraction bound t·pBg^b growing
+    *     slowly while per-table recall rises geometrically).
+    * When even bits = 2 can't reach the target inside 64 tables, the
+    * corpus's neighbors are indistinguishable from its background at
+    * hyperplane resolution — the ρ→1 regime where NO lsh shape is
+    * sublinear; the solve returns the 64-table shape (best effort)
+    * and the scaladoc'd guidance is ivfTopK/pcaTopK, whose quantizers
+    * learn the density instead of fighting it. */
+  private[graft] def autoLshShape(n: Long, cBg: Double, cTrue: Double,
+      k: Int = 5, targetRecall: Double = 0.6): LshShape = {
+    val pBg = pBit(cBg)
+    val pT = math.max(pBit(cTrue), pBg) // k-th neighbor is never colder than background
+    def tablesFor(b: Int): Int = {
+      val hit = math.pow(pT, b)
+      if (hit >= targetRecall) 1
+      else math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - hit)).toInt
+    }
+    var bits = math.min(16, math.max(2,
+      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(1.0 / pBg)).toInt))
+    while (tablesFor(bits) > 64 && bits > 2) bits -= 1
+    LshShape(math.min(64, math.max(4, tablesFor(bits))), bits)
+  }
+
+  /** Measure (cBg, cTrue) for [[autoLshShape]] from a bounded
+    * deterministic sample: `cap` id-ordered vectors collected to the
+    * driver (same device as trainQuantizer — KB-scale, one job),
+    * cBg = median pairwise cosine, cTrue = median over the first 64
+    * sample vectors of their k-th-highest cosine WITHIN the sample.
+    * The within-sample k-th neighbor is conservatively COLD (a 512-row
+    * sample of a dense corpus is sparser than the corpus), so the
+    * solved shape errs toward more tables — recall above target, never
+    * silently below. */
+  private[graft] def measureDensity(corpus: DataFrame, vecCol: String,
+      idCol: String, k: Int = 5, cap: Int = 512): (Double, Double) = {
+    import org.apache.spark.sql.Row
+    val vecs: Array[Array[Float]] = corpus
+      .select(col(vecCol)).orderBy(col(idCol)).limit(cap)
+      .collect().map { case Row(v: scala.collection.Seq[_]) =>
+        v.map(_.asInstanceOf[Float]).toArray }
+    val m = vecs.length
+    require(m >= 2, s"graft: need >= 2 vectors to measure density (got $m)")
+    val norms = vecs.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    def cos(i: Int, j: Int): Double = {
+      var s = 0.0; var d = 0
+      while (d < vecs(i).length) { s += vecs(i)(d).toDouble * vecs(j)(d); d += 1 }
+      val nn = norms(i) * norms(j)
+      if (nn == 0) 0.0 else s / nn
+    }
+    val all = new scala.collection.mutable.ArrayBuffer[Double](m * (m - 1) / 2)
+    for (i <- 0 until m; j <- i + 1 until m) all += cos(i, j)
+    val sortedAll = all.toArray.sorted
+    val cBg = sortedAll(sortedAll.length / 2)
+    val kths = (0 until math.min(64, m)).map { i =>
+      val mine = (0 until m).filter(_ != i).map(j => cos(i, j))
+        .sorted(Ordering[Double].reverse)
+      mine(math.min(k, mine.length) - 1)
+    }.sorted
+    (cBg, kths(kths.length / 2))
+  }
+
   /** LSH-bucketed ANN: same shape as bruteTopK, approximate.
     *
-    * `bits` defaults to AUTO (-1): occupancy-held sizing from the
-    * corpus count ([[Dedup.autoBits]] — mean bucket occupancy ~64 per
-    * table). With FIXED bits each query scores ~tables x n/2^bits
-    * candidates — linear in corpus size, so a 1B-row corpus hands every
-    * query ~n/64 vectors to score; occupancy-held bits keep the
-    * per-query candidate count ~tables x 64, flat at any scale. AUTO
-    * costs one count() pass over the corpus UNLESS `rowHint` (> 0)
-    * supplies the row count (occupancy sizing needs only the order of
-    * magnitude — NoHiddenScanSpec pins that a hinted call launches no
-    * job). Pass explicit bits to pin a shape (the dense 24x4
-    * recall/precision contract configurations do). */
+    * Shape resolution:
+    *  - `tables` > 0 and `bits` > 0 — pinned (the dense 24×4
+    *    recall/precision contract configurations do this);
+    *  - `bits` > 0 alone — pinned width, legacy 8-table union;
+    *  - `tables` > 0 alone — occupancy-held width from the corpus
+    *    count ([[Dedup.autoBits]]: mean bucket occupancy ~64/table;
+    *    one count() UNLESS `rowHint` supplies n);
+    *  - both AUTO (the no-tuning default) — DENSITY-ADAPTIVE: the
+    *    shape is solved by [[autoLshShape]] from the corpus's measured
+    *    background/neighbor cosines, targeting ≥ 0.6 recall at the
+    *    measured k-th-neighbor point. Costs one bounded sample job
+    *    (plus the count) UNLESS `cosBgHint`/`cosTrueHint` (and
+    *    `rowHint`) are supplied — a production pipeline that knows its
+    *    density (a prior [[measureDensity]] run, a corpus card) pays
+    *    ZERO construction jobs, the NoHiddenScanSpec contract.
+    * On a corpus whose neighbors sit AT background similarity, the
+    * adaptive solve caps at 64 tables and the honest scale answer is
+    * [[ivfTopK]]/[[pcaTopK]] — trained quantizers, not data-oblivious
+    * hyperplanes. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5,
-      tables: Int = 8, bits: Int = -1, rowHint: Long = -1L): DataFrame = {
-    val b = if (bits > 0) bits
-            else Dedup.autoBits(if (rowHint > 0) rowHint else corpus.count())
+      tables: Int = -1, bits: Int = -1, rowHint: Long = -1L,
+      targetRecall: Double = 0.6,
+      cosBgHint: Double = Double.NaN, cosTrueHint: Double = Double.NaN): DataFrame = {
+    val shape: LshShape =
+      if (tables > 0 && bits > 0) LshShape(tables, bits)
+      else if (bits > 0) LshShape(8, bits)
+      else {
+        val n = if (rowHint > 0) rowHint else corpus.count()
+        if (tables > 0) LshShape(tables, Dedup.autoBits(n))
+        else {
+          val (cBg, cTrue) =
+            if (!cosBgHint.isNaN && !cosTrueHint.isNaN) (cosBgHint, cosTrueHint)
+            else measureDensity(corpus, vecCol, idCol, k)
+          autoLshShape(n, cBg, cTrue, k, targetRecall)
+        }
+      }
+    val tCount = shape.tables
+    val b = shape.bits
     val withSigs = (df: DataFrame, id: String, vec: String) =>
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(array((0 until tables).map(t =>
+        explode(array((0 until tCount).map(t =>
           struct(lit(t).as("table"), sig(col(vecCol), b, 1000L + t).as("bucket"))): _*)).as("tb"))
         .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val c = withSigs(corpus, "neighbor_id", "cv")

@@ -30,8 +30,10 @@ object AnnAutoRecallProbe {
       }
       val lsh = recallOf(Similarity.lshTopK(emb, q, "embedding", "vec_id"))
       val ivf = recallOf(Similarity.ivfTopK(emb, q, "embedding", "vec_id"))
+      val (cBg, cTrue) = Similarity.measureDensity(emb, "embedding", "vec_id")
+      val shape = Similarity.autoLshShape(n, cBg, cTrue)
       println(f"[annauto] $dir n=$n lsh_auto=$lsh%.4f ivf_auto=$ivf%.4f " +
-        f"(autoBits=${graft.operators.Dedup.autoBits(n)} " +
+        f"(cBg=$cBg%.3f cTrue=$cTrue%.3f lshShape=${shape.tables}x${shape.bits} " +
         f"autoNlist=${Similarity.autoNlist(n)})")
       exact.unpersist()
     }

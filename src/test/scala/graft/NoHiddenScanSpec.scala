@@ -51,13 +51,19 @@ class NoHiddenScanSpec extends SparkSpec {
     assert(auto >= 1, "AUTO without hint sizes from a real count() job")
   }
 
-  test("lshTopK with rowHint launches no job at construction") {
+  test("lshTopK with full hints launches no job at construction") {
+    // the density-adaptive default needs n AND the two cosine
+    // densities; a production caller that knows all three (corpus
+    // card, prior measureDensity run) pays zero construction jobs
     val hinted = jobsDuringConstruction(
-      Similarity.lshTopK(emb, queries, "embedding", "vec_id", rowHint = 10000L))
-    assert(hinted === 0)
+      Similarity.lshTopK(emb, queries, "embedding", "vec_id",
+        rowHint = 10000L, cosBgHint = 0.0, cosTrueHint = 0.3))
+    assert(hinted === 0, "fully-hinted call must not launch any Spark job")
+    // rowHint alone still skips the count but pays the bounded
+    // density sample; no hints pays count + sample
     val auto = jobsDuringConstruction(
       Similarity.lshTopK(emb, queries, "embedding", "vec_id"))
-    assert(auto >= 1)
+    assert(auto >= 1, "AUTO without hints measures density with real jobs")
   }
 
   test("ivfTopK with rowHint runs only the quantizer-training jobs, no count") {

@@ -98,21 +98,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall vs brute too low: $recall")
   }
 
-  test("LSH top-k default bucket width is occupancy-held (autoBits wiring)") {
-    // default bits = -1 resolves via Dedup.autoBits(corpus count): the
-    // default path must equal an explicit run at that width (pinning
-    // the wiring), and the width itself must satisfy the occupancy
-    // bound that keeps per-query candidates flat as the corpus grows
+  test("LSH top-k default shape is density-adaptive (autoLshShape wiring)") {
+    // the no-tuning default resolves via measureDensity + autoLshShape:
+    // the default path must equal an explicit run at the solved shape
+    // (pinning the wiring), and the solve itself must satisfy its
+    // design bounds on this corpus
     val n = emb.count()
-    val auto = operators.Dedup.autoBits(n)
-    def pairs(bits: Int) =
-      Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 5, bits = bits)
+    val (cBg, cTrue) = Similarity.measureDensity(emb, "embedding", "vec_id")
+    val shape = Similarity.autoLshShape(n, cBg, cTrue)
+    def pairs(tables: Int, bits: Int) =
+      Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 5,
+          tables = tables, bits = bits)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val default = Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(default === pairs(auto))
-    // occupancy bound: mean bucket occupancy at the chosen width <= ~64
-    assert(n.toDouble / (1L << auto) <= 64.0 + 1e-9)
+    assert(default === pairs(shape.tables, shape.bits))
+    // design bounds: table budget held, and the solved shape's
+    // PREDICTED recall at the measured k-th-neighbor point clears the
+    // 0.6 target (the d_ann_lsh_auto_recall row measures the real one)
+    assert(shape.tables >= 4 && shape.tables <= 64)
+    assert(shape.bits >= 2 && shape.bits <= 16)
+    val pT = 1.0 - math.acos(math.min(1.0, math.max(-1.0, cTrue))) / math.Pi
+    val predicted = 1.0 - math.pow(1.0 - math.pow(pT, shape.bits), shape.tables)
+    assert(predicted >= 0.6 - 1e-9, s"solved shape predicts recall $predicted")
+    // legacy leg: pinning tables alone still resolves occupancy bits
+    val autoB = operators.Dedup.autoBits(n)
+    assert(pairs(8, autoB) === Similarity.lshTopK(emb, queries, "embedding",
+      "vec_id", k = 5, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
   }
 
   test("PQ encode packs valid per-subspace codes; reconstruction beats random pairing") {
