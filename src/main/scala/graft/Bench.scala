@@ -63,8 +63,11 @@ object Bench {
     def keep(keepQ: Int): Seq[(String, Double)] =
       if (keepQ >= timings.size) timings
       else timings.sortBy(-_._2).take(keepQ).sortBy(_._1)
+    // an omitting line is exactly where the sidecar pointer matters
+    // most — the dropped entries are only in bench_full.json
     def omittedJson(kept: Int): String =
-      if (kept < timings.size) s""","queries_omitted":${timings.size - kept}"""
+      if (kept < timings.size)
+        s""","queries_omitted":${timings.size - kept},"detail":"bench_full.json""""
       else ""
     // dec >= 1: seconds at that precision; dec == 0: integer
     // deciseconds, marked "qunit":"ds" so the values self-describe
@@ -81,7 +84,7 @@ object Bench {
     def renderPacked(failCap: Int, sfShown: String): String = {
       val qn = timings.map(_._1).mkString(",")
       val qds = timings.map(t => ds(t._2)).mkString(",")
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$qn","qds":"$qds","qunit":"ds"${failedJson(failCap)},"sf":"$sfShown"}"""
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$qn","qds":"$qds","qunit":"ds","detail":"bench_full.json"${failedJson(failCap)},"sf":"$sfShown"}"""
     }
     // the front-coded rung: each qn entry becomes one UPPERCASE letter
     // ('A' + lcp-with-predecessor, capped at 25) followed by the
@@ -122,9 +125,12 @@ object Bench {
         s.toString
       }
     }
+    // compressed rungs (packed and beyond) name the sidecar holding
+    // the PLAIN per-query map — a consumer of the handshake line alone
+    // must never need the fc decoder to recover per-query timings
     def fcLine(qn: String, qds: String, tag: String, failCap: Int,
         sfShown: String): String =
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$qn","qds":"$qds","qunit":"ds","qenc":"$tag"${failedJson(failCap)},"sf":"$sfShown"}"""
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","qn":"$qn","qds":"$qds","qunit":"ds","qenc":"$tag","detail":"bench_full.json"${failedJson(failCap)},"sf":"$sfShown"}"""
     def renderFrontCoded(failCap: Int, sfShown: String): String =
       fcLine(frontCode(timings.map(_._1), ","),
         timings.map(t => ds(t._2)).mkString(","), "fc", failCap, sfShown)

@@ -172,6 +172,32 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("compressed rungs name the plain-map sidecar via the detail field") {
+    val t = synthetic(120)
+    val total = t.map(_._2).sum
+    def lineAt(lim: Int): String =
+      Bench.renderLine(t, total, Nil, "/root/testdata/sf0.1", limit = lim)
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    var lim = 10000
+    var done = false
+    while (!done && seen.size < 12) {
+      val line = lineAt(lim)
+      seen += line
+      done = parse(line).has("queries_omitted")
+      lim = line.length - 1
+    }
+    val js = seen.map(parse)
+    val compressed = js.filter(_.has("qn"))
+    assert(compressed.nonEmpty, "ladder never reached a compressed rung")
+    // every rung whose per-query values need decoding points a
+    // handshake-only consumer at the committed plain record
+    compressed.foreach(j =>
+      assert(j.get("detail").asText() === "bench_full.json"))
+    // plain rungs carry the map inline and stay detail-free
+    js.filter(j => !j.has("qn") && !j.has("queries_omitted"))
+      .foreach(j => assert(!j.has("detail")))
+  }
+
   test("front-coded rung: decodes exactly, carries 160 family-prefixed keys, refuses unsafe keys") {
     // family-prefixed names like the real suite's (d_ann_*, d_dedup_*,
     // q_*, t_*): long shared prefixes are where fc earns its keep
@@ -221,8 +247,10 @@ class BenchSpec extends AnyFunSuite {
   test("fc3 rung: suffix dictionary + fc2 decodes exactly past fc2 capacity") {
     // family keys with heavy dictionary suffixes and weak lcp sharing:
     // enough volume that even fc2 overflows and fc3 must carry it
+    // (200: fc3's measured 1950-char capacity is 202 of these keys
+    // since the detail-pointer field joined every compressed rung)
     val sufs = Seq("_recall", "_precision", "_contract", "_fidelity", "_sketch")
-    val t = (0 until 205)
+    val t = (0 until 200)
       .map(i => (f"${(97 + i % 26).toChar}x_op_$i%03d${sufs(i % 5)}", i * 1.37))
       .sortBy(_._1)
     val line = Bench.renderLine(t, t.map(_._2).sum, Nil, "/root/testdata/sf0.1")
