@@ -136,6 +136,70 @@ object StreamQueries {
       FROM s WHERE valid_to_ms IS NOT NULL
       ORDER BY user_id, valid_from_ms, valid_to_ms"""))
 
+  /** s_scd2_held — the WATERMARK-HOLD SCD-2 policy as a driver
+    * correctness row, running the REAL streaming pipeline (not a batch
+    * stand-in): the events topic is re-delivered DISORDERED — each
+    * event's delivery time is its event time plus a salted-md5 jitter
+    * < 10 minutes — split into delivery-ordered micro-batch files and
+    * replayed through [[Streaming.scd2IntervalsHeld]] (RocksDB
+    * transformWithState, 30-minute hold) into a memory sink. The hold
+    * policy's contract is that disorder inside the delay is ABSORBED:
+    * the emitted closed-interval set must equal the in-order islands
+    * SQL — the exact oracle s_scd2 uses — despite no event arriving in
+    * order. A sentinel event far past the log's end advances the
+    * global watermark so every held close flushes (its own row is
+    * excluded); delay (30 m) ≥ jitter bound (10 m) guarantees the
+    * engine's watermark filter drops nothing, the same inequality a
+    * production deployment must hold between its delay budget and its
+    * source's observed disorder.
+    *
+    * Scale: the scratch replay is test harnessing; the OPERATOR under
+    * test is per-user O(open island + ≤delay of buffered events)
+    * state, the same shape at any corpus size. */
+  val sScd2Held: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      import s.implicits._
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_scd2_held/${new java.io.File(dir).getName}"
+      rmTree(new java.io.File(base))
+      val jitterMs = 600000L
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("dts", unix_millis(col("ts")) +
+          expr("cast(conv(substring(md5(concat('hold:', cast(event_id as string))), 1, 6), 16, 10) as bigint)") % jitterMs)
+      val bounds = ev.agg(min(col("dts")).as("lo"), max(col("dts")).as("hi")).collect()(0)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val nb = 6
+      val bucketed = ev.withColumn("b",
+          ((col("dts") - lo) * nb / (hi - lo + 1)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (0 until nb).foreach { i =>
+        bucketed.filter(col("b") === i).drop("dts", "b")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
+      }
+      bucketed.unpersist()
+      Seq((-1L, -1L, hi + 86400000L, "x"))
+        .toDF("user_id", "event_id", "ms", "event_type")
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(col("ms")).as("ts"), col("event_type"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$nb")
+      val name = "graft_scd2_held_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = Streaming.scd2IntervalsHeld(
+          s.readStream
+            .schema("user_id long, event_id long, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*"),
+          delay = "30 minutes")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.table(name).filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("valid_from_ms"), col("valid_to_ms"))
+    },
+    oracle = sScd2.oracle)
+
   /** Ingest-time decontamination ([[Streaming.contaminationHits]] —
     * bloom screen per document, exact verify join for suspects only).
     * The driver's batch gate left-joins the corpus back for the full
@@ -225,6 +289,7 @@ object StreamQueries {
     oracle = Relational.qSpike.oracle)
 
   val defs: Map[String, QueryDef] = Map(
+    "s_scd2_held" -> sScd2Held,
     "s_attribution" -> sAttribution,
     "s_outer_join" -> sOuterJoin,
     "s_spike" -> sSpike,
