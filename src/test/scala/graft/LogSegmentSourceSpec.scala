@@ -262,6 +262,36 @@ class LogSegmentSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS spec_events")
   }
 
+  test("INSERT INTO a graft-log SQL table appends through the DSv2 write path") {
+    // the reference's storage-handler WRITE UX (KafkaStorageHandler:
+    // INSERT INTO the external table produces to the topic): a raw
+    // graft-log table accepts SQL INSERT ... SELECT and the rows land
+    // as readable segments next to the existing ones
+    val out = java.nio.file.Files.createTempDirectory("graft_sql_ins").toString
+    spark.sql("DROP TABLE IF EXISTS spec_sink")
+    try {
+      LogSegments.write(MessageLog.eventsTopic(spark, sf)
+        .filter(col("offset") < 5), out)
+      spark.sql(s"CREATE TABLE spec_sink USING `graft-log` OPTIONS (path '$out')")
+      val before = spark.table("spec_sink").count()
+      MessageLog.eventsTopic(spark, sf)
+        .filter(col("offset") >= 5 && col("offset") < 9)
+        .createOrReplaceTempView("spec_more")
+      spark.sql("INSERT INTO spec_sink SELECT * FROM spec_more")
+      val after = spark.table("spec_sink")
+      assert(after.count() === before + spark.table("spec_more").count())
+      // appended rows decode like produced ones
+      val n = after.filter(col("offset") >= 5)
+        .select(graft.sources.avro.from_topic(col("value"), "events").as("v"))
+        .filter(col("v.event_id").isNotNull).count()
+      assert(n === spark.table("spec_more").count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS spec_sink")
+      spark.catalog.dropTempView("spec_more")
+      deleteRecursively(new java.io.File(out))
+    }
+  }
+
   test("decodeTopic table streams typed rows through readStream") {
     val q = spark.readStream.format("graft-log")
       .option("decodeTopic", "events").load(segDir)
