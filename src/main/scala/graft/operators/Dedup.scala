@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import graft.plans.{BroadcastCentroids, CentroidCosines, CosineSim, HashedCharNgrams, HashedWordShingles, HyperplaneSig, JaccardLong, MinHashBandKeys, SimHash128, SimHash64}
+import graft.plans.{BroadcastCentroids, CdcChunkStrings, CentroidCosines, CosineSim, HashedCharNgrams, HashedWordShingles, HyperplaneSig, JaccardLong, MinHashBandKeys, SimHash128, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -592,6 +592,52 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** CONTAINMENT dedup pairs — the directional overlap measure
+    * (Broder 1997's containment, |g(A) ∩ g(B)| / |g(A)|) that catches
+    * what Jaccard structurally cannot: a short document living almost
+    * entirely inside a long one (an excerpt, a quoted article, a
+    * re-post with commentary) has near-1 containment but LOW Jaccard
+    * (the union is dominated by the long side), so symmetric near-dup
+    * passes never flag it. Returns (id_a, id_b, n_inter, sz_a,
+    * contain_pct) for ordered pairs where ≥ `minContainPct`% of A's
+    * df-capped distinct word-`windowTokens`-shingles appear in B —
+    * directional: the excerpt flags against its source, never the
+    * reverse.
+    *
+    * All set algebra runs on the DF-CAPPED postings (shingles in
+    * ≤ `maxDf` docs): the cap bounds the candidate join exactly as in
+    * [[sharedWindowPairs]] (a boilerplate shingle in a million docs
+    * must not key a join), and because a capped shingle leaves the
+    * numerator AND the denominator of every document consistently,
+    * the ratio stays a faithful containment over discriminative
+    * content. Integer percent (100·n div sz) keeps both engines'
+    * threshold decisions identical. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int = 3, maxDf: Long = 20L,
+      minContainPct: Int = 80): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(Bridge.column(HashedWordShingles(
+        Bridge.expression(col(textCol)), windowTokens))).as("g"))
+    val w = Window.partitionBy(col("g"))
+    val capped = grams.withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= maxDf).drop("_df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val out = capped.as("l")
+      .join(capped.as("r"),
+        col("l.g") === col("r.g") && col("l.id") =!= col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .withColumn("contain_pct", expr("(100 * n_inter) div sz_a"))
+      .filter(col("contain_pct") >= minContainPct)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("sz_a"),
+        col("contain_pct"))
+      .localCheckpoint(eager = true)
+    capped.unpersist()
+    out
+  }
+
   /** Semantic dedup pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): partition the corpus by a small coarse
     * quantizer (k centroid vectors), then emit within-cluster pairs
@@ -816,4 +862,37 @@ object Dedup {
         round(cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Content-defined chunking (CDC): split each document at positions
+    * where a 3-char content hash satisfies `hash % divisor == 0` — the
+    * boundary-selection idea behind rolling-hash chunkers (Rabin/gear
+    * CDC in dedup storage; Muthukrishnan's winnowing is the same
+    * device): because a cut depends only on the BYTES AROUND IT, an
+    * insertion early in a document shifts every byte offset but leaves
+    * all downstream cut positions attached to the same content, so
+    * unchanged regions keep producing identical chunks — exactly what
+    * fixed-width blocks destroy and what makes chunk-hash dedup find
+    * shared passages between documents that are not near-duplicates
+    * globally (boilerplate headers, quoted paragraphs, license text).
+    *
+    * Returns one row per chunk instance: (id, idx, h = md5(chunk),
+    * chunk_len). Expected chunk length ≈ `divisor` chars. Everything
+    * is ONE map-side projection per document: the codegen'd
+    * [[graft.plans.CdcChunkStrings]] kernel walks the code points
+    * once and emits the chunk strings directly — the identical
+    * per-position boundary rule a SQL oracle replays with
+    * ascii(substring(...)) terms, but O(n) per document where the
+    * rule as a column expression is O(n²) (each substring(t, i, 1)
+    * re-scans from the string start; measured 208 s vs ~1 s over the
+    * sf0.1 corpus). A per-position independent hash rather than a
+    * sequential rolling state is what keeps the rule SQL-replayable
+    * position-for-position. Empty documents produce no chunks. */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+      divisor: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(Bridge.column(CdcChunkStrings(
+          Bridge.expression(col(textCol)), divisor))).as(Seq("p", "chunk")))
+      .select(col("id"), (col("p") + 1).cast("long").as("idx"),
+        md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("chunk_len"))
 }

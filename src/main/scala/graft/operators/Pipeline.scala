@@ -1088,6 +1088,71 @@ object Pipeline {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** d_dedup_cdc — chunk-level dedup via content-defined chunking
+    * ([[Dedup.cdcChunks]]): documents split at content-derived
+    * boundaries (~64-char expected chunks), chunk instances keyed by
+    * md5, and an instance is a duplicate when the same chunk content
+    * appeared earlier (smaller (doc_id, idx)). Output per document:
+    * chunk count, duplicate-chunk count, integer duplication percent —
+    * the passage-level duplication profile exact-doc dedup can't see
+    * (boilerplate headers, quoted paragraphs shared across otherwise
+    * distinct documents).
+    *
+    * Scale shape: chunking is one map-side projection per document;
+    * the only shuffle is the hash-partitioned first-instance window
+    * over (chunk hash) — instance-linear, no pair generation anywhere.
+    * A globally hot chunk (the same license block in millions of
+    * documents) concentrates its instances on one key; at that scale
+    * the window swaps for a groupBy-min + broadcast-join of the
+    * (bounded) hot-hash list, same classification. The oracle replays
+    * every boundary decision position-for-position. */
+  val dDedupCdc: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val inst = Dedup.cdcChunks(Tables.load(s, dir, "documents"),
+        "text", "doc_id")
+      val w = Window.partitionBy(col("h")).orderBy(col("id"), col("idx"))
+      inst.withColumn("is_dup", row_number().over(w) > 1)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup"),
+          expr("(100 * n_dup) div n_chunks").as("dup_pct"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH ch AS (
+        SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE length(text) > 0),
+      cut AS (
+        SELECT doc_id, t,
+               list_sort(list_distinct(
+                 [CAST(0 AS BIGINT)] ||
+                 [CAST(x + 2 AS BIGINT) for x in range(1, n - 1)
+                  if (ascii(substr(t, CAST(x AS INT), 1)) * 961 +
+                      ascii(substr(t, CAST(x AS INT) + 1, 1)) * 31 +
+                      ascii(substr(t, CAST(x AS INT) + 2, 1))) % 64 = 0] ||
+                 [n])) AS pos
+        FROM ch),
+      idx0 AS (
+        SELECT doc_id, t, pos, unnest(range(1, len(pos))) AS j FROM cut),
+      inst AS (
+        SELECT doc_id, CAST(j AS BIGINT) AS idx,
+               md5(substr(t, CAST(pos[CAST(j AS INT)] AS INT) + 1,
+                   CAST(pos[CAST(j AS INT) + 1] - pos[CAST(j AS INT)] AS INT)))
+                 AS h
+        FROM idx0),
+      marked AS (
+        SELECT doc_id, h,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) > 1
+                 AS is_dup
+        FROM inst)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             (100 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT))
+               // CAST(count(*) AS BIGINT) AS dup_pct
+      FROM marked GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   /** Shared oracle tokenization: DuckDB CTEs t/g/e producing
     * e(doc_id, s) — each doc's DISTINCT k-token word windows as
     * strings, the oracle-side mirror of TextOps.hashedWordShingles
@@ -1266,6 +1331,63 @@ object Pipeline {
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
       FROM ee a JOIN ee b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+      ORDER BY id_a, id_b"""))
+
+  /** d_dedup_contain — directional CONTAINMENT dedup
+    * ([[Dedup.containmentPairs]]): flags documents ≥80% of whose
+    * df-capped 3-token shingles appear inside another document. The
+    * query plants the exact failure mode Jaccard misses: for each of
+    * the first 100 sufficiently long documents, a 20-token EXCERPT
+    * (id + 1,000,000) — excerpt→source containment is ~100% while
+    * their Jaccard is far below every near-dup threshold, so this
+    * operator is the only one in the dedup block that can catch
+    * quote/excerpt duplication. The excerpt construction uses the
+    * shared tokenization contract (trim + lower + whitespace split),
+    * so the oracle rebuilds the identical corpus. */
+  val dDedupContain: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      def toks = split(trim(lower(col("text"))), "\\s+")
+      val excerpts = docs
+        .filter(size(toks) >= 40 && col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks, 1, 20), " ").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).union(excerpts)
+      Dedup.containmentPairs(corpus, "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    oracle = Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               array_to_string(
+                 (regexp_split_to_array(lower(trim(text)), '\s+'))[1:20], ' ')
+        FROM documents
+        WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 40
+          AND doc_id < 100),
+      t AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM corpus),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct([array_to_string(toks[CAST(x AS INT):CAST(x AS INT)+2], ' ')
+                                        for x in range(1, len(toks) - 1)]) END AS sh
+        FROM t),
+      e AS (SELECT doc_id, unnest(sh) AS s FROM g),
+      keep AS (SELECT s FROM e GROUP BY s HAVING count(*) <= 20),
+      ee AS (SELECT e.doc_id, e.s FROM e JOIN keep USING (s)),
+      szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ee GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM ee a JOIN ee b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_inter, sz.sz AS sz_a,
+             (100 * n_inter) // sz.sz AS contain_pct
+      FROM inter JOIN szs sz ON sz.doc_id = id_a
+      WHERE (100 * n_inter) // sz.sz >= 80
       ORDER BY id_a, id_b"""))
 
   /** Oracle is brute-force exact: every pair with char-4-gram Jaccard
@@ -1632,6 +1754,57 @@ object Pipeline {
         FROM scored)
       SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
       ORDER BY query_id, rnk"""))
+
+  /** d_knn_graph — MUTUAL k-NN graph construction over the embedding
+    * corpus: every node's top-3 cosine neighbors, kept as an edge only
+    * when the relation is reciprocal (a in knn(b) AND b in knn(a)).
+    * The mutual filter is the standard symmetrization for
+    * density-based clustering and NN-descent seeding — one-directional
+    * edges into hubs are what make raw k-NN graphs useless for
+    * community structure, and mutuality removes exactly those.
+    *
+    * Engine parity: neighbor ranking uses the established rounded
+    * cosine (round(cos,4), ties by neighbor id), and the edge weight
+    * is the integer-scaled cosm = round(cos·10⁴) — the mutual join
+    * then compares nothing float-valued.
+    *
+    * Scale shape: the graph is built here on the bounded node set the
+    * oracle can replay (the first 600 vectors); at corpus scale
+    * the shortlist generator swaps [[Similarity.bruteTopK]] for
+    * [[Similarity.ivfTopK]] unchanged — the mutualization is a
+    * self-join of the (n·k)-row directed edge list on the reversed
+    * key, linear in edges, never in pairs. */
+  val dKnnGraph: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Similarity.mutualKnnGraph(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") < 600),
+        "embedding", "vec_id", k = 3),
+    oracle = Some("""
+      WITH nodes AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+      elems AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM nodes q, nodes c
+        WHERE c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT qid, nid,
+               round(SUM(qe*ce) / (sqrt(SUM(qe*qe)) * sqrt(SUM(ce*ce))), 4)
+                 AS cos
+        FROM elems GROUP BY qid, nid),
+      knn AS (
+        SELECT qid AS a, nid AS b,
+               CAST(round(cos * 10000) AS BIGINT) AS cosm
+        FROM (
+          SELECT qid, nid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rnk
+          FROM scored) WHERE rnk <= 3)
+      SELECT x.a, x.b, x.cosm
+      FROM knn x JOIN knn y ON x.a = y.b AND x.b = y.a
+      WHERE x.a < x.b
+      ORDER BY x.a, x.b"""))
 
   /** MMR-diversified retrieval (Carbonell & Goldstein 1998): the
     * brute top-30 shortlist per query re-ranked by maximal marginal
@@ -2447,6 +2620,9 @@ object Pipeline {
     "t_pack_split" -> tPackSplit,
     "t_redact" -> tRedact,
     "d_dedup_exact" -> dDedupExact,
+    "d_dedup_cdc" -> dDedupCdc,
+    "d_dedup_contain" -> dDedupContain,
+    "d_knn_graph" -> dKnnGraph,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,
     "d_dedup_simhash_recall" -> dDedupSimhashRecall,

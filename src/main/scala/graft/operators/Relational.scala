@@ -1,9 +1,11 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.plans.BloomMightContain
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.Bridge
 
 /** The relational query surface of the reference (README.md "joins,
   * group by"; TODO.md select/count/projection) expressed as idiomatic
@@ -1450,7 +1452,117 @@ object Relational {
         UNION ALL SELECT * FROM upserts)
       ORDER BY o_orderkey"""))
 
+  /** q_bloom_join — runtime BLOOM semi-join reduction, the 100 TB
+    * join-pruning pattern (Spark's own InjectRuntimeFilter, Trino's
+    * dynamic filtering): a selective dimension predicate (URGENT
+    * orders in one year, ~5% of orders) folds into a driver bloom
+    * once (distributed build under stat.bloomFilter, megabytes for
+    * millions of keys), and the FACT SCAN probes it with one
+    * codegen'd mightContain BEFORE the shuffle — only surviving
+    * lineitem rows (true matches + the 1% false-positive dribble) are
+    * ever exchanged, where the plain join shuffles the whole fact
+    * table. Bloom errors are one-sided (members never rejected), so
+    * the exact join downstream makes the result byte-identical to the
+    * unpruned plan — which is exactly what the oracle checks. */
+  val qBloomJoin: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val bloom = s.sparkContext.broadcast(
+        urgent.stat.bloomFilter("o_orderkey", 1L << 20, 0.01))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .filter(Bridge.column(
+          BloomMightContain(Bridge.expression(col("l_orderkey")), bloom)))
+      li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("month"))
+    },
+    oracle = Some("""
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+      GROUP BY 1 ORDER BY month"""))
+
+  // One materialized base aggregate per (session, sf dir) for
+  // q_mv_incremental: the pre-split customer aggregate is written to
+  // parquet ONCE and read back, so the query exercises the real
+  // incremental-refresh lifecycle (stored partial aggregate + delta
+  // merge), not two fresh scans dressed up as one. Same cache device
+  // as Corpus.sigStore; keyed by session so a stopped session's plans
+  // are never handed to a new one.
+  private val mvCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def custAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+        max(col("o_orderdate")).as("last_order"))
+
+  private val MvSplit = "1997-01-01"
+
+  private def mvBase(s: SparkSession, dir: String): DataFrame = {
+    mvCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    mvCache.getOrElseUpdate((s, dir), {
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_mvbase_" +
+        s"${new java.io.File(dir).getName}_$dirTag"
+      custAgg(t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit(MvSplit))))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+  }
+
+  /** q_mv_incremental — incremental materialized-view maintenance:
+    * the per-customer order aggregate (count / total cents / last
+    * order date) is REFRESHED from a stored base ([[mvBase]]: the
+    * pre-1997 aggregate, written to parquet once and read back) plus
+    * the delta partition (1997+ orders), merged by re-aggregating the
+    * unioned partials — count and sum merge by sum, max by max. At
+    * 100 TB this is the difference between rescanning the full fact
+    * history per refresh and scanning ONLY the new partition: the
+    * stored MV is customer-sized, the delta is arrival-sized, and the
+    * merge is one key-partitioned aggregate over their union. The
+    * oracle recomputes the view from scratch — stored-partial + delta
+    * must equal the full recompute exactly (cents are integer, dates
+    * merge by max, nothing float-ordered), or the refresh path is
+    * corrupting the view. */
+  val qMvIncremental: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val delta = custAgg(t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit(MvSplit))))
+      mvBase(s, dir).unionByName(delta)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("total_cents")).as("total_cents"),
+          max(col("last_order")).as("last_order"))
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             max(o_orderdate) AS last_order
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_bloom_join" -> qBloomJoin,
+    "q_mv_incremental" -> qMvIncremental,
     "q_attribution" -> qAttribution,
     "q_merge_evolve" -> qMergeEvolve,
     "q_attribution_multi" -> qAttributionMulti,

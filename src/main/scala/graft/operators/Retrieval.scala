@@ -511,11 +511,122 @@ object Retrieval {
         FROM f) WHERE rnk <= 10
       ORDER BY query_id, rnk"""))
 
+  private val BpeIters = 3
+
+  /** t_bpe_train — the FULL BPE training loop for [[BpeIters]] merge
+    * iterations (Sennrich et al. 2016, the algorithm behind GPT-2/HF
+    * tokenizer training): each round counts adjacent symbol pairs over
+    * the weighted VOCABULARY (never the corpus — see [[wordCounts]]),
+    * adopts the most frequent pair as a new symbol (greedy,
+    * left-to-right non-overlapping application = SQL `replace`), and
+    * re-encodes the vocabulary before the next round. Output is the
+    * learned merge table: (step, merged pair with earlier merges
+    * rendered as `<...>`, selection-time count) — merge i's marker
+    * symbol is char(i), so later merges can and do build on earlier
+    * ones exactly as in real BPE.
+    *
+    * Scale shape: the corpus collapses to (word, count) ONCE; every
+    * iteration after that is vocabulary-sized — one pair-explode +
+    * keyed aggregate, a 1-row broadcast of the winning pair, one
+    * map-side re-encode, and a localCheckpoint that keeps the iterated
+    * plan shallow (the same lineage-cut discipline as
+    * [[Graph.pagerank]]). A 50k-merge production run is this exact
+    * loop with the merge table accumulating driver-side KBs.
+    *
+    * The oracle replays every round: same pair counts, same
+    * (count desc, pair) tie-break, same greedy replace — the learned
+    * merge table must match choice-for-choice. */
+  /** The BPE training loop as a library entry point: `wc` is a
+    * (w, wn) weighted vocabulary ([[wordCounts]] for a corpus);
+    * returns the learned merge table (step, pair, n_occ) for `iters`
+    * greedy merges, earlier merges rendered inside later ones as
+    * `<...>`. Merge i's marker symbol is char(i) — callers wanting
+    * more than ~31 merges should widen the marker alphabet (markers
+    * must stay out of the vocabulary's own characters). Returns fewer
+    * than `iters` rows only if the vocabulary exhausts (every word
+    * collapses below 2 symbols) — the cross-joined empty top-1
+    * empties the output rather than fabricating merges. */
+  def bpeTrain(wc: org.apache.spark.sql.DataFrame,
+      iters: Int = BpeIters): DataFrame = {
+    require(iters >= 1 && iters <= 31,
+      s"graft: bpeTrain iters must be in [1, 31], got $iters")
+    def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("wn"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n_occ"))
+    var vocab = wc.select(col("w"), col("wn")).localCheckpoint(eager = true)
+    var merges: org.apache.spark.sql.DataFrame = null
+    for (i <- 1 to iters) {
+      val top1 = pairCounts(vocab)
+        .orderBy(col("n_occ").desc, col("pair")).limit(1)
+        .select(col("pair").as(s"mp$i"), col("n_occ").as(s"n$i"))
+      merges = if (merges == null) top1 else merges.crossJoin(broadcast(top1))
+      vocab = vocab.crossJoin(broadcast(top1.select(col(s"mp$i"))))
+        .select(expr(s"replace(w, mp$i, char($i))").as("w"), col("wn"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(sum(col("wn")).as("wn"))
+        .localCheckpoint(eager = true)
+    }
+    // rendered form r_i: mp_i with every earlier marker expanded,
+    // innermost-first (char(i-1) ... char(1)) — markers only ever
+    // reference EARLIER merges, so ascending construction terminates
+    var m = merges
+    for (i <- 1 to iters) {
+      val rendered = (i - 1 to 1 by -1).foldLeft(s"mp$i") { (acc, j) =>
+        s"replace($acc, char($j), concat('<', r$j, '>'))"
+      }
+      m = m.withColumn(s"r$i", expr(rendered))
+    }
+    m.select(explode(array((1 to iters).map(i =>
+        struct(lit(i.toLong).as("step"), col(s"r$i").as("pair"),
+          col(s"n$i").as("n_occ"))): _*)).as("m"))
+      .select(col("m.step").as("step"), col("m.pair").as("pair"),
+        col("m.n_occ").as("n_occ"))
+      .orderBy(col("step"))
+  }
+
+  val tBpeTrain: QueryDef = QueryDef(
+    fn = (s, dir) => bpeTrain(wordCounts(s, dir), BpeIters),
+    oracle = Some {
+      val stages = (1 to BpeIters).map { i =>
+        s"""p$i AS (
+        SELECT wn, unnest([substring(w, CAST(x AS INT), 2)
+                           for x in range(1, length(w))]) AS pair
+        FROM v${i - 1}),
+      t$i AS (
+        SELECT pair AS mp, CAST(sum(wn) AS BIGINT) AS n
+        FROM p$i GROUP BY pair ORDER BY n DESC, mp LIMIT 1),
+      v$i AS (
+        SELECT w, CAST(sum(wn) AS BIGINT) AS wn FROM (
+          SELECT replace(v.w, t.mp, chr($i)) AS w, v.wn
+          FROM v${i - 1} v, t$i t) WHERE length(w) >= 2 GROUP BY w)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $wordCountsSql,
+      v0 AS (SELECT w, wn FROM wc),
+      $stages,
+      rr AS (
+        SELECT t1.mp AS r1,
+               replace(t2.mp, chr(1), '<' || t1.mp || '>') AS r2,
+               replace(replace(t3.mp, chr(2),
+                 '<' || replace(t2.mp, chr(1), '<' || t1.mp || '>') || '>'),
+                 chr(1), '<' || t1.mp || '>') AS r3,
+               t1.n AS n1, t2.n AS n2, t3.n AS n3
+        FROM t1, t2, t3)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step, r1 AS pair, n1 AS n_occ FROM rr
+        UNION ALL SELECT 2, r2, n2 FROM rr
+        UNION ALL SELECT 3, r3, n3 FROM rr)
+      ORDER BY step"""
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "t_rrf" -> tRrf,
     "t_tfidf" -> tTfidf,
     "t_bm25" -> tBm25,
     "t_dsir" -> tDsir,
     "t_bpe_pairs" -> tBpePairs,
-    "t_bpe_merge" -> tBpeMerge)
+    "t_bpe_merge" -> tBpeMerge,
+    "t_bpe_train" -> tBpeTrain)
 }

@@ -24,6 +24,30 @@ object Similarity {
   private def sig(c: Column, bits: Int, seed: Long): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(c), bits, seed))
 
+  /** Mutual k-NN graph over a node set: (a, b, cosm) with a < b,
+    * kept only when each node is in the other's top-k by rounded
+    * cosine (round(cos,4), ties by neighbor id); edge weight is the
+    * integer-scaled cosm = round(cos·10⁴), so the mutual join
+    * compares nothing float-valued. Mutuality is the standard
+    * symmetrization for density clustering / NN-descent seeding —
+    * it removes exactly the one-directional hub edges that make raw
+    * k-NN graphs useless for community structure. The mutualization
+    * is a self-join of the (n·k)-row directed edge list on the
+    * reversed key — linear in edges, never in pairs; at corpus scale
+    * swap the [[bruteTopK]] shortlist for [[ivfTopK]] unchanged. */
+  def mutualKnnGraph(nodes: DataFrame, vecCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    val knn = bruteTopK(nodes, nodes, vecCol, idCol, k)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+        round(col("cos") * 10000).cast("long").as("cosm"))
+    knn.as("x")
+      .join(knn.select(col("a").as("ra"), col("b").as("rb")).as("y"),
+        col("x.a") === col("y.rb") && col("x.b") === col("y.ra"))
+      .filter(col("x.a") < col("x.b"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("cosm"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** (query_id, neighbor_id, cos, rnk<=k), exact. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5): DataFrame = {

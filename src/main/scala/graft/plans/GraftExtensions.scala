@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HashedWordShingles(args(0), intArg(args(1), "graft_hashed_word_shingles", 1)) },
     "graft_hashed_char_ngrams" -> { args =>
       HashedCharNgrams(args(0), intArg(args(1), "graft_hashed_char_ngrams", 1)) },
+    "graft_cdc_chunks" -> { args =>
+      CdcChunkStrings(args(0), intArg(args(1), "graft_cdc_chunks", 1)) },
     "graft_minhash_signature" -> { args =>
       MinHashSignature(args(0), intArg(args(1), "graft_minhash_signature", 1),
         longArg(args(2), "graft_minhash_signature", 2)) },

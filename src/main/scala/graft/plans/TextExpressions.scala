@@ -112,6 +112,41 @@ object TextOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(hi, lo))
   }
 
+  /** Content-defined chunks (see [[CdcChunkStrings]]): ONE pass over
+    * the string's code points. A cut lands after (1-based) position
+    * i+2 whenever cp(i)·961 + cp(i+1)·31 + cp(i+2) ≡ 0 (mod divisor)
+    * for i in 1..n−2 — the identical per-position rule a SQL oracle
+    * replays with ascii(substring(...)) terms, but evaluated in O(n)
+    * instead of the O(n²) that per-position `substring` calls cost
+    * (each one re-scans the string from the start to find char i;
+    * measured 208 s for the sf0.1 corpus vs ~1 s for this kernel).
+    * Code points (not UTF-16 units) so `length`/`substring`/`ascii`
+    * agree with both engines' character semantics on any input. The
+    * max code point is 0x10FFFF, so cp·961 + cp·31 + cp < 2³¹ — the
+    * 32-bit hash never overflows. */
+  def cdcChunks(s: UTF8String, divisor: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+    var i = 0
+    while (i + 2 < n) {
+      if ((cps(i) * 961 + cps(i + 1) * 31 + cps(i + 2)) % divisor == 0)
+        cuts += (i + 3)
+      i += 1
+    }
+    if (cuts.last != n) cuts += n
+    val out = new Array[Any](cuts.length - 1)
+    var j = 0
+    while (j < out.length) {
+      out(j) = UTF8String.fromString(
+        new String(cps, cuts(j), cuts(j + 1) - cuts(j)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** SplitMix64 finalizer: decorrelates raw shingle hashes before the
     * universal-hash minhash family is applied on top. */
   def mix64(z0: Long): Long = {
@@ -370,6 +405,22 @@ case class HashedCharNgrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.hashedCharNgrams($c, $n)")
   override protected def withNewChildInternal(c: Expression): HashedCharNgrams = copy(child = c)
+}
+
+/** cdc_chunks(string, divisor) -> array<string>: content-defined
+  * chunking in one pass (see [[TextOps.cdcChunks]] for the boundary
+  * rule and why the kernel exists — the same rule as a per-position
+  * column expression is quadratic in document length). */
+case class CdcChunkStrings(child: Expression, divisor: Int) extends UnaryExpression {
+  require(divisor > 0, "graft_cdc_chunks: divisor must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_cdc_chunks"
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.cdcChunks(v.asInstanceOf[UTF8String], divisor)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextOps.cdcChunks($c, $divisor)")
+  override protected def withNewChildInternal(c: Expression): CdcChunkStrings = copy(child = c)
 }
 
 /** minhash_band_keys(array<long>, bands, rows, seed) -> array<long>. */

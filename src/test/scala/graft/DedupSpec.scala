@@ -448,4 +448,84 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toSeq.sorted
     assert(hinted === auto)
   }
+
+  test("containment flags an excerpt inside its source; Jaccard-symmetric ops cannot") {
+    import spark.implicits._
+    // 50-word source, 10-word excerpt: containment(excerpt→source) = 1.0
+    // while Jaccard ≈ 10/50 = 0.2 — far below every near-dup threshold.
+    val words = (0 until 50).map(i => s"w$i")
+    val src = words.mkString(" ")
+    val exc = words.slice(20, 30).mkString(" ")
+    val other = (0 until 50).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, src), (2L, exc), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    // directional: the excerpt flags against its source...
+    assert(got.get((2L, 1L)).exists(_ >= 80L),
+      s"excerpt must flag against source, got $got")
+    // ...never the reverse (the source's shingles are mostly NOT in the
+    // excerpt), and the unrelated doc flags against nothing
+    assert(!got.contains((1L, 2L)))
+    assert(!got.keys.exists(k => k._1 == 3L || k._2 == 3L))
+    // exact arithmetic: the excerpt has 8 distinct 3-token shingles, all
+    // present in the source → n_inter = sz_a = 8, contain_pct = 100
+    assert(got((2L, 1L)) === 100L)
+  }
+
+  test("containment df-cap drops boilerplate shingles from BOTH sides of the ratio") {
+    import spark.implicits._
+    // a shingle shared by many docs (over the cap) must not key the join
+    // NOR count toward any document's size — ratio stays consistent
+    val boiler = "common header line"
+    val docs = (1L to 25L).map(i => (i, s"$boiler body$i unique$i tail$i"))
+    val df = (docs :+ (99L, boiler)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id", maxDf = 20L)
+    // the boiler shingle appears in 26 docs > cap 20; each doc's other
+    // shingles are unique → zero candidate pairs survive
+    assert(got.count() === 0L)
+  }
+
+  test("cdc chunks partition every document exactly (lengths sum, idx dense)") {
+    val byDoc = Dedup.cdcChunks(docs, "text", "doc_id")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("chunk_len")).as("len"),
+        min(col("idx")).as("lo"), max(col("idx")).as("hi"))
+      .join(docs.select(col("doc_id").as("id"), length(col("text")).as("want")), "id")
+      .collect()
+    assert(byDoc.length === docs.filter(length(col("text")) > 0).count())
+    byDoc.foreach { r =>
+      assert(r.getAs[Long]("len") === r.getAs[Int]("want").toLong,
+        s"chunk lengths must sum to the document length (doc ${r.getAs[Long]("id")})")
+      assert(r.getAs[Long]("lo") === 1L &&
+        r.getAs[Long]("hi") === r.getAs[Long]("n"), "idx must be dense from 1")
+    }
+  }
+
+  test("cdc boundaries are content-defined: a prefix insertion realigns within one chunk") {
+    import spark.implicits._
+    // a real document's text, then the same text behind a 6-char
+    // insertion: every cut whose 3-char window sits inside the shared
+    // content survives the shift (the window sees the same bytes), so
+    // only the head chunk — up to the first shared cut — may differ.
+    // This is exactly the property fixed-width blocking lacks: there,
+    // a 6-char shift re-keys EVERY downstream block.
+    val textA = docs.orderBy(col("doc_id")).select(col("text"))
+      .filter(length(col("text")) > 200).first().getString(0)
+    val two = Seq((1L, textA), (2L, "xyzzy " + textA)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(two, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val a = ch.filter(_._1 == 1L).map(_._2)
+    val b = ch.filter(_._1 == 2L).map(_._2).toSet
+    assert(a.length >= 3, s"need several chunks for the test to bite, got ${a.length}")
+    val shared = a.count(b.contains)
+    assert(shared >= a.length - 1,
+      s"all but the head chunk must survive the shift: $shared of ${a.length}")
+    // and the duplication is visible content: a doc that repeats a
+    // block twice carries duplicate chunk hashes
+    val rep = Seq((9L, textA + textA)).toDF("doc_id", "text")
+    val hs = Dedup.cdcChunks(rep, "text", "doc_id")
+      .groupBy(col("h")).agg(count(lit(1)).as("c")).collect()
+    assert(hs.exists(_.getAs[Long]("c") >= 2L),
+      "a doubled document must produce repeated chunk hashes")
+  }
 }

@@ -523,4 +523,56 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen subtrees"), p)
     assert(!p.contains("Found 0 WholeStageCodegen"), p)
   }
+
+  test("q_bloom_join: bloom probe sits on the fact side; result equals the unpruned join") {
+    val df = Relational.qBloomJoin.fn(spark, sf)
+    // the probe must sit between the lineitem SCAN and any exchange —
+    // prune-before-shuffle is the whole point. In the printed tree the
+    // Filter is the scan's direct parent: from the probe line down to
+    // the lineitem scan line there must be no Exchange
+    val s = df.queryExecution.executedPlan.toString
+    val i = s.indexOf("graft_bloom_might_contain")
+    assert(i >= 0, s)
+    val below = s.substring(i)
+    val scanIdx = below.indexOf("lineitem.parquet")
+    assert(scanIdx >= 0, "no lineitem scan under the bloom probe")
+    assert(!below.substring(0, scanIdx).contains("Exchange"),
+      "bloom probe must be scan-side (below every exchange)")
+    // byte-identical to the unpruned plan: bloom false positives are
+    // culled by the exact join, members are never rejected
+    val ord = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("month"))
+    assert(df.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("q_mv_incremental: stored base + delta merge equals the full recompute") {
+    val got = Relational.qMvIncremental.fn(spark, sf).collect().toSeq
+    val full = Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+        max(col("o_orderdate")).as("last_order"))
+      .orderBy(col("o_custkey"))
+      .collect().toSeq
+    assert(got === full,
+      "incremental refresh (stored partial + delta) must equal the full recompute")
+    // and the base really is a PERSISTED artifact, not a live subplan
+    val dirTag = java.lang.Integer.toHexString(
+      java.util.Arrays.hashCode(sf.getBytes("UTF-8")))
+    val store = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_mvbase_" +
+        s"${new java.io.File(sf).getName}_$dirTag")
+    assert(store.isDirectory &&
+      Option(store.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))),
+      s"mv base store missing at $store")
+  }
 }

@@ -258,4 +258,25 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(byQ.size === 3)
   }
+
+  test("bpeTrain learns the hand-computed merge table on a known vocabulary") {
+    import spark.implicits._
+    // vocab: abcabc x2, abc x3, zq x4
+    // round 1 pairs: ab 2*2+3=7, bc 2*2+3=7, ca 2, zq 4
+    //   -> tie at 7 broken by pair order: 'ab' < 'bc', so merge 'ab' (7)
+    // after replace(w,'ab',\x01): {\x01c\x01c x2, \x01c x3, zq x4}
+    // round 2 pairs: \x01c 2*2+3=7, c\x01 2, zq 4 -> merge \x01c (7),
+    //   rendered '<ab>c'
+    val wc = Seq(("abcabc", 2L), ("abc", 3L), ("zq", 4L)).toDF("w", "wn")
+    val got = Retrieval.bpeTrain(wc, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "ab", 7L), (2L, "<ab>c", 7L)))
+    // the full 3-merge driver query runs end-to-end and renders
+    // every row marker-free (markers exist only inside the loop)
+    val q = Retrieval.tBpeTrain.fn(spark, sf).collect()
+    assert(q.length === 3)
+    assert(q.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    q.foreach(r => assert(!r.getString(1).exists(_ < ' '),
+      s"unrendered marker escaped: ${r.getString(1)}"))
+  }
 }

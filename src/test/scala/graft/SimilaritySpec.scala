@@ -536,4 +536,33 @@ class SimilaritySpec extends SparkSpec {
       assert(sorted.map(_.getLong(2)).distinct.length === sorted.length)
     }
   }
+
+  test("mutualKnnGraph keeps exactly the reciprocal pairs") {
+    import spark.implicits._
+    // two tight orthogonal pairs plus a far-from-everything loner:
+    // with k=1 the only mutual edges are the pairs; the loner's
+    // one-directional edge into a hub must NOT survive
+    def v(x: Double, y: Double, z: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat)
+    val nodes = Seq(
+      (1L, v(1.0, 0.0, 0.0)), (2L, v(0.99, 0.14, 0.0)),
+      (3L, v(0.0, 1.0, 0.0)), (4L, v(0.14, 0.99, 0.0)),
+      (5L, v(0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val edges = Similarity.mutualKnnGraph(nodes, "embedding", "vec_id", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((1L, 2L), (3L, 4L)),
+      s"only the reciprocal pairs may survive, got $edges")
+    // mutuality on real data: every edge endpoint is in the other's
+    // brute top-3, and edges are unique with a < b
+    val emb3 = emb.filter(col("vec_id") < 100)
+    val g = Similarity.mutualKnnGraph(emb3, "embedding", "vec_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.nonEmpty && g.distinct.length === g.length && g.forall(e => e._1 < e._2))
+    val knn = Similarity.bruteTopK(emb3, emb3, "embedding", "vec_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    g.foreach { case (a, b) =>
+      assert(knn.contains((a, b)) && knn.contains((b, a)),
+        s"edge ($a,$b) is not reciprocal in the brute top-3")
+    }
+  }
 }
