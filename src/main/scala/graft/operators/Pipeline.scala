@@ -1806,6 +1806,171 @@ object Pipeline {
       WHERE x.a < x.b
       ORDER BY x.a, x.b"""))
 
+  /** Shared oracle CTE prologue for the NN-descent pair: all pairwise
+    * rounded cosines on the bounded node set, the two-blocking seed
+    * ([[Similarity.blockedTopK]]: id mod 4 ∪ id div 4 mod 4), then TWO
+    * descent rounds ([[Similarity.nnDescentRound]]) — each round =
+    * undirected adjacency, 2-hop candidates, re-rank top-5.
+    * MATERIALIZED per repo convention — each round's graph is
+    * referenced twice downstream and DuckDB would otherwise re-inline
+    * the 600²-cosine subtree. */
+  private val knnDescentCtes = """
+      WITH nodes AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+      elems AS (
+        SELECT q.vec_id AS a, c.vec_id AS b,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM nodes q, nodes c
+        WHERE c.vec_id <> q.vec_id),
+      pairs AS MATERIALIZED (
+        SELECT a, b,
+               round(SUM(qe*ce) / (sqrt(SUM(qe*qe)) * sqrt(SUM(ce*ce))), 4)
+                 AS cos
+        FROM elems GROUP BY a, b),
+      seed AS MATERIALIZED (
+        SELECT a, b, cos, rnk FROM (
+          SELECT a, b, cos,
+                 row_number() OVER (PARTITION BY a
+                   ORDER BY cos DESC, b) AS rnk
+          FROM (SELECT a, b, cos FROM pairs WHERE a % 4 = b % 4
+                UNION
+                SELECT a, b, cos FROM pairs
+                WHERE (a // 4) % 4 = (b // 4) % 4))
+        WHERE rnk <= 5),
+      und1 AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM seed
+        UNION
+        SELECT b AS v, a AS u FROM seed),
+      cand1 AS (
+        SELECT v, u FROM und1
+        UNION
+        SELECT e1.v AS v, e2.u AS u
+        FROM und1 e1 JOIN und1 e2 ON e1.u = e2.v
+        WHERE e1.v <> e2.u),
+      g1 AS MATERIALIZED (
+        SELECT a, b, cos, rnk FROM (
+          SELECT c.v AS a, c.u AS b, p.cos,
+                 row_number() OVER (PARTITION BY c.v
+                   ORDER BY p.cos DESC, c.u) AS rnk
+          FROM cand1 c JOIN pairs p ON p.a = c.v AND p.b = c.u)
+        WHERE rnk <= 5),
+      und2 AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM g1
+        UNION
+        SELECT b AS v, a AS u FROM g1),
+      cand2 AS (
+        SELECT v, u FROM und2
+        UNION
+        SELECT e1.v AS v, e2.u AS u
+        FROM und2 e1 JOIN und2 e2 ON e1.u = e2.v
+        WHERE e1.v <> e2.u),
+      g2 AS MATERIALIZED (
+        SELECT a, b, cos, rnk FROM (
+          SELECT c.v AS a, c.u AS b, p.cos,
+                 row_number() OVER (PARTITION BY c.v
+                   ORDER BY p.cos DESC, c.u) AS rnk
+          FROM cand2 c JOIN pairs p ON p.a = c.v AND p.b = c.u)
+        WHERE rnk <= 5)"""
+
+  /** d_knn_descent — TWO NN-DESCENT refinement rounds (Dong et al.
+    * 2011, WWW) over a deliberately-approximate blocked seed graph:
+    * the seed is each node's top-5 within two cross-cutting id
+    * blockings ([[Similarity.blockedTopK]] — the SQL-replayable
+    * stand-in for the multi-table-LSH shortlists a production build
+    * seeds from; a single blocking is a measured fixed point, see the
+    * function's scaladoc), and each round re-ranks every node against
+    * its neighbors and neighbors-of-neighbors over the UNDIRECTED
+    * current graph ([[Similarity.nnDescentRound]]) — exact cosines on
+    * candidate pairs ONLY, O(n·k²) per round, never n². The frontier
+    * runs at k=5 (over-provisioned vs the k=3 the consumer wants,
+    * the paper's own discipline). [[dKnnDescentRecall]] is the
+    * oracled proof each round repairs recall. */
+  val dKnnDescent: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 600)
+      val seed = Similarity.blockedTopK(nodes, "embedding", "vec_id",
+        k = 5, blocks = 4)
+      val g1 = Similarity.nnDescentRound(nodes, seed, "embedding", "vec_id", k = 5)
+      Similarity.nnDescentRound(nodes, g1, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos") * 10000).cast("long").as("cosm"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    oracle = Some(knnDescentCtes + """
+      SELECT a AS query_id, b AS neighbor_id,
+             CAST(round(cos * 10000) AS BIGINT) AS cosm, rnk
+      FROM g2
+      ORDER BY query_id, rnk"""))
+
+  /** d_knn_descent_recall — the contract behind [[dKnnDescent]]:
+    * recall@3 against the global brute top-3 at each stage (seed,
+    * after round 1, after round 2), as integer percents
+    * (100·hits div total). Pins that EVERY round strictly improves
+    * recall and that the final graph clears an absolute floor —
+    * measured 43→53→57 at sf0.01 and 44→53→56 at sf0.1 on the
+    * 600-node set, floor pinned at 50. The per-round improvement, not
+    * the absolute number, is the algorithm's claim (this synthetic
+    * embedding space is near-random — true top-3 neighbors are only
+    * ~10% same-label — which is exactly the regime the paper flags as
+    * hard); on corpus data with real neighborhood structure the same
+    * loop converges toward 1.0. */
+  val dKnnDescentRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings").filter(col("vec_id") < 600)
+      val seed = Similarity.blockedTopK(nodes, "embedding", "vec_id",
+        k = 5, blocks = 4)
+      val g1 = Similarity.nnDescentRound(nodes, seed, "embedding", "vec_id", k = 5)
+      val g2 = Similarity.nnDescentRound(nodes, g1, "embedding", "vec_id", k = 5)
+      def top3(g: DataFrame) = g.filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = Similarity.bruteTopK(nodes, nodes, "embedding", "vec_id", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val total = brute.agg(count(lit(1)).as("n_brute"))
+      val seedHits = brute.intersect(top3(seed)).agg(count(lit(1)).as("seed_hits"))
+      val r1Hits = brute.intersect(top3(g1)).agg(count(lit(1)).as("r1_hits"))
+      val r2Hits = brute.intersect(top3(g2)).agg(count(lit(1)).as("r2_hits"))
+      total.crossJoin(seedHits).crossJoin(r1Hits).crossJoin(r2Hits)
+        .select(col("n_brute"),
+          expr("(100 * seed_hits) div n_brute").as("seed_pct"),
+          expr("(100 * r1_hits) div n_brute").as("r1_pct"),
+          expr("(100 * r2_hits) div n_brute").as("r2_pct"),
+          expr("(100 * r1_hits) div n_brute > " +
+            "(100 * seed_hits) div n_brute").as("improved_r1"),
+          expr("(100 * r2_hits) div n_brute > " +
+            "(100 * r1_hits) div n_brute").as("improved_r2"),
+          expr("(100 * r2_hits) div n_brute >= 50").as("refined_ok"))
+    },
+    oracle = Some(knnDescentCtes + """,
+      brute AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT a, b,
+                 row_number() OVER (PARTITION BY a
+                   ORDER BY cos DESC, b) AS rnk
+          FROM pairs) WHERE rnk <= 3),
+      counts AS (
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM brute) AS n_brute,
+          (SELECT CAST(count(*) AS BIGINT)
+           FROM (SELECT a, b FROM brute INTERSECT
+                 SELECT a, b FROM seed WHERE rnk <= 3)) AS seed_hits,
+          (SELECT CAST(count(*) AS BIGINT)
+           FROM (SELECT a, b FROM brute INTERSECT
+                 SELECT a, b FROM g1 WHERE rnk <= 3)) AS r1_hits,
+          (SELECT CAST(count(*) AS BIGINT)
+           FROM (SELECT a, b FROM brute INTERSECT
+                 SELECT a, b FROM g2 WHERE rnk <= 3)) AS r2_hits)
+      SELECT n_brute,
+             (100 * seed_hits) // n_brute AS seed_pct,
+             (100 * r1_hits) // n_brute AS r1_pct,
+             (100 * r2_hits) // n_brute AS r2_pct,
+             (100 * r1_hits) // n_brute > (100 * seed_hits) // n_brute
+               AS improved_r1,
+             (100 * r2_hits) // n_brute > (100 * r1_hits) // n_brute
+               AS improved_r2,
+             (100 * r2_hits) // n_brute >= 50 AS refined_ok
+      FROM counts"""))
+
   /** MMR-diversified retrieval (Carbonell & Goldstein 1998): the
     * brute top-30 shortlist per query re-ranked by maximal marginal
     * relevance — each of 10 greedy picks maximizes
@@ -2623,6 +2788,8 @@ object Pipeline {
     "d_dedup_cdc" -> dDedupCdc,
     "d_dedup_contain" -> dDedupContain,
     "d_knn_graph" -> dKnnGraph,
+    "d_knn_descent" -> dKnnDescent,
+    "d_knn_descent_recall" -> dKnnDescentRecall,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,
     "d_dedup_simhash_recall" -> dDedupSimhashRecall,

@@ -48,6 +48,82 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Blocked directed kNN seed from TWO cross-cutting blockings —
+    * per-node top-k by rounded cosine among nodes sharing EITHER
+    * block key (id mod `blocks`, and id div `blocks` mod `blocks`) —
+    * the deliberately-approximate starting graph NN-descent refines.
+    * The id-arithmetic blockings are the SQL-replayable stand-in for
+    * the bucketed shortlists a production build seeds from (LSH
+    * tables, IVF lists).
+    *
+    * Two blockings is load-bearing, not decoration: a SINGLE blocking
+    * produces a graph whose every edge stays inside one block, so
+    * neighbors-of-neighbors never leave the block either and
+    * NN-descent is at a (bad) fixed point before it starts — measured
+    * on the test corpus: one-blocking seed recall@3 = 24%, unchanged
+    * after THREE descent rounds. Cross-cutting blockings are exactly
+    * what multi-table LSH gives a production seed. Each blocking is
+    * one equi-join on its block key; the union dedupes pairs caught
+    * by both. */
+  def blockedTopK(nodes: DataFrame, vecCol: String, idCol: String,
+      k: Int = 5, blocks: Int = 4): DataFrame = {
+    def scored(blk: Column => Column): DataFrame = {
+      val q = nodes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        blk(col(idCol)).as("blk"))
+      val c = nodes.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        blk(col(idCol)).as("blk"))
+      q.join(c, Seq("blk")).filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    }
+    val both = scored(id => pmod(id, lit(blocks)))
+      .union(scored(id => pmod(expr(s"`$idCol` div $blocks"), lit(blocks))))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    both.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** One NN-descent refinement round (Dong et al. 2011, WWW — the
+    * algorithm behind pynndescent/HNSW-adjacent graph builds): a
+    * node's improved neighbor candidates are its current neighbors
+    * and its NEIGHBORS' NEIGHBORS (over the UNDIRECTED current graph
+    * — reverse edges are half the signal), exact rounded cosines are
+    * computed for candidates ONLY, and each node keeps its new top-k.
+    * `seed` is any directed (query_id, neighbor_id) graph, e.g.
+    * [[blockedTopK]].
+    *
+    * Scale shape: with bounded degree k the undirected adjacency has
+    * ≤ 2k rows per node and the 2-hop join fans out to ≤ (2k)²
+    * candidates per node, so the whole round is O(n·k²) cosines —
+    * never a cross join, never corpus². Each further round is this
+    * same function applied to its own output: convergence in a few
+    * rounds is the paper's result, and each round is two equi-joins
+    * + one window. */
+  def nnDescentRound(nodes: DataFrame, seed: DataFrame,
+      vecCol: String, idCol: String, k: Int = 3): DataFrame = {
+    val und = seed.select(col("query_id").as("v"), col("neighbor_id").as("u"))
+      .union(seed.select(col("neighbor_id").as("v"), col("query_id").as("u")))
+      .distinct()
+    val twoHop = und.as("e1")
+      .join(und.select(col("v").as("w"), col("u").as("u2")).as("e2"),
+        col("e1.u") === col("e2.w"))
+      .select(col("e1.v").as("v"), col("e2.u2").as("u"))
+      .filter(col("v") =!= col("u"))
+    val cand = und.union(twoHop).distinct()
+    val vecs = nodes.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(vecs.select(col("id").as("v"), col("vec").as("vv")), Seq("v"))
+      .join(vecs.select(col("id").as("u"), col("vec").as("uv")), Seq("u"))
+      .select(col("v").as("query_id"), col("u").as("neighbor_id"),
+        round(cosine(col("vv"), col("uv")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** (query_id, neighbor_id, cos, rnk<=k), exact. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5): DataFrame = {

@@ -565,4 +565,48 @@ class SimilaritySpec extends SparkSpec {
         s"edge ($a,$b) is not reciprocal in the brute top-3")
     }
   }
+
+  test("nn-descent: a round only improves, candidates stay bounded, and it repairs a planted miss") {
+    import spark.implicits._
+    // four tight clusters of 3, ids arranged so id%2 blocking splits
+    // every cluster across blocks: the single-blocking seed cannot see
+    // a same-parity clustermate's true nearest, the descent round
+    // recovers it through the 2-hop path
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0.1f)
+    val pts = (0 until 4).flatMap { c =>
+      val (bx, by) = (math.cos(c * 1.5), math.sin(c * 1.5))
+      (0 until 3).map { j =>
+        (c * 3L + j, v(bx + 0.01 * j, by + 0.01 * j))
+      }
+    }
+    val nodes = pts.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteTopK(nodes, nodes, "embedding", "vec_id", k = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seed = Similarity.blockedTopK(nodes, "embedding", "vec_id", k = 2, blocks = 2)
+    val refined = Similarity.nnDescentRound(nodes, seed, "embedding", "vec_id", k = 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (sp, rp) = (pairs(seed), pairs(refined))
+    // every cluster of 3 is each member's true top-2; the refined
+    // graph must recover ALL of them (clusters are within 2 hops of
+    // any cross-cutting seed edge), strictly beating the seed
+    assert((rp & brute).size === brute.size,
+      s"descent must recover the planted clusters: ${(brute -- rp).toSeq.sorted}")
+    assert((sp & brute).size < brute.size,
+      "the blocked seed must actually be missing something for the test to bite")
+    // candidate-bound sanity on real data: the refined graph keeps
+    // k rows per node and never degrades the seed's best cosine
+    val emb3 = emb.filter(col("vec_id") < 100)
+    val s3 = Similarity.blockedTopK(emb3, "embedding", "vec_id", k = 3, blocks = 4)
+    val r3 = Similarity.nnDescentRound(emb3, s3, "embedding", "vec_id", k = 3)
+    val bestSeed = s3.filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bestRef = r3.filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    bestSeed.foreach { case (q, c) =>
+      assert(bestRef(q) >= c, s"node $q: refined best ${bestRef(q)} < seed best $c")
+    }
+  }
 }
