@@ -292,6 +292,63 @@ object Corpus {
              TRUE AS intra_ok, TRUE AS inter_ok
       FROM documents"""))
 
+  /** m_dedup_phash — perceptual-hash NEAR-DUP PAIRS over the media
+    * corpus ([[Multimodal.phashPairs]]): banded Hamming-≤3 candidate
+    * join (4×16-bit pigeonhole — exactly the brute r≤3 set, the
+    * multi-index-hashing device), emitted as (id_a, id_b, hamming).
+    * What byte-level dedup cannot catch: every group member's PNG
+    * bytes differ (different scales), but their hashes chain together
+    * at r≤3. pHash itself is not SQL-recomputable → rows-only;
+    * [[mDedupPhashContract]] is the oracled gate. */
+  val mDedupPhash: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Multimodal.phashPairs(
+        Multimodal.phashMedia(s, Multimodal.phashMediaTable(s, dir)))
+        .orderBy(col("id_a"), col("id_b")),
+    oracle = None)
+
+  /** The oracled contract behind [[mDedupPhash]]: connected components
+    * over the banded pairs must reconstruct the generator's camera-roll
+    * groups — NO component ever spans two groups (measured cross-group
+    * Hamming min 16/14 ≫ 3, so a cross merge is impossible: pinned
+    * strict), and ≥95% of 5-member groups collapse into ONE component
+    * (adjacent scales hash within r≤3 and chain the group; the 0.4×
+    * extreme can sit past r=3 from every sibling — measured whole-group
+    * rate 98% at sf0.01, 97.6% at sf0.1, floor pinned at 95). Both as
+    * booleans plus the doc/group counts the oracle rebuilds from id
+    * arithmetic. Scale: the pair join is the banded candidate set
+    * (bounded buckets), components are the alternating-star rounds —
+    * no quadratic leg anywhere. */
+  val mDedupPhashContract: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val h = Multimodal.phashMedia(s, Multimodal.phashMediaTable(s, dir))
+      val pairs = Multimodal.phashPairs(h)
+      val comps = Dedup.clusters(pairs)
+      val labeled = h.select(col("doc_id"), col("group_id"))
+        .join(comps.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("group_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cl"))
+      val crossMerge = labeled.groupBy(col("cl"))
+        .agg(countDistinct(col("group_id")).as("ng"))
+        .agg(max(col("ng")).as("mg"))
+      val groupSplit = labeled.groupBy(col("group_id"))
+        .agg(countDistinct(col("cl")).as("nc"))
+        .agg(count(lit(1)).as("ng_all"),
+          sum(when(col("nc") === 1, 1L).otherwise(0L)).as("ng_whole"))
+      labeled.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_id")).as("n_groups"))
+        .crossJoin(crossMerge).crossJoin(groupSplit)
+        .select(col("n_docs"), col("n_groups"),
+          (col("mg") === 1).as("no_cross_merge"),
+          expr("(100 * ng_whole) div ng_all >= 95").as("whole_ok"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT doc_id - doc_id % 5) AS BIGINT) AS n_groups,
+             TRUE AS no_cross_merge, TRUE AS whole_ok
+      FROM documents"""))
+
   /** Z-order (Morton) interleave of the low 28 bits of key `a` (even
     * bit positions) and key `b` (odd positions), rendered per dialect
     * from ONE bit loop so Spark and the oracle compute bit-identical
@@ -574,5 +631,7 @@ object Corpus {
     "t_compress" -> tCompress,
     "t_compress_contract" -> tCompressContract,
     "m_modal_phash" -> mModalPhash,
-    "m_modal_phash_contract" -> mModalPhashContract)
+    "m_modal_phash_contract" -> mModalPhashContract,
+    "m_dedup_phash" -> mDedupPhash,
+    "m_dedup_phash_contract" -> mDedupPhashContract)
 }

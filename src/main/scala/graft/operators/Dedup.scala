@@ -347,7 +347,7 @@ object Dedup {
     * columns riding alongside, DISTINCT'd before the radius filter —
     * one implementation so join plumbing (orientation, dedup
     * placement, a future skew hint) can't drift between widths. */
-  private def bandedHammingPairs(banded: DataFrame, maxHamming: Int,
+  private[operators] def bandedHammingPairs(banded: DataFrame, maxHamming: Int,
       hamming: (String, String) => Column): DataFrame =
     banded.as("l")
       .join(banded.as("r"),

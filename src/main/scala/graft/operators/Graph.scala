@@ -465,9 +465,126 @@ object Graph {
       ORDER BY suppkey"""
     })
 
+  /** BFS round cap: distances beyond this stay unreported. A fixed
+    * round count (not run-to-convergence) is what makes the oracle
+    * finite and is also the production form for "within k hops"
+    * questions — callers wanting full closure loop until a round adds
+    * no rows (the count is node-bounded, so the check is cheap). */
+  private val BfsRounds = 4
+
+  /** Multi-source BFS as iterated relational min-propagation: `edges`
+    * is a DIRECTED (src, dst) list (feed both directions for an
+    * undirected graph), `sources` a (node) frame; returns (node, d)
+    * for every node within `rounds` hops of a source, d = exact
+    * shortest hop distance (min over paths is reached because round k
+    * holds the full ≤k-hop ball). Unreached nodes carry no row. Each
+    * round is ONE join against the reused edge partitioning + ONE
+    * keyed min. */
+  def bfs(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    var dist = sources.select(col("node"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      dist = dist.union(
+        edges.as("e").join(dist.as("l"), col("e.dst") === col("l.node"))
+          .select(col("e.src").as("node"), (col("l.d") + 1).as("d")))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    }
+    dist
+  }
+
+  /** q_shortest_path — BFS shortest hop distances over the customer
+    * CO-PURCHASE graph (edge = two customers share ≥2 distinct capped
+    * basket parts), from the smallest customer in the edge set:
+    * [[BfsRounds]] rounds of [[bfs]] label every node within 4 hops.
+    * The host graph matters: the within-nation co-supply graph is
+    * 1-hop-complete at every test SF (measured — every distance 0/1,
+    * BFS trivially done after one round), while the ≥2-shared-parts
+    * co-purchase graph has a real hop spectrum at BOTH SFs (measured
+    * nodes at dist 0..4: 1/133/1353/11/0 at sf0.01,
+    * 1/17/301/3746/10259 at sf0.1; the ≥3 threshold over-sparsifies
+    * at sf0.1 — 2 reachable nodes — because basket overlap dilutes as
+    * the part space grows with SF).
+    *
+    * Scale: basket capping ([[BasketCap]], the same salted-md5 device
+    * as [[qItemSim]]) bounds pair generation; the edge list is
+    * repartitioned by dst ONCE and persisted; each round is ONE join
+    * + ONE keyed min (partial-aggregated, no window); the distance
+    * table is node-sized. Unreached nodes carry no row (no infinity
+    * sentinel to overflow). */
+  val qShortestPath: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val bought = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val capped = bought.withColumn("rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+            .orderBy(md5(concat_ws(":", lit("basket"), col("c"), col("p"))),
+              col("p"))))
+        .filter(col("rk") <= BasketCap)
+        .select(col("c"), col("p"))
+      val pairs = capped.as("a")
+        .join(capped.as("b"),
+          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+        .groupBy(col("a.c").as("x"), col("b.c").as("y"))
+        .agg(count(lit(1)).as("ns"))
+        .filter(col("ns") >= 2)
+        .select(col("x"), col("y"))
+      val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+        .union(pairs.select(col("y").as("src"), col("x").as("dst")))
+        .repartition(col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sources = edges.agg(min(col("src")).as("node"))
+      val out = bfs(edges, sources, BfsRounds)
+        .select(col("node").as("custkey"), col("d").as("dist"))
+        .orderBy(col("custkey"))
+        .localCheckpoint(eager = true)
+      edges.unpersist()
+      out
+    },
+    oracle = Some {
+      val rounds = (1 to BfsRounds).map { i =>
+        s"""d$i AS (
+        SELECT node, min(d) AS d FROM (
+          SELECT node, d FROM d${i - 1}
+          UNION ALL
+          SELECT e.src AS node, l.d + 1 AS d
+          FROM edges e JOIN d${i - 1} l ON l.node = e.dst)
+        GROUP BY node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH bought AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      capped AS (
+        SELECT c, p FROM (
+          SELECT c, p,
+                 row_number() OVER (PARTITION BY c
+                   ORDER BY md5('basket:' || CAST(c AS VARCHAR) || ':'
+                                || CAST(p AS VARCHAR)), p) AS rk
+          FROM bought) WHERE rk <= $BasketCap),
+      pairs AS (
+        SELECT a.c AS x, b.c AS y
+        FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS MATERIALIZED (
+        SELECT x AS src, y AS dst FROM pairs
+        UNION ALL SELECT y, x FROM pairs),
+      src AS (SELECT min(src) AS node FROM edges),
+      d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM src),
+      $rounds
+      SELECT node AS custkey, CAST(d AS BIGINT) AS dist
+      FROM d$BfsRounds
+      ORDER BY custkey"""
+    })
+
   val defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
     "q_item_sim" -> qItemSim,
+    "q_shortest_path" -> qShortestPath,
     "q_communities" -> qCommunities)
 }

@@ -283,6 +283,34 @@ object Multimodal {
     (intra, inter)
   }
 
+  /** Banded Hamming near-dup pairs over the 64-bit pHashes: the
+    * multi-index-hashing device (Norouzi et al. 2012) — 4 sub-keys of
+    * 16 bits, any pair within Hamming `maxHamming` ≤ 3 shares one
+    * intact band (pigeonhole: 4 bands, ≤3 differing bits), so the
+    * banded candidate join finds EXACTLY the brute Hamming-≤3 set
+    * with zero all-pairs work. Same guarantee and same banding as
+    * [[Dedup.simhashPairs]], applied to image hashes: the "same photo
+    * at five thumbnail sizes" ingest shape chains together at r ≤ 3
+    * (adjacent scales hash nearly identically) even where the extreme
+    * scales sit 4-6 bits apart — connected components over these
+    * pairs recovers whole camera-roll groups. Input: [[phashMedia]]
+    * output. */
+  def phashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"phashPairs: pigeonhole exactness needs maxHamming < 4 at 64 bits, " +
+        s"got $maxHamming — band wider hashes instead of stretching the radius")
+    val sig = hashes.select(col("doc_id").as("id"), col("phash_bits").as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xffffL)
+            .as("bkey"))): _*)).as("bk"))
+      .select(col("id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    Dedup.bandedHammingPairs(banded, maxHamming,
+      (l, r) => bit_count(col(s"$l.sig").bitwiseXOR(col(s"$r.sig"))))
+  }
+
   /** Frame-sampling stage: decode the strip once, keep every
     * `stride`-th frame as a subimage (the video analogue of decode —
     * one decoder per partition, frames streamed), features over the

@@ -546,7 +546,13 @@ object Retrieval {
     * than `iters` rows only if the vocabulary exhausts (every word
     * collapses below 2 symbols) — the cross-joined empty top-1
     * empties the output rather than fabricating merges. */
-  def bpeTrain(wc: org.apache.spark.sql.DataFrame,
+  /** The raw learned merge table as ONE row (mp1, n1, …, mpI, nI) in
+    * marker form — merge i's pair may contain the char(j) markers of
+    * earlier merges (j < i). This is the form [[bpeEncode]] applies
+    * (the replace chain needs markers, not the rendered `<...>`
+    * display) and [[bpeTrain]] renders for humans. One row → always
+    * broadcast; the loop body is vocabulary-sized per round. */
+  def bpeRawMerges(wc: org.apache.spark.sql.DataFrame,
       iters: Int = BpeIters): DataFrame = {
     require(iters >= 1 && iters <= 31,
       s"graft: bpeTrain iters must be in [1, 31], got $iters")
@@ -568,6 +574,49 @@ object Retrieval {
         .groupBy(col("w")).agg(sum(col("wn")).as("wn"))
         .localCheckpoint(eager = true)
     }
+    merges
+  }
+
+  /** Encode a document corpus with a learned merge table
+    * ([[bpeRawMerges]]): per word, the merges apply in TRAINING ORDER
+    * as a greedy left-to-right non-overlapping replace chain — real
+    * BPE application, so a word the training saw collapses to exactly
+    * the symbols training left it with. Returns per-document
+    * (n_words, sym_before, sym_after, saved_pct): the
+    * tokenizer-compression profile (saved_pct ≈ how much of the doc
+    * is built from the corpus's dominant fragments — low savings =
+    * unusual/noisy text, another curation signal).
+    *
+    * Scale shape: the 1-row merge table broadcasts; the encode is a
+    * single zero-shuffle projection — filter/transform/aggregate
+    * higher-order functions over the token array, all codegen'd, no
+    * explode, no per-doc aggregation exchange. Empty-token filtering
+    * matches the tokenization contract; docs with no symbols are
+    * dropped (a 0-symbol doc has no ratio). */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame,
+      wc: org.apache.spark.sql.DataFrame,
+      iters: Int = BpeIters): DataFrame = {
+    val raw = bpeRawMerges(wc, iters)
+    val chain = (1 to iters).foldLeft("x") { (acc, i) =>
+      s"replace($acc, mp$i, char($i))"
+    }
+    docs.select(col("doc_id"), TF.tokens(col("text")).as("ts"))
+      .crossJoin(broadcast(raw.select((1 to iters).map(i => col(s"mp$i")): _*)))
+      .select(col("doc_id"),
+        expr("size(filter(ts, x -> x <> ''))").cast("long").as("n_words"),
+        expr("aggregate(filter(ts, x -> x <> ''), 0L, " +
+          "(a, x) -> a + length(x))").as("sym_before"),
+        expr("aggregate(filter(ts, x -> x <> ''), 0L, " +
+          s"(a, x) -> a + length($chain))").as("sym_after"))
+      .filter(col("sym_before") > 0)
+      .withColumn("saved_pct",
+        expr("(100 * (sym_before - sym_after)) div sym_before"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bpeTrain(wc: org.apache.spark.sql.DataFrame,
+      iters: Int = BpeIters): DataFrame = {
+    val merges = bpeRawMerges(wc, iters)
     // rendered form r_i: mp_i with every earlier marker expanded,
     // innermost-first (char(i-1) ... char(1)) — markers only ever
     // reference EARLIER merges, so ascending construction terminates
@@ -586,11 +635,12 @@ object Retrieval {
       .orderBy(col("step"))
   }
 
-  val tBpeTrain: QueryDef = QueryDef(
-    fn = (s, dir) => bpeTrain(wordCounts(s, dir), BpeIters),
-    oracle = Some {
-      val stages = (1 to BpeIters).map { i =>
-        s"""p$i AS (
+  /** Oracle CTE stages replaying the training loop: per round the
+    * pair counts (p_i), the winning merge (t_i), and the re-encoded
+    * vocabulary (v_i) — shared by the train and encode oracles. */
+  private def bpeStagesSql(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""p$i AS (
         SELECT wn, unnest([substring(w, CAST(x AS INT), 2)
                            for x in range(1, length(w))]) AS pair
         FROM v${i - 1}),
@@ -601,7 +651,49 @@ object Retrieval {
         SELECT w, CAST(sum(wn) AS BIGINT) AS wn FROM (
           SELECT replace(v.w, t.mp, chr($i)) AS w, v.wn
           FROM v${i - 1} v, t$i t) WHERE length(w) >= 2 GROUP BY w)"""
-      }.mkString(",\n      ")
+    }.mkString(",\n      ")
+
+  /** t_bpe_encode — ENCODE the corpus with the trained merge table:
+    * per document, every word runs the marker-form replace chain in
+    * training order ([[bpeEncode]]); output is the per-doc
+    * (n_words, sym_before, sym_after, saved_pct) compression profile.
+    * The oracle re-trains the identical merges (the shared stage CTEs)
+    * and replays the chain per word. */
+  val tBpeEncode: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      bpeEncode(Tables.load(s, dir, "documents"), wordCounts(s, dir),
+        BpeIters),
+    oracle = Some {
+      val chain = (1 to BpeIters).foldLeft("x") { (acc, i) =>
+        s"replace($acc, t$i.mp, chr($i))"
+      }
+      s"""
+      WITH $wordCountsSql,
+      v0 AS (SELECT w, wn FROM wc),
+      ${bpeStagesSql(BpeIters)},
+      toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x <> '') AS ts
+        FROM documents),
+      enc AS (
+        SELECT doc_id,
+               CAST(len(ts) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum([length(x) for x in ts]), 0)
+                 AS BIGINT) AS sym_before,
+               CAST(coalesce(list_sum([length($chain) for x in ts]), 0)
+                 AS BIGINT) AS sym_after
+        FROM toks, t1, t2, t3)
+      SELECT doc_id, n_words, sym_before, sym_after,
+             (100 * (sym_before - sym_after)) // sym_before AS saved_pct
+      FROM enc WHERE sym_before > 0
+      ORDER BY doc_id"""
+    })
+
+  val tBpeTrain: QueryDef = QueryDef(
+    fn = (s, dir) => bpeTrain(wordCounts(s, dir), BpeIters),
+    oracle = Some {
+      val stages = bpeStagesSql(BpeIters)
       s"""
       WITH $wordCountsSql,
       v0 AS (SELECT w, wn FROM wc),
@@ -628,5 +720,6 @@ object Retrieval {
     "t_dsir" -> tDsir,
     "t_bpe_pairs" -> tBpePairs,
     "t_bpe_merge" -> tBpeMerge,
-    "t_bpe_train" -> tBpeTrain)
+    "t_bpe_train" -> tBpeTrain,
+    "t_bpe_encode" -> tBpeEncode)
 }

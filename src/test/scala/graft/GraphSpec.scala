@@ -169,4 +169,24 @@ class GraphSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("pagerank dangling node")),
       s"wrong failure: ${messages(e).mkString(" | ")}")
   }
+
+  test("bfs: exact hop distances on a known graph, horizon respected, min over paths") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus a shortcut 1-4: dist(4) must take the
+    // shortcut (1, not 3), node 6 sits at distance 3 via 4-5-6
+    val undirected = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val sources = Seq(1L).toDF("node")
+    val got4 = Graph.bfs(edges, sources, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got4 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L, 6L -> 3L))
+    // horizon: with 1 round only the direct neighbors appear
+    val got1 = Graph.bfs(edges, sources, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 === Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // multi-source: a second source re-floors distances around it
+    val got2src = Graph.bfs(edges, Seq(1L, 6L).toDF("node"), rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2src(5L) === 1L && got2src(6L) === 0L && got2src(3L) === 2L)
+  }
 }

@@ -90,4 +90,30 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Long]("peak_abs") === peak)
     assert(out.getAs[Long]("zero_crossings") === zc)
   }
+
+  test("phashPairs: banded set equals brute hamming<=3 exactly; radius guard fires") {
+    val h = Multimodal.phashMedia(spark,
+      Multimodal.phashMediaTable(spark, sf))
+      .select(col("doc_id"), col("phash_bits"))
+    val banded = Multimodal.phashPairs(
+        Multimodal.phashMedia(spark, Multimodal.phashMediaTable(spark, sf)))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.get(2).asInstanceOf[Number].longValue)).toMap
+    // brute cross-check: pigeonhole banding must be EXACT, both
+    // directions (nothing missing, nothing extra), distances equal
+    val brute = h.as("a").join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.phash_bits ^ b.phash_bits)").cast("long").as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(banded === brute,
+      s"banded=${banded.size} brute=${brute.size} — pigeonhole exactness violated")
+    assert(brute.nonEmpty, "corpus must contain r<=3 pairs for the test to bite")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashPairs(
+        Multimodal.phashMedia(spark, Multimodal.phashMediaTable(spark, sf)),
+        maxHamming = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
 }

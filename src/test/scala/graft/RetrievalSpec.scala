@@ -279,4 +279,23 @@ class RetrievalSpec extends SparkSpec {
     q.foreach(r => assert(!r.getString(1).exists(_ < ' '),
       s"unrendered marker escaped: ${r.getString(1)}"))
   }
+
+  test("bpeEncode replays the trained merges word-for-word on a known corpus") {
+    import spark.implicits._
+    // same vocabulary as the bpeTrain test, as documents; with 2
+    // merges (ab -> \x01, then \x01c -> \x02):
+    //   "abcabc abc" -> words abcabc (6 sym -> \x02\x02 = 2), abc (3 -> 1)
+    //   "zq zq"      -> untouched: 2 + 2 symbols
+    val docs = Seq(
+      (1L, "abcabc abc"), (2L, "zq zq"), (3L, "abc")
+    ).toDF("doc_id", "text")
+    val wc = Seq(("abcabc", 2L), ("abc", 3L), ("zq", 4L)).toDF("w", "wn")
+    val got = Retrieval.bpeEncode(docs, wc, iters = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((2L, 9L, 3L, 66L)),
+      s"doc 1: 9 symbols must collapse to 3 (66% saved), got ${got(1L)}")
+    assert(got(2L) === ((2L, 4L, 4L, 0L)), "zq words are untouched by the merges")
+    assert(got(3L) === ((1L, 3L, 1L, 66L)))
+  }
 }
