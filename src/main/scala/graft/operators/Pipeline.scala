@@ -1524,6 +1524,71 @@ object Pipeline {
       SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
       ORDER BY id_a, id_b"""))
 
+  /** d_contamination_embed — SEMANTIC decontamination: the embedding
+    * analogue of t_contamination, catching what exact-gram overlap
+    * structurally cannot (a PARAPHRASED benchmark item shares no
+    * 8-gram with its source but sits next to it in embedding space).
+    * The benchmark is the bounded eval set (vec_id < 20, the same
+    * bounded-benchmark premise as the gram-based family); every corpus
+    * vector reports its nearest eval item (rounded cosine, ties to the
+    * smaller eval id) and flags at cos ≥ 0.35 — the corpus's
+    * established near-dup threshold (this synthetic space is
+    * near-random: d_dedup_embed's planted pairs live at 0.35+, and the
+    * eval-vs-corpus max is ~0.49, so the flag bites exactly where
+    * near-dup semantics say it should).
+    *
+    * Scale shape: the eval set BROADCASTS (benchmarks are KBs–MBs);
+    * the corpus streams through ONE map-side scoring pass (B codegen'd
+    * cosines per row) and a partial-aggregated argmax (max of
+    * (cosm, −eval_id) structs — no window, no corpus shuffle beyond
+    * the row-per-vector keyed agg). Swapping the brute eval scan for
+    * [[Similarity.ivfTopK]] at benchmark sizes past ~10⁵ leaves the
+    * contract unchanged. */
+  val dContaminationEmbed: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val ev = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("evv"))
+      val corp = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id"), col("embedding"))
+      corp.crossJoin(broadcast(ev))
+        .select(col("vec_id"), col("eval_id"),
+          round(Bridge.column(CosineSim(
+            Bridge.expression(col("embedding")),
+            Bridge.expression(col("evv")))) * 10000).cast("long").as("cosm"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cosm"),
+          (lit(0L) - col("eval_id")).as("neg"))).as("m"))
+        .select(col("vec_id"),
+          (lit(0L) - col("m.neg")).as("eval_id"),
+          col("m.cosm").as("cosm"),
+          (col("m.cosm") >= 3500L).as("contaminated"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some("""
+      WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+      elems AS (
+        SELECT c.vec_id AS cid, e.vec_id AS eid,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce,
+               CAST(unnest(e.embedding) AS DOUBLE) AS ee
+        FROM corp c, ev e),
+      cosj AS (
+        SELECT cid, eid,
+               CAST(round(round(SUM(ce*ee) / (sqrt(SUM(ce*ce)) * sqrt(SUM(ee*ee))), 4)
+                 * 10000) AS BIGINT) AS cosm
+        FROM elems GROUP BY cid, eid),
+      best AS (
+        SELECT cid, eid, cosm FROM (
+          SELECT cid, eid, cosm,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY cosm DESC, eid) AS rn
+          FROM cosj) WHERE rn = 1)
+      SELECT cid AS vec_id, eid AS eval_id, cosm,
+             cosm >= 3500 AS contaminated
+      FROM best
+      ORDER BY vec_id"""))
+
   /** SemDeDup on the embeddings table ([[Dedup.semanticPairs]]):
     * cluster-blocked semantic near-dup pairs, SQL-oracled END TO END —
     * the oracle replays the deterministic seed quantizer, the rounded
@@ -2798,6 +2863,7 @@ object Pipeline {
     "d_dedup_clusters" -> dDedupClusters,
     "s_ingest_dedup" -> sIngestDedup,
     "d_dedup_embed" -> dDedupEmbed,
+    "d_contamination_embed" -> dContaminationEmbed,
     "d_semdedup" -> dSemdedup,
     "d_semdedup_keep" -> dSemdedupKeep,
     "d_semdedup_recall" -> dSemdedupRecall,

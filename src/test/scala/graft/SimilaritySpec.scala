@@ -566,6 +566,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("d_contamination_embed: argmax is exact, threshold splits flagged from clean, eval set excluded") {
+    val out = graft.operators.Pipeline.dContaminationEmbed.fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // eval rows (vec_id < 20) never appear as corpus rows; every
+    // reported eval_id is in the eval set
+    assert(out.forall(r => r.getLong(0) >= 20 &&
+      r.getLong(1) >= 0 && r.getLong(1) < 20))
+    // flag consistency with the reported max-cos
+    out.foreach { r =>
+      assert(r.getBoolean(3) === (r.getLong(2) >= 3500L),
+        s"flag inconsistent at vec ${r.getLong(0)}")
+    }
+    // argmax exactness on a sample: recompute best eval for 5 vectors
+    val emb = Tables.load(spark, sf, "embeddings")
+    val sample = out.take(5).map(_.getLong(0)).toSet
+    val best = Similarity.bruteTopK(
+        emb.filter(col("vec_id") < 20),
+        emb.filter(col("vec_id").isin(sample.toSeq: _*)),
+        "embedding", "vec_id", k = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), math.round(r.getDouble(2) * 10000))).toMap
+    out.filter(r => sample(r.getLong(0))).foreach { r =>
+      val (eid, cosm) = best(r.getLong(0))
+      assert(r.getLong(1) === eid && r.getLong(2) === cosm,
+        s"argmax mismatch at vec ${r.getLong(0)}")
+    }
+  }
+
   test("nn-descent: a round only improves, candidates stay bounded, and it repairs a planted miss") {
     import spark.implicits._
     // four tight clusters of 3, ids arranged so id%2 blocking splits
