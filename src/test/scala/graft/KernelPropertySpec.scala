@@ -154,4 +154,59 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(agree > 20 * 100 && agree < 44 * 100,
       s"hi/lo bit agreement $agree out of 6400 — families look correlated")
   }
+
+  test("cdcChunks: chunks partition the input exactly and replay the SQL boundary rule") {
+    def chunks(s: String, divisor: Int = 64): Seq[String] = {
+      val a = TextOps.cdcChunks(UTF8String.fromString(s), divisor)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // reference implementation straight off the oracle SQL: cut after
+    // 1-based position i+2 when cp(i)·961+cp(i+1)·31+cp(i+2) ≡ 0 (mod d)
+    def reference(s: String, divisor: Int): Seq[String] = {
+      val cps = s.codePoints().toArray
+      val n = cps.length
+      if (n == 0) return Seq.empty
+      val cuts = (0 +: (1 to math.max(n - 2, 1)).filter { i =>
+        i + 2 <= n &&
+          (cps(i - 1) * 961 + cps(i) * 31 + cps(i + 1)) % divisor == 0
+      }.map(_ + 2) :+ n).distinct
+      cuts.sliding(2).map { case Seq(a, b) =>
+        new String(cps, a, b - a) }.toSeq
+    }
+    val alphabets = Seq(
+      "abcdefgh \n\t",                       // ascii incl. whitespace
+      "αβγδε ñü€",                          // BMP non-ascii
+      new String(Character.toChars(0x1F600)) + "a😀b") // supplementary
+    for (_ <- 1 to 200) {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val cps = alpha.codePoints().toArray
+      val n = rnd.nextInt(300)
+      val sb = new StringBuilder
+      for (_ <- 0 until n) sb.appendAll(Character.toChars(cps(rnd.nextInt(cps.length))))
+      val s = sb.toString
+      val d = Seq(4, 16, 64)(rnd.nextInt(3))
+      val got = chunks(s, d)
+      assert(got === reference(s, d), s"divisor=$d input=${s.take(40)}…")
+      // exact partition: concatenation recovers the input byte-for-byte
+      assert(got.mkString === s)
+      // no empty chunks, and every boundary is content-defined:
+      // re-chunking the suffix after the first cut reproduces every
+      // boundary whose 3-cp hash window lies inside the suffix (the
+      // windows are identical characters, so the cut decisions are too;
+      // boundaries at suffix positions 1-2 straddle the removed prefix
+      // and legitimately vanish)
+      assert(got.forall(_.nonEmpty) || s.isEmpty)
+      if (got.length >= 3) {
+        val tailStr = got.drop(1).mkString
+        def bounds(cs: Seq[String]): Set[Long] =
+          cs.map(_.codePoints().count()).scanLeft(0L)(_ + _).drop(1).dropRight(1).toSet
+        val expected = bounds(got.drop(1)).filter(_ >= 3)
+        val rechunked = bounds(chunks(tailStr, d)).filter(_ >= 3)
+        assert(rechunked === expected,
+          "downstream cuts must be attached to content, not offsets")
+      }
+    }
+    assert(chunks("") === Seq.empty)
+    assert(chunks("ab") === Seq("ab"))
+  }
 }
