@@ -321,7 +321,13 @@ object Corpus {
     * no quadratic leg anywhere. */
   val mDedupPhashContract: QueryDef = QueryDef(
     fn = (s, dir) => {
+      // persisted: the hash table feeds BOTH the banded pair join and
+      // the label join, and the decode behind it (5k PNG reads at
+      // sf0.1) must not run twice — nor once per CC round through the
+      // pair lineage (clusters() checkpoints its input, but the two
+      // consumers here would still each decode)
       val h = Multimodal.phashMedia(s, Multimodal.phashMediaTable(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Multimodal.phashPairs(h)
       val comps = Dedup.clusters(pairs)
       val labeled = h.select(col("doc_id"), col("group_id"))
@@ -336,12 +342,15 @@ object Corpus {
         .agg(countDistinct(col("cl")).as("nc"))
         .agg(count(lit(1)).as("ng_all"),
           sum(when(col("nc") === 1, 1L).otherwise(0L)).as("ng_whole"))
-      labeled.agg(count(lit(1)).as("n_docs"),
+      val out = labeled.agg(count(lit(1)).as("n_docs"),
           countDistinct(col("group_id")).as("n_groups"))
         .crossJoin(crossMerge).crossJoin(groupSplit)
         .select(col("n_docs"), col("n_groups"),
           (col("mg") === 1).as("no_cross_merge"),
           expr("(100 * ng_whole) div ng_all >= 95").as("whole_ok"))
+        .localCheckpoint(eager = true)
+      h.unpersist()
+      out
     },
     oracle = Some("""
       SELECT CAST(count(*) AS BIGINT) AS n_docs,
