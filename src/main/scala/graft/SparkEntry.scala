@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Corpus.defs,
     operators.Graph.defs,
     operators.Selection.defs,
+    operators.Winnow.defs,
     operators.StreamQueries.defs)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -510,29 +510,53 @@ object Graph {
     * + ONE keyed min (partial-aggregated, no window); the distance
     * table is node-sized. Unreached nodes carry no row (no infinity
     * sentinel to overflow). */
+  /** The co-purchase pair relation (x < y, two customers sharing ≥2
+    * distinct capped-basket parts) — the host graph of
+    * [[qShortestPath]] and [[qLinkpred]]. */
+  private[graft] def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ord = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val bought = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val capped = bought.withColumn("rk",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+          .orderBy(md5(concat_ws(":", lit("basket"), col("c"), col("p"))),
+            col("p"))))
+      .filter(col("rk") <= BasketCap)
+      .select(col("c"), col("p"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("x"), col("b.c").as("y"))
+      .agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= 2)
+      .select(col("x"), col("y"))
+  }
+
+  /** Shared oracle CTEs mirroring [[coPurchasePairs]]. */
+  private val coPurchasePairsSql: String = s"""bought AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      capped AS (
+        SELECT c, p FROM (
+          SELECT c, p,
+                 row_number() OVER (PARTITION BY c
+                   ORDER BY md5('basket:' || CAST(c AS VARCHAR) || ':'
+                                || CAST(p AS VARCHAR)), p) AS rk
+          FROM bought) WHERE rk <= $BasketCap),
+      pairs AS (
+        SELECT a.c AS x, b.c AS y
+        FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
   val qShortestPath: QueryDef = QueryDef(
     fn = (s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val ord = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val bought = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
-      val capped = bought.withColumn("rk",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
-            .orderBy(md5(concat_ws(":", lit("basket"), col("c"), col("p"))),
-              col("p"))))
-        .filter(col("rk") <= BasketCap)
-        .select(col("c"), col("p"))
-      val pairs = capped.as("a")
-        .join(capped.as("b"),
-          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-        .groupBy(col("a.c").as("x"), col("b.c").as("y"))
-        .agg(count(lit(1)).as("ns"))
-        .filter(col("ns") >= 2)
-        .select(col("x"), col("y"))
+      val pairs = coPurchasePairs(s, dir)
       val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
         .union(pairs.select(col("y").as("src"), col("x").as("dst")))
         .repartition(col("dst"))
@@ -556,20 +580,7 @@ object Graph {
         GROUP BY node)"""
       }.mkString(",\n      ")
       s"""
-      WITH bought AS (
-        SELECT DISTINCT o_custkey AS c, l_partkey AS p
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      capped AS (
-        SELECT c, p FROM (
-          SELECT c, p,
-                 row_number() OVER (PARTITION BY c
-                   ORDER BY md5('basket:' || CAST(c AS VARCHAR) || ':'
-                                || CAST(p AS VARCHAR)), p) AS rk
-          FROM bought) WHERE rk <= $BasketCap),
-      pairs AS (
-        SELECT a.c AS x, b.c AS y
-        FROM capped a JOIN capped b ON a.p = b.p AND a.c < b.c
-        GROUP BY 1, 2 HAVING count(*) >= 2),
+      WITH $coPurchasePairsSql,
       edges AS MATERIALIZED (
         SELECT x AS src, y AS dst FROM pairs
         UNION ALL SELECT y, x FROM pairs),
@@ -581,10 +592,98 @@ object Graph {
       ORDER BY custkey"""
     })
 
+  /** Neighbor-list cap for [[qLinkpred]]'s wedge join (salted md5,
+    * the [[TriangleCap]]/[[BasketCap]] device): bounds wedge mass at
+    * Σ cap² even if a hub node appears at 100×. Never binds at the
+    * test SFs (measured max co-purchase degree 31 at sf0.1), so the
+    * shipped results are the exact uncapped RA index — the cap is
+    * the 100 TB seatbelt, replayed identically by the oracle. */
+  private val NeighborCap = 64
+
+  /** q_linkpred — LINK PREDICTION by the Resource-Allocation index
+    * (Zhou/Lü/Zhang 2009; the strongest of the classic local indices
+    * in their benchmarks): for each NON-adjacent customer pair (a,b)
+    * in the co-purchase graph (the [[qShortestPath]] host — the
+    * co-supply graph is 1-hop-complete, leaving nothing to predict),
+    * RA(a,b) = Σ_{z∈N(a)∩N(b)} 1/deg(z) — common neighbors,
+    * discounted by how promiscuous each is. Top-20 predicted links.
+    * The 1/deg weight is integer fixed-point (10⁶ div deg, deg ≥ 1
+    * by construction) so per-wedge contributions sum order-free and
+    * both engines rank identically; ties break on (a, b).
+    *
+    * Scale shape: baskets are capped before pair generation
+    * ([[BasketCap]]) and adjacency lists are capped before wedging
+    * ([[NeighborCap]]), so the wedge join a–z–b is bounded by
+    * Σ deg(z)² over capped degrees, never Θ(|V|²); candidate scores
+    * aggregate with map-side combine on (a,b); known edges leave by
+    * ONE anti-join; the global top-20 is a TakeOrdered, not a sort.
+    * Degrees ride the capped relation — no second graph pass. */
+  val qLinkpred: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val pairs = coPurchasePairs(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val und = pairs.select(col("x").as("u"), col("y").as("v"))
+        .union(pairs.select(col("y").as("u"), col("x").as("v")))
+      val capped = und.withColumn("rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+            .orderBy(md5(concat_ws(":", lit("nbr"), col("u"), col("v"))),
+              col("v"))))
+        .filter(col("rk") <= NeighborCap)
+        .select(col("u"), col("v"))
+      val deg = capped.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val viaZ = capped.select(col("v").as("z"), col("u").as("a"))
+      val scored = viaZ.as("e1")
+        .join(viaZ.as("e2"),
+          col("e1.z") === col("e2.z") && col("e1.a") < col("e2.a"))
+        .select(col("e1.a").as("a"), col("e2.a").as("b"),
+          col("e1.z").as("z"))
+        .join(deg.withColumnRenamed("u", "z"), Seq("z"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(expr("1000000 div deg")).as("ra_score"),
+          count(lit(1)).as("n_common"))
+      val out = scored.join(pairs,
+          scored("a") === pairs("x") && scored("b") === pairs("y"),
+          "left_anti")
+        .orderBy(col("ra_score").desc, col("a"), col("b"))
+        .limit(20)
+        .localCheckpoint(eager = true)
+      pairs.unpersist()
+      out
+    },
+    oracle = Some(s"""
+      WITH $coPurchasePairsSql,
+      und AS (
+        SELECT x AS u, y AS v FROM pairs
+        UNION ALL SELECT y, x FROM pairs),
+      nbr AS (
+        SELECT u, v FROM (
+          SELECT u, v,
+                 row_number() OVER (PARTITION BY u
+                   ORDER BY md5('nbr:' || CAST(u AS VARCHAR) || ':'
+                                || CAST(v AS VARCHAR)), v) AS rk
+          FROM und) WHERE rk <= $NeighborCap),
+      deg AS (SELECT u, count(*) AS deg FROM nbr GROUP BY u),
+      scored AS (
+        SELECT e1.u AS a, e2.u AS b,
+               CAST(sum(1000000 // deg) AS BIGINT) AS ra_score,
+               count(*) AS n_common
+        FROM nbr e1
+        JOIN nbr e2 ON e1.v = e2.v AND e1.u < e2.u
+        JOIN deg ON deg.u = e1.v
+        GROUP BY e1.u, e2.u)
+      SELECT a, b, ra_score, n_common
+      FROM scored s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pairs p WHERE p.x = s.a AND p.y = s.b)
+      ORDER BY ra_score DESC, a, b
+      LIMIT 20"""))
+
   val defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
     "q_item_sim" -> qItemSim,
     "q_shortest_path" -> qShortestPath,
+    "q_linkpred" -> qLinkpred,
     "q_communities" -> qCommunities)
 }

@@ -487,6 +487,170 @@ object Relational {
       ORDER BY o_orderpriority"""
     })
 
+  /** q_unpivot — UNPIVOT (melt), the inverse surface of [[qPivot]]:
+    * a wide per-nation aggregate (3 measure columns) relayed long as
+    * (n_name, measure, value) rows via `Dataset.unpivot`. The melt is
+    * a zero-shuffle projection (Catalyst `Expand` — each input row
+    * emits one row per measure, no exchange), so the plan's only
+    * shuffle is the aggregate that built the wide table; the nation
+    * dim rides a broadcast. Measures are cast to one common double
+    * type (unpivot's type contract) and rounded identically on both
+    * sides. Reference parity: Hive's explode/stack surface
+    * (ql/udf/generic/GenericUDTFStack) — reframed as the built-in
+    * unpivot so Tungsten codegens the Expand. */
+  val qUnpivot: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val wide = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).cast("double").as("n_customers"),
+          round(sum(col("c_acctbal")), 4).as("sum_acctbal"),
+          round(max(col("c_acctbal")), 4).as("max_acctbal"))
+      wide.unpivot(
+          Array(col("n_name")),
+          Array(col("n_customers"), col("sum_acctbal"), col("max_acctbal")),
+          "measure", "value")
+        .orderBy(col("n_name"), col("measure"))
+    },
+    oracle = Some("""
+      WITH wide AS (
+        SELECT n_name,
+               CAST(count(*) AS DOUBLE) AS n_customers,
+               round(sum(c_acctbal), 4) AS sum_acctbal,
+               round(max(c_acctbal), 4) AS max_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name, measure, value FROM (
+        SELECT n_name, 'n_customers' AS measure, n_customers AS value FROM wide
+        UNION ALL SELECT n_name, 'sum_acctbal', sum_acctbal FROM wide
+        UNION ALL SELECT n_name, 'max_acctbal', max_acctbal FROM wide)
+      ORDER BY n_name, measure"""))
+
+  /** q_mode — deterministic MODE per group: the most frequent order
+    * priority per market segment, ties broken lexicographically (the
+    * tie-break is part of the contract — a bare max-by over counts is
+    * nondeterministic across engines). Plan: one map-side-combined
+    * count aggregate by (segment, priority), then a rank window over
+    * the AGGREGATED relation — the window partitions hold at most
+    * |priorities| rows per segment regardless of fact-table size, so
+    * the per-key funnel that makes naive mode windows a 100 TB
+    * hazard never forms (the same two-phase discipline as
+    * t_domain_cap, with the first phase being the count agg itself). */
+  val qMode: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      // customer is NOT hinted broadcast: unlike nation/region it grows
+      // with SF, so the key-partitioned SMJ (or AQE's runtime broadcast
+      // when it fits) is the plan that survives 100 TB.
+      val counted = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("n_orders").desc, col("o_orderpriority"))
+      counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"),
+          col("o_orderpriority").as("mode_priority"), col("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    },
+    oracle = Some("""
+      WITH c AS (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                 ORDER BY n_orders DESC, o_orderpriority) AS rn
+        FROM c)
+      SELECT c_mktsegment, o_orderpriority AS mode_priority, n_orders
+      FROM r WHERE rn = 1 ORDER BY c_mktsegment"""))
+
+  /** q_window_distinct — COUNT DISTINCT over a trailing RANGE window
+    * (7-day rolling distinct purchasers per calendar day — the WAU
+    * family every analytics stack publishes), an aggregate Spark's
+    * window functions refuse outright (`count(distinct)` is
+    * unsupported in a window frame). The naive remedies both die at
+    * 100 TB: a day-grid×events range join rescans the fact 7×, and a
+    * `collect_set` window holds every user id of the frame in one
+    * row. This plan is event-linear instead:
+    *
+    *   1. distinct (user, day) — ONE shuffle, map-side combined;
+    *   2. per user, consecutive active days with gaps ≤ window merge
+    *      into coverage islands \[first, last+6\] (lag + running
+    *      island id — the SCD-2 islands device), because a user
+    *      counts for day d iff d sits in some \[active, active+6\];
+    *   3. islands → ±1 boundary deltas, summed per day — the
+    *      interval-stabbing prefix-sum trick, so each island
+    *      contributes exactly 2 rows no matter how long it is;
+    *   4. one running sum over the calendar grid = the distinct count
+    *      for every day. The only unpartitioned window runs over the
+    *      GRID (rows = calendar span, ~10³ for decades — bounded by
+    *      time, not data), never over events.
+    *
+    * The oracle replays the brute definition (grid LEFT JOIN actives
+    * within 7 days, count distinct) — proving the interval algebra
+    * equals the semantic definition at the gate. */
+  /** Library core of [[qWindowDistinct]]: trailing-`win`-bucket
+    * rolling distinct count over an (id, d) activity relation —
+    * for every bucket in [min(d), max(d)], how many distinct ids
+    * have d' in \[day−win+1, day\]. Event-linear (see the query
+    * scaladoc); the one unpartitioned window runs over the bucket
+    * grid, bounded by calendar span. */
+  def rollingDistinct(active0: DataFrame, idCol: String, dCol: String,
+      win: Int): DataFrame = {
+    val reach = win - 1
+    val active = active0
+      .select(col(idCol).as("id"), col(dCol).cast("long").as("d"))
+      .distinct()
+    val wU = Window.partitionBy(col("id")).orderBy(col("d"))
+    val islands = active
+      .withColumn("gap",
+        when(lag(col("d"), 1).over(wU).isNull
+          || col("d") - lag(col("d"), 1).over(wU) > reach, 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("gap")).over(wU))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("d")).as("start"), (max(col("d")) + reach).as("end"))
+    val deltas = islands.select(col("start").as("day"), lit(1L).as("delta"))
+      .unionAll(islands.select(
+        (col("end") + 1).as("day"), lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    val grid = active.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wD = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(deltas, Seq("day"), "left")
+      .select(col("day"), coalesce(col("delta"), lit(0L)).as("delta"))
+      .withColumn("users", sum(col("delta")).over(wD))
+      .select(col("day"), col("users"))
+  }
+
+  val qWindowDistinct: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      // integer epoch-day buckets (ts contract = long nanos; same
+      // bucket algebra as qSpike/qCohort — no date types to drift)
+      val active = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("d"))
+      rollingDistinct(active, "user_id", "d", 7)
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      WITH active AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+        FROM events WHERE event_type = 'purchase'),
+      span AS (SELECT min(d) AS lo, max(d) AS hi FROM active),
+      grid AS (
+        SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS day
+        FROM span)
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      FROM grid LEFT JOIN active ON d BETWEEN day - 6 AND day
+      GROUP BY day ORDER BY day"""))
+
   /** Window-function battery: lag/lead/ntile/dense_rank/cume_dist plus
     * a partition-aggregate delta, per customer order history. */
   val qWindowFuncs: QueryDef = QueryDef(
@@ -1587,6 +1751,9 @@ object Relational {
     "q_sql_text" -> qSqlText,
     "q_asof_join" -> qAsofJoin,
     "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
+    "q_mode" -> qMode,
+    "q_window_distinct" -> qWindowDistinct,
     "q_window_funcs" -> qWindowFuncs,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,

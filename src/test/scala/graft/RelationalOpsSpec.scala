@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Graph, Relational}
+import org.apache.spark.sql.functions._
+
+/** Unit seams for the wave-3 relational operators: rolling distinct
+  * (interval algebra vs the brute definition), deterministic mode,
+  * unpivot round-trip, and RA link-prediction invariants. */
+class RelationalOpsSpec extends SparkSpec {
+
+  test("rollingDistinct == brute range-join definition, islands and gaps") {
+    import spark.implicits._
+    // id 1: two islands under win=3 (gap 10-3 > 2); id 2: contiguous
+    // run; id 3: single day. Every merge/boundary case in one relation.
+    val active = Seq(
+      (1L, 1L), (1L, 3L), (1L, 10L),
+      (2L, 2L), (2L, 3L), (2L, 4L), (2L, 5L),
+      (3L, 7L)).toDF("id", "d")
+    val got = Relational.rollingDistinct(active, "id", "d", 3)
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (1L to 10L).map { day =>
+      day -> Seq(
+        (1L, Seq(1L, 3L, 10L)), (2L, Seq(2L, 3L, 4L, 5L)), (3L, Seq(7L)))
+        .count { case (_, ds) => ds.exists(x => x >= day - 2 && x <= day) }
+        .toLong
+    }
+    assert(got.toSeq === brute)
+  }
+
+  test("q_mode picks the max count with lexicographic tie-break") {
+    val out = Relational.qMode.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    // re-derive counts independently and check each emitted mode row
+    val counts = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    for (r <- out) {
+      val seg = r.getString(0)
+      val best = counts.filter(_._1 == seg)
+        .sortBy { case (_, pri, n) => (-n, pri) }.head
+      assert((r.getString(1), r.getLong(2)) === ((best._2, best._3)),
+        s"wrong mode for segment $seg")
+    }
+  }
+
+  test("q_unpivot is the exact melt of the wide aggregate") {
+    val long = Relational.qUnpivot.fn(spark, sf).collect()
+    assert(long.length % 3 === 0)
+    val byNation = long.groupBy(_.getString(0))
+    assert(byNation.values.forall(_.map(_.getString(1)).toSet ===
+      Set("n_customers", "sum_acctbal", "max_acctbal")))
+    // n_customers leg must equal an independent count
+    val nCust = Tables.load(spark, sf, "customer")
+      .join(Tables.load(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    for (r <- long if r.getString(1) == "n_customers")
+      assert(r.getDouble(2) === nCust(r.getString(0)))
+  }
+
+  test("q_linkpred: non-adjacent, score-bounded, descending top-20") {
+    val rows = Graph.qLinkpred.fn(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.sameElements(scores.sortBy(-_)), "not score-descending")
+    val adj = Graph.coPurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (r <- rows) {
+      val (a, b, ra, nc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a < b)
+      assert(!adj.contains((a, b)), s"predicted an existing edge ($a,$b)")
+      assert(nc >= 1 && ra > 0 && ra <= 1000000L * nc,
+        s"RA bound violated for ($a,$b): ra=$ra n_common=$nc")
+    }
+  }
+}
