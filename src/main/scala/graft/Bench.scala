@@ -217,7 +217,8 @@ object Bench {
       try operators.Multimodal.phashMediaTable(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case NonFatal(_) => () }
-    if (ordered.exists(_._1.startsWith("m_modal_audio")))
+    if (ordered.exists(n => n._1.startsWith("m_modal_audio") ||
+        n._1.startsWith("m_modal_vad")))
       try operators.Multimodal.fakeAudioTable(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case NonFatal(_) => () }

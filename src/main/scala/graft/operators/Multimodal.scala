@@ -422,6 +422,65 @@ object Multimodal {
       .toDF("doc_id", "n_samples", "duration_ms", "sum_abs", "peak_abs",
         "zero_crossings")
   }
+
+  /** Energy-gated voice-activity detection over the PCM shelf: the
+    * clip splits into complete [[VadFrame]]-sample frames (trailing
+    * partial frame dropped), a frame is "voiced" when its Σ|s| energy
+    * strictly exceeds the clip's mean frame energy (compared in
+    * integers: e·n_frames > Σe — no float threshold to drift), and
+    * voiced runs aggregate to segment count and longest run — the
+    * frame-blocking + energy-gate shape every production VAD
+    * (webrtcvad, silero preprocessing) starts from, with the gate
+    * kept integer so the oracle replays every decision. Real s16le
+    * byte parsing per partition, like [[decodeAudioExact]]. */
+  def vadExact(spark: SparkSession, audio: DataFrame): DataFrame = {
+    import spark.implicits._
+    audio.select(avro.from_avro(col("audio"), audioContainerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val n = data.length / 2
+          val nf = n / VadFrame
+          val en = new Array[Long](nf)
+          var f = 0
+          while (f < nf) {
+            var sum = 0L
+            var t = f * VadFrame
+            val end = (f + 1) * VadFrame
+            while (t < end) {
+              val v = ((data(2 * t) & 0xff) | (data(2 * t + 1) << 8))
+                .toShort.toInt
+              sum += math.abs(v).toLong
+              t += 1
+            }
+            en(f) = sum
+            f += 1
+          }
+          val sumE = en.sum
+          var voiced = 0L
+          var segments = 0L
+          var longest = 0L
+          var run = 0L
+          f = 0
+          while (f < nf) {
+            if (en(f) * nf > sumE) {
+              voiced += 1
+              run += 1
+              if (run == 1) segments += 1
+              if (run > longest) longest = run
+            } else run = 0
+            f += 1
+          }
+          (id, nf.toLong, voiced, segments, longest)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_voiced", "n_segments", "longest_run")
+  }
+
+  /** VAD frame length in samples (10 ms at 16 kHz — the webrtcvad
+    * minimum frame). */
+  private val VadFrame = 160
 }
 
 /** Pure-JVM PNG codec on `javax.imageio` — real encode/decode/resize,

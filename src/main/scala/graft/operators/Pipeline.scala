@@ -392,6 +392,125 @@ object Pipeline {
              coalesce(avg_nll, 0.0) AS avg_nll
       FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""))
 
+  /** t_entropy — lexical-diversity quality signals: per-document
+    * token ENTROPY (Shannon, over the doc's own unigram distribution)
+    * plus type-token ratio. Low entropy = repetitive/TEMPLATE text
+    * (the complement of t_repetition's n-gram view: entropy sees the
+    * whole distribution, not just the top phrase), degenerate-high
+    * TTR = no reuse at all (gibberish/id dumps) — both standard
+    * curation features next to perplexity and the Gopher rules.
+    *
+    * Hash-exactness is the t_perplexity discipline verbatim: each
+    * distinct term's -ln(c/n) is quantized to 1e-4 nats (floor)
+    * BEFORE the count-weighted sum, so the per-doc aggregate is an
+    * integer sum immune to float ordering; TTR is integer per-mille.
+    * Scale: one (doc, term) count aggregate (map-side combined), a
+    * doc-partitioned window for n (doc-bounded partitions), one
+    * per-doc aggregate — no joins, no corpus-wide relation. */
+  val tEntropy: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      entropyOf(Tables.load(s, dir, "documents")).orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents),
+      tc AS (
+        SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+      wn AS (
+        SELECT doc_id, c,
+               sum(c) OVER (PARTITION BY doc_id) AS n
+        FROM tc),
+      q AS (
+        SELECT doc_id, c, n,
+               CAST(floor(-ln(CAST(c AS DOUBLE) / n) * 10000) AS BIGINT) AS q4
+        FROM wn)
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             1000 * count(*) // CAST(max(n) AS BIGINT) AS ttr_pm,
+             floor(CAST(sum(c * q4) AS DOUBLE) / max(n)) / 10000 AS entropy
+      FROM q GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** [[tEntropy]] over any (doc_id, text) relation — the library
+    * entry point (and the spec seam for hand-checkable cases). */
+  private[graft] def entropyOf(documents: DataFrame): DataFrame = {
+    val tc = documents
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val wD = Window.partitionBy(col("doc_id"))
+    tc.withColumn("n", sum(col("c")).over(wD))
+      .withColumn("q4",
+        floor(-log(col("c").cast("double") / col("n")) * 10000))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        (floor(sum(col("c") * col("q4")).cast("double") / max(col("n")))
+          / 10000).as("entropy"))
+      .withColumn("ttr_pm", expr("1000 * n_types div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("ttr_pm"), col("entropy"))
+  }
+
+  /** t_novelty — per-document n-gram NOVELTY against the corpus in
+    * doc_id order: the fraction of a document's distinct 5-gram
+    * shingles whose FIRST occurrence (min doc_id) is this document.
+    * Low novelty = the document restates what the corpus already
+    * contains (near-dup tail, boilerplate soup); the signal the
+    * "novel text" curation heuristics and dedup-priority orders rank
+    * by. Differs from d_dedup_window (which finds the matching PAIRS)
+    * by scoring every document with one number.
+    *
+    * Scale: grams hash to md5 keys; first-occurrence is ONE min
+    * aggregate by gram (map-side combined — a hot boilerplate gram
+    * partial-aggregates before the exchange), the score join ships
+    * per-doc DISTINCT grams against that table keyed by gram — the
+    * same Zipf-head caveat and remedy as t_rarity. Everything else is
+    * integer (counts, per-mille ratio). Documents shorter than 5
+    * tokens carry no grams and no row, in both engines. */
+  val tNovelty: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      noveltyOf(Tables.load(s, dir, "documents")).orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id,
+               md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4]) AS h
+        FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5),
+      first AS (
+        SELECT h, min(doc_id) AS first_doc FROM grams GROUP BY h)
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             1000 * CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) // count(*) AS novelty_pm
+      FROM grams JOIN first USING (h)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** [[tNovelty]] over any (doc_id, text) relation — the library
+    * entry point (and the spec seam for the first-doc-wins law). */
+  private[graft] def noveltyOf(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 5)
+    val grams = toks.select(col("doc_id"),
+      explode(expr(
+        """transform(sequence(1, size(t) - 4),
+             i -> md5(concat_ws(' ', element_at(t, i), element_at(t, i+1),
+                      element_at(t, i+2), element_at(t, i+3),
+                      element_at(t, i+4))))""")).as("h"))
+      .distinct()
+    val first = grams.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_pm", expr("1000 * n_novel div n_grams"))
+  }
+
   /** Per-source corpus report ("data card"): doc and token volumes
     * plus EXACT token-count percentiles per source — the dataset
     * statistics a curation run publishes next to its output.
@@ -2827,6 +2946,59 @@ object Pipeline {
       FROM w GROUP BY doc_id, n
       ORDER BY doc_id"""))
 
+  /** m_modal_vad — energy-gated voice-activity segmentation over the
+    * PCM shelf ([[Multimodal.vadExact]]): 160-sample (10 ms) frames,
+    * a frame voiced when its Σ|s| strictly beats the clip's mean
+    * frame energy (integer compare e·nf > Σe), voiced runs rolled up
+    * to counts and the longest segment. The oracle replays every
+    * sample, frame sum, and gate decision from the closed-form
+    * waveform — the same contract as m_modal_audio, one level up the
+    * audio pipeline. */
+  val mModalVad: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Multimodal.vadExact(s, Multimodal.fakeAudioTable(s, dir))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH a AS (
+        SELECT doc_id, 1600 + doc_id % 800 AS n FROM documents),
+      f AS (SELECT doc_id, n // 160 AS nf FROM a),
+      smp AS (SELECT doc_id, nf, unnest(range(0, nf * 160)) AS t FROM f),
+      e AS (
+        SELECT doc_id, nf, t // 160 AS fr,
+               sum(abs((doc_id * 31 + 17 * t) % 4096 - 2048)) AS en
+        FROM smp GROUP BY doc_id, nf, t // 160),
+      tot AS (SELECT doc_id, sum(en) AS sum_e FROM e GROUP BY doc_id),
+      v AS (
+        SELECT e.doc_id, nf, fr, en * nf > sum_e AS voiced
+        FROM e JOIN tot USING (doc_id)),
+      seg AS (
+        SELECT doc_id, nf, fr, voiced,
+               CASE WHEN voiced AND NOT coalesce(
+                 lag(voiced) OVER (PARTITION BY doc_id ORDER BY fr), FALSE)
+               THEN 1 ELSE 0 END AS st
+        FROM v),
+      isl AS (
+        SELECT doc_id, nf, fr, voiced,
+               sum(st) OVER (PARTITION BY doc_id ORDER BY fr) AS g
+        FROM seg),
+      runs AS (
+        SELECT doc_id, g, count(*) AS rl
+        FROM isl WHERE voiced GROUP BY doc_id, g),
+      perdoc AS (
+        SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_voiced
+        FROM isl GROUP BY doc_id),
+      runagg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(max(rl) AS BIGINT) AS longest_run
+        FROM runs GROUP BY doc_id)
+      SELECT p.doc_id, n_frames, n_voiced,
+             coalesce(n_segments, 0) AS n_segments,
+             coalesce(longest_run, 0) AS longest_run
+      FROM perdoc p LEFT JOIN runagg USING (doc_id)
+      ORDER BY doc_id"""))
+
   val defs: Map[String, QueryDef] = Map(
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
@@ -2838,6 +3010,8 @@ object Pipeline {
     "t_chunk" -> tChunk,
     "t_shard" -> tShard,
     "t_perplexity" -> tPerplexity,
+    "t_entropy" -> tEntropy,
+    "t_novelty" -> tNovelty,
     "t_stats" -> tStats,
     "t_vocab" -> tVocab,
     "t_outlier" -> tOutlier,
@@ -2902,6 +3076,7 @@ object Pipeline {
     "t_contamination" -> tContamination,
     "t_contamination_bloom" -> tContaminationBloom,
     "m_modal_audio" -> mModalAudio,
+    "m_modal_vad" -> mModalVad,
     "m_modal_meta" -> mModalMeta,
     "m_modal_resize" -> mModalResize,
     "m_modal_frames" -> mModalFrames)

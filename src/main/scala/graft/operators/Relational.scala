@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.plans.BloomMightContain
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graft.Bridge
@@ -650,6 +650,175 @@ object Relational {
       SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS users
       FROM grid LEFT JOIN active ON d BETWEEN day - 6 AND day
       GROUP BY day ORDER BY day"""))
+
+  /** q_cusum — CUSUM sequential change detection (Page 1954) over
+    * daily event volumes per type: S_d = max(0, S_{d-1} + dev_d),
+    * alarm when the accumulated positive deviation exceeds H. The
+    * MAD spike detector ([[qSpike]]) flags single outlier hours;
+    * CUSUM accumulates SMALL persistent shifts no single-point test
+    * sees — the classic complementary pair of monitoring queries.
+    *
+    * All integer: deviations are scaled by the day count
+    * (dev = m·n − total, i.e. (n − mean)·m without the division) and
+    * H = total div 2, so every engine computes the identical
+    * sequence. The recurrence max(0, S+e) is NOT a window aggregate
+    * (non-linear), so it runs as an `aggregate` HOF scan over the
+    * per-type day array — collect_list here is BOUNDED by calendar
+    * span per type (the qSpike/rollingDistinct grid argument), never
+    * by event volume; the corpus-sized work is the one partial-first
+    * count aggregate. The oracle replays the recurrence with a
+    * recursive CTE — two entirely different execution strategies, one
+    * integer sequence. */
+  val qCusum: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cnt = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("xs"),
+          sum(col("n")).as("total"), count(lit(1)).as("m"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(xs,
+               named_struct('s', cast(0 as bigint),
+                 'out', cast(array() as
+                   array<struct<day:bigint,n:bigint,cusum:bigint,is_shift:boolean>>)),
+               (acc, x) -> named_struct(
+                 's', greatest(cast(0 as bigint), acc.s + m * x.n - total),
+                 'out', concat(acc.out, array(named_struct(
+                   'day', x.day, 'n', x.n,
+                   'cusum', greatest(cast(0 as bigint), acc.s + m * x.n - total),
+                   'is_shift', greatest(cast(0 as bigint), acc.s + m * x.n - total)
+                     > total div 2)))),
+               acc -> acc.out)""")).as("st"))
+        .select(col("event_type"), col("st.day").as("day"),
+          col("st.n").as("n"), col("st.cusum").as("cusum"),
+          col("st.is_shift").as("is_shift"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE cnt AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               count(*) AS n
+        FROM events GROUP BY event_type, day),
+      tot AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+               count(*) AS m
+        FROM cnt GROUP BY event_type),
+      seq AS (
+        SELECT c.event_type, day, n, total, m,
+               row_number() OVER (PARTITION BY c.event_type
+                 ORDER BY day) AS i
+        FROM cnt c JOIN tot USING (event_type)),
+      walk AS (
+        SELECT event_type, i, day, n, total, m,
+               greatest(CAST(0 AS BIGINT), m * n - total) AS s
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.i, s.day, s.n, s.total, s.m,
+               greatest(CAST(0 AS BIGINT), w.s + s.m * s.n - s.total)
+        FROM walk w JOIN seq s
+          ON s.event_type = w.event_type AND s.i = w.i + 1)
+      SELECT event_type, day, CAST(n AS BIGINT) AS n,
+             CAST(s AS BIGINT) AS cusum, s > total // 2 AS is_shift
+      FROM walk ORDER BY event_type, day"""))
+
+  /** Composite rank key for [[qRfm]]'s global quintiles: metric rides
+    * the high bits, custkey the low — unique per customer, ordered by
+    * (metric, custkey). Bounds enforced per row (the decileKey
+    * discipline): metric ≤ 9.2·10⁹ and custkey < 10⁹ or the row
+    * raises instead of silently mis-ranking. */
+  private def rfmKey(metric: Column, custkey: Column): Column =
+    when(metric > lit(9200000000L) || metric < 0L ||
+        custkey >= lit(1000000000L) || custkey < 0L,
+      raise_error(concat(
+        lit("graft: q_rfm rank key bound exceeded (need 0 <= metric <= " +
+          "9.2e9 and 0 <= custkey < 1e9; got metric="),
+        metric.cast("string"), lit(", custkey="), custkey.cast("string"),
+        lit(") - use a two-column ordered prefix sum past this scale")))
+        .cast("long"))
+      .otherwise(metric * lit(1000000000L) + custkey)
+
+  /** The ntile(q) assignment from a 1-based global rank: the first
+    * (n mod q) buckets take (n div q + 1) rows, the rest (n div q) —
+    * SQL-standard ntile semantics in explicit integer algebra (the
+    * t_decile formula, generalized). */
+  private def ntileFromRank(q: Int, rnk: String, n: String): String =
+    s"""CASE WHEN $rnk <= ($n % $q) * ($n div $q + 1)
+        THEN ($rnk - 1) div ($n div $q + 1) + 1
+        ELSE ($n % $q) +
+             ($rnk - ($n % $q) * ($n div $q + 1) - 1) div ($n div $q) + 1
+        END"""
+
+  /** q_rfm — RFM customer segmentation (recency / frequency /
+    * monetary), the standard CRM scoring query: per customer, last
+    * order day, order count, and lifetime cents, each ranked into
+    * GLOBAL quintiles (1 = oldest/fewest/least … 5 = best), segment
+    * code = r·100 + f·10 + m. Monetary is integer cents
+    * (floor(price·100) per order then summed — identical IEEE double
+    * ops in both engines, then pure integer algebra).
+    *
+    * Scale: global ranking never opens an unpartitioned data-sized
+    * window — each metric ranks through the distributed
+    * [[PrefixSum.runningTotal]] (range-repartition + per-slice sums +
+    * a #slices-row offset table), the t_decile pattern ×3; quintile
+    * assignment is then the closed-form [[ntileFromRank]] against the
+    * broadcast customer count. The oracle uses plain ntile(5) — same
+    * semantics, the formula is the distributed realization. */
+  val qRfm: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        // NTZ parquet timestamp; session tz is pinned UTC (GraftSession)
+        // so the cast reads the naive wall-clock as UTC — the DuckDB
+        // epoch_us convention (the Tables.normalizeEventTs argument)
+        .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) " +
+            "div 86400000000")).as("last_day"),
+          count(lit(1)).as("n_orders"),
+          sum(expr("cast(floor(o_totalprice * 100) as bigint)"))
+            .as("m_cents"))
+      def rankBy(metric: String, out: String): DataFrame =
+        graft.operators.PrefixSum.runningTotal(
+          base.select(col("o_custkey"),
+            rfmKey(col(metric), col("o_custkey")).as("_k"))
+            .withColumn("_one", lit(1L)),
+          "_k", "_one", out)
+          .select(col("o_custkey"), col(out))
+      val n = base.agg(count(lit(1)).as("_n"))
+      base
+        .join(rankBy("last_day", "_rr"), "o_custkey")
+        .join(rankBy("n_orders", "_fr"), "o_custkey")
+        .join(rankBy("m_cents", "_mr"), "o_custkey")
+        .crossJoin(broadcast(n))
+        .withColumn("r_q", expr(ntileFromRank(5, "_rr", "_n")))
+        .withColumn("f_q", expr(ntileFromRank(5, "_fr", "_n")))
+        .withColumn("m_q", expr(ntileFromRank(5, "_mr", "_n")))
+        .withColumn("segment", expr("r_q * 100 + f_q * 10 + m_q"))
+        .select(col("o_custkey"), col("last_day"), col("n_orders"),
+          col("m_cents"), col("r_q"), col("f_q"), col("m_q"), col("segment"))
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT o_custkey,
+               max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS m_cents
+        FROM orders GROUP BY o_custkey),
+      q AS (
+        SELECT o_custkey, last_day, n_orders, m_cents,
+               CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT)
+                 AS r_q,
+               CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT)
+                 AS f_q,
+               CAST(ntile(5) OVER (ORDER BY m_cents, o_custkey) AS BIGINT)
+                 AS m_q
+        FROM base)
+      SELECT o_custkey, last_day, n_orders, m_cents, r_q, f_q, m_q,
+             r_q * 100 + f_q * 10 + m_q AS segment
+      FROM q ORDER BY o_custkey"""))
 
   /** Window-function battery: lag/lead/ntile/dense_rank/cume_dist plus
     * a partition-aggregate delta, per customer order history. */
@@ -1754,6 +1923,8 @@ object Relational {
     "q_unpivot" -> qUnpivot,
     "q_mode" -> qMode,
     "q_window_distinct" -> qWindowDistinct,
+    "q_cusum" -> qCusum,
+    "q_rfm" -> qRfm,
     "q_window_funcs" -> qWindowFuncs,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,

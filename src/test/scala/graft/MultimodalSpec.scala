@@ -91,6 +91,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Long]("zero_crossings") === zc)
   }
 
+  test("vad matches a hand-replayed frame energy gate") {
+    import graft.operators.Multimodal
+    val out = Multimodal.vadExact(spark,
+        Multimodal.fakeAudioTable(spark, sf))
+      .filter(col("doc_id").isin(3L, 11L)).orderBy("doc_id").collect()
+    for (row <- out) {
+      val id = row.getAs[Long]("doc_id")
+      val n = 1600 + (id % 800).toInt
+      val nf = n / 160
+      val en = (0 until nf).map { f =>
+        (f * 160 until (f + 1) * 160).map { t =>
+          math.abs((((id * 31 + 17L * t) % 4096) - 2048).toInt).toLong
+        }.sum
+      }
+      val sumE = en.sum
+      val voiced = en.map(_ * nf > sumE)
+      val runs = voiced.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(row.getAs[Long]("n_frames") === nf.toLong)
+      assert(row.getAs[Long]("n_voiced") === voiced.count(identity).toLong)
+      assert(row.getAs[Long]("n_segments") === runs.length.toLong)
+      assert(row.getAs[Long]("longest_run") ===
+        (if (runs.isEmpty) 0L else runs.max.toLong))
+    }
+  }
+
   test("phashPairs: banded set equals brute hamming<=3 exactly; radius guard fires") {
     val h = Multimodal.phashMedia(spark,
       Multimodal.phashMediaTable(spark, sf))
