@@ -511,6 +511,59 @@ object Pipeline {
       .withColumn("novelty_pm", expr("1000 * n_novel div n_grams"))
   }
 
+  /** t_diversity — per-source lexical CONCENTRATION by Simpson's
+    * index: D = Σc(c−1)/(N(N−1)), the probability two tokens drawn
+    * without replacement from a source are the same type — the
+    * data-card diversity number next to t_stats' volumes (high D =
+    * template/boilerplate-dominated source; the inverse 1/D is the
+    * "effective vocabulary" size). EXACT integers end to end — counts,
+    * the Σc(c−1) sum, and the final ratio in parts-per-million by
+    * integer division; nothing to quantize, so this is the rare
+    * diversity metric two engines can hash-compare (Shannon entropy
+    * needs logs — that's t_entropy's quantized job). N > 3·10⁹ per
+    * source would overflow N·(N−1); the plan raises loudly there
+    * (switch to the 128-bit sum remedy documented in-code). Scale:
+    * one (source, token) count aggregate, one per-source aggregate —
+    * both partial-first, no joins wider than the source list. */
+  val tDiversity: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val tc = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      tc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1)).as("rep"))
+        .select(col("source"),
+          when(col("n_tokens") > lit(3000000000L),
+            raise_error(concat(
+              lit("graft: t_diversity N(N-1) would overflow BIGINT for " +
+                "source "), col("source"),
+              lit(" - use the 128-bit pairwise sum"))).cast("long"))
+            .otherwise(col("n_tokens")).as("n_tokens"),
+          col("n_types"), col("rep"))
+        .withColumn("simpson_ppm",
+          expr("1000000 * rep div (n_tokens * (n_tokens - 1))"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("simpson_ppm"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH tc AS (
+        SELECT source, w, count(*) AS c FROM (
+          SELECT source,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents)
+        GROUP BY source, w),
+      agg AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+        FROM tc GROUP BY source)
+      SELECT source, n_tokens, n_types,
+             1000000 * rep // (n_tokens * (n_tokens - 1)) AS simpson_ppm
+      FROM agg ORDER BY source"""))
+
   /** Per-source corpus report ("data card"): doc and token volumes
     * plus EXACT token-count percentiles per source — the dataset
     * statistics a curation run publishes next to its output.
@@ -3012,6 +3065,7 @@ object Pipeline {
     "t_perplexity" -> tPerplexity,
     "t_entropy" -> tEntropy,
     "t_novelty" -> tNovelty,
+    "t_diversity" -> tDiversity,
     "t_stats" -> tStats,
     "t_vocab" -> tVocab,
     "t_outlier" -> tOutlier,

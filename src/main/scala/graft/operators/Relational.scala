@@ -724,6 +724,110 @@ object Relational {
              CAST(s AS BIGINT) AS cusum, s > total // 2 AS is_shift
       FROM walk ORDER BY event_type, day"""))
 
+  /** q_abc — Pareto / ABC revenue classification (the 80/15/5 rule
+    * every inventory and merchandising stack applies): parts ranked
+    * by lifetime discounted revenue, cumulative share assigns class
+    * A (first 80% of revenue), B (to 95%), C (tail). Revenue is
+    * integer cents (floor(price·(1−disc)·100) per lineitem then
+    * summed — identical IEEE ops both engines, integer algebra
+    * after); cumulative revenue runs DESCENDING through the
+    * distributed [[graft.operators.PrefixSum.runningTotal]] (rank key
+    * = (cap − rev)·10⁹ + partkey, bounds raised loudly), never an
+    * unpartitioned data-sized window; share thresholds compare in
+    * per-mille integers. */
+  val qAbc: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr(
+          "cast(floor(l_extendedprice * (1.0 - l_discount) * 100) as bigint)"))
+          .as("rev_cents"))
+      val guard = raise_error(concat(
+        lit("graft: q_abc rank key bound exceeded (need 0 <= rev_cents " +
+          "<= 9.2e9 and 0 <= partkey < 1e9; got rev_cents="),
+        col("rev_cents").cast("string"), lit(", partkey="),
+        col("l_partkey").cast("string"))).cast("long")
+      val keyed = rev.select(col("l_partkey"), col("rev_cents"),
+        when(col("rev_cents") > lit(9200000000L) || col("rev_cents") < 0L ||
+            col("l_partkey") >= lit(1000000000L) || col("l_partkey") < 0L,
+          guard)
+          .otherwise((lit(9200000000L) - col("rev_cents")) * lit(1000000000L)
+            + col("l_partkey")).as("_k"))
+      val tot = rev.agg(sum(col("rev_cents")).as("_tot"))
+      graft.operators.PrefixSum.runningTotal(keyed, "_k", "rev_cents", "_cum")
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_pm", expr("1000 * _cum div _tot"))
+        .withColumn("abc_class",
+          when(col("cum_pm") <= 800, "A")
+            .when(col("cum_pm") <= 950, "B").otherwise("C"))
+        .select(col("l_partkey"), col("rev_cents"), col("cum_pm"),
+          col("abc_class"))
+        .orderBy(col("l_partkey"))
+    },
+    oracle = Some("""
+      WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+                 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey),
+      c AS (
+        SELECT l_partkey, rev_cents,
+               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               CAST(sum(rev_cents) OVER () AS BIGINT) AS tot
+        FROM rev)
+      SELECT l_partkey, rev_cents, 1000 * cum // tot AS cum_pm,
+             CASE WHEN 1000 * cum // tot <= 800 THEN 'A'
+                  WHEN 1000 * cum // tot <= 950 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM c ORDER BY l_partkey"""))
+
+  /** q_transitions — the event-flow TRANSITION MATRIX (the Markov /
+    * Sankey view every product-analytics stack draws): per user,
+    * events in (ts_ms, event_id) order, each consecutive pair counts
+    * one (from → to) transition, a user's first event transitioning
+    * from the 'start' pseudo-state; output = counts plus per-source
+    * share in per-mille. The windows partition per user (bounded by a
+    * user's history, never corpus-wide); the matrix itself is
+    * |types+1|·|types| rows, and the share window runs over THAT
+    * bounded relation. The streaming leg (s_transitions) maintains
+    * the same pairs from O(1) per-user state and shares this oracle. */
+  val qTransitions: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").as("ts_ms"), col("event_type"))
+        .withColumn("from_type",
+          coalesce(lag(col("event_type"), 1).over(w), lit("start")))
+        .select(col("from_type"), col("event_type").as("to_type"))
+      val cnt = pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wF = Window.partitionBy(col("from_type"))
+      cnt.withColumn("sum_n", sum(col("n")).over(wF))
+        .withColumn("share_pm", expr("1000 * n div sum_n"))
+        .select(col("from_type"), col("to_type"), col("n"), col("share_pm"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    oracle = Some("""
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+        FROM events),
+      pairs AS (
+        SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts_ms, event_id), 'start') AS from_type,
+               event_type AS to_type
+        FROM ev),
+      cnt AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM pairs GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+             1000 * n // CAST(sum(n) OVER (PARTITION BY from_type)
+               AS BIGINT) AS share_pm
+      FROM cnt ORDER BY from_type, to_type"""))
+
   /** Composite rank key for [[qRfm]]'s global quintiles: metric rides
     * the high bits, custkey the low — unique per customer, ordered by
     * (metric, custkey). Bounds enforced per row (the decileKey
@@ -1925,6 +2029,8 @@ object Relational {
     "q_window_distinct" -> qWindowDistinct,
     "q_cusum" -> qCusum,
     "q_rfm" -> qRfm,
+    "q_transitions" -> qTransitions,
+    "q_abc" -> qAbc,
     "q_window_funcs" -> qWindowFuncs,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,

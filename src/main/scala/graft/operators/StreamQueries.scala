@@ -288,8 +288,30 @@ object StreamQueries {
     },
     oracle = Relational.qSpike.oracle)
 
+  /** Streaming event-flow transition matrix through
+    * [[graft.streaming.Streaming.TransitionProcessor]] (O(1) per-user
+    * state, one edge emitted per event at arrival), aggregated to the
+    * identical (from, to, n, share_pm) matrix as the batch lag-window
+    * plan — q_transitions' oracle verbatim. StreamingSpec replays the
+    * topic micro-batched and asserts the same emitted edge multiset
+    * across a batch boundary. */
+  val sTransitions: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cnt = Streaming.transitions(events(s, dir)).toDF()
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      cnt.withColumn("sum_n", sum(col("n")).over(wF))
+        .withColumn("share_pm", expr("1000 * n div sum_n"))
+        .select(col("from_type"), col("to_type"), col("n"), col("share_pm"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    oracle = Relational.qTransitions.oracle)
+
   val defs: Map[String, QueryDef] = Map(
     "s_scd2_held" -> sScd2Held,
+    "s_transitions" -> sTransitions,
     "s_attribution" -> sAttribution,
     "s_outer_join" -> sOuterJoin,
     "s_spike" -> sSpike,

@@ -472,6 +472,53 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+      ts_ms: Long, event_id: Long)
+
+  /** Per-user event-flow transitions as a streaming state machine: the
+    * ONLY state is the last event's type — O(1) per user — and every
+    * arriving event emits one (from → to) edge of the transition
+    * matrix at arrival, a user's first event transitioning from the
+    * 'start' pseudo-state. The online mirror of q_transitions' batch
+    * lag window: rows within one call sort by (ts_ms, event_id), the
+    * batch frame order; across micro-batches the premise is the same
+    * offset-follows-event-time contract the streaming SCD-2 replay
+    * documents. */
+  class TransitionProcessor
+      extends StatefulProcessor[Long, TouchEvent, Transition] {
+    @transient private var lastType: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastType = getHandle.getValueState[String]("last_type",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TouchEvent],
+        timers: TimerValues): Iterator[Transition] = {
+      val buf = rows.toArray.sortBy(e => (e.ts_ms, e.event_id))
+      var prev = if (lastType.exists()) lastType.get() else "start"
+      val out = buf.map { e =>
+        val tr = Transition(key, prev, e.event_type, e.ts_ms, e.event_id)
+        prev = e.event_type
+        tr
+      }
+      lastType.update(prev)
+      out.iterator
+    }
+  }
+
+  /** Apply [[TransitionProcessor]] to a decoded events frame (batch or
+    * stream). */
+  def transitions(events: DataFrame): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    prepareStateV2(events.sparkSession)
+    events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .as[TouchEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- custom state: streaming SCD-2 interval maintenance ----
 
   case class TypedEvent(user_id: Long, event_id: Long, ts_ms: Long,

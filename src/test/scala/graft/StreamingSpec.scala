@@ -894,4 +894,57 @@ class StreamingSpec extends SparkSpec {
     thresholds.unpersist()
     ()
   }
+
+  test("streaming transitions equal the batch run across micro-batches") {
+    // O(1) last-type state must bridge the batch boundary: a user's
+    // first event in batch 2 transitions FROM its last event of batch
+    // 1, not from 'start' — exactly what this replay exercises.
+    val path = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"), col("event_type"))
+    val jan11 = 1704931200000L
+    val jan21 = 1705795200000L
+    val cuts = Seq(
+      col("ts") < timestamp_millis(lit(jan11)),
+      col("ts") >= timestamp_millis(lit(jan11)) &&
+        col("ts") < timestamp_millis(lit(jan21)),
+      col("ts") >= timestamp_millis(lit(jan21)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emitted =
+        scala.collection.mutable.ArrayBuffer[(Long, String, String, Long, Long)]()
+      val src = spark.readStream
+        .schema("user_id long, event_id long, ts timestamp, event_type string")
+        .parquet(path + "/*")
+      val q = Streaming.transitions(src)
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.Transition], _: Long) =>
+            val rows = d.collect().map(t =>
+              (t.user_id, t.from_type, t.to_type, t.ts_ms, t.event_id))
+            emitted.synchronized { emitted ++= rows; () }
+        }.start()
+      cuts.zipWithIndex.foreach { case (c, i) =>
+        ev.filter(c).write.parquet(s"$path/b$i")
+        q.processAllAvailable()
+      }
+      q.stop()
+      val batch = Streaming.transitions(ev).collect()
+        .map(t => (t.user_id, t.from_type, t.to_type, t.ts_ms, t.event_id))
+        .toSet
+      assert(emitted.toSet === batch)
+      assert(batch.nonEmpty)
+      // every user has exactly one 'start' transition
+      val starts = batch.groupBy(_._1).view
+        .mapValues(_.count(_._2 == "start"))
+      assert(starts.values.forall(_ == 1))
+      // and at least one user crosses a micro-batch boundary with a
+      // non-start from_type in batch 2 (state survived the boundary)
+      val crossed = batch.exists(t => t._4 >= jan11 && t._2 != "start")
+      assert(crossed, "no cross-batch transition observed")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -51,6 +51,44 @@ class TextSignalsSpec extends SparkSpec {
     }
   }
 
+  test("t_diversity equals a brute Simpson computation") {
+    val got = Pipeline.tDiversity.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).view.mapValues { ds =>
+      val toks = ds.flatMap(_._2.trim.split("\\s+"))
+      val counts = toks.groupBy(identity).values.map(_.length.toLong)
+      val n = toks.length.toLong
+      val rep = counts.map(c => c * (c - 1)).sum
+      (n, counts.size.toLong, 1000000L * rep / (n * (n - 1)))
+    }.toMap
+    for ((src, n, types, d) <- got)
+      assert(bySource(src) === ((n, types, d)), s"mismatch for $src")
+  }
+
+  test("q_abc: descending-revenue cumulative shares partition into A/B/C") {
+    val rows = Relational.qAbc.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val byRev = rows.sortBy(r => (-r._2, r._1))
+    // cumulative share nondecreasing, ends at exactly 1000 per-mille
+    val cums = byRev.map(_._3)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last === 1000L)
+    // class assignment consistent with the thresholds
+    for ((_, _, cum, cls) <- rows)
+      assert(cls === (if (cum <= 800) "A" else if (cum <= 950) "B" else "C"))
+    // the A class carries ~80% of revenue and all three classes are
+    // populated (the synthetic revenue is flatter than a real Pareto,
+    // so no minority-of-parts assertion — that's data, not operator)
+    val byCls = rows.groupBy(_._4)
+    assert(byCls.keySet === Set("A", "B", "C"))
+    assert(byCls("A").map(_._2).sum * 10 >= rows.map(_._2).sum * 7)
+  }
+
   test("q_rfm: quintile sizes differ by <=1 and follow metric order") {
     val rows = Relational.qRfm.fn(spark, sf).collect()
     assert(rows.nonEmpty)
