@@ -828,6 +828,165 @@ object Relational {
                AS BIGINT) AS share_pm
       FROM cnt ORDER BY from_type, to_type"""))
 
+  /** q_paths — top user JOURNEY PATHS (the Sankey/flow companion to
+    * [[qTransitions]]' matrix): each user's first 5 events in
+    * (ts_ms, event_id) order joined into a path string, the 20 most
+    * common paths with user counts. Deterministic assembly: the
+    * collect rides sort_array over (rn, type) structs — never an
+    * unordered collect_list — so both engines build the identical
+    * string; windows partition per user (history-bounded), the path
+    * aggregate is map-side combined on the path key, and the top-20
+    * is a TakeOrdered with (n desc, path) tie-break. */
+  val qPaths: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ms"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").as("ts_ms"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("rn"), col("event_type"))))
+          .as("steps"))
+        .select(expr("array_join(transform(steps, x -> x.event_type), '>')")
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts), event_id) AS rn
+        FROM events),
+      paths AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ev WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, count(*) AS n_users
+      FROM paths GROUP BY path
+      ORDER BY n_users DESC, path
+      LIMIT 20"""))
+
+  /** q_benford — Benford's-law FIRST-DIGIT audit over per-part
+    * revenue (the classic fraud/data-quality screen): observed
+    * first-digit shares vs the Benford expectation log10(1+1/d).
+    * The first digit comes from the DECIMAL RENDERING of the integer
+    * cents (CAST BIGINT→string — unambiguous in any engine; never
+    * from float log10, whose edge rounding at exact powers of ten
+    * differs by ulp), and the expected shares are one Scala loop
+    * rendered as the same integer-ppm literals into BOTH dialects —
+    * the two engines cannot drift on a constant. Bounded output
+    * (9 digits); the only corpus-sized work is the revenue aggregate. */
+  val qBenford: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val expected = (1 to 9).map(d =>
+        d -> math.floor(math.log10(1.0 + 1.0 / d) * 1000000).toLong)
+      val expectedExpr = expected.map { case (d, ppm) =>
+        s"WHEN digit = $d THEN ${ppm}L" }.mkString(" ")
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr(
+          "cast(floor(l_extendedprice * (1.0 - l_discount) * 100) as bigint)"))
+          .as("rev_cents"))
+        .filter(col("rev_cents") > 0)
+      val tot = rev.agg(count(lit(1)).as("_n"))
+      rev.select(expr("cast(substring(cast(rev_cents as string), 1, 1) as bigint)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("1000000 * n div _n"))
+        .withColumn("benford_ppm", expr(s"CASE $expectedExpr END"))
+        .withColumn("diff_ppm", expr("share_ppm - benford_ppm"))
+        .select(col("digit"), col("n"), col("share_ppm"),
+          col("benford_ppm"), col("diff_ppm"))
+        .orderBy(col("digit"))
+    },
+    oracle = Some {
+      val expected = (1 to 9).map(d =>
+        d -> math.floor(math.log10(1.0 + 1.0 / d) * 1000000).toLong)
+      val expectedSql = expected.map { case (d, ppm) =>
+        s"WHEN digit = $d THEN $ppm" }.mkString(" ")
+      s"""
+      WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+                 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_partkey),
+      pos AS (SELECT rev_cents FROM rev WHERE rev_cents > 0),
+      tot AS (SELECT count(*) AS n_tot FROM pos),
+      digits AS (
+        SELECT CAST(substring(CAST(rev_cents AS VARCHAR), 1, 1) AS BIGINT)
+          AS digit
+        FROM pos)
+      SELECT digit, count(*) AS n,
+             1000000 * count(*) // max(n_tot) AS share_ppm,
+             CAST(CASE $expectedSql END AS BIGINT) AS benford_ppm,
+             1000000 * count(*) // max(n_tot)
+               - CAST(CASE $expectedSql END AS BIGINT) AS diff_ppm
+      FROM digits CROSS JOIN tot
+      GROUP BY digit ORDER BY digit"""
+    })
+
+  /** q_forecast — simple exponential smoothing (SES, Brown 1956) over
+    * daily per-type event volumes: S = (3·x·10 + 7·S) div 10
+    * (α = 0.3 as the exact rational 3/10, state carried ×10 so the
+    * recurrence stays in integers — no float α drift compounding
+    * across days), one-step-ahead MAE as the in-sample fit number and
+    * the final state as the next-day forecast. The second member of
+    * the sequential-recurrence family ([[qCusum]]): a scan no window
+    * aggregate expresses, run as the same calendar-bounded
+    * aggregate-HOF against a recursive-CTE oracle. */
+  val qForecast: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cnt = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("xs"),
+          count(lit(1)).as("n_days"))
+        .select(col("event_type"), col("n_days"), expr(
+          """aggregate(xs,
+               named_struct('s', cast(-1 as bigint), 'err', cast(0 as bigint)),
+               (acc, x) -> named_struct(
+                 's', CASE WHEN acc.s < 0 THEN x.n * 10
+                           ELSE (3 * x.n * 10 + 7 * acc.s) div 10 END,
+                 'err', CASE WHEN acc.s < 0 THEN cast(0 as bigint)
+                             ELSE acc.err + abs(x.n * 10 - acc.s) END))""")
+          .as("st"))
+        .select(col("event_type"), col("n_days"),
+          col("st.s").as("forecast_x10"),
+          expr("st.err div (n_days - 1)").as("mae_x10"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE cnt AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, day),
+      seq AS (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM cnt),
+      walk AS (
+        SELECT event_type, i, n_days, n * 10 AS s, CAST(0 AS BIGINT) AS err
+        FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.event_type, s.i, s.n_days,
+               (3 * s.n * 10 + 7 * w.s) // 10,
+               w.err + abs(s.n * 10 - w.s)
+        FROM walk w JOIN seq s
+          ON s.event_type = w.event_type AND s.i = w.i + 1)
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+             CAST(s AS BIGINT) AS forecast_x10,
+             CAST(err // (n_days - 1) AS BIGINT) AS mae_x10
+      FROM walk WHERE i = n_days
+      ORDER BY event_type"""))
+
   /** Composite rank key for [[qRfm]]'s global quintiles: metric rides
     * the high bits, custkey the low — unique per customer, ordered by
     * (metric, custkey). Bounds enforced per row (the decileKey
@@ -2031,6 +2190,9 @@ object Relational {
     "q_rfm" -> qRfm,
     "q_transitions" -> qTransitions,
     "q_abc" -> qAbc,
+    "q_paths" -> qPaths,
+    "q_benford" -> qBenford,
+    "q_forecast" -> qForecast,
     "q_window_funcs" -> qWindowFuncs,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,

@@ -89,6 +89,59 @@ class TextSignalsSpec extends SparkSpec {
     assert(byCls("A").map(_._2).sum * 10 >= rows.map(_._2).sum * 7)
   }
 
+  test("q_forecast equals a plain-Scala replay of the SES recurrence") {
+    val out = Relational.qForecast.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val cnt = Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "(ts div 1000) div 86400000000 as day")
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((et, nDays, fc, mae) <- out) {
+      val xs = cnt.filter(_._1 == et).sortBy(_._2).map(_._3)
+      assert(xs.length.toLong === nDays)
+      var s = xs.head * 10
+      var err = 0L
+      for (x <- xs.tail) {
+        err += math.abs(x * 10 - s)
+        s = (3 * x * 10 + 7 * s) / 10
+      }
+      assert(fc === s, s"forecast mismatch for $et")
+      assert(mae === err / (nDays - 1), s"mae mismatch for $et")
+    }
+  }
+
+  test("q_benford: digits from decimal rendering, expected ppm from log10") {
+    val rows = Relational.qBenford.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((d, _, share, exp, diff) <- rows) {
+      assert(d >= 1 && d <= 9)
+      assert(exp ===
+        math.floor(math.log10(1.0 + 1.0 / d) * 1000000).toLong)
+      assert(diff === share - exp)
+    }
+    // shares of the digits present sum to ~1e6 (integer-floor slack)
+    val total = rows.map(_._3).sum
+    assert(total > 1000000L - rows.length && total <= 1000000L)
+  }
+
+  test("q_paths equals a brute per-user prefix replay, top-20 with tie-break") {
+    val got = Relational.qPaths.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got.length <= 20)
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "ts div 1000000 as ts_ms",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val brute = ev.groupBy(_._1).values
+      .map(_.sortBy(e => (e._3, e._2)).take(5).map(_._4).mkString(">"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got === brute)
+  }
+
   test("q_rfm: quintile sizes differ by <=1 and follow metric order") {
     val rows = Relational.qRfm.fn(spark, sf).collect()
     assert(rows.nonEmpty)
