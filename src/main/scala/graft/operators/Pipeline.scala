@@ -2445,6 +2445,58 @@ object Pipeline {
              CAST(16 AS BIGINT) AS n_clusters, TRUE AS improve_ok
       FROM embeddings"""))
 
+  /** d_ann_filtered — FILTERED vector search, exact path
+    * ([[Similarity.bruteTopKFiltered]]): top-5 cosine neighbors among
+    * only the corpus rows sharing the query's label — the
+    * metadata-constrained search every production vector store
+    * answers (FAISS IDSelector / payload filters), with the filter
+    * applied BEFORE ranking so result sets are never thin. Fully
+    * SQL-oracled like d_ann_brute, one label-equality deeper. */
+  val dAnnFiltered: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteTopKFiltered(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", "label")
+    },
+    oracle = Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+            FROM embeddings),
+      elems AS (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(unnest(q.qv) AS DOUBLE) AS qe, CAST(unnest(c.cv) AS DOUBLE) AS ce
+        FROM q, c
+        WHERE c.neighbor_id <> q.query_id AND c.nl = q.ql),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               round(SUM(qe*ce) / (sqrt(SUM(qe*qe)) * sqrt(SUM(ce*ce))), 4) AS cos
+        FROM elems GROUP BY query_id, neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored)
+      SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
+  /** The recall contract for the POST-FILTER index path
+    * ([[Similarity.ivfTopKFiltered]]): k·16 oversampled IVF
+    * candidates pruned by the label predicate must recover the
+    * filtered-exact top-5. Oversample ≳ 1/selectivity (10 labels →
+    * s = 0.1 → 16 ≥ 10) is the sizing rule the scaladoc states;
+    * measured recall ≥ the pinned floor at both SFs. */
+  val dAnnFilteredRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      annRecall(
+        Similarity.ivfTopKFiltered(emb, q, "embedding", "vec_id", "label",
+          nlist = 16, nprobe = 8),
+        Similarity.bruteTopKFiltered(emb, q, "embedding", "vec_id", "label"),
+        0.7)
+    },
+    oracle = Some(recallOracleSql))
+
   val dAnnLshPrecision: QueryDef = QueryDef(
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -3123,6 +3175,8 @@ object Pipeline {
     "d_ann_ivfsq" -> dAnnIvfSq,
     "d_ann_ivfsq_recall" -> dAnnIvfSqRecall,
     "d_cluster_kmeans" -> dClusterKmeans,
+    "d_ann_filtered" -> dAnnFiltered,
+    "d_ann_filtered_recall" -> dAnnFilteredRecall,
     "d_knn_label" -> dKnnLabel,
     "t_langid_confusion" -> tLangidConfusion,
     "t_repetition" -> tRepetition,

@@ -1400,6 +1400,85 @@ object Relational {
       SELECT user_id, event_type, valid_from_ms, valid_to_ms, n_events
       FROM s ORDER BY user_id, valid_from_ms, valid_to_ms"""))
 
+  /** q_scd2_asof — TIME TRAVEL over the SCD-2 dimension: "every
+    * user's state AS OF T" answered from the interval table alone
+    * (valid_from ≤ T < valid_to, open intervals unbounded) — the
+    * query the whole SCD-2 family exists to serve (build [[qScd2]],
+    * maintain [[qScd2Incremental]], stream s_scd2, ask THIS). T =
+    * 2024-01-15T00:00Z mid-history so both closed and open intervals
+    * answer. At 100 TB the interval table is islands-sized and the
+    * point-in-time filter prunes before any shuffle; exactly one row
+    * per user active by T (intervals partition each user's timeline —
+    * spec-pinned). */
+  val qScd2Asof: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val T = 1705276800000L
+      qScd2.fn(s, dir)
+        .filter(col("valid_from_ms") <= T &&
+          (col("valid_to_ms").isNull || col("valid_to_ms") > T))
+        .select(col("user_id"), col("event_type"),
+          col("valid_from_ms"), col("valid_to_ms"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some(scd2IslandsSql + """
+      SELECT user_id, event_type, valid_from_ms, valid_to_ms
+      FROM s
+      WHERE valid_from_ms <= 1705276800000
+        AND (valid_to_ms IS NULL OR valid_to_ms > 1705276800000)
+      ORDER BY user_id"""))
+
+  /** q_rolling_median — trailing-7-day ROLLING MEDIAN of daily event
+    * volumes per type: the robust companion to [[qForecast]]'s mean
+    * smoothing (a single outlier day drags SES; the median shrugs).
+    * Rolling QUANTILES have no distributed shortcut like the
+    * rolling-sum prefix trick — the standard plan is exactly this: a
+    * bounded self-join of the (type × day) bucket table against its
+    * own trailing week (≤7 rows per bucket, calendar-bounded), then
+    * lower-median by rank selection (integer, the qSpike discipline —
+    * no float percentile to sync). The corpus-sized work remains the
+    * one count aggregate. */
+  val qRollingMedian: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cnt = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val win = cnt.as("a").join(cnt.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.day") >= col("a.day") - 6 && col("b.day") <= col("a.day"))
+        .select(col("a.event_type").as("event_type"), col("a.day").as("day"),
+          col("a.n").as("n"), col("b.n").as("bn"), col("b.day").as("bday"))
+      val w = Window.partitionBy(col("event_type"), col("day"))
+      val r = win
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("bn"), col("bday"))))
+        .withColumn("m", count(lit(1)).over(w))
+      r.filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("bn").as("med7"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    oracle = Some("""
+      WITH cnt AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, day),
+      win AS (
+        SELECT a.event_type, a.day, a.n, b.n AS bn, b.day AS bday
+        FROM cnt a JOIN cnt b
+          ON a.event_type = b.event_type
+         AND b.day BETWEEN a.day - 6 AND a.day),
+      r AS (
+        SELECT event_type, day, n, bn,
+               row_number() OVER (PARTITION BY event_type, day
+                 ORDER BY bn, bday) AS rn,
+               count(*) OVER (PARTITION BY event_type, day) AS m
+        FROM win)
+      SELECT event_type, day, n, bn AS med7
+      FROM r WHERE rn = (m + 1) // 2
+      ORDER BY event_type, day"""))
+
   /** INCREMENTAL SCD-2 maintenance: merge a late delta batch into an
     * existing interval table, touching only the keys the delta names —
     * the nightly-batch pattern that keeps a 100 TB dimension current
@@ -2193,6 +2272,8 @@ object Relational {
     "q_paths" -> qPaths,
     "q_benford" -> qBenford,
     "q_forecast" -> qForecast,
+    "q_scd2_asof" -> qScd2Asof,
+    "q_rolling_median" -> qRollingMedian,
     "q_window_funcs" -> qWindowFuncs,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,

@@ -139,6 +139,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** FILTERED exact search: [[bruteTopK]] under a per-query attribute
+    * predicate (neighbor.label == query.label) — the ground truth for
+    * the filtered-ANN contract. Filtering happens BEFORE ranking, so
+    * every query gets k matching neighbors if they exist (the
+    * post-filter failure mode — thin result sets — cannot occur on
+    * the exact path). */
+  def bruteTopKFiltered(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, labelCol: String,
+      k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("ql"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"), col(labelCol).as("nl"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("nl") === col("ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** FILTERED ANN — the production vector-search feature every engine
+    * (FAISS IDSelector, Qdrant/Milvus payload filters) ships: answer
+    * top-k among only the corpus rows matching a per-query predicate.
+    * This is the POST-FILTER strategy: the index returns k·oversample
+    * unfiltered candidates, the predicate prunes, the survivors
+    * re-rank to k. Oversampling is the knob that fights the thin-set
+    * failure mode — with selectivity s, the expected matching
+    * candidates are k·oversample·s, so oversample ≳ 1/s keeps recall
+    * (here s = 1/|labels| = 0.1, oversample 16). At 100 TB the filter
+    * column travels IN the inverted-list payload so the prune is
+    * list-local; in this bounded corpus the label joins back by id —
+    * the candidate relation is queries×(k·oversample), never
+    * corpus-sized, so the join cost is query-bounded either way. */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, labelCol: String, k: Int = 5,
+      oversample: Int = 16, nlist: Int = -1, nprobe: Int = 4,
+      rowHint: Long = -1L): DataFrame = {
+    val cand = ivfTopK(corpus, queries, vecCol, idCol, k * oversample,
+      nlist, nprobe, rowHint = rowHint)
+    val nl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nl"))
+    val ql = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("ql"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(ql), "query_id")
+      .join(nl, "neighbor_id")
+      .filter(col("nl") === col("ql"))
+      .withColumn("rnk2", row_number().over(w).cast("long"))
+      .filter(col("rnk2") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rnk2").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** IVF(-flat) ANN: the inverted-file scale path. A small coarse
     * quantizer (nlist centroid vectors, deterministically sampled)
     * partitions the corpus into inverted lists; a query scores only

@@ -62,6 +62,45 @@ class RelationalOpsSpec extends SparkSpec {
       assert(r.getDouble(2) === nCust(r.getString(0)))
   }
 
+  test("q_scd2_asof: one bracketing interval per active user, consistent with the full table") {
+    val T = 1705276800000L
+    val asof = Relational.qScd2Asof.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(asof.nonEmpty)
+    assert(asof.map(_._1).distinct.length === asof.length,
+      "a user returned two as-of states")
+    for ((_, _, from, to) <- asof) {
+      assert(from <= T)
+      assert(to.forall(_ > T))
+    }
+    // the as-of slice must be exactly the bracketing rows of q_scd2
+    val full = Relational.qScd2.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val expect = full.filter { case (_, _, f, t2) =>
+      f <= T && t2.forall(_ > T) }.toSet
+    assert(asof.toSet === expect)
+  }
+
+  test("q_rolling_median equals a brute trailing-week replay") {
+    val got = Relational.qRollingMedian.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val cnt = Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "(ts div 1000) div 86400000000 as day")
+      .groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((et, day, n, med) <- got) {
+      val trail = cnt.filter(c => c._1 == et && c._2 >= day - 6 && c._2 <= day)
+        .sortBy(c => (c._3, c._2)).map(_._3)
+      assert(trail.nonEmpty)
+      assert(n === cnt.find(c => c._1 == et && c._2 == day).get._3)
+      assert(med === trail((trail.length + 1) / 2 - 1),
+        s"median mismatch at ($et, $day)")
+    }
+  }
+
   test("q_linkpred: non-adjacent, score-bounded, descending top-20") {
     val rows = Graph.qLinkpred.fn(spark, sf).collect()
     assert(rows.length <= 20 && rows.nonEmpty)

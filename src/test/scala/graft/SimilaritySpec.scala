@@ -638,4 +638,46 @@ class SimilaritySpec extends SparkSpec {
       assert(bestRef(q) >= c, s"node $q: refined best ${bestRef(q)} < seed best $c")
     }
   }
+
+  test("filtered search: every neighbor shares the query's label, exact == brute-on-slice") {
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.bruteTopKFiltered(emb, queries,
+      "embedding", "vec_id", "label").collect()
+    assert(got.nonEmpty)
+    for (r <- got)
+      assert(labels(r.getLong(1)) === labels(r.getLong(0)),
+        s"neighbor ${r.getLong(1)} label mismatch for query ${r.getLong(0)}")
+    // exact filtered == plain brute run per label slice
+    for (ql <- got.map(r => labels(r.getLong(0))).distinct.take(2)) {
+      val slice = emb.filter(col("label") === ql)
+      val qs = queries.filter(col("label") === ql)
+      val expect = Similarity.bruteTopK(slice, qs, "embedding", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sub = got.filter(r => labels(r.getLong(0)) == ql)
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sub === expect)
+    }
+  }
+
+  test("post-filter ANN: full result sets at the sized oversample, thin below it") {
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sized = Similarity.ivfTopKFiltered(emb, queries,
+      "embedding", "vec_id", "label", k = 5, oversample = 16,
+      nlist = 16, nprobe = 8).collect()
+    // selectivity 0.1, oversample 16 >= 1/s: every query fills its k
+    val byQ = sized.groupBy(_.getLong(0))
+    assert(byQ.size === queries.count())
+    assert(byQ.values.forall(_.length === 5))
+    for (r <- sized) assert(labels(r.getLong(1)) === labels(r.getLong(0)))
+    // an UNDERSIZED oversample (1 << 1/s) starves at least one query —
+    // the failure mode the oversample rule exists to prevent
+    val thin = Similarity.ivfTopKFiltered(emb, queries,
+      "embedding", "vec_id", "label", k = 5, oversample = 1,
+      nlist = 16, nprobe = 8).collect()
+    val thinByQ = thin.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(thinByQ.values.exists(_ < 5) || thinByQ.size < byQ.size,
+      "oversample=1 unexpectedly produced full result sets")
+  }
 }
