@@ -346,7 +346,7 @@ object Graph {
           col("a.c") === col("b.c") && col("a.p") =!= col("b.p"))
         .groupBy(col("a.p").as("p"), col("b.p").as("q"))
         .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 3)
+        .filter(col("n_ab") >= 2)
       val scored = co
         .join(nPer.select(col("p"), col("n").as("n_p")), "p")
         .join(nPer.select(col("p").as("q"), col("n").as("n_q")), "q")
@@ -679,8 +679,81 @@ object Graph {
       ORDER BY ra_score DESC, a, b
       LIMIT 20"""))
 
+  /** q_basket_rules — market-basket ASSOCIATION RULES (Agrawal/
+    * Srikant's Apriori surface, 2-itemsets): for part pairs
+    * co-occurring in ≥2 order baskets, support / confidence / lift in
+    * integer ppm — the "customers who buy A buy B" rule mining that
+    * complements [[qItemSim]]'s similarity ranking with the
+    * PROBABILISTIC reading (lift > 1e6 ⇔ positive association).
+    * Baskets are orders (naturally bounded at TPC-H's ~7 lines), so
+    * pair generation is Σ basket² — order-local, no cap needed where
+    * [[qItemSim]]'s customer baskets did; co-occurrence aggregates
+    * with map-side combine on (a,b); the basket count rides ONE
+    * 1-row broadcast. lift = 10⁶·n_ab·N div (n_a·n_b) stays exact in
+    * BIGINT while n_ab·N ≤ 9.2·10¹² — a row beyond that raises
+    * loudly rather than mis-ranking (switch to the two-step division
+    * past that scale). Top-20 rules by (lift desc, a, b) via
+    * TakeOrdered. */
+  val qBasketRules: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val bought = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nBaskets = bought.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_total"))
+      val itemCnt = bought.groupBy(col("p"))
+        .agg(count(lit(1)).as("n_item"))
+      val pairs = bought.as("a")
+        .join(bought.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      pairs
+        .join(itemCnt.withColumnRenamed("p", "pa")
+          .withColumnRenamed("n_item", "n_a"), Seq("pa"))
+        .join(itemCnt.withColumnRenamed("p", "pb")
+          .withColumnRenamed("n_item", "n_b"), Seq("pb"))
+        .crossJoin(broadcast(nBaskets))
+        // the guard rides the emitted lift column itself (the
+        // qPagerank discipline — a dropped side-column guard would be
+        // pruned away with the check it carries)
+        .select(col("pa"), col("pb"), col("n_ab"),
+          expr("1000000 * n_ab div n_total").as("support_ppm"),
+          expr("1000000 * n_ab div n_a").as("conf_ppm"),
+          when(col("n_ab") * col("n_total") > lit(9200000000000L),
+            raise_error(lit("graft: q_basket_rules lift would overflow " +
+              "BIGINT (n_ab*N > 9.2e12) - use two-step division"))
+              .cast("long"))
+            .otherwise(expr("(1000000 * n_ab * n_total) div (n_a * n_b)"))
+            .as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH bought AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      nb AS (SELECT count(DISTINCT o) AS n_total FROM bought),
+      item AS (SELECT p, count(*) AS n_item FROM bought GROUP BY p),
+      pairs AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+        FROM bought a JOIN bought b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p HAVING count(*) >= 2)
+      SELECT pa, pb, n_ab,
+             1000000 * n_ab // n_total AS support_ppm,
+             1000000 * n_ab // ia.n_item AS conf_ppm,
+             (1000000 * n_ab * n_total) // (ia.n_item * ib.n_item)
+               AS lift_ppm
+      FROM pairs
+      JOIN item ia ON ia.p = pa
+      JOIN item ib ON ib.p = pb
+      CROSS JOIN nb
+      ORDER BY lift_ppm DESC, pa, pb
+      LIMIT 20"""))
+
   val defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> qPagerank,
+    "q_basket_rules" -> qBasketRules,
     "q_triangles" -> qTriangles,
     "q_item_sim" -> qItemSim,
     "q_shortest_path" -> qShortestPath,

@@ -1479,6 +1479,133 @@ object Relational {
       FROM r WHERE rn = (m + 1) // 2
       ORDER BY event_type, day"""))
 
+  /** q_funnel_time — TIME-TO-CONVERT percentiles between funnel
+    * stages (the metric next to [[qFunnel]]'s conversion counts: not
+    * "how many converted" but "how long it took"): per user, first
+    * view → first click-after-view → first purchase-after-click
+    * deltas in integer minutes, rolled up to n / lower-median / p90
+    * per stage pair by rank selection (the qSpike integer-median
+    * discipline — no float percentile to sync across engines). Every
+    * shuffle user-sized; the rank windows run over the per-user delta
+    * table (≤1 row per user per stage pair). */
+  val qFunnelTime: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000000").as("ts_ms"))
+      def firstAfter(df: DataFrame, typ: String, afterCol: String,
+          outCol: String): DataFrame =
+        df.join(ev.filter(col("event_type") === typ)
+            .select(col("user_id"), col("ts_ms").as("_t")), Seq("user_id"))
+          .filter(col("_t") >= col(afterCol))
+          .groupBy(df.columns.map(col).toIndexedSeq: _*)
+          .agg(min(col("_t")).as(outCol))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_ms")).as("t_view"))
+      val vc = firstAfter(v, "click", "t_view", "t_click")
+      val vcp = firstAfter(vc, "purchase", "t_click", "t_purchase")
+      val deltas = vc.select(lit("view>click").as("stage_pair"),
+          col("user_id"), ((col("t_click") - col("t_view")) / 60000L)
+            .cast("long").as("mins"))
+        .unionAll(vcp.select(lit("click>purchase").as("stage_pair"),
+          col("user_id"), ((col("t_purchase") - col("t_click")) / 60000L)
+            .cast("long").as("mins")))
+        .unionAll(vcp.select(lit("view>purchase").as("stage_pair"),
+          col("user_id"), ((col("t_purchase") - col("t_view")) / 60000L)
+            .cast("long").as("mins")))
+      val w = Window.partitionBy(col("stage_pair"))
+      val r = deltas
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("mins"), col("user_id"))))
+        .withColumn("m", count(lit(1)).over(w))
+      r.groupBy(col("stage_pair"))
+        .agg(max(col("m")).as("n_users"),
+          max(when(col("rn") === expr("(m + 1) div 2"), col("mins")))
+            .as("med_mins"),
+          max(when(col("rn") === expr("(m * 9 + 9) div 10"), col("mins")))
+            .as("p90_mins"))
+        .orderBy(col("stage_pair"))
+    },
+    oracle = Some("""
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+      v AS (
+        SELECT user_id, min(ts_ms) AS t_view
+        FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      vc AS (
+        SELECT v.user_id, t_view, min(e.ts_ms) AS t_click
+        FROM v JOIN ev e ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts_ms >= t_view
+        GROUP BY v.user_id, t_view),
+      vcp AS (
+        SELECT vc.user_id, t_view, t_click, min(e.ts_ms) AS t_purchase
+        FROM vc JOIN ev e ON e.user_id = vc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_ms >= t_click
+        GROUP BY vc.user_id, t_view, t_click),
+      deltas AS (
+        SELECT 'view>click' AS stage_pair, user_id,
+               (t_click - t_view) // 60000 AS mins FROM vc
+        UNION ALL
+        SELECT 'click>purchase', user_id,
+               (t_purchase - t_click) // 60000 FROM vcp
+        UNION ALL
+        SELECT 'view>purchase', user_id,
+               (t_purchase - t_view) // 60000 FROM vcp),
+      r AS (
+        SELECT stage_pair, mins,
+               row_number() OVER (PARTITION BY stage_pair
+                 ORDER BY mins, user_id) AS rn,
+               count(*) OVER (PARTITION BY stage_pair) AS m
+        FROM deltas)
+      SELECT stage_pair, CAST(max(m) AS BIGINT) AS n_users,
+             CAST(max(CASE WHEN rn = (m + 1) // 2 THEN mins END)
+               AS BIGINT) AS med_mins,
+             CAST(max(CASE WHEN rn = (m * 9 + 9) // 10 THEN mins END)
+               AS BIGINT) AS p90_mins
+      FROM r GROUP BY stage_pair ORDER BY stage_pair"""))
+
+  /** q_histogram — equi-width HISTOGRAM of order totals per market
+    * segment (the dashboard/profiling primitive): 10 buckets over the
+    * GLOBAL [min, max] cents range so segments are comparable, bucket
+    * assignment in pure integer algebra (no width_bucket semantics to
+    * sync between engines), edges emitted so the chart is
+    * self-describing. One pass for the 1-row range (broadcast back),
+    * one partial-first count aggregate — the corpus never shuffles
+    * beyond the (segment × 10) matrix. */
+  val qHistogram: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val ord = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+      val range = ord.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      ord.crossJoin(broadcast(range))
+        .withColumn("bucket",
+          least(lit(9L), expr("(cents - lo) * 10 div (hi - lo + 1)")))
+        .groupBy(col("c_mktsegment"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          max(expr("lo + bucket * ((hi - lo + 1) div 10)")).as("edge_lo"))
+        .orderBy(col("c_mktsegment"), col("bucket"))
+    },
+    oracle = Some("""
+      WITH ord AS (
+        SELECT c_mktsegment,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      rng AS (SELECT min(cents) AS lo, max(cents) AS hi FROM ord),
+      b AS (
+        SELECT c_mktsegment,
+               least(9, (cents - lo) * 10 // (hi - lo + 1)) AS bucket,
+               lo, hi
+        FROM ord CROSS JOIN rng)
+      SELECT c_mktsegment, bucket, count(*) AS n,
+             CAST(max(lo + bucket * ((hi - lo + 1) // 10)) AS BIGINT)
+               AS edge_lo
+      FROM b GROUP BY c_mktsegment, bucket
+      ORDER BY c_mktsegment, bucket"""))
+
   /** INCREMENTAL SCD-2 maintenance: merge a late delta batch into an
     * existing interval table, touching only the keys the delta names —
     * the nightly-batch pattern that keeps a 100 TB dimension current
@@ -2274,6 +2401,8 @@ object Relational {
     "q_forecast" -> qForecast,
     "q_scd2_asof" -> qScd2Asof,
     "q_rolling_median" -> qRollingMedian,
+    "q_funnel_time" -> qFunnelTime,
+    "q_histogram" -> qHistogram,
     "q_window_funcs" -> qWindowFuncs,
     "q1_agg" -> q1Agg,
     "q3_shipping" -> q3Shipping,

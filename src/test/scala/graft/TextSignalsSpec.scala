@@ -142,6 +142,76 @@ class TextSignalsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("q_basket_rules equals a brute basket replay with exact ppm identities") {
+    import graft.operators.Graph
+    val got = Graph.qBasketRules.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty && got.length <= 20)
+    val bought = Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey as o", "l_partkey as p").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = bought.map(_._1).distinct.length.toLong
+    val item = bought.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = bought.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((pa, pb, nab, sup, conf, lift) <- got) {
+      assert(pairCnt((pa, pb)) === nab)
+      assert(sup === 1000000L * nab / n)
+      assert(conf === 1000000L * nab / item(pa))
+      assert(lift === 1000000L * nab * n / (item(pa) * item(pb)))
+      assert(conf >= sup, "confidence below support is impossible")
+    }
+    val lifts = got.map(_._6)
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_histogram: buckets cover each segment's orders exactly") {
+    val rows = Relational.qHistogram.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 9))
+    val perSeg = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expect = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSeg === expect)
+  }
+
+  test("q_funnel_time equals a brute per-user stage replay") {
+    val gotM = Relational.qFunnelTime.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "ts div 1000000 as ts_ms")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(u: Long, typ: String, after: Long): Option[Long] =
+      byUser(u).filter(e => e._2 == typ && e._3 >= after)
+        .map(_._3).minOption
+    val vc = byUser.keys.toSeq.flatMap { u =>
+      byUser(u).filter(_._2 == "view").map(_._3).minOption.flatMap(tv =>
+        firstAfter(u, "click", tv).map(tc => (u, tv, tc)))
+    }
+    val vcp = vc.flatMap { case (u, tv, tc) =>
+      firstAfter(u, "purchase", tc).map(tp => (u, tv, tc, tp)) }
+    def stats(deltas: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val s = deltas.sortBy(d => (d._2, d._1)).map(_._2)
+      val m = s.length
+      (m.toLong, s((m + 1) / 2 - 1), s((m * 9 + 9) / 10 - 1))
+    }
+    assert(gotM("view>click") ===
+      stats(vc.map(x => (x._1, (x._3 - x._2) / 60000))))
+    assert(gotM("click>purchase") ===
+      stats(vcp.map(x => (x._1, (x._4 - x._3) / 60000))))
+    assert(gotM("view>purchase") ===
+      stats(vcp.map(x => (x._1, (x._4 - x._2) / 60000))))
+  }
+
   test("q_rfm: quintile sizes differ by <=1 and follow metric order") {
     val rows = Relational.qRfm.fn(spark, sf).collect()
     assert(rows.nonEmpty)
