@@ -2011,6 +2011,55 @@ object Pipeline {
     * [[Similarity.ivfTopK]] unchanged — the mutualization is a
     * self-join of the (n·k)-row directed edge list on the reversed
     * key, linear in edges, never in pairs. */
+  /** d_embed_outlier — kth-NN DISTANCE outlier detection in embedding
+    * space (Ramaswamy/Rastogi/Shim 2000, the standard
+    * density-agnostic outlier score): a vector whose 5th-nearest
+    * cosine is low sits isolated — mislabeled content, encoder
+    * failures, off-distribution injections; the curation signal next
+    * to [[dSemdedup]]'s too-CLOSE flags. Score = integer
+    * cosm5 = round(cos₅·10⁴); flag at cosm5 < 2600, the measured p05
+    * of the corpus (0.26/0.27 at the two SFs against a 0.24 min —
+    * the isolated tail, not a fixed magic number). Bounded node set
+    * (first 600) exactly like d_knn_graph so the oracle replays all
+    * pairs; at corpus scale the shortlist generator swaps
+    * [[Similarity.bruteTopK]] for [[Similarity.ivfTopK]] unchanged —
+    * the kth-of-shortlist projection is index-agnostic. */
+  val dEmbedOutlier: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 600)
+      Similarity.bruteTopK(nodes, nodes, "embedding", "vec_id", k = 5)
+        .filter(col("rnk") === 5)
+        .select(col("query_id").as("vec_id"),
+          expr("cast(round(cos * 10000) as bigint)").as("cosm5"))
+        .withColumn("is_outlier", col("cosm5") < 2600)
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some("""
+      WITH nodes AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+      elems AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM nodes q, nodes c
+        WHERE c.vec_id <> q.vec_id),
+      scored AS (
+        SELECT qid, nid,
+               round(SUM(qe*ce) / (sqrt(SUM(qe*qe)) * sqrt(SUM(ce*ce))), 4)
+                 AS cos
+        FROM elems GROUP BY qid, nid),
+      k5 AS (
+        SELECT qid, cos FROM (
+          SELECT qid, cos,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS rnk
+          FROM scored) WHERE rnk = 5)
+      SELECT qid AS vec_id,
+             CAST(round(cos * 10000) AS BIGINT) AS cosm5,
+             CAST(round(cos * 10000) AS BIGINT) < 2600 AS is_outlier
+      FROM k5 ORDER BY vec_id"""))
+
   val dKnnGraph: QueryDef = QueryDef(
     fn = (s, dir) =>
       Similarity.mutualKnnGraph(
@@ -3133,6 +3182,7 @@ object Pipeline {
     "d_dedup_cdc" -> dDedupCdc,
     "d_dedup_contain" -> dDedupContain,
     "d_knn_graph" -> dKnnGraph,
+    "d_embed_outlier" -> dEmbedOutlier,
     "d_knn_descent" -> dKnnDescent,
     "d_knn_descent_recall" -> dKnnDescentRecall,
     "d_dedup_minhash" -> dDedupMinhash,

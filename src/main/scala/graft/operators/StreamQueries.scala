@@ -309,9 +309,25 @@ object StreamQueries {
     },
     oracle = Relational.qTransitions.oracle)
 
+  /** Streaming funnel through
+    * [[graft.streaming.Streaming.FunnelProcessor]] (O(1) first-reach
+    * timestamp triple per user, each stage emitted exactly once at
+    * arrival), aggregated to q_funnel's stage-count table and sharing
+    * its oracle. StreamingSpec replays the topic micro-batched and
+    * asserts the same reach set with stages crossing batch
+    * boundaries. */
+  val sFunnel: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Streaming.funnelStages(events(s, dir)).toDF()
+        .groupBy(col("stage"), col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("stage")),
+    oracle = Relational.qFunnel.oracle)
+
   val defs: Map[String, QueryDef] = Map(
     "s_scd2_held" -> sScd2Held,
     "s_transitions" -> sTransitions,
+    "s_funnel" -> sFunnel,
     "s_attribution" -> sAttribution,
     "s_outer_join" -> sOuterJoin,
     "s_spike" -> sSpike,

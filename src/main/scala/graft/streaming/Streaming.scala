@@ -519,6 +519,63 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class StageReach(user_id: Long, stage: Long, event_type: String,
+      ts_ms: Long)
+
+  /** Per-user streaming FUNNEL state machine: the state is the
+    * first-reach timestamp triple (t_view, t_click, t_purchase) —
+    * O(1) per user — and a stage emits exactly once, the moment its
+    * first qualifying event arrives (click strictly after the first
+    * view, purchase strictly after that click — [[graft.operators
+    * .Relational.qFunnel]]'s semantics verbatim, so the aggregated
+    * counts share its oracle). In event-time order the first
+    * qualifying event IS the min-ts event the batch plan selects;
+    * across micro-batches the premise is the offset-follows-event-time
+    * contract the streaming SCD-2 replay documents. */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, TouchEvent, StageReach] {
+    @transient private var stages: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stages = getHandle.getValueState[(Long, Long, Long)]("funnel_stages",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TouchEvent],
+        timers: TimerValues): Iterator[StageReach] = {
+      val buf = rows.toArray.sortBy(e => (e.ts_ms, e.event_id))
+      var (t1, t2, t3) =
+        if (stages.exists()) stages.get() else (-1L, -1L, -1L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[StageReach]
+      buf.foreach { e =>
+        e.event_type match {
+          case "view" if t1 < 0 =>
+            t1 = e.ts_ms; out += StageReach(key, 1L, "view", e.ts_ms)
+          case "click" if t1 >= 0 && t2 < 0 && e.ts_ms > t1 =>
+            t2 = e.ts_ms; out += StageReach(key, 2L, "click", e.ts_ms)
+          case "purchase" if t2 >= 0 && t3 < 0 && e.ts_ms > t2 =>
+            t3 = e.ts_ms; out += StageReach(key, 3L, "purchase", e.ts_ms)
+          case _ => ()
+        }
+      }
+      stages.update((t1, t2, t3))
+      out.iterator
+    }
+  }
+
+  /** Apply [[FunnelProcessor]] to a decoded events frame (batch or
+    * stream). */
+  def funnelStages(events: DataFrame): Dataset[StageReach] = {
+    import events.sparkSession.implicits._
+    prepareStateV2(events.sparkSession)
+    events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .as[TouchEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- custom state: streaming SCD-2 interval maintenance ----
 
   case class TypedEvent(user_id: Long, event_id: Long, ts_ms: Long,

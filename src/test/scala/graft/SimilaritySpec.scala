@@ -660,6 +660,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("d_embed_outlier: cosm5 is the exact 5th-best rounded cosine per vector") {
+    import graft.operators.Pipeline
+    val out = Pipeline.dEmbedOutlier.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    val nodes = emb.filter(col("vec_id") < 600)
+    val brute = Similarity.bruteTopK(nodes, nodes, "embedding", "vec_id", k = 5)
+      .filter(col("rnk") === 5).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(2) * 10000)).toMap
+    for ((id, cosm5, flag) <- out) {
+      assert(cosm5 === brute(id))
+      assert(flag === (cosm5 < 2600))
+    }
+    // the threshold actually separates: some flagged, most not
+    val flagged = out.count(_._3)
+    assert(flagged > 0 && flagged < out.length / 2,
+      s"threshold degenerate: $flagged of ${out.length}")
+  }
+
   test("post-filter ANN: full result sets at the sized oversample, thin below it") {
     val labels = emb.select(col("vec_id"), col("label")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap

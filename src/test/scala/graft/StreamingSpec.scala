@@ -947,4 +947,62 @@ class StreamingSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming funnel equals the batch run; stages cross micro-batch boundaries") {
+    // a user whose first view lands in batch 1 and first qualifying
+    // click in batch 2 must still advance — the (t1,t2,t3) state is
+    // what bridges the boundary
+    val path = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"), col("event_type"))
+    val jan11 = 1704931200000L
+    val jan21 = 1705795200000L
+    val cuts = Seq(
+      col("ts") < timestamp_millis(lit(jan11)),
+      col("ts") >= timestamp_millis(lit(jan11)) &&
+        col("ts") < timestamp_millis(lit(jan21)),
+      col("ts") >= timestamp_millis(lit(jan21)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emitted =
+        scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+      val src = spark.readStream
+        .schema("user_id long, event_id long, ts timestamp, event_type string")
+        .parquet(path + "/*")
+      val q = Streaming.funnelStages(src)
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.StageReach], _: Long) =>
+            val rows = d.collect().map(t =>
+              (t.user_id, t.stage, t.event_type, t.ts_ms))
+            emitted.synchronized { emitted ++= rows; () }
+        }.start()
+      cuts.zipWithIndex.foreach { case (c, i) =>
+        ev.filter(c).write.parquet(s"$path/b$i")
+        q.processAllAvailable()
+      }
+      q.stop()
+      val batch = Streaming.funnelStages(ev).collect()
+        .map(t => (t.user_id, t.stage, t.event_type, t.ts_ms)).toSet
+      assert(emitted.toSet === batch)
+      assert(batch.nonEmpty)
+      // each user reaches each stage at most once, and stage sets nest
+      val byUser = batch.groupBy(_._1)
+      for ((_, rs) <- byUser) {
+        assert(rs.map(_._2).toSeq.sorted ===
+          (1L to rs.size.toLong))
+      }
+      // at least one stage-2/3 reach lands in a later batch than the
+      // user's stage 1 (the state actually bridged)
+      val bridged = byUser.values.exists { rs =>
+        val m = rs.map(r => r._2 -> r._4).toMap
+        m.contains(1L) && m.exists { case (st, ts) =>
+          st > 1L && ts >= jan11 && m(1L) < jan11 }
+      }
+      assert(bridged, "no funnel stage crossed a micro-batch boundary")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
