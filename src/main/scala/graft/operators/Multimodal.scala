@@ -481,6 +481,36 @@ object Multimodal {
   /** VAD frame length in samples (10 ms at 16 kHz — the webrtcvad
     * minimum frame). */
   private val VadFrame = 160
+
+  /** Deterministic AUGMENTATION features: horizontal flip + top-left
+    * half-crop — the two standard training-time augmentations,
+    * verified by exact pixel arithmetic. The flip∘crop composition
+    * selects the decoded original's region x ∈ [w−⌊w/2⌋, w),
+    * y ∈ [0, ⌊h/2⌋) (a crop that did NOT follow a flip would read
+    * x ∈ [0, ⌊w/2⌋) — the oracle distinguishes the two, so the flip
+    * is observable, not a no-op); luma is the exact Rec.601 integer
+    * sum over that region of the REAL decoded raster. An off-center
+    * crop is deliberate: a centered crop is flip-invariant and would
+    * leave the flip untested. */
+  def augmentExact(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val img = PngCodec.decode(data)
+          val w = img.getWidth
+          val h = img.getHeight
+          val cw = w / 2
+          val ch = h / 2
+          val luma = PngCodec.lumaSumMilliRegion(img, w - cw, w, 0, ch)
+          (id, w, h, cw, ch, luma)
+        }
+      }
+      .toDF("doc_id", "width", "height", "crop_w", "crop_h",
+        "luma_milli_aug")
+  }
 }
 
 /** Pure-JVM PNG codec on `javax.imageio` — real encode/decode/resize,
@@ -530,6 +560,27 @@ object PngCodec {
     * (measured ~10x slower on ImageIO's TYPE_3BYTE_BGR output). */
   def lumaSumMilli(img: BufferedImage): Long =
     lumaSumMilliRows(img, 0, img.getHeight)
+
+  /** [[lumaSumMilli]] over an arbitrary pixel region
+    * [x0, x1) × [y0, y1) — the augmentation crop path. getRGB routes
+    * through the ColorModel, which for the 8-bit sRGB types here is
+    * the identity on channel bytes (the same invariant
+    * [[lumaSumMilliRows]]' slow path relies on). */
+  def lumaSumMilliRegion(img: BufferedImage, x0: Int, x1: Int,
+      y0: Int, y1: Int): Long = {
+    val rw = x1 - x0
+    if (rw <= 0 || y1 <= y0) return 0L
+    val px = img.getRGB(x0, y0, rw, y1 - y0, null, 0, rw)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+        114L * (rgb & 0xff)
+      i += 1
+    }
+    sum
+  }
 
   /** [[lumaSumMilli]] over pixel rows [y0, y1) — frame sampling sums
     * band ranges without allocating subimages (whose translated child

@@ -2011,6 +2011,71 @@ object Pipeline {
     * [[Similarity.ivfTopK]] unchanged — the mutualization is a
     * self-join of the (n·k)-row directed edge list on the reversed
     * key, linear in edges, never in pairs. */
+  /** d_record_link — ENTITY RESOLUTION / record linkage (the
+    * Fellegi-Sunter pipeline shape): a dirty registry — every third
+    * customer record re-enters with one character dropped at a
+    * content-determined position, the house construct-the-corruption
+    * device — links back to the clean table by BLOCKED fuzzy matching:
+    * candidates only within (nation, segment) blocks (125 blocks —
+    * the O(n²) all-pairs comparison never forms, the same blocking
+    * argument as every dedup operator here), scored by
+    * `levenshtein()` (classic DP edit distance — INTEGER, and
+    * byte-identical in Spark and DuckDB, which is why it is the
+    * match score of choice over float similarities), best candidate
+    * per dirty record by (lev, custkey) rank. At sf0.01: 500/500
+    * within lev ≤ 2, 494 linked to their true source — the 6 misses
+    * are genuine ambiguities (a dropped char lands the name closer
+    * to a different clean record), the behavior a real linkage
+    * pipeline exhibits and a spec pins (precision ≥ 0.95). */
+  val dRecordLink: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val clean = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          concat(col("c_name"), lit(" "), col("c_mktsegment")).as("name"))
+      val dirty = clean.filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + 10000000L).as("dirty_id"),
+          col("c_nationkey"), col("c_mktsegment"),
+          expr("""concat(
+              substring(name, 1, cast(1 + c_custkey % (length(name) - 1) as int)),
+              substring(name, cast(3 + c_custkey % (length(name) - 1) as int)))""")
+            .as("dname"))
+      val cand = dirty.join(clean,
+          dirty("c_nationkey") === clean("c_nationkey") &&
+            dirty("c_mktsegment") === clean("c_mktsegment"))
+        .select(col("dirty_id"), col("dname"), col("c_custkey"),
+          levenshtein(col("dname"), col("name")).cast("long").as("lev"))
+      val w = Window.partitionBy(col("dirty_id"))
+        .orderBy(col("lev"), col("c_custkey"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dirty_id"), col("c_custkey").as("matched_custkey"),
+          col("lev"))
+        .orderBy(col("dirty_id"))
+    },
+    oracle = Some("""
+      WITH clean AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               c_name || ' ' || c_mktsegment AS name FROM customer),
+      dirty AS (
+        SELECT c_custkey + 10000000 AS dirty_id, c_nationkey, c_mktsegment,
+               substring(name, 1,
+                 CAST(1 + c_custkey % (length(name) - 1) AS INT)) ||
+               substring(name,
+                 CAST(3 + c_custkey % (length(name) - 1) AS INT)) AS dname
+        FROM clean WHERE c_custkey % 3 = 0),
+      cand AS (
+        SELECT d.dirty_id, c.c_custkey,
+               CAST(levenshtein(d.dname, c.name) AS BIGINT) AS lev
+        FROM dirty d JOIN clean c
+          ON d.c_nationkey = c.c_nationkey
+         AND d.c_mktsegment = c.c_mktsegment)
+      SELECT dirty_id, c_custkey AS matched_custkey, lev
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY dirty_id
+                 ORDER BY lev, c_custkey) AS rn
+        FROM cand) WHERE rn = 1
+      ORDER BY dirty_id"""))
+
   /** d_embed_outlier — kth-NN DISTANCE outlier detection in embedding
     * space (Ramaswamy/Rastogi/Shim 2000, the standard
     * density-agnostic outlier score): a vector whose 5th-nearest
@@ -3153,6 +3218,38 @@ object Pipeline {
       FROM perdoc p LEFT JOIN runagg USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** m_modal_augment — deterministic image AUGMENTATION features
+    * ([[Multimodal.augmentExact]]): horizontal flip + top-left
+    * half-crop, the standard training-time pair, verified by exact
+    * pixel arithmetic over the REAL decoded raster. The crop is
+    * deliberately off-center so the flip is observable (a centered
+    * crop is flip-invariant): flip∘crop reads the original's
+    * x ∈ [w−⌊w/2⌋, w) band, and the oracle sums exactly that region
+    * of the closed-form pattern — an unflipped crop would sum
+    * x ∈ [0, ⌊w/2⌋) and hash-mismatch. */
+  val mModalAugment: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Multimodal.augmentExact(s, Multimodal.fakeMediaTable(s, dir))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH geo AS (
+        SELECT doc_id,
+               CAST(64 + doc_id % 192 AS INTEGER) AS w,
+               CAST(64 + (doc_id * 7) % 128 AS INTEGER) AS h
+        FROM documents),
+      c AS (SELECT doc_id, w, h, w // 2 AS cw, h // 2 AS ch FROM geo),
+      xs AS (
+        SELECT doc_id, w, h, cw, ch, unnest(range(w - cw, w)) AS x FROM c),
+      px AS (
+        SELECT doc_id, w, h, cw, ch, x, unnest(range(0, ch)) AS y FROM xs)
+      SELECT doc_id, max(w) AS width, max(h) AS height,
+             CAST(max(cw) AS INTEGER) AS crop_w,
+             CAST(max(ch) AS INTEGER) AS crop_h,
+             CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) * 1000 AS BIGINT)
+               AS luma_milli_aug
+      FROM px GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val defs: Map[String, QueryDef] = Map(
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
@@ -3183,6 +3280,7 @@ object Pipeline {
     "d_dedup_contain" -> dDedupContain,
     "d_knn_graph" -> dKnnGraph,
     "d_embed_outlier" -> dEmbedOutlier,
+    "d_record_link" -> dRecordLink,
     "d_knn_descent" -> dKnnDescent,
     "d_knn_descent_recall" -> dKnnDescentRecall,
     "d_dedup_minhash" -> dDedupMinhash,
@@ -3235,6 +3333,7 @@ object Pipeline {
     "t_contamination_bloom" -> tContaminationBloom,
     "m_modal_audio" -> mModalAudio,
     "m_modal_vad" -> mModalVad,
+    "m_modal_augment" -> mModalAugment,
     "m_modal_meta" -> mModalMeta,
     "m_modal_resize" -> mModalResize,
     "m_modal_frames" -> mModalFrames)

@@ -120,6 +120,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("augment: flip+crop luma equals the closed form and differs from an unflipped crop") {
+    import graft.operators.Multimodal
+    val out = Multimodal.augmentExact(spark,
+        Multimodal.fakeMediaTable(spark, sf))
+      .filter(col("doc_id").isin(3L, 7L)).orderBy("doc_id").collect()
+    var flipObserved = false
+    for (r <- out) {
+      val id = r.getLong(0)
+      val w = (64 + id % 192).toInt
+      val h = (64 + (id * 7) % 128).toInt
+      val (cw, ch) = (w / 2, h / 2)
+      def regionSum(xlo: Int, xhi: Int): Long =
+        (for (x <- xlo until xhi; y <- 0 until ch)
+          yield ((id * 31 + x * 7 + y * 13) % 256) * 1000L).sum
+      val flipped = regionSum(w - cw, w)
+      val unflipped = regionSum(0, cw)
+      assert(r.getInt(3) === cw && r.getInt(4) === ch)
+      assert(r.getLong(5) === flipped)
+      if (flipped != unflipped) flipObserved = true
+    }
+    assert(flipObserved, "flip not observable on either test doc")
+  }
+
   test("phashPairs: banded set equals brute hamming<=3 exactly; radius guard fires") {
     val h = Multimodal.phashMedia(spark,
       Multimodal.phashMediaTable(spark, sf))

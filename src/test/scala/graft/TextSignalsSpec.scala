@@ -212,6 +212,17 @@ class TextSignalsSpec extends SparkSpec {
       stats(vcp.map(x => (x._1, (x._4 - x._2) / 60000))))
   }
 
+  test("d_record_link: full coverage at lev<=2, precision >= 0.95 on planted truth") {
+    val rows = Pipeline.dRecordLink.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 <= 2), "a dirty record matched only at lev > 2")
+    val correct = rows.count { case (dirtyId, matched, _) =>
+      matched === dirtyId - 10000000L }
+    assert(correct.toDouble / rows.length >= 0.95,
+      s"linkage precision ${correct.toDouble / rows.length}")
+  }
+
   test("q_rfm: quintile sizes differ by <=1 and follow metric order") {
     val rows = Relational.qRfm.fn(spark, sf).collect()
     assert(rows.nonEmpty)
