@@ -679,6 +679,99 @@ object Graph {
       ORDER BY ra_score DESC, a, b
       LIMIT 20"""))
 
+  /** Peel-round cap for [[qKcore]]: measured rounds-to-fixpoint are
+    * 1/2/3 at the three SFs, so 6 carries 2× headroom; an unconverged
+    * graph past the cap raises loudly from the emitted degree column
+    * instead of returning a non-core. */
+  private val KcoreRounds = 6
+
+  /** q_kcore — K-CORE decomposition (Seidman 1983) of the co-purchase
+    * graph by synchronous peeling: drop every node with fewer than k
+    * surviving neighbors, recompute, repeat to fixpoint — the
+    * standard cohesive-subgraph extraction (spam/bot rings, loyal
+    * cores) and the classic iterative-peeling workload. k is
+    * DENSITY-RELATIVE, max(2, avg_degree div 2), because this graph's
+    * density swings 107→14 avg degree across SFs (measured — any
+    * fixed k is degenerate at one end: k=4 peels nothing at sf0.01,
+    * above-average k empties every SF); the half-average core keeps
+    * 92-99% of nodes with real peeling at every SF (rounds 1/2/3).
+    *
+    * Scale shape: each round is degree-recompute = TWO semi-joins of
+    * the edge list against the alive set + ONE keyed count (no
+    * windows), alive checkpointed per round (node-sized); rounds are
+    * data-bounded (peeling cascades are shallow on heavy-tailed
+    * graphs), capped at [[KcoreRounds]] with a loud non-convergence
+    * guard riding the emitted degree column (the qPagerank pruning-
+    * proof device). The oracle unrolls all 6 rounds. */
+  val qKcore: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val pairs = coPurchasePairs(s, dir)
+      val und = pairs.select(col("x").as("u"), col("y").as("v"))
+        .union(pairs.select(col("y").as("u"), col("x").as("v")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val kRow = und
+        .agg(count(lit(1)).as("e2"), countDistinct(col("u")).as("nv"))
+        .select(greatest(lit(2L), expr("(e2 div nv) div 2")).as("k"))
+      var alive = und.select(col("u")).distinct()
+      for (_ <- 1 to KcoreRounds) {
+        val deg = und
+          .join(alive, Seq("u"), "left_semi")
+          .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        alive = deg.crossJoin(broadcast(kRow))
+          .filter(col("deg") >= col("k"))
+          .select(col("u"))
+          .localCheckpoint(eager = true)
+      }
+      val finalDeg = und
+        .join(alive, Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val out = finalDeg.crossJoin(broadcast(kRow))
+        .select(col("u").as("custkey"),
+          when(col("deg") >= col("k"), col("deg"))
+            .otherwise(raise_error(concat(
+              lit(s"graft: q_kcore not converged after $KcoreRounds " +
+                "peel rounds (raise KcoreRounds): node "),
+              col("u").cast("string")))).as("core_deg"),
+          col("k"))
+        .orderBy(col("custkey"))
+        .localCheckpoint(eager = true)
+      und.unpersist()
+      out
+    },
+    oracle = Some {
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""d$i AS (
+        SELECT e.u, count(*) AS deg
+        FROM und e
+        JOIN a${i - 1} x ON e.u = x.u
+        JOIN a${i - 1} y ON e.v = y.u
+        GROUP BY e.u),
+      a$i AS (SELECT u FROM d$i CROSS JOIN kk WHERE deg >= k)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $coPurchasePairsSql,
+      und AS MATERIALIZED (
+        SELECT x AS u, y AS v FROM pairs
+        UNION ALL SELECT y, x FROM pairs),
+      kk AS (
+        SELECT greatest(2, (count(*) // count(DISTINCT u)) // 2) AS k
+        FROM und),
+      a0 AS (SELECT DISTINCT u FROM und),
+      $rounds,
+      fin AS (
+        SELECT e.u, count(*) AS deg
+        FROM und e
+        JOIN a$KcoreRounds x ON e.u = x.u
+        JOIN a$KcoreRounds y ON e.v = y.u
+        GROUP BY e.u)
+      SELECT u AS custkey, CAST(deg AS BIGINT) AS core_deg,
+             CAST(k AS BIGINT) AS k
+      FROM fin CROSS JOIN kk
+      ORDER BY custkey"""
+    })
+
   /** q_basket_rules — market-basket ASSOCIATION RULES (Agrawal/
     * Srikant's Apriori surface, 2-itemsets): for part pairs
     * co-occurring in ≥2 order baskets, support / confidence / lift in
@@ -754,6 +847,7 @@ object Graph {
   val defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> qPagerank,
     "q_basket_rules" -> qBasketRules,
+    "q_kcore" -> qKcore,
     "q_triangles" -> qTriangles,
     "q_item_sim" -> qItemSim,
     "q_shortest_path" -> qShortestPath,

@@ -101,6 +101,30 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_kcore equals a brute peel-to-fixpoint replay") {
+    val got = Graph.qKcore.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val edges = Graph.coPurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    for ((x, y) <- edges) { adj(x) = adj(x) + y; adj(y) = adj(y) + x }
+    val v = adj.size.toLong
+    val e2 = 2L * edges.length
+    val k = math.max(2L, (e2 / v) / 2)
+    var alive = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val drop = alive.filter(n => (adj(n) & alive).size < k)
+      changed = drop.nonEmpty
+      alive = alive -- drop
+    }
+    val expect = alive.map(n => (n, (adj(n) & alive).size.toLong, k))
+    assert(got.toSet === expect)
+    assert(got.head._3 === k)
+  }
+
   test("q_linkpred: non-adjacent, score-bounded, descending top-20") {
     val rows = Graph.qLinkpred.fn(spark, sf).collect()
     assert(rows.length <= 20 && rows.nonEmpty)
