@@ -346,7 +346,7 @@ object Graph {
           col("a.c") === col("b.c") && col("a.p") =!= col("b.p"))
         .groupBy(col("a.p").as("p"), col("b.p").as("q"))
         .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
+        .filter(col("n_ab") >= 3)
       val scored = co
         .join(nPer.select(col("p"), col("n").as("n_p")), "p")
         .join(nPer.select(col("p").as("q"), col("n").as("n_q")), "q")
