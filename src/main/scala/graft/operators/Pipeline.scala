@@ -2039,11 +2039,13 @@ object Pipeline {
               substring(name, 1, cast(1 + c_custkey % (length(name) - 1) as int)),
               substring(name, cast(3 + c_custkey % (length(name) - 1) as int)))""")
             .as("dname"))
-      val cand = dirty.join(clean,
-          dirty("c_nationkey") === clean("c_nationkey") &&
-            dirty("c_mktsegment") === clean("c_mktsegment"))
-        .select(col("dirty_id"), col("dname"), col("c_custkey"),
-          levenshtein(col("dname"), col("name")).cast("long").as("lev"))
+      // explicit aliases: dirty derives from clean, so bare column
+      // refs on a self-join would hit the ambiguous-self-join trap
+      val cand = dirty.as("d").join(clean.as("c"),
+          col("d.c_nationkey") === col("c.c_nationkey") &&
+            col("d.c_mktsegment") === col("c.c_mktsegment"))
+        .select(col("d.dirty_id").as("dirty_id"), col("c.c_custkey"),
+          levenshtein(col("d.dname"), col("c.name")).cast("long").as("lev"))
       val w = Window.partitionBy(col("dirty_id"))
         .orderBy(col("lev"), col("c_custkey"))
       cand.withColumn("rn", row_number().over(w))
