@@ -333,10 +333,227 @@ object Selection {
                AND (n_stop >= 2) AS keep
       FROM m ORDER BY doc_id"""))
 
+  /** t_urlnorm — URL canonicalization dedup (the CCNet/RefinedWeb
+    * "same page, many spellings" collapse that runs BEFORE any
+    * content-based dedup, because it is free): scheme/host
+    * lowercased, `www.` and the default `:443` port stripped,
+    * tracking parameters (`utm_*`, `gclid`, `fbclid`) dropped,
+    * surviving query parameters SORTED, fragment and trailing slash
+    * removed. The corpus has no URL column, so the query first
+    * synthesizes one per document with deterministic doc_id-cycled
+    * noise on every dimension IN BOTH ENGINES (the d_record_link
+    * dirty-input device): members of a (source, doc_id div 140)
+    * block differ in case, www, port, param order, tracking params
+    * and fragment but canonicalize to one URL — group sizes 7 (plus
+    * block-edge remainders) at every SF by construction.
+    *
+    * Scale: pure string map (regexp_extract / filter / array_sort
+    * are all codegen-friendly element-bounded work) then ONE
+    * aggregate keyed by canonical URL with map-side combine — the
+    * exact-dedup shape; keep rule = min doc_id per group. */
+  val tUrlnorm: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("url", expr("""
+          concat(
+            CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+                 ELSE 'Https' END,
+            '://',
+            CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END,
+            source, '.Example.COM',
+            CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+            '/docs/', CAST(doc_id div 140 AS STRING),
+            CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+            CASE doc_id % 6
+              WHEN 0 THEN '?utm_source=feed&page=2&sort=asc'
+              WHEN 1 THEN '?sort=asc&page=2'
+              WHEN 2 THEN '?page=2&sort=asc&gclid=xyz'
+              WHEN 3 THEN '?page=2&utm_campaign=a&sort=asc'
+              ELSE '?sort=asc&page=2&fbclid=q' END,
+            CASE WHEN doc_id % 9 = 0 THEN '#section-3' ELSE '' END)"""))
+        .select(col("doc_id"),
+          lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+            .as("scheme"),
+          lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
+            .as("hostport"),
+          regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+            .as("path"),
+          regexp_extract(col("url"), "\\?([^#]*)", 1).as("query"))
+        .withColumn("host",
+          regexp_replace(regexp_replace(col("hostport"), ":443$", ""),
+            "^www\\.", ""))
+        .withColumn("cpath", expr("""
+          CASE WHEN path = '' THEN '/'
+               WHEN length(path) > 1 AND path LIKE '%/'
+                 THEN substring(path, 1, length(path) - 1)
+               ELSE path END"""))
+        .withColumn("cquery", expr("""
+          array_join(array_sort(filter(split(query, '&'),
+            x -> NOT (x LIKE 'utm_%' OR x LIKE 'gclid=%'
+                      OR x LIKE 'fbclid=%'))), '&')"""))
+        .select(col("doc_id"), expr("""
+          concat(scheme, '://', host, cpath,
+            CASE WHEN cquery = '' THEN ''
+                 ELSE concat('?', cquery) END)""").as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("canonical_url"))
+    },
+    oracle = Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          (CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+                ELSE 'Https' END) ||
+          '://' ||
+          (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+          source || '.Example.COM' ||
+          (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+          '/docs/' || CAST(doc_id // 140 AS VARCHAR) ||
+          (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+          (CASE doc_id % 6
+             WHEN 0 THEN '?utm_source=feed&page=2&sort=asc'
+             WHEN 1 THEN '?sort=asc&page=2'
+             WHEN 2 THEN '?page=2&sort=asc&gclid=xyz'
+             WHEN 3 THEN '?page=2&utm_campaign=a&sort=asc'
+             ELSE '?sort=asc&page=2&fbclid=q' END) ||
+          (CASE WHEN doc_id % 9 = 0 THEN '#section-3' ELSE '' END) AS url
+        FROM documents),
+      parts AS (
+        SELECT doc_id,
+          lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+          lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+            AS hostport,
+          regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+          regexp_extract(url, '\?([^#]*)', 1) AS query
+        FROM raw),
+      norm AS (
+        SELECT doc_id, scheme,
+          regexp_replace(regexp_replace(hostport, ':443$', ''),
+            '^www\.', '') AS host,
+          CASE WHEN path = '' THEN '/'
+               WHEN length(path) > 1 AND path LIKE '%/'
+                 THEN substring(path, 1, length(path) - 1)
+               ELSE path END AS cpath,
+          array_to_string(list_sort(list_filter(string_split(query, '&'),
+            x -> NOT (x LIKE 'utm_%' OR x LIKE 'gclid=%'
+                      OR x LIKE 'fbclid=%'))), '&') AS cquery
+        FROM parts)
+      SELECT scheme || '://' || host || cpath ||
+               CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END
+               AS canonical_url,
+             count(*) AS n_dupes, min(doc_id) AS keep_id
+      FROM norm
+      GROUP BY 1
+      ORDER BY canonical_url"""))
+
+  /** t_line_dedup — LINE-level dedup (the C4 "three-sentence span" /
+    * RefinedWeb line-dedup stage, the step between URL dedup and
+    * document dedup): split each page into lines, drop repeated
+    * lines WITHIN a page (keep the first occurrence), drop
+    * boilerplate lines shared by ≥ half of all documents (headers,
+    * footers, nav chrome), report per doc the in/kept line counts
+    * and the md5 of the deduplicated page so the oracle pins the
+    * surviving TEXT, not just counts. The corpus has no line
+    * structure, so the page is assembled deterministically in both
+    * engines: a global header line, an 8-word content chunk, a
+    * global footer line, a second chunk, and (for doc_id % 3 = 0)
+    * the first chunk REPEATED — so both removal rules fire on known
+    * rows at every SF.
+    *
+    * Scale: within-page dedup is a (doc, line) group — map-side
+    * combinable, never corpus-keyed; the boilerplate set is bounded
+    * by 2·avg_lines_per_doc (df ≥ n/2 lines can't number more) and
+    * BROADCASTS to an anti join, so the by-definition-hot shared
+    * lines never key a shuffle; the md5 reassembly sorts a per-doc
+    * bounded array (the q_paths sort_array device — never an
+    * unordered collect). */
+  val tLineDedup: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val pages = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr("""
+          concat('site header promo banner', '\n',
+                 array_join(slice(split(text, ' '), 1, 8), ' '), '\n',
+                 'copyright footer legal text', '\n',
+                 array_join(slice(split(text, ' '), 9, 8), ' '),
+                 CASE WHEN doc_id % 3 = 0
+                      THEN concat('\n',
+                        array_join(slice(split(text, ' '), 1, 8), ' '))
+                      ELSE '' END)""").as("page"))
+      val lines = pages
+        .select(col("doc_id"),
+          posexplode(split(col("page"), "\n")).as(Seq("lno0", "line")))
+        .withColumn("lno", col("lno0") + 1).drop("lno0")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val firstOcc = lines.groupBy(col("doc_id"), col("line"))
+        .agg(min(col("lno")).as("lno"))
+      val n = pages.agg(count(lit(1)).as("n_docs"))
+      val boiler = firstOcc.groupBy(col("line"))
+        .agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .filter(col("df") * 2 >= col("n_docs"))
+        .select(col("line"))
+      val kept = firstOcc.join(broadcast(boiler), Seq("line"), "left_anti")
+      val out = lines.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines_in"))
+        .join(kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            md5(expr("""array_join(transform(
+              sort_array(collect_list(struct(lno, line))),
+              x -> x.line), '\n')""")).as("kept_md5")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines_in"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(eager = true)
+      lines.unpersist()
+      out
+    },
+    oracle = Some("""
+      WITH pages AS (
+        SELECT doc_id,
+          'site header promo banner' || chr(10) ||
+          array_to_string((string_split(text, ' '))[1:8], ' ') || chr(10) ||
+          'copyright footer legal text' || chr(10) ||
+          array_to_string((string_split(text, ' '))[9:16], ' ') ||
+          CASE WHEN doc_id % 3 = 0
+               THEN chr(10) ||
+                 array_to_string((string_split(text, ' '))[1:8], ' ')
+               ELSE '' END AS page
+        FROM documents),
+      lines AS (
+        SELECT doc_id, unnest(string_split(page, chr(10))) AS line,
+               generate_subscripts(string_split(page, chr(10)), 1) AS lno
+        FROM pages),
+      first_occ AS (
+        SELECT doc_id, line, min(lno) AS lno
+        FROM lines GROUP BY doc_id, line),
+      n AS (SELECT count(*) AS n_docs FROM pages),
+      boiler AS (
+        SELECT line FROM (SELECT line, count(*) AS df
+                          FROM first_occ GROUP BY line), n
+        WHERE df * 2 >= n_docs),
+      kept AS (
+        SELECT doc_id, line, lno FROM first_occ
+        WHERE line NOT IN (SELECT line FROM boiler)),
+      k AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               md5(string_agg(line, chr(10) ORDER BY lno)) AS kept_md5
+        FROM kept GROUP BY doc_id),
+      i AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_in
+        FROM lines GROUP BY doc_id)
+      SELECT i.doc_id, n_lines_in,
+             CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, kept_md5
+      FROM i LEFT JOIN k USING (doc_id)
+      ORDER BY i.doc_id"""))
+
   val defs: Map[String, QueryDef] = Map(
     "t_gopher" -> tGopher,
     "t_normalize" -> tNormalize,
     "t_weighted_sample" -> tWeightedSample,
     "t_split_leakfree" -> tSplitLeakfree,
-    "t_boilerplate" -> tBoilerplate)
+    "t_boilerplate" -> tBoilerplate,
+    "t_urlnorm" -> tUrlnorm,
+    "t_line_dedup" -> tLineDedup)
 }

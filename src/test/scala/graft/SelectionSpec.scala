@@ -97,4 +97,61 @@ class SelectionSpec extends SparkSpec {
     out.unpersist()
     ()
   }
+
+  test("t_urlnorm: every noisy spelling of a block collapses to one canonical URL") {
+    val out = Selection.tUrlnorm.fn(spark, sf).cache()
+    val docs = Tables.load(spark, sf, "documents")
+    // partition exactness: group sizes sum to the corpus
+    assert(out.agg(sum(col("n_dupes"))).collect()(0).getLong(0)
+      === docs.count())
+    // group identity: one canonical URL per (source, doc_id div 140)
+    // block, so group count == distinct block count
+    val blocks = docs
+      .select(col("source"), expr("doc_id div 140").as("b"))
+      .distinct().count()
+    assert(out.count() === blocks)
+    // canonical form is actually canonical: lowercase, no tracking
+    // params, no fragment, no default port, no www, no trailing slash
+    assert(out.filter(
+      col("canonical_url") =!= lower(col("canonical_url")) ||
+      col("canonical_url").contains("utm_") ||
+      col("canonical_url").contains("gclid") ||
+      col("canonical_url").contains("fbclid") ||
+      col("canonical_url").contains("#") ||
+      col("canonical_url").contains(":443") ||
+      col("canonical_url").contains("www.") ||
+      col("canonical_url").endsWith("/")).count() === 0)
+    // keep rule: keep_id is a member of its own group (min doc_id of
+    // the block: same source residue, same block index)
+    assert(out.filter(expr(
+      "canonical_url NOT LIKE concat('%/docs/', CAST(keep_id div 140 AS STRING), '%')"))
+      .count() === 0)
+    out.unpersist()
+    ()
+  }
+
+  test("t_line_dedup: within-page repeats and shared boilerplate both removed") {
+    val out = Selection.tLineDedup.fn(spark, sf).cache()
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(out.count() === docs)
+    // pages with the planted repeat have 5 lines in, others 4; kept is
+    // always the 2 content chunks (header+footer are corpus-wide
+    // boilerplate, the repeat is a within-page duplicate)
+    assert(out.filter(col("doc_id") % 3 === 0)
+      .filter(col("n_lines_in") =!= 5L).count() === 0)
+    assert(out.filter(col("doc_id") % 3 =!= 0)
+      .filter(col("n_lines_in") =!= 4L).count() === 0)
+    assert(out.filter(col("n_kept") > 2L).count() === 0)
+    // the kept text never contains a boilerplate line
+    val docsT = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), expr(
+        """md5(concat(array_join(slice(split(text, ' '), 1, 8), ' '), '\n',
+                      array_join(slice(split(text, ' '), 9, 16 - 8), ' ')))""")
+        .as("expect_md5"))
+    val joined = out.join(docsT, "doc_id")
+    assert(joined.filter(col("n_kept") === 2L)
+      .filter(col("kept_md5") =!= col("expect_md5")).count() === 0)
+    out.unpersist()
+    ()
+  }
 }
