@@ -124,6 +124,77 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Graph-based ANN: greedy BEAM SEARCH over a directed kNN graph —
+    * the HNSW/DiskANN search primitive, single-layer. Start the beam
+    * at fixed entry points; each round expands the beam's UNDIRECTED
+    * neighbors (reverse edges are half the reachability, exactly as
+    * in [[nnDescentRound]]), scores every candidate against the query
+    * exactly, and keeps the best `beam`; after `rounds` rounds the
+    * top-k of the final beam is the answer. Fully deterministic:
+    * ranking is by INTEGER cosm = round(cos·10⁴) with neighbor-id
+    * ties, so every round's beam replays bit-identically in SQL.
+    *
+    * The search quality is decoupled from graph construction (the
+    * standard decomposition): pass any directed (query_id,
+    * neighbor_id) graph — [[bruteTopK]] on a bounded set, a
+    * [[blockedTopK]] seed, or an [[nnDescentRound]]-refined build.
+    *
+    * Scale: per-round work is |queries|·beam·(2·graphK) candidate
+    * rows — QUERY-linear; the corpus enters only through the graph
+    * build. The adjacency join is edge-keyed, candidates join back
+    * to vectors by id, the query set broadcasts, and each round is
+    * two equi-joins + one bounded window — never a corpus scan after
+    * the graph exists, which is the whole point of graph ANN at
+    * 100 TB: the index IS the reachability structure. Beam re-scores
+    * its survivors each round (beam·|queries| rows) to keep the SQL
+    * replay a pure round-unroll. */
+  def graphSearchTopK(nodes: DataFrame, queries: DataFrame,
+      graph: DataFrame, vecCol: String, idCol: String, k: Int = 5,
+      beam: Int = 16, rounds: Int = 4,
+      seeds: Seq[Long] = (1L until 600L by 40L)): DataFrame = {
+    val und = graph
+      .select(col("query_id").as("v"), col("neighbor_id").as("u"))
+      .union(graph
+        .select(col("neighbor_id").as("v"), col("query_id").as("u")))
+      .distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosm").desc, col("cand"))
+    def topBeam(cands: DataFrame): DataFrame =
+      cands.distinct()
+        .join(vecs, Seq("cand"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("cand") =!= col("query_id"))
+        .select(col("query_id"), col("cand"),
+          round(cosine(col("qv"), col("cv")) * 10000).cast("long")
+            .as("cosm"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= beam)
+    // each round's beam feeds BOTH the carry and the expansion, so an
+    // uncut plan tree doubles per round (and re-scores every earlier
+    // round exponentially often — measured 9.1 s for a 600-node demo,
+    // 4.5 s with the cut). localCheckpoint is the Spark analogue of
+    // the oracle's MATERIALIZED, and the beam is bounded at
+    // |queries|·beam rows, so the cut is O(queries), never corpus.
+    var cur = topBeam(q.select(col("query_id"))
+      .crossJoin(broadcast(
+        queries.sparkSession.range(1).select(
+          explode(array(seeds.map(lit): _*)).as("cand")))))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expand = cur.select(col("query_id"), col("cand").as("v"))
+        .join(und, Seq("v"))
+        .select(col("query_id"), col("u").as("cand"))
+      cur = topBeam(cur.select(col("query_id"), col("cand")).union(expand))
+        .localCheckpoint(true)
+    }
+    cur.filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("cosm"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** (query_id, neighbor_id, cos, rnk<=k), exact. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int = 5): DataFrame = {

@@ -566,6 +566,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graph search: beam routes hop-by-hop to a target unreachable from the seed") {
+    import spark.implicits._
+    // six points along an arc; the k=2 graph links arc neighbors, so
+    // the only path from seed 0 to the query's true neighbors is
+    // hop-by-hop routing — exactly what beam search must do
+    def v(t: Double) = Array(math.cos(t).toFloat, math.sin(t).toFloat, 0f)
+    val nodes = (0 to 5).map(i => (i.toLong, v(i * 0.3))).toDF("vec_id", "embedding")
+    val graph = Similarity.bruteTopK(nodes, nodes, "embedding", "vec_id", k = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val q5 = nodes.filter(col("vec_id") === 5L)
+    val got = Similarity.graphSearchTopK(nodes, q5, graph,
+        "embedding", "vec_id", k = 2, beam = 2, rounds = 5, seeds = Seq(0L))
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq((4L, 1L), (3L, 2L)),
+      s"beam must walk the arc to node 5's true neighbors, got ${got.toSeq}")
+    // too few rounds cannot reach them (the routing is real, not a scan)
+    val stuck = Similarity.graphSearchTopK(nodes, q5, graph,
+        "embedding", "vec_id", k = 2, beam = 2, rounds = 1, seeds = Seq(0L))
+      .collect().map(_.getLong(1)).toSet
+    assert(!stuck.contains(4L), s"1 round from seed 0 must not reach node 4: $stuck")
+    // real data: never self, descending integer rank order, deterministic
+    val emb3 = emb.filter(col("vec_id") < 100)
+    val g3 = Similarity.bruteTopK(emb3, emb3, "embedding", "vec_id", k = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val qs = emb3.filter(col("vec_id") < 5)
+    def run() = Similarity.graphSearchTopK(emb3, qs, g3,
+        "embedding", "vec_id", k = 5, beam = 16, rounds = 4,
+        seeds = (1L until 100L by 20L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a = run()
+    assert(a.toSeq === run().toSeq, "beam search must be deterministic")
+    assert(a.forall(r => r._1 != r._2))
+    a.groupBy(_._1).values.foreach { rows =>
+      val s = rows.sortBy(_._4)
+      assert(s.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
   test("d_contamination_embed: argmax is exact, threshold splits flagged from clean, eval set excluded") {
     val out = graft.operators.Pipeline.dContaminationEmbed.fn(spark, sf)
       .collect()
