@@ -482,6 +482,89 @@ object Multimodal {
     * minimum frame). */
   private val VadFrame = 160
 
+  /** Planted near-duplicate audio shelf for FINGERPRINT matching:
+    * groups of five clips share one base signal, each member a
+    * WHOLE-FRAME time shift of it ((doc_id mod 5)·160 samples) — the
+    * "same recording, clipped at a different moment" duplication
+    * audio dedup exists for. The base waveform is a group-seeded
+    * QUADRATIC ramp v(u) = ((2g+1)·u² + 17u + 31g) mod 4096 − 2048
+    * at absolute sample index u: the group seeds the u² COEFFICIENT
+    * (2g+1, always odd), because an additive-only seed (the
+    * [[fakeAudioTable]] form) shifts the same sawtooth's phase and
+    * was MEASURED to collide catastrophically under band-energy
+    * fingerprints (35k cross-group pairs on 500 docs); distinct odd
+    * quadratic coefficients decorrelate the band energies (0–3
+    * residual collisions corpus-wide, reported honestly by the
+    * query). Clip length varies by group (10–14 frames). Memoized
+    * per corpus dir like the other shelves. */
+  def fakeFpAudioTable(spark: SparkSession, sfDir: String): DataFrame = {
+    fpAudioCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    fpAudioCache.getOrElseUpdate((spark, sfDir), {
+      import spark.implicits._
+      val ids = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+      val rendered = ids.mapPartitions { it =>
+        it.map { id =>
+          val g = id / 5
+          val off = (id % 5).toInt * VadFrame
+          val n = (10 + (g % 5).toInt) * VadFrame
+          val bytes = new Array[Byte](n * 2)
+          var t = 0
+          while (t < n) {
+            val u = (t + off).toLong
+            val v = (((2 * g + 1) * u * u + 17 * u + 31 * g) % 4096 - 2048).toInt
+            bytes(2 * t) = (v & 0xff).toByte
+            bytes(2 * t + 1) = ((v >> 8) & 0xff).toByte
+            t += 1
+          }
+          (id, 16000, n, "audio/pcm-s16le", bytes)
+        }
+      }.toDF("doc_id", "sample_rate", "n_samples", "fmt", "data")
+      rendered.select(col("doc_id"),
+        avro.to_avro(struct(col("doc_id"), col("sample_rate"),
+          col("n_samples"), col("fmt"), col("data"))
+          .cast(audioContainerType), "AudioContainer").as("audio"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private val fpAudioCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Per-frame per-band energies from a REAL little-endian s16 parse:
+    * frames of [[VadFrame]] samples, 8 bands of 20 — the energy grid
+    * the Haitsma–Kalker fingerprint bits derive from. One output row
+    * per (clip, frame, band); clips in this shelf are whole-frame
+    * sized so no trailing partial frame exists. */
+  def audioBandEnergies(spark: SparkSession, audio: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bandLen = VadFrame / 8
+    audio.select(avro.from_avro(col("audio"), audioContainerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, data) =>
+          val n = data.length / 2
+          val nf = n / VadFrame
+          (0 until nf).iterator.flatMap { f =>
+            (0 until 8).iterator.map { b =>
+              var sum = 0L
+              var t = f * VadFrame + b * bandLen
+              val end = t + bandLen
+              while (t < end) {
+                val v = ((data(2 * t) & 0xff) | (data(2 * t + 1) << 8))
+                  .toShort.toInt
+                sum += math.abs(v).toLong
+                t += 1
+              }
+              (id, f.toLong, b.toLong, sum)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "f", "b", "e")
+  }
+
   /** Deterministic AUGMENTATION features: horizontal flip + top-left
     * half-crop — the two standard training-time augmentations,
     * verified by exact pixel arithmetic. The flip∘crop composition

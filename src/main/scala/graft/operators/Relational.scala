@@ -528,6 +528,82 @@ object Relational {
         UNION ALL SELECT n_name, 'max_acctbal', max_acctbal FROM wide)
       ORDER BY n_name, measure"""))
 
+  /** q_skyline — the SKYLINE / Pareto-frontier operator (Börzsönyi
+    * et al., ICDE 2001 — `SELECT ... SKYLINE OF price MIN, size MAX`
+    * in the paper's proposed syntax; no SQL engine grew the keyword,
+    * so it's composed here): parts no other part dominates, where A
+    * dominates B iff priceA ≤ priceB ∧ sizeA ≥ sizeB with at least
+    * one strict. The naive formulation is an n² NOT-EXISTS dominance
+    * self-join; the 2-D skyline is instead the classic sweep — group
+    * to (price, max size) and keep prices whose group max STRICTLY
+    * exceeds the running max over all cheaper prices (a part ties
+    * into the frontier iff it also equals its own price group's
+    * max). Each frontier point also reports how many parts it
+    * strictly dominates — the "how much does this point prune"
+    * audit number.
+    *
+    * Scale: the corpus is touched by (a) one map-side-combined
+    * group-by on price and (b) one broadcast-frontier map pass for
+    * the dominance counts — never an n² join. The sweep window runs
+    * over the AGGREGATED (price, gmax) relation: bounded by the
+    * price DOMAIN (1000 distinct cents values here), not by rows —
+    * on an unbounded price domain the group-by IS the bucketing
+    * step, so the single-partition window never sees corpus-shaped
+    * input (the t_vocab discipline). */
+  val qSkyline: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("cents"),
+        col("p_size").cast("long").as("size"))
+      val grp = p.groupBy(col("cents")).agg(max(col("size")).as("gmax"))
+      val sweep = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = grp.withColumn("prevmax", max(col("gmax")).over(sweep))
+        .filter(col("prevmax").isNull || col("gmax") > col("prevmax"))
+        .select(col("cents").as("scents"), col("gmax"))
+      val skyRows = p.join(broadcast(sky),
+          col("cents") === col("scents") && col("size") === col("gmax"))
+        .select(col("p_partkey"), col("cents"), col("size"))
+      val dom = p.select(col("cents").as("pc"), col("size").as("ps"))
+        .crossJoin(broadcast(skyRows))
+        .filter(col("cents") <= col("pc") && col("size") >= col("ps") &&
+          (col("cents") < col("pc") || col("size") > col("ps")))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_dominated"))
+      skyRows.join(dom, Seq("p_partkey"), "left")
+        .select(col("p_partkey"), col("cents"), col("size"),
+          coalesce(col("n_dominated"), lit(0L)).as("n_dominated"))
+        .orderBy(col("cents"), col("p_partkey"))
+    },
+    oracle = Some("""
+      WITH p AS (
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+               CAST(p_size AS BIGINT) AS size
+        FROM part),
+      grp AS (SELECT cents, max(size) AS gmax FROM p GROUP BY cents),
+      sweep AS (
+        SELECT cents, gmax,
+               max(gmax) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prevmax
+        FROM grp),
+      sky AS (SELECT cents, gmax FROM sweep
+              WHERE prevmax IS NULL OR gmax > prevmax),
+      sky_rows AS (
+        SELECT p_partkey, p.cents, p.size
+        FROM p JOIN sky s ON p.cents = s.cents AND p.size = s.gmax),
+      dom AS (
+        SELECT s.p_partkey, CAST(count(*) AS BIGINT) AS n_dominated
+        FROM sky_rows s JOIN p
+          ON s.cents <= p.cents AND s.size >= p.size
+             AND (s.cents < p.cents OR s.size > p.size)
+        GROUP BY s.p_partkey)
+      SELECT s.p_partkey, cents, size,
+             CAST(coalesce(n_dominated, 0) AS BIGINT) AS n_dominated
+      FROM sky_rows s LEFT JOIN dom ON s.p_partkey = dom.p_partkey
+      ORDER BY cents, s.p_partkey"""))
+
   /** q_mode — deterministic MODE per group: the most frequent order
     * priority per market segment, ties broken lexicographically (the
     * tie-break is part of the contract — a bare max-by over counts is
@@ -2391,6 +2467,7 @@ object Relational {
     "q_pivot" -> qPivot,
     "q_unpivot" -> qUnpivot,
     "q_mode" -> qMode,
+    "q_skyline" -> qSkyline,
     "q_window_distinct" -> qWindowDistinct,
     "q_cusum" -> qCusum,
     "q_rfm" -> qRfm,

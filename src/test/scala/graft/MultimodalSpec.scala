@@ -168,4 +168,42 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pigeonhole"))
   }
+
+  test("audio fingerprint: shifted clips' frame hashes are a subsequence of the base's; planted pairs fully recovered") {
+    val eb = Multimodal.audioBandEnergies(spark,
+      Multimodal.fakeFpAudioTable(spark, sf))
+    // recompute the per-frame Haitsma-Kalker hash exactly as the query
+    val byDoc = eb.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3)))
+      .toMap
+    def frameHash(d: Long, f: Long): Long =
+      (1L to 7L).map { b =>
+        val dd = (byDoc((d, f, b)) - byDoc((d, f, b - 1))) -
+          (byDoc((d, f - 1, b)) - byDoc((d, f - 1, b - 1)))
+        if (dd > 0) 1L << (b - 1) else 0L
+      }.sum
+    val nFrames = eb.groupBy(col("doc_id"))
+      .agg((max(col("f")) + 1).as("nf")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // member k of a group is the base shifted by k whole frames:
+    // hash(member, f) == hash(base, f + k) wherever both are defined
+    val someDocs = nFrames.keys.filter(_ < 50)
+    for (d <- someDocs; k = d % 5; base = d - k if k > 0) {
+      for (f <- 1L until nFrames(d) if f + k < nFrames(base)) {
+        assert(frameHash(d, f) === frameHash(base, f + k),
+          s"doc $d frame $f must equal base $base frame ${f + k}")
+      }
+    }
+    // the query recovers every planted within-group pair
+    val pairs = graft.operators.Pipeline.mDedupAudio.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val within = pairs.filter { case (a, b) => a / 5 == b / 5 }
+    val docs = Tables.load(spark, sf, "documents").count()
+    val expected = (docs / 5) * 10 + (docs % 5) * (docs % 5 - 1) / 2
+    assert(within.length.toLong === expected,
+      s"within-group pairs ${within.length} != planted $expected")
+    // cross-group survivors are rare honest collisions, never a flood
+    assert(pairs.length - within.length <= 5,
+      s"cross-group collisions: ${pairs.length - within.length}")
+  }
 }

@@ -140,4 +140,28 @@ class RelationalOpsSpec extends SparkSpec {
         s"RA bound violated for ($a,$b): ra=$ra n_common=$nc")
     }
   }
+
+  test("q_skyline equals the brute NOT-EXISTS dominance definition") {
+    val out = Relational.qSkyline.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val parts = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)").as("cents"),
+        col("p_size").cast("long").as("size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    val brute = parts.filter(p => !parts.exists(q => dominates(q, p)))
+      .map(p => (p._1, p._2, p._3)).toSet
+    assert(out.map(r => (r._1, r._2, r._3)).toSet === brute,
+      "sweep skyline must equal the brute dominance definition")
+    // dominated counts are the exact strict-dominance tallies
+    for (s <- out) {
+      val n = parts.count(p => dominates((s._1, s._2, s._3), p)).toLong
+      assert(s._4 === n, s"point ${s._1}: n_dominated ${s._4} != brute $n")
+    }
+    // skyline points never dominate each other
+    for (a <- out; b <- out if a != b)
+      assert(!dominates((a._1, a._2, a._3), (b._1, b._2, b._3)))
+  }
 }
