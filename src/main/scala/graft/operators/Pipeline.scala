@@ -2853,6 +2853,109 @@ object Pipeline {
     },
     oracle = Some(recallOracleSql))
 
+  // IVF index-maintenance store: the base (even) half's list
+  // assignments, written to parquet once and read back — the same
+  // session-keyed cache device as Corpus.sigStore / Relational.mvBase.
+  private val ivfStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Deterministic list assignment against the SEED quantizer (the
+    * first 16 corpus vectors as centroids — the SQL-replayable
+    * stand-in for a trained artifact; the MAINTENANCE semantics this
+    * query pins is quantizer-agnostic): integer-cosine argmax with
+    * centroid-id ties via one max(struct) partial aggregate — the
+    * corpus is never window-shuffled, assignment is map-side work
+    * against 16 broadcast rows. */
+  private[graft] def ivfSeedCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  private[graft] def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(Similarity.cosine(col("embedding"), col("cvec")) * 10000)
+          .cast("long").as("cosm"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosm"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+  }
+
+  private[graft] def ivfListStore(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    ivfStoreCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    ivfStoreCache.getOrElseUpdate((s, dir), {
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfstore_" +
+        s"${new java.io.File(dir).getName}_$dirTag"
+      val emb = Tables.load(s, dir, "embeddings")
+      ivfAssign(emb.filter(col("vec_id") % 2 === 0), ivfSeedCentroids(emb))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+  }
+
+  /** d_ann_ivf_delta — INCREMENTAL IVF INDEX MAINTENANCE (the
+    * [[Relational.qMvIncremental]] / [[Corpus sigStore]] story for
+    * the vector index): the base half's list assignments are trained
+    * once and PERSISTED ([[ivfListStore]]: parquet round-trip, read
+    * back); a delta batch is assigned against the SAME frozen
+    * centroids — never retrained, the production invariant that
+    * keeps old postings valid — and the merged index is summarized
+    * per list (base/delta/total counts + delta_ppm drift, the number
+    * an operator watches to decide when a retrain IS due). The
+    * oracle recomputes both halves' assignments from scratch: the
+    * store lifecycle must be result-identical to recompute, exactly
+    * as d_dedup_delta_stored pins for signatures. At 100 TB the
+    * stored index is corpus-sized but the refresh touches ONLY the
+    * delta partition + 16 broadcast centroid rows. */
+  val dAnnIvfDelta: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = ivfListStore(s, dir)
+      val delta = ivfAssign(emb.filter(col("vec_id") % 2 === 1),
+        ivfSeedCentroids(emb))
+      base.select(col("cid"), lit(1L).as("is_base"))
+        .unionByName(delta.select(col("cid"), lit(0L).as("is_base")))
+        .groupBy(col("cid"))
+        .agg(sum(col("is_base")).as("n_base"),
+          sum(lit(1L) - col("is_base")).as("n_delta"),
+          count(lit(1)).as("n_total"))
+        .withColumn("delta_ppm", expr("(n_delta * 1000000) div n_total"))
+        .orderBy(col("cid"))
+    },
+    oracle = Some("""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec
+        FROM embeddings WHERE vec_id < 16),
+      elems AS (
+        SELECT e.vec_id, c.cid,
+               CAST(unnest(e.embedding) AS DOUBLE) AS ev,
+               CAST(unnest(c.cvec) AS DOUBLE) AS cv
+        FROM embeddings e, cents c),
+      scored AS (
+        SELECT vec_id, cid,
+               CAST(round(SUM(ev*cv) /
+                 (sqrt(SUM(ev*ev)) * sqrt(SUM(cv*cv))) * 10000)
+                 AS BIGINT) AS cosm
+        FROM elems GROUP BY 1, 2),
+      asg AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosm DESC, cid) AS rnk
+          FROM scored) WHERE rnk = 1)
+      SELECT cid,
+             CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_delta,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST((sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+               * 1000000) // count(*) AS BIGINT) AS delta_ppm
+      FROM asg GROUP BY cid ORDER BY cid"""))
+
   /** SQ8 analogue of d_ann_pq_fidelity: over every returned neighbor,
     * the dequantized cosine must sit close to the true cosine of the
     * same pair. 8-bit per-dimension codes reconstruct far tighter than
@@ -3538,6 +3641,7 @@ object Pipeline {
     "d_knn_descent" -> dKnnDescent,
     "d_ann_graph" -> dAnnGraph,
     "d_ann_graph_recall" -> dAnnGraphRecall,
+    "d_ann_ivf_delta" -> dAnnIvfDelta,
     "d_knn_descent_recall" -> dKnnDescentRecall,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,

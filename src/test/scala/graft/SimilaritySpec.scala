@@ -604,6 +604,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf delta maintenance: store+delta is result-identical to a one-shot index build") {
+    import graft.operators.Pipeline
+    val cents = Pipeline.ivfSeedCentroids(emb)
+    // the maintenance contract: assigning the halves separately (one
+    // through the parquet store) and merging equals assigning the
+    // full corpus in one shot against the same frozen quantizer
+    val oneShot = Pipeline.ivfAssign(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = Pipeline.ivfListStore(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val delta = Pipeline.ivfAssign(emb.filter(col("vec_id") % 2 === 1), cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored.forall(v => v._1 % 2 == 0) && delta.forall(v => v._1 % 2 == 1))
+    assert((stored ++ delta) === oneShot,
+      "store lifecycle must be result-identical to recompute")
+    // the store really is the parquet round-trip of the even half
+    assert(stored === oneShot.filter(_._1 % 2 == 0))
+    // summary accounting: every vector in exactly one list
+    val out = Pipeline.dAnnIvfDelta.fn(spark, sf).collect()
+    assert(out.map(_.getLong(3)).sum === emb.count())
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("d_contamination_embed: argmax is exact, threshold splits flagged from clean, eval set excluded") {
     val out = graft.operators.Pipeline.dContaminationEmbed.fn(spark, sf)
       .collect()
