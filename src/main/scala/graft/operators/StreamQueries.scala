@@ -324,7 +324,33 @@ object StreamQueries {
         .orderBy(col("stage")),
     oracle = Relational.qFunnel.oracle)
 
+  /** s_cusum — streaming DRIFT MONITOR: [[graft.streaming.Streaming
+    * .CusumProcessor]], O(1) integer state per event type, over
+    * watermark-closed daily counts; the reference rate rides in as a
+    * calibration artifact (computed here from the same corpus —
+    * standing in for the prior window a production deployment
+    * calibrates from; a handful of (type, total, m) rows, a bounded
+    * driver artifact like the ANN centroids). Batch leg shares
+    * q_cusum's oracle verbatim; StreamingSpec proves the running s
+    * bridges micro-batches. */
+  val sCusum: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val cnt = events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val ref = cnt.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("m"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      Streaming.cusumPoints(cnt, ref).toDF()
+        .orderBy(col("event_type"), col("day"))
+    },
+    oracle = Relational.qCusum.oracle)
+
   val defs: Map[String, QueryDef] = Map(
+    "s_cusum" -> sCusum,
     "s_scd2_held" -> sScd2Held,
     "s_transitions" -> sTransitions,
     "s_funnel" -> sFunnel,

@@ -576,6 +576,57 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class DayCount(event_type: String, day: Long, n: Long)
+
+  case class CusumPoint(event_type: String, day: Long, n: Long,
+      cusum: Long, is_shift: Boolean)
+
+  /** Per-type streaming CUSUM (Page 1954) drift monitor: state is ONE
+    * integer — the running upper-CUSUM s = max(0, s + m·n − total) —
+    * per event type, with the reference rate (total, m) supplied as a
+    * CALIBRATION ARTIFACT at construction (the standard CUSUM
+    * deployment: the reference mean comes from a prior calibration
+    * window, not from the stream itself — a stream cannot know its
+    * own future mean). Input rows are CLOSED day counts (the output
+    * of an upstream watermark-closed daily aggregation, the
+    * offset-follows-event-time premise the other processors
+    * document); alarm at s > total/2, [[graft.operators.Relational
+    * .qCusum]]'s exact integer algebra, so the aggregated output
+    * shares its oracle. */
+  class CusumProcessor(ref: Map[String, (Long, Long)])
+      extends StatefulProcessor[String, DayCount, CusumPoint] {
+    @transient private var sState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sState = getHandle.getValueState[Long]("cusum_s",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DayCount],
+        timers: TimerValues): Iterator[CusumPoint] = {
+      val (total, m) = ref(key)
+      var s = if (sState.exists()) sState.get() else 0L
+      val out = rows.toArray.sortBy(_.day).map { r =>
+        s = math.max(0L, s + m * r.n - total)
+        CusumPoint(key, r.day, r.n, s, s > total / 2)
+      }
+      sState.update(s)
+      out.iterator
+    }
+  }
+
+  /** Apply [[CusumProcessor]] to a (event_type, day, n) day-count
+    * frame (batch or stream), keyed by type. */
+  def cusumPoints(dayCounts: DataFrame,
+      ref: Map[String, (Long, Long)]): Dataset[CusumPoint] = {
+    import dayCounts.sparkSession.implicits._
+    prepareStateV2(dayCounts.sparkSession)
+    dayCounts.select(col("event_type"), col("day"), col("n"))
+      .as[DayCount]
+      .groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor(ref),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- custom state: streaming SCD-2 interval maintenance ----
 
   case class TypedEvent(user_id: Long, event_id: Long, ts_ms: Long,

@@ -1005,4 +1005,60 @@ class StreamingSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming cusum equals the batch run; the running s bridges micro-batches") {
+    // the single-integer CUSUM state must carry across the batch
+    // boundary: day d's cusum in batch 2 builds on batch 1's final s
+    val path = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    val cnt = Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val ref = cnt.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val days = cnt.select(col("day")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    val cut1 = days(days.length / 3)
+    val cut2 = days(2 * days.length / 3)
+    val cuts = Seq(col("day") < cut1,
+      col("day") >= cut1 && col("day") < cut2, col("day") >= cut2)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val emitted = scala.collection.mutable
+        .ArrayBuffer[(String, Long, Long, Long, Boolean)]()
+      val src = spark.readStream
+        .schema("event_type string, day long, n long")
+        .parquet(path + "/*")
+      val q = Streaming.cusumPoints(src, ref)
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.CusumPoint], _: Long) =>
+            val rows = d.collect().map(p =>
+              (p.event_type, p.day, p.n, p.cusum, p.is_shift))
+            emitted.synchronized { emitted ++= rows; () }
+        }.start()
+      cuts.zipWithIndex.foreach { case (c, i) =>
+        cnt.filter(c).write.parquet(s"$path/b$i")
+        q.processAllAvailable()
+      }
+      q.stop()
+      val batch = Streaming.cusumPoints(cnt, ref).collect()
+        .map(p => (p.event_type, p.day, p.n, p.cusum, p.is_shift)).toSet
+      assert(emitted.toSet === batch)
+      assert(batch.nonEmpty)
+      // state bridged: some type enters batch 2 with nonzero carried s
+      // (its first batch-2 cusum differs from a zero-state restart)
+      val carried = batch.exists { p =>
+        p._2 >= cut1 && days.indexOf(p._2) ==
+          days.indexWhere(_ >= cut1) && p._4 !=
+          math.max(0L, ref(p._1)._2 * p._3 - ref(p._1)._1)
+      }
+      assert(carried, "no type carried nonzero CUSUM state into batch 2")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
