@@ -565,6 +565,79 @@ object Multimodal {
       .toDF("doc_id", "f", "b", "e")
   }
 
+  /** Scene-strip shelf: one [[PngCodec.renderScenes]] strip per doc —
+    * 8+(id mod 5) frames of 16 rows at w=64, scenes of 2+(id mod 3)
+    * frames — wrapped in the standard media container. Memoized per
+    * corpus dir like the other shelves. */
+  def fakeSceneTable(spark: SparkSession, sfDir: String): DataFrame = {
+    sceneCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    sceneCache.getOrElseUpdate((spark, sfDir), {
+      import spark.implicits._
+      val ids = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+      val rendered = ids.mapPartitions { it =>
+        it.map { id =>
+          val nf = 8 + (id % 5).toInt
+          val ls = 2 + (id % 3).toInt
+          (id, 64, nf * 16, "image/png",
+            PngCodec.renderScenes(id, 64, nf, ls))
+        }
+      }.toDF("doc_id", "width", "height", "fmt", "data")
+      rendered.select(col("doc_id"),
+        avro.to_avro(struct(col("doc_id"), col("width"), col("height"),
+          col("fmt"), col("data")).cast(containerType),
+          "MediaContainer").as("media"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private val sceneCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** SCENE-CHANGE detection over a decoded frame strip: a cut lands
+    * between frames f−1 and f when MORE THAN HALF the pixels changed
+    * ([[PngCodec.changedPixels]] — the pixel-difference-count metric
+    * practical shot-boundary detectors start from; an integer
+    * majority gate, so every decision replays exactly). Emits per
+    * clip: frame count, scene count (cuts+1), longest scene, and the
+    * total changed-pixel mass — all derived from the REAL decoded
+    * raster, frame pairs compared per partition. */
+  def sceneDetect(spark: SparkSession, media: DataFrame,
+      frameRows: Int = 16): DataFrame = {
+    import spark.implicits._
+    media.select(avro.from_avro(col("media"), containerSchemaJson).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val img = PngCodec.decode(data)
+          val nf = img.getHeight / frameRows
+          val half = (img.getWidth * frameRows).toLong
+          var scenes = 1L
+          var run = 1L
+          var longest = 1L
+          var diffPx = 0L
+          var f = 1
+          while (f < nf) {
+            val ch = PngCodec.changedPixels(img, (f - 1) * frameRows,
+              f * frameRows, frameRows)
+            diffPx += ch
+            if (ch * 2 > half) {
+              scenes += 1
+              run = 1
+            } else {
+              run += 1
+              if (run > longest) longest = run
+            }
+            if (run > longest) longest = run
+            f += 1
+          }
+          (id, nf.toLong, scenes, longest, diffPx)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_scenes", "longest_scene", "diff_px")
+  }
+
   /** Deterministic AUGMENTATION features: horizontal flip + top-left
     * half-crop — the two standard training-time augmentations,
     * verified by exact pixel arithmetic. The flip∘crop composition
@@ -622,6 +695,56 @@ object PngCodec {
     }
     img.setRGB(0, 0, w, h, px, 0, w)
     encode(img)
+  }
+
+  /** Deterministic SCENE STRIP for `id`: a vertical video strip of
+    * 16-row frames whose gray pattern is constant per SCENE (runs of
+    * `sceneLen` frames) plus in-frame texture that repeats EXACTLY
+    * frame to frame — so consecutive same-scene frames are
+    * pixel-identical and a scene boundary changes every pixel (the
+    * +37 scene step is nonzero mod 256). Built for changed-pixel-count
+    * cut detection: the metric every practical shot-boundary detector
+    * starts from, and — unlike luma-delta sums — immune to modular
+    * wrap cancellation (a +37 mod 256 shift leaves Σg nearly
+    * unchanged because wraps subtract 256 at exactly the
+    * compensating rate; measured before switching metrics). */
+  def renderScenes(id: Long, w: Int, nFrames: Int, sceneLen: Int,
+      frameRows: Int = 16): Array[Byte] = {
+    val h = nFrames * frameRows
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val scene = (y / frameRows) / sceneLen
+      var x = 0
+      while (x < w) {
+        val g = ((id * 31 + x * 7 + scene * 37 + (y % frameRows)) % 256).toInt
+        px(y * w + x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    encode(img)
+  }
+
+  /** Count of pixels that CHANGED between two frame-rows windows of
+    * the same decoded strip (the scene-cut metric). */
+  def changedPixels(img: BufferedImage, f0Top: Int, f1Top: Int,
+      rows: Int): Long = {
+    val w = img.getWidth
+    var changed = 0L
+    var dy = 0
+    while (dy < rows) {
+      var x = 0
+      while (x < w) {
+        if (img.getRGB(x, f0Top + dy) != img.getRGB(x, f1Top + dy))
+          changed += 1
+        x += 1
+      }
+      dy += 1
+    }
+    changed
   }
 
   def encode(img: BufferedImage): Array[Byte] = {

@@ -3418,6 +3418,35 @@ object Pipeline {
       FROM w GROUP BY doc_id, n
       ORDER BY doc_id"""))
 
+  /** m_modal_scenes — SHOT-BOUNDARY detection over the video frame
+    * strip ([[Multimodal.sceneDetect]]): a cut lands between
+    * consecutive frames when MORE THAN HALF the pixels changed — the
+    * pixel-difference-count metric practical detectors start from,
+    * chosen over luma-delta sums because a modular pattern shift
+    * leaves Σluma nearly unchanged (wraps subtract 256 at exactly
+    * the compensating rate — measured, then the metric was switched;
+    * see [[Multimodal.PngCodec.renderScenes]]). The planted strip
+    * ([[Multimodal.fakeSceneTable]]) has scenes of 2+(id mod 3)
+    * frames: same-scene frames are pixel-identical, a boundary
+    * changes every pixel, so detection must recover the exact scene
+    * count, longest scene, and changed-pixel mass per clip from the
+    * REAL decoded raster — the oracle replays all four numbers from
+    * the closed form. Scale: byte-linear map work, one decode +
+    * frame-pair comparisons per clip, no shuffle at all. */
+  val mModalScenes: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Multimodal.sceneDetect(s, Multimodal.fakeSceneTable(s, dir))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id, 8 + doc_id % 5 AS nf, 2 + doc_id % 3 AS ls
+        FROM documents)
+      SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+             CAST((nf - 1) // ls + 1 AS BIGINT) AS n_scenes,
+             CAST(ls AS BIGINT) AS longest_scene,
+             CAST(((nf - 1) // ls) * 1024 AS BIGINT) AS diff_px
+      FROM d ORDER BY doc_id"""))
+
   /** m_dedup_audio — audio near-duplicate pairs by ACOUSTIC
     * FINGERPRINT (Haitsma & Kalker 2002, "A Highly Robust Audio
     * Fingerprinting System" — the Shazam-family sign-of-energy-
@@ -3694,6 +3723,7 @@ object Pipeline {
     "m_modal_audio" -> mModalAudio,
     "m_modal_vad" -> mModalVad,
     "m_dedup_audio" -> mDedupAudio,
+    "m_modal_scenes" -> mModalScenes,
     "m_modal_augment" -> mModalAugment,
     "m_modal_meta" -> mModalMeta,
     "m_modal_resize" -> mModalResize,

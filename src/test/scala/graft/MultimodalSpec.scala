@@ -169,6 +169,38 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  test("scene detection: hand strip recovered exactly; a sub-majority change is not a cut") {
+    import java.awt.image.BufferedImage
+    // hand strip: 6 frames of 16 rows, scenes of 2 -> 3 scenes
+    val png = PngCodec.renderScenes(42L, 64, 6, 2)
+    val img = PngCodec.decode(png)
+    var cuts = 0
+    for (f <- 1 until 6) {
+      val ch = PngCodec.changedPixels(img, (f - 1) * 16, f * 16, 16)
+      assert(ch === 0L || ch === 1024L,
+        s"planted strip must change all or nothing, got $ch at $f")
+      if (ch * 2 > 1024) cuts += 1
+    }
+    assert(cuts === 2)
+    // sub-majority change: flip under half of one frame's pixels —
+    // changedPixels counts them but the majority gate must not fire
+    val m = new BufferedImage(64, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64) m.setRGB(x, y, 0x101010)
+    for (y <- 16 until 24; x <- 0 until 64) m.setRGB(x, y, 0x202020) // 512 px
+    val ch = PngCodec.changedPixels(m, 0, 16, 16)
+    assert(ch === 512L && ch * 2 <= 1024L, s"sub-majority must not cut: $ch")
+    // full-query row agreement on real shelf rows
+    val out = graft.operators.Pipeline.mModalScenes.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    out.foreach { case (id, nf, ns, ls, dp) =>
+      assert(nf === 8 + id % 5)
+      assert(ls === 2 + id % 3)
+      assert(ns === (nf - 1) / ls + 1)
+      assert(dp === (ns - 1) * 1024)
+    }
+  }
+
   test("audio fingerprint: shifted clips' frame hashes are a subsequence of the base's; planted pairs fully recovered") {
     val eb = Multimodal.audioBandEnergies(spark,
       Multimodal.fakeFpAudioTable(spark, sf))
