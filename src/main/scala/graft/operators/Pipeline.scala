@@ -2956,6 +2956,140 @@ object Pipeline {
                * 1000000) // count(*) AS BIGINT) AS delta_ppm
       FROM asg GROUP BY cid ORDER BY cid"""))
 
+  /** d_cluster_silhouette — CLUSTERING-QUALITY audit (the silhouette
+    * criterion's integer core): a point is WELL-PLACED when its mean
+    * integer cosine-distance to its own cluster is strictly below
+    * the min over other clusters' mean distances (a < b — the sign
+    * of the silhouette numerator, kept in exact integer milli-units:
+    * (Σd·1000) div n, so both engines decide every point
+    * identically). Audited over the bounded node set for TWO
+    * partitions of the same points: the geometric Voronoi partition
+    * ([[ivfAssign]] against the seed quantizer) and the LABEL
+    * partition. The measured separation IS the finding: voronoi
+    * 50%/53% well-placed vs label 9%/10% (sf0.01/sf0.1) — this
+    * embedding space is near-random w.r.t. labels (the same property
+    * d_knn_descent_recall measures from the kNN side), and the
+    * metric must rank a genuinely geometric partition far above a
+    * non-geometric one or it isn't measuring geometry. Singletons
+    * (no intra distance) count as not-well-placed.
+    *
+    * Scale: the all-pairs distance matrix is the bounded-set audit
+    * harness (600² — same budget as the kNN-graph family); at corpus
+    * scale the identical query runs per cluster-blocked sample, the
+    * standard silhouette sampling. */
+  val dClusterSilhouette: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 600)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dist = nodes.select(col("vec_id").as("i"),
+          col("embedding").as("iv"))
+        .crossJoin(broadcast(nodes.select(col("vec_id").as("j"),
+          col("embedding").as("jv"))))
+        .filter(col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          (lit(10000L) - round(Similarity.cosine(col("iv"), col("jv"))
+            * 10000).cast("long")).as("d"))
+      def audit(asg: DataFrame, method: String): DataFrame = {
+        val dj = dist
+          .join(asg.select(col("vec_id").as("j"), col("cid").as("jc")), "j")
+          .groupBy(col("i"), col("jc"))
+          .agg(sum(col("d")).as("sd"), count(lit(1)).as("n"))
+        val pt = dj
+          .join(asg.select(col("vec_id").as("i"), col("cid")), "i")
+          .groupBy(col("i"), col("cid"))
+          .agg(
+            max(when(col("jc") === col("cid"),
+              expr("(sd * 1000) div n"))).as("a_milli"),
+            min(when(col("jc") =!= col("cid"),
+              expr("(sd * 1000) div n"))).as("b_milli"))
+        pt.agg(count(lit(1)).as("n_points"),
+            sum((col("a_milli").isNotNull &&
+              col("a_milli") < col("b_milli")).cast("long")).as("n_well"))
+          .select(lit(method).as("method"), col("n_points"), col("n_well"),
+            expr("(n_well * 1000000) div n_points").as("well_ppm"))
+      }
+      val voronoi = audit(ivfAssign(nodes, ivfSeedCentroids(nodes)),
+        "voronoi")
+      val label = audit(nodes.select(col("vec_id"),
+        col("label").cast("long").as("cid")), "label")
+      val out = voronoi.unionByName(label).orderBy(col("method"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some("""
+      WITH nodes AS MATERIALIZED (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id < 600),
+      el AS (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               CAST(unnest(a.embedding) AS DOUBLE) AS ae,
+               CAST(unnest(b.embedding) AS DOUBLE) AS be
+        FROM nodes a, nodes b WHERE a.vec_id <> b.vec_id),
+      dist AS MATERIALIZED (
+        SELECT i, j,
+               10000 - CAST(round(SUM(ae*be) /
+                 (sqrt(SUM(ae*ae)) * sqrt(SUM(be*be))) * 10000)
+                 AS BIGINT) AS d
+        FROM el GROUP BY 1, 2),
+      cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM nodes
+        WHERE vec_id < 16),
+      cel AS (
+        SELECT n.vec_id, c.cid,
+               CAST(unnest(n.embedding) AS DOUBLE) AS ev,
+               CAST(unnest(c.cvec) AS DOUBLE) AS cv
+        FROM nodes n, cents c),
+      csc AS (
+        SELECT vec_id, cid,
+               CAST(round(SUM(ev*cv) /
+                 (sqrt(SUM(ev*ev)) * sqrt(SUM(cv*cv))) * 10000)
+                 AS BIGINT) AS cosm
+        FROM cel GROUP BY 1, 2),
+      asg_v AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosm DESC, cid) AS rnk
+          FROM csc) WHERE rnk = 1),
+      asg_l AS (SELECT vec_id, CAST(label AS BIGINT) AS cid FROM nodes),
+      dj_v AS (
+        SELECT dist.i, aj.cid AS jc, CAST(sum(d) AS BIGINT) AS sd,
+               count(*) AS n
+        FROM dist JOIN asg_v aj ON aj.vec_id = dist.j GROUP BY 1, 2),
+      pt_v AS (
+        SELECT dj_v.i,
+               max(CASE WHEN jc = ai.cid THEN (sd*1000)//n END) AS a_milli,
+               min(CASE WHEN jc <> ai.cid THEN (sd*1000)//n END) AS b_milli
+        FROM dj_v JOIN asg_v ai ON ai.vec_id = dj_v.i
+        GROUP BY 1),
+      dj_l AS (
+        SELECT dist.i, aj.cid AS jc, CAST(sum(d) AS BIGINT) AS sd,
+               count(*) AS n
+        FROM dist JOIN asg_l aj ON aj.vec_id = dist.j GROUP BY 1, 2),
+      pt_l AS (
+        SELECT dj_l.i,
+               max(CASE WHEN jc = ai.cid THEN (sd*1000)//n END) AS a_milli,
+               min(CASE WHEN jc <> ai.cid THEN (sd*1000)//n END) AS b_milli
+        FROM dj_l JOIN asg_l ai ON ai.vec_id = dj_l.i
+        GROUP BY 1),
+      res AS (
+        SELECT 'voronoi' AS method,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(CASE WHEN a_milli IS NOT NULL
+                 AND a_milli < b_milli THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_well
+        FROM pt_v
+        UNION ALL
+        SELECT 'label',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN a_milli IS NOT NULL
+                 AND a_milli < b_milli THEN 1 ELSE 0 END) AS BIGINT)
+        FROM pt_l)
+      SELECT method, n_points, n_well,
+             CAST((n_well * 1000000) // n_points AS BIGINT) AS well_ppm
+      FROM res ORDER BY method"""))
+
   /** SQ8 analogue of d_ann_pq_fidelity: over every returned neighbor,
     * the dequantized cosine must sit close to the true cosine of the
     * same pair. 8-bit per-dimension codes reconstruct far tighter than
@@ -3671,6 +3805,7 @@ object Pipeline {
     "d_ann_graph" -> dAnnGraph,
     "d_ann_graph_recall" -> dAnnGraphRecall,
     "d_ann_ivf_delta" -> dAnnIvfDelta,
+    "d_cluster_silhouette" -> dClusterSilhouette,
     "d_knn_descent_recall" -> dKnnDescentRecall,
     "d_dedup_minhash" -> dDedupMinhash,
     "d_dedup_simhash" -> dDedupSimhash,

@@ -604,6 +604,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("silhouette audit discriminates a geometric partition from the label partition") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.dClusterSilhouette.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (vn, vw, vppm) = rows("voronoi")
+    val (ln, lw, lppm) = rows("label")
+    assert(vn === ln, "both partitions audit the same points")
+    assert(vw <= vn && lw <= ln)
+    // the metric must rank the genuinely geometric Voronoi partition
+    // far above the non-geometric label partition on this space
+    assert(vppm > 3 * lppm,
+      s"no discrimination: voronoi $vppm vs label $lppm")
+    // hand geometry: two tight separated clusters -> every point
+    // well-placed under its own partition (a < b for all)
+    import spark.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0.05f)
+    val pts = Seq(
+      (0L, v(1, 0)), (1L, v(0.99, 0.05)), (2L, v(0.98, 0.1)),
+      (3L, v(0, 1)), (4L, v(0.05, 0.99)), (5L, v(0.1, 0.98)))
+    val nodes = pts.toDF("vec_id", "embedding")
+    val dist = nodes.select(col("vec_id").as("i"), col("embedding").as("iv"))
+      .crossJoin(nodes.select(col("vec_id").as("j"), col("embedding").as("jv")))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        expr("10000 - cast(round(graft_cosine(iv, jv) * 10000) as bigint)")
+          .as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def meanD(i: Long, js: Seq[Long]) =
+      js.map(j => dist((i, j))).sum * 1000 / js.length
+    for (i <- 0L to 5L) {
+      val own = (0L to 5L).filter(j => j != i && j / 3 == i / 3)
+      val other = (0L to 5L).filter(_ / 3 != i / 3)
+      assert(meanD(i, own) < meanD(i, other),
+        s"point $i of the hand clusters must be well-placed")
+    }
+  }
+
   test("ivf delta maintenance: store+delta is result-identical to a one-shot index build") {
     import graft.operators.Pipeline
     val cents = Pipeline.ivfSeedCentroids(emb)
