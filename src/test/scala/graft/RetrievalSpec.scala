@@ -298,4 +298,33 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2L) === ((2L, 4L, 4L, 0L)), "zq words are untouched by the merges")
     assert(got(3L) === ((1L, 3L, 1L, 66L)))
   }
+
+  test("t_retrieval_eval: metric invariants hold and P@5 matches an independent replay") {
+    import graft.operators.Retrieval
+    val out = Retrieval.tRetrievalEval.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    out.foreach { case (q, nRel, h5, h10, rec, mrr) =>
+      assert(h5 <= 5 && h5 <= h10 && h10 <= 10 && h10 <= nRel,
+        s"query $q: inconsistent hit counts ($h5, $h10, $nRel)")
+      assert(rec === h10 * 1000000L / nRel)
+      // MRR is 10^6/first_rel: it is 0 iff no hits, and >= 10^5 when
+      // any of the 10 retrieved is relevant (rank <= 10)
+      assert(if (h10 == 0) mrr === 0L else mrr >= 100000L && mrr <= 1000000L)
+    }
+    // independent P@5 replay for query 1: top-5 BM25 docs vs the
+    // contains-all-terms definition checked on raw text
+    val top5 = Retrieval.tBm25.fn(spark, sf)
+      .filter(col("query_id") === 1L && col("rnk") <= 5)
+      .collect().map(_.getLong(2))
+    val texts = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isin(top5: _*))
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").toSet).toMap
+    val p5 = top5.count(d =>
+      Set("spark", "join", "filter").subsetOf(texts(d))).toLong
+    assert(out.find(_._1 == 1L).get._3 === p5,
+      s"P@5 replay mismatch: query says ${out.find(_._1 == 1L).get._3}, text says $p5")
+  }
 }
