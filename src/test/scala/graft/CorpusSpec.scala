@@ -125,4 +125,43 @@ class CorpusSpec extends SparkSpec {
       + byStatus.getOrElse("unchanged", 0L) === n)
     assert(byStatus.getOrElse("added", 0L) > 0)
   }
+
+  test("q_zonemap: z-order prunes 2-D predicates, natural order cannot; pruning is sound") {
+    val out = Corpus.qZonemap.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (nBlocks, nScanned, nPpm) = out("natural")
+    val (zBlocks, zScanned, zPpm) = out("zorder")
+    // arrival-order blocks span the full key ranges: zero pruning
+    assert(nPpm === 1000000L && nScanned === nBlocks * 16)
+    // the layout job buys real pruning
+    assert(zPpm < 600000L, s"z-order must prune: $zPpm ppm")
+    assert(zScanned < zBlocks * 16)
+    // SOUNDNESS: a pruned block contains no matching row — replay one
+    // predicate (first quartile of both keys) against the raw rows
+    val li = Tables.load(spark, sf, "lineitem")
+    val st = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).collect()(0)
+    val (pkMin, pkMax, skMin, skMax) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    val (phi, shi) = (pkMin + (pkMax - pkMin + 1) / 4 - 1,
+      skMin + (skMax - skMin + 1) / 4 - 1)
+    val zCol = (0 until 28).flatMap { i =>
+      Seq(s"shiftleft(shiftright(l_partkey, $i) & 1, ${2 * i})",
+        s"shiftleft(shiftright(l_suppkey, $i) & 1, ${2 * i + 1})")
+    }.mkString("(", " + ", ")")
+    val z = li.select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+      expr(zCol).as("z"))
+    val zmax = z.agg(max(col("z"))).collect()(0).getLong(0)
+    val blockOf = z.withColumn("blk", expr(s"(z * 64) div (${zmax}L + 1)"))
+    val matchBlocks = blockOf
+      .filter(col("pk") <= phi && col("sk") <= shi)
+      .select(col("blk")).distinct().collect().map(_.getLong(0)).toSet
+    val scannedBlocks = blockOf.groupBy(col("blk"))
+      .agg(min(col("pk")).as("bpkmin"), min(col("sk")).as("bskmin"))
+      .filter(col("bpkmin") <= phi && col("bskmin") <= shi)
+      .select(col("blk")).collect().map(_.getLong(0)).toSet
+    assert(matchBlocks.subsetOf(scannedBlocks),
+      s"pruning dropped blocks with matches: ${matchBlocks -- scannedBlocks}")
+  }
 }
