@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of ranked
+    * lists: input is the UNION of per-list rankings as
+    * (query_id, doc_id, rnk) rows; a document's fused score is
+    * Σ 10⁶ div (k + rnk) over every list it appears in (integer, so
+    * both engines agree bit-for-bit), and the fused top-`topK` per
+    * query is kept with (score desc, doc_id) ties. A doc in several
+    * lists SUMS its contributions — the property that lets a
+    * mid-ranked-everywhere doc beat a top-ranked-once doc, which is
+    * the entire point of RRF. The fused relation is lists×topN rows
+    * per query (bounded), so the final rank window never sees
+    * corpus-shaped input. */
+  def rrfFuse(ranked: DataFrame, k: Int = 60, topK: Int = 5): DataFrame = {
+    val fused = ranked
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr(s"1000000 div ($k + rnk)")).as("rrf"),
+        count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"),
+        col("n_lists"))
+  }
+
   /** Append `rankCol` = 1..k per `group` under `ordering` (strongest
     * first; must be total) and drop rows past k. */
   def topKPerGroup(df: DataFrame, group: Seq[Column], ordering: Seq[Column],

@@ -314,6 +314,123 @@ object Retrieval {
                ELSE 1000000 // first_rel END AS BIGINT) AS mrr_ppm
       FROM m ORDER BY query_id"""))
 
+  /** t_hybrid_search — HYBRID lexical+vector retrieval (the modern
+    * search stack's default shape: BM25 and embedding-cosine rankings
+    * fused by reciprocal rank, Cormack et al. SIGIR'09 — what
+    * Elasticsearch/Vespa/pgvector deployments run as "hybrid mode"):
+    * the [[tBm25]] top-10 per keyword query fused with the cosine
+    * top-10 of the query's probe vector over the documents' vectors
+    * (vec_id = doc_id rows of the embeddings table),
+    * [[Ranking.rrfFuse]] integer scores, fused top-5. Measured
+    * property worth keeping: NO document appears in both lists on
+    * this corpus (n_lists = 1 throughout) — the embedding space is
+    * unrelated to the token space, the same near-random-structure
+    * property d_cluster_silhouette and d_knn_descent_recall measure;
+    * the summed-contribution path is therefore pinned by a hand spec
+    * where an everywhere-mid doc must beat top-ranked-once docs.
+    *
+    * Scale: the vector leg is one broadcast-3-probes scan (zero
+    * corpus shuffle, the d_ann_brute shape) through the hot-safe
+    * two-phase rank; fusion runs on 2×10 rows per query. */
+  val tHybridSearch: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val lex = tBm25.fn(s, dir)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val emb = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents")
+      val qv = emb.filter(col("vec_id").isin(bm25Queries.map(_._1): _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val dv = emb.join(docs.select(col("doc_id")),
+          emb("vec_id") === docs("doc_id"))
+        .select(col("doc_id"), col("embedding").as("dvec"))
+      val scored = dv.crossJoin(broadcast(qv))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"),
+          expr("cast(round(graft_cosine(qvec, dvec) * 10000) as bigint)")
+            .as("cosm"))
+      val vec = Ranking.topKPerGroup(scored, Seq(col("query_id")),
+          Seq(col("cosm").desc, col("doc_id")), 10, "rnk")
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      Ranking.rrfFuse(lex.unionByName(vec))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    oracle = Some(s"""
+      WITH q(query_id, qtext) AS (VALUES
+        ${bm25Queries.map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }
+          .mkString(", ")}),
+      qt AS (
+        SELECT query_id,
+               unnest(regexp_split_to_array(lower(trim(qtext)), '\\s+')) AS token
+        FROM q),
+      tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+        FROM documents),
+      tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+      dfreq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      lens AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl
+        FROM documents),
+      st AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS total
+        FROM lens),
+      contrib AS (
+        SELECT query_id, doc_id,
+               ($idfSql) *
+               ((22 * tf * total * 10000)
+                // (10 * tf * total + 3 * total + 9 * dl * n_docs)) AS c
+        FROM tf JOIN qt USING (token) JOIN dfreq USING (token)
+             JOIN lens USING (doc_id), st),
+      lexsc AS (
+        SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score
+        FROM contrib GROUP BY 1, 2),
+      lex AS (
+        SELECT query_id, doc_id, rnk FROM (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+          FROM lexsc) WHERE rnk <= 10),
+      qv AS (
+        SELECT q.query_id, e.embedding AS v
+        FROM q JOIN embeddings e ON e.vec_id = q.query_id),
+      dv AS (
+        SELECT d.doc_id, e.embedding AS v
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      vel AS (
+        SELECT qv.query_id, dv.doc_id,
+               CAST(unnest(qv.v) AS DOUBLE) AS qe,
+               CAST(unnest(dv.v) AS DOUBLE) AS de
+        FROM qv, dv WHERE dv.doc_id <> qv.query_id),
+      vsc AS (
+        SELECT query_id, doc_id,
+               CAST(round(SUM(qe*de) /
+                 (sqrt(SUM(qe*qe)) * sqrt(SUM(de*de))) * 10000)
+                 AS BIGINT) AS cosm
+        FROM vel GROUP BY 1, 2),
+      vec AS (
+        SELECT query_id, doc_id, rnk FROM (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosm DESC, doc_id) AS BIGINT) AS rnk
+          FROM vsc) WHERE rnk <= 10),
+      fused AS (
+        SELECT query_id, doc_id,
+               CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+        GROUP BY 1, 2)
+      SELECT query_id, rnk, doc_id, rrf, n_lists FROM (
+        SELECT query_id, doc_id, rrf, n_lists,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+        FROM fused) WHERE rnk <= 5
+      ORDER BY query_id, rnk"""))
+
   private val hexAlphabet = "0123456789abcdef"
 
   /** DSIR-style importance weights: every token hashes (md5, identical
@@ -840,6 +957,7 @@ object Retrieval {
     "t_tfidf" -> tTfidf,
     "t_bm25" -> tBm25,
     "t_retrieval_eval" -> tRetrievalEval,
+    "t_hybrid_search" -> tHybridSearch,
     "t_dsir" -> tDsir,
     "t_bpe_pairs" -> tBpePairs,
     "t_bpe_merge" -> tBpeMerge,

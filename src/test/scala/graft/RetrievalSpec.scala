@@ -299,6 +299,42 @@ class RetrievalSpec extends SparkSpec {
     assert(got(3L) === ((1L, 3L, 1L, 66L)))
   }
 
+  test("rrfFuse: an everywhere-mid doc beats top-ranked-once docs; hybrid query is deterministic") {
+    import graft.operators.{Ranking, Retrieval}
+    import spark.implicits._
+    // two lists for one query: doc 99 is rank 2 in BOTH; docs 1 and 2
+    // are rank 1 in exactly one list each. RRF must put 99 first:
+    // 2/(60+2) > 1/(60+1) + 1/(60+3)-ish — exactly the summed path.
+    val ranked = Seq(
+      (1L, 1L, 1L), (1L, 99L, 2L), (1L, 3L, 3L),
+      (1L, 2L, 1L), (1L, 99L, 2L), (1L, 4L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val fused = Ranking.rrfFuse(ranked).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(fused.head._2 === 99L,
+      s"doc 99 (mid-ranked everywhere) must win: ${fused.toSeq}")
+    assert(fused.head._4 === 2L)
+    // its score is the exact integer sum of both contributions
+    assert(fused.head._3 === 2 * (1000000L / 62))
+    // singles score exactly one contribution
+    assert(fused.filter(_._2 != 99L).forall(_._4 == 1L))
+    // full query: 5 fused rows per query, scores descending, and the
+    // no-overlap property of this corpus (n_lists = 1) holds
+    val out = Retrieval.tHybridSearch.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).distinct.sorted.toSeq === Seq(1L, 2L, 3L))
+    out.groupBy(_._1).values.foreach { rows =>
+      val s = rows.sortBy(_._2)
+      assert(s.length === 5)
+      assert(s.map(_._4).sliding(2).forall(p => p.head >= p.last))
+    }
+    // n_lists is 1 or 2 by construction; at this tiny SF (50 docs,
+    // two top-10 lists) chance overlap occurs — at sf0.01/sf0.1 the
+    // oracle shows none (unrelated token/embedding spaces)
+    assert(out.forall(r => r._5 == 1L || r._5 == 2L))
+  }
+
   test("t_retrieval_eval: metric invariants hold and P@5 matches an independent replay") {
     import graft.operators.Retrieval
     val out = Retrieval.tRetrievalEval.fn(spark, sf).collect()
