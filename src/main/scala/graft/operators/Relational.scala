@@ -528,6 +528,60 @@ object Relational {
         UNION ALL SELECT n_name, 'max_acctbal', max_acctbal FROM wide)
       ORDER BY n_name, measure"""))
 
+  /** q_growth — PERIOD-OVER-PERIOD growth (the WoW/MoM delta every BI
+    * dashboard leads with): weekly order revenue per priority, each
+    * week's delta and growth rate vs the prior OBSERVED week. Weeks
+    * are calendar-free integers (epoch-days div 7) so no engine's
+    * week-truncation rules enter; revenue is integer cents; and the
+    * growth ppm is computed SIGN-SPLIT — sign(Δ)·((|Δ|·10⁶) div prev)
+    * — because integral division of negatives is where engines
+    * genuinely disagree (Spark `div` truncates toward zero, DuckDB
+    * `//` floors: −5/2 is −2 vs −3), and a negative delta is half of
+    * every growth series. Lag runs over the AGGREGATED (priority,
+    * week) relation — bounded by the date domain, never fact-sized
+    * (the q_mode two-phase discipline). */
+  val qGrowth: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val weekly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          expr("datediff(cast(o_orderdate as date), date'1970-01-01') div 7")
+            .as("week"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("rev_cents"))
+      val w = Window.partitionBy(col("priority")).orderBy(col("week"))
+      weekly.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+        .withColumn("growth_ppm", expr("""
+          CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+               WHEN delta_cents >= 0
+                 THEN (delta_cents * 1000000) div prev_cents
+               ELSE -((-delta_cents * 1000000) div prev_cents) END"""))
+        .select(col("priority"), col("week"), col("rev_cents"),
+          col("delta_cents"), col("growth_ppm"))
+        .orderBy(col("priority"), col("week"))
+    },
+    oracle = Some("""
+      WITH weekly AS (
+        SELECT o_orderpriority AS priority,
+               (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS week,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1, 2),
+      lagged AS (
+        SELECT priority, week, rev_cents,
+               lag(rev_cents) OVER (PARTITION BY priority
+                 ORDER BY week) AS prev_cents
+        FROM weekly)
+      SELECT priority, CAST(week AS BIGINT) AS week, rev_cents,
+             rev_cents - prev_cents AS delta_cents,
+             CAST(CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+                  WHEN rev_cents - prev_cents >= 0
+                    THEN ((rev_cents - prev_cents) * 1000000) // prev_cents
+                  ELSE -((-(rev_cents - prev_cents) * 1000000) // prev_cents)
+                  END AS BIGINT) AS growth_ppm
+      FROM lagged
+      ORDER BY priority, week"""))
+
   /** q_skyline — the SKYLINE / Pareto-frontier operator (Börzsönyi
     * et al., ICDE 2001 — `SELECT ... SKYLINE OF price MIN, size MAX`
     * in the paper's proposed syntax; no SQL engine grew the keyword,
@@ -2468,6 +2522,7 @@ object Relational {
     "q_unpivot" -> qUnpivot,
     "q_mode" -> qMode,
     "q_skyline" -> qSkyline,
+    "q_growth" -> qGrowth,
     "q_window_distinct" -> qWindowDistinct,
     "q_cusum" -> qCusum,
     "q_rfm" -> qRfm,

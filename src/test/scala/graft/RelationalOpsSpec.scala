@@ -141,6 +141,34 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_growth: deltas telescope, first weeks are null, negative growth uses the sign-split") {
+    val out = Relational.qGrowth.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val byP = out.groupBy(_._1)
+    byP.values.foreach { rows =>
+      val s = rows.sortBy(_._2)
+      // first observed week has no prior -> null delta and ppm
+      assert(s.head._4.isEmpty && s.head._5.isEmpty)
+      // every later delta telescopes against the previous revenue
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4.contains(b._3 - a._3),
+            s"delta mismatch at ${b._1}/${b._2}")
+          val d = b._3 - a._3
+          val expect =
+            if (d >= 0) d * 1000000L / a._3
+            else -((-d) * 1000000L / a._3)
+          assert(b._5.contains(expect), s"ppm mismatch at ${b._1}/${b._2}")
+        case _ => ()
+      }
+    }
+    // the sign-split branch is actually exercised
+    assert(out.exists(_._4.exists(_ < 0)), "no negative week-over-week delta")
+    assert(out.exists(_._5.exists(_ < 0)))
+  }
+
   test("q_skyline equals the brute NOT-EXISTS dominance definition") {
     val out = Relational.qSkyline.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
