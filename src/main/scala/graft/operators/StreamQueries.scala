@@ -349,7 +349,63 @@ object StreamQueries {
     },
     oracle = Relational.qCusum.oracle)
 
+  /** s_topk — streaming HEAVY HITTERS ([[graft.streaming.Streaming
+    * .SpaceSavingProcessor]]): top-10 users per event type from a
+    * BOUNDED 64-counter SpaceSaving table — O(capacity) state
+    * however long the stream runs, where an exact top-k needs
+    * per-user state. Rows-only by design (evictions are a sequential
+    * recurrence no SQL replays); [[sTopkContract]] is the oracled
+    * guarantee row in the same run. */
+  val sTopk: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      Streaming.spaceSavingTopK(events(s, dir)).toDF()
+        .orderBy(col("event_type"), col("rnk")),
+    oracle = None)
+
+  /** s_topk_contract — the paper's three guarantees, each checked
+    * against EXACT per-user counts and pinned TRUE: est never
+    * undercounts; est − err never overshoots the true count; and no
+    * user OUTSIDE the table has a true count above the table's
+    * minimum estimate (coverage — the reason SpaceSaving's table
+    * provably contains every true heavy hitter). Checked over the
+    * FULL 64-entry table (k = capacity), not just the reported
+    * top-10, because coverage is a property of the table minimum. */
+  val sTopkContract: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val table = Streaming.spaceSavingTopK(events(s, dir),
+        capacity = 64, k = 64).toDF()
+      val exact = events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("true_n"))
+      val joined = table.join(exact, Seq("event_type", "user_id"))
+      val bounds = joined.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_entries"),
+          sum((col("est") < col("true_n")).cast("long")).as("under"),
+          sum((col("est") - col("err") > col("true_n")).cast("long"))
+            .as("over"))
+      val minEst = table.groupBy(col("event_type"))
+        .agg(min(col("est")).as("min_est"))
+      val maxOut = exact.join(
+          table.select(col("event_type"), col("user_id")),
+          Seq("event_type", "user_id"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(max(col("true_n")).as("max_out"))
+      bounds.join(minEst, "event_type").join(maxOut, "event_type")
+        .select(col("event_type"), col("n_entries"),
+          (col("under") === 0L).as("upper_ok"),
+          (col("over") === 0L).as("lower_ok"),
+          (col("max_out") <= col("min_est")).as("coverage_ok"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, CAST(64 AS BIGINT) AS n_entries,
+             TRUE AS upper_ok, TRUE AS lower_ok, TRUE AS coverage_ok
+      FROM (SELECT DISTINCT event_type FROM events)
+      ORDER BY event_type"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "s_topk" -> sTopk,
+    "s_topk_contract" -> sTopkContract,
     "s_cusum" -> sCusum,
     "s_scd2_held" -> sScd2Held,
     "s_transitions" -> sTransitions,

@@ -576,6 +576,69 @@ object Streaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class TopKEntry(event_type: String, user_id: Long, est: Long,
+      err: Long, rnk: Long)
+
+  /** SpaceSaving streaming HEAVY HITTERS (Metwally, Agrawal, El Abbadi
+    * 2005): per event type, a BOUNDED table of `capacity` counters is
+    * the entire state — an arriving user increments its counter,
+    * a new user beyond capacity REPLACES the minimum counter,
+    * inheriting its count + 1 with the inherited part recorded as
+    * `err`. The table is O(capacity) regardless of stream length and
+    * carries the paper's three guarantees, all pinned by the oracled
+    * contract row: est ≥ true count (never undercounts), est − err ≤
+    * true count, and any user whose true count exceeds the minimum
+    * counter IS in the table (coverage — an evicted user's true count
+    * never exceeds the minimum). Fully deterministic: arrivals
+    * process in (ts, event_id) order and the victim is min by
+    * (count, user_id). Emits the top-`k` per type by (est desc,
+    * user_id) at each batch close. */
+  class SpaceSavingProcessor(capacity: Int, k: Int)
+      extends StatefulProcessor[String, TouchEvent, TopKEntry] {
+    @transient private var counters: ListState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getListState[(Long, Long, Long)]("ss_counters",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TouchEvent],
+        timers: TimerValues): Iterator[TopKEntry] = {
+      val m = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      counters.get().foreach { case (u, c, e) => m(u) = (c, e) }
+      rows.toArray.sortBy(e => (e.ts_ms, e.event_id)).foreach { ev =>
+        m.get(ev.user_id) match {
+          case Some((c, e)) => m(ev.user_id) = (c + 1, e)
+          case None if m.size < capacity => m(ev.user_id) = (1L, 0L)
+          case None =>
+            val (vu, (vc, _)) = m.minBy { case (u, (c, _)) => (c, u) }
+            m.remove(vu)
+            m(ev.user_id) = (vc + 1, vc)
+        }
+      }
+      counters.put(m.toArray.sortBy(_._1)
+        .map { case (u, (c, e)) => (u, c, e) })
+      m.toSeq.sortBy { case (u, (c, _)) => (-c, u) }.take(k)
+        .zipWithIndex.map { case ((u, (c, e)), i) =>
+          TopKEntry(key, u, c, e, i + 1L)
+        }.iterator
+    }
+  }
+
+  /** Apply [[SpaceSavingProcessor]] to a decoded events frame (batch
+    * or stream), keyed by event type. */
+  def spaceSavingTopK(events: DataFrame, capacity: Int = 64,
+      k: Int = 10): Dataset[TopKEntry] = {
+    import events.sparkSession.implicits._
+    prepareStateV2(events.sparkSession)
+    events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .as[TouchEvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new SpaceSavingProcessor(capacity, k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   case class DayCount(event_type: String, day: Long, n: Long)
 
   case class CusumPoint(event_type: String, day: Long, n: Long,

@@ -1006,6 +1006,70 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("spacesaving: hand eviction replay; last micro-batch emission equals the batch run") {
+    import spark.implicits._
+    // hand stream, capacity 2: u1 x3, u2 x1, then u3 arrives — must
+    // evict u2 (min count, then min id) and inherit est=2, err=1
+    val hand = Seq(
+      (1L, 1L, 1000L, "view"), (1L, 2L, 2000L, "view"),
+      (1L, 3L, 3000L, "view"), (2L, 4L, 4000L, "view"),
+      (3L, 5L, 5000L, "view"))
+      .toDF("user_id", "event_id", "ts_ms", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_millis(col("ts_ms")).as("ts"), col("event_type"))
+    val got = Streaming.spaceSavingTopK(hand, capacity = 2, k = 2)
+      .collect().map(t => (t.user_id, t.est, t.err, t.rnk)).toSeq
+    assert(got === Seq((1L, 3L, 0L, 1L), (3L, 2L, 1L, 2L)),
+      s"eviction must inherit the victim's count as err: $got")
+    // real corpus: last micro-batch emission == single-shot batch run
+    val path = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"), col("event_type"))
+    val jan11 = 1704931200000L
+    val jan21 = 1705795200000L
+    val cuts = Seq(
+      col("ts") < timestamp_millis(lit(jan11)),
+      col("ts") >= timestamp_millis(lit(jan11)) &&
+        col("ts") < timestamp_millis(lit(jan21)),
+      col("ts") >= timestamp_millis(lit(jan21)))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val perBatch = scala.collection.mutable
+        .ArrayBuffer[Set[(String, Long, Long, Long, Long)]]()
+      val src = spark.readStream
+        .schema("user_id long, event_id long, ts timestamp, event_type string")
+        .parquet(path + "/*")
+      val q = Streaming.spaceSavingTopK(src)
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (d: org.apache.spark.sql.Dataset[Streaming.TopKEntry], _: Long) =>
+            val rows = d.collect()
+              .map(t => (t.event_type, t.user_id, t.est, t.err, t.rnk)).toSet
+            perBatch.synchronized { if (rows.nonEmpty) perBatch += rows; () }
+        }.start()
+      cuts.zipWithIndex.foreach { case (c, i) =>
+        ev.filter(c).write.parquet(s"$path/b$i")
+        q.processAllAvailable()
+      }
+      q.stop()
+      val batch = Streaming.spaceSavingTopK(ev).collect()
+        .map(t => (t.event_type, t.user_id, t.est, t.err, t.rnk)).toSet
+      assert(perBatch.nonEmpty && perBatch.last === batch,
+        "the final micro-batch summary must equal the single-shot run")
+      // counts accumulated across batches: some final estimate exceeds
+      // what the last batch alone could produce
+      val lastBatchOnly = Streaming.spaceSavingTopK(ev.filter(cuts(2)))
+        .collect().map(t => (t.event_type, t.user_id) -> t.est).toMap
+      val bridged = batch.exists { case (ty, u, est, _, _) =>
+        lastBatchOnly.get((ty, u)).exists(est > _)
+      }
+      assert(bridged, "no counter accumulated across the batch boundary")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming cusum equals the batch run; the running s bridges micro-batches") {
     // the single-integer CUSUM state must carry across the batch
     // boundary: day d's cusum in batch 2 builds on batch 1's final s
