@@ -3129,6 +3129,81 @@ object Pipeline {
     * (tools/Sq8Probe), pinned at 0.55: a model that stops capturing
     * the corpus's real anisotropy fails. identity_gap measured ~1e-16
     * at both SFs; pinned at 1e-6 relative. */
+  /** d_embed_prefix — MATRYOSHKA-TRUNCATION audit: recall@5 of brute
+    * retrieval over the embedding's PREFIX dims (64 → 32 → 16) vs the
+    * full-dim truth, as exact integer percentages (deterministic in
+    * both engines — a pinned data PROPERTY, not a tolerance). The
+    * measured collapse IS the finding: 100 → 28 → 8 at sf0.01 and
+    * 100 → 16 → 12 at sf0.1 — these embeddings are NOT MRL-trained
+    * (information is spread isotropically, so truncation destroys
+    * neighborhoods), while a TRAINED 32-dim projection of the same
+    * vectors keeps recall ≥ 0.8 (d_ann_pca_recall). This is the
+    * audit a pipeline runs BEFORE adopting prefix truncation for
+    * cheap pre-filtering: Matryoshka prefixes are a property of the
+    * embedding model, never of the dimension count.
+    *
+    * Scale: three broadcast-10-probe scans (the d_ann_brute shape,
+    * zero corpus shuffle); slice() is per-row bounded work. */
+  val dEmbedPrefix: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      def topAt(p: Int): DataFrame = {
+        val cut = emb.select(col("vec_id"),
+          expr(s"slice(embedding, 1, $p)").as("embedding"))
+        Similarity.bruteTopK(cut, cut.filter(col("vec_id") < 10),
+            "embedding", "vec_id", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      val full = topAt(64).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val legs = Seq(64, 32, 16).map { p =>
+        full.agg(count(lit(1)).as("n_brute"))
+          .crossJoin(topAt(p).intersect(full)
+            .agg(count(lit(1)).as("hits")))
+          .select(lit(p.toLong).as("prefix_dims"), col("n_brute"),
+            col("hits"),
+            expr("(100 * hits) div n_brute").as("recall_pct"))
+      }
+      val out = legs.reduce(_ unionByName _)
+        .orderBy(col("prefix_dims").desc)
+        .localCheckpoint(eager = true)
+      full.unpersist()
+      out
+    },
+    oracle = Some({
+      def leg(p: Int) = s"""
+      q$p AS (SELECT vec_id AS qid, embedding[1:$p] AS qv
+              FROM embeddings WHERE vec_id < 10),
+      c$p AS (SELECT vec_id AS nid, embedding[1:$p] AS cv
+              FROM embeddings),
+      el$p AS (SELECT qid, nid,
+                      CAST(unnest(qv) AS DOUBLE) AS qe,
+                      CAST(unnest(cv) AS DOUBLE) AS ce
+               FROM q$p, c$p WHERE nid <> qid),
+      sc$p AS (SELECT qid, nid,
+                      CAST(round(SUM(qe*ce) /
+                        (sqrt(SUM(qe*qe)) * sqrt(SUM(ce*ce))) * 10000)
+                        AS BIGINT) AS cosm
+               FROM el$p GROUP BY 1, 2),
+      top$p AS MATERIALIZED (
+        SELECT qid, nid FROM (
+          SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY cosm DESC, nid) AS rnk
+          FROM sc$p) WHERE rnk <= 5)"""
+      s"""
+      WITH ${Seq(64, 32, 16).map(leg).mkString(",")},
+      res AS (${Seq(64, 32, 16).map(p => s"""
+        SELECT CAST($p AS BIGINT) AS prefix_dims,
+               (SELECT CAST(count(*) AS BIGINT) FROM top64) AS n_brute,
+               (SELECT CAST(count(*) AS BIGINT) FROM
+                 (SELECT qid, nid FROM top$p INTERSECT
+                  SELECT qid, nid FROM top64)) AS hits""")
+        .mkString(" UNION ALL ")})
+      SELECT prefix_dims, n_brute, hits,
+             CAST((100 * hits) // n_brute AS BIGINT) AS recall_pct
+      FROM res ORDER BY prefix_dims DESC"""
+    }))
+
   val dEmbedPca: QueryDef = QueryDef(
     fn = (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
@@ -3838,6 +3913,7 @@ object Pipeline {
     "d_ann_sq_recall" -> dAnnSqRecall,
     "d_ann_sq_fidelity" -> dAnnSqFidelity,
     "d_embed_pca" -> dEmbedPca,
+    "d_embed_prefix" -> dEmbedPrefix,
     "d_ann_pca" -> dAnnPca,
     "d_ann_pca_recall" -> dAnnPcaRecall,
     "d_ann_rp" -> dAnnRp,

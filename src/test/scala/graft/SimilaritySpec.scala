@@ -642,6 +642,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("d_embed_prefix: full dim is perfect recall; truncation preserves ranks iff info lives in the prefix") {
+    import graft.operators.Pipeline
+    val out = Pipeline.dEmbedPrefix.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(64L)._3 === 100L, "full-dim recall must be exactly 100")
+    out.values.foreach { case (nBrute, hits, pct) =>
+      assert(hits <= nBrute && pct <= 100L)
+    }
+    // hand geometry: discriminating info entirely in the first 2 dims,
+    // padding in the rest -> a 2-dim prefix keeps the ranking exactly
+    import spark.implicits._
+    def v(x: Double, y: Double) =
+      Array(x.toFloat, y.toFloat, 0.5f, 0.5f)
+    val nodes = Seq((0L, v(1, 0)), (1L, v(0.95, 0.3)), (2L, v(0, 1)),
+      (3L, v(0.3, 0.95)), (4L, v(0.7, 0.7))).toDF("vec_id", "embedding")
+    def top(p: Int) = {
+      val cut = nodes.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $p)").as("embedding"))
+      Similarity.bruteTopK(cut, cut, "embedding", "vec_id", k = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(top(2) === top(4),
+      "prefix truncation must be exact when the tail dims are constant")
+  }
+
   test("ivf delta maintenance: store+delta is result-identical to a one-shot index build") {
     import graft.operators.Pipeline
     val cents = Pipeline.ivfSeedCentroids(emb)
