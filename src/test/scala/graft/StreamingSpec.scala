@@ -1008,6 +1008,10 @@ class StreamingSpec extends SparkSpec {
 
   test("spacesaving: hand eviction replay; last micro-batch emission equals the batch run") {
     import spark.implicits._
+    // the provider conf must cover the hand replay too — batch-mode
+    // transformWithState also requires RocksDB
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // hand stream, capacity 2: u1 x3, u2 x1, then u3 arrives — must
     // evict u2 (min count, then min id) and inherit est=2, err=1
     val hand = Seq(
@@ -1017,25 +1021,23 @@ class StreamingSpec extends SparkSpec {
       .toDF("user_id", "event_id", "ts_ms", "event_type")
       .select(col("user_id"), col("event_id"),
         timestamp_millis(col("ts_ms")).as("ts"), col("event_type"))
-    val got = Streaming.spaceSavingTopK(hand, capacity = 2, k = 2)
-      .collect().map(t => (t.user_id, t.est, t.err, t.rnk)).toSeq
-    assert(got === Seq((1L, 3L, 0L, 1L), (3L, 2L, 1L, 2L)),
-      s"eviction must inherit the victim's count as err: $got")
-    // real corpus: last micro-batch emission == single-shot batch run
-    val path = java.nio.file.Files.createTempDirectory("graft_ss").toString
-    val ev = Tables.load(spark, sf, "events")
-      .select(col("user_id"), col("event_id"),
-        timestamp_millis(expr("ts div 1000000")).as("ts"), col("event_type"))
-    val jan11 = 1704931200000L
-    val jan21 = 1705795200000L
-    val cuts = Seq(
-      col("ts") < timestamp_millis(lit(jan11)),
-      col("ts") >= timestamp_millis(lit(jan11)) &&
-        col("ts") < timestamp_millis(lit(jan21)),
-      col("ts") >= timestamp_millis(lit(jan21)))
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      val got = Streaming.spaceSavingTopK(hand, capacity = 2, k = 2)
+        .collect().map(t => (t.user_id, t.est, t.err, t.rnk)).toSeq
+      assert(got === Seq((1L, 3L, 0L, 1L), (3L, 2L, 1L, 2L)),
+        s"eviction must inherit the victim's count as err: $got")
+      // real corpus: last micro-batch emission == single-shot batch run
+      val path = java.nio.file.Files.createTempDirectory("graft_ss").toString
+      val ev = Tables.load(spark, sf, "events")
+        .select(col("user_id"), col("event_id"),
+          timestamp_millis(expr("ts div 1000000")).as("ts"), col("event_type"))
+      val jan11 = 1704931200000L
+      val jan21 = 1705795200000L
+      val cuts = Seq(
+        col("ts") < timestamp_millis(lit(jan11)),
+        col("ts") >= timestamp_millis(lit(jan11)) &&
+          col("ts") < timestamp_millis(lit(jan21)),
+        col("ts") >= timestamp_millis(lit(jan21)))
       val perBatch = scala.collection.mutable
         .ArrayBuffer[Set[(String, Long, Long, Long, Long)]]()
       val src = spark.readStream
