@@ -222,6 +222,14 @@ object Bench {
       try operators.Multimodal.fakeAudioTable(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case NonFatal(_) => () }
+    if (ordered.exists(_._1.startsWith("m_modal_scenes")))
+      try operators.Multimodal.fakeSceneTable(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case NonFatal(_) => () }
+    if (ordered.exists(_._1.startsWith("m_dedup_audio")))
+      try operators.Multimodal.fakeFpAudioTable(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case NonFatal(_) => () }
     // Noise immunity: N full passes over the suite, per-query MIN across
     // passes. Passes (not back-to-back reps) because the observed noise is
     // ~30 s co-tenant load windows — back-to-back reps of one query all land

@@ -483,10 +483,16 @@ object Graph {
   def bfs(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     var dist = sources.select(col("node"), lit(0L).as("d"))
     for (_ <- 1 to rounds) {
+      // Per-round lineage cut: `dist` feeds TWO consumers each round
+      // (the union carry and the join expansion), so without a cut the
+      // uncut plan tree doubles per round — the dual-consumer pattern
+      // graphSearchTopK and the k-core loop already cut (measured
+      // 9.1->4.5 s there). The checkpointed table is node-sized.
       dist = dist.union(
         edges.as("e").join(dist.as("l"), col("e.dst") === col("l.node"))
           .select(col("e.src").as("node"), (col("l.d") + 1).as("d")))
         .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(eager = true)
     }
     dist
   }

@@ -497,7 +497,11 @@ object Relational {
     * type (unpivot's type contract) and rounded identically on both
     * sides. Reference parity: Hive's explode/stack surface
     * (ql/udf/generic/GenericUDTFStack) — reframed as the built-in
-    * unpivot so Tungsten codegens the Expand. */
+    * unpivot so Tungsten codegens the Expand. The summed measure is
+    * accumulated as INTEGER CENTS and divided once at the end (the
+    * qGrowth/qAbc device) — summing raw doubles and rounding to 4
+    * decimals would expose Spark-vs-DuckDB partial-aggregate
+    * summation order in the last ulp. */
   val qUnpivot: QueryDef = QueryDef(
     fn = (s, dir) => {
       val wide = t(s, dir, "customer")
@@ -506,7 +510,8 @@ object Relational {
         .groupBy(col("n_name"))
         .agg(
           count(lit(1)).cast("double").as("n_customers"),
-          round(sum(col("c_acctbal")), 4).as("sum_acctbal"),
+          (sum(expr("cast(round(c_acctbal * 100) as bigint)")) / 100.0)
+            .as("sum_acctbal"),
           round(max(col("c_acctbal")), 4).as("max_acctbal"))
       wide.unpivot(
           Array(col("n_name")),
@@ -518,7 +523,8 @@ object Relational {
       WITH wide AS (
         SELECT n_name,
                CAST(count(*) AS DOUBLE) AS n_customers,
-               round(sum(c_acctbal), 4) AS sum_acctbal,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0 AS sum_acctbal,
                round(max(c_acctbal), 4) AS max_acctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name)

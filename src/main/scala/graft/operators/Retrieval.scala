@@ -240,9 +240,11 @@ object Retrieval {
           sum(when(col("is_rel").isNotNull, 1L).otherwise(0L)).as("hits10"),
           coalesce(min(when(col("is_rel").isNotNull, col("rnk"))), lit(0L))
             .as("first_rel"))
-        .join(nRel, "query_id")
+        .join(nRel, Seq("query_id"), "left")
+        .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
         .select(col("query_id"), col("n_rel"), col("hits5"), col("hits10"),
-          expr("(hits10 * 1000000) div n_rel").as("recall10_ppm"),
+          expr("CASE WHEN n_rel = 0 THEN 0 " +
+            "ELSE (hits10 * 1000000) div n_rel END").as("recall10_ppm"),
           expr("CASE WHEN first_rel = 0 THEN 0 " +
             "ELSE 1000000 div first_rel END").as("mrr_ppm"))
         .orderBy(col("query_id"))
@@ -309,7 +311,8 @@ object Retrieval {
         WHERE rnk <= 10
         GROUP BY r.query_id)
       SELECT query_id, n_rel, hits5, hits10,
-             CAST((hits10 * 1000000) // n_rel AS BIGINT) AS recall10_ppm,
+             CAST(CASE WHEN n_rel = 0 THEN 0
+               ELSE (hits10 * 1000000) // n_rel END AS BIGINT) AS recall10_ppm,
              CAST(CASE WHEN first_rel = 0 THEN 0
                ELSE 1000000 // first_rel END AS BIGINT) AS mrr_ppm
       FROM m ORDER BY query_id"""))

@@ -340,9 +340,19 @@ object StreamQueries {
           expr("unix_micros(ts) div 86400000000").as("day"))
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"))
-      val ref = cnt.groupBy(col("event_type"))
+      // The calibration map is a DRIVER artifact sized by event-type
+      // cardinality (a handful of rows in this corpus). Guard it: a
+      // caller pointing this at a high-cardinality type column should
+      // fail loudly here, not OOM the driver inside collect().
+      val refRows = cnt.groupBy(col("event_type"))
         .agg(sum(col("n")).as("total"), count(lit(1)).as("m"))
         .collect()
+      require(refRows.length <= 10000,
+        s"s_cusum calibration map has ${refRows.length} event types; " +
+          "the per-type reference is a driver-side artifact bounded by " +
+          "type cardinality — pre-aggregate or bucket the type column " +
+          "before calibrating at this cardinality")
+      val ref = refRows
         .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       Streaming.cusumPoints(cnt, ref).toDF()
         .orderBy(col("event_type"), col("day"))
@@ -385,12 +395,18 @@ object StreamQueries {
             .as("over"))
       val minEst = table.groupBy(col("event_type"))
         .agg(min(col("est")).as("min_est"))
+      // left join + coalesce(0): a type whose distinct-user count is
+      // within the 64-counter capacity evicts nobody, so maxOut has no
+      // row for it — an inner join would silently drop the type's
+      // contract row while the oracle still emits one.
       val maxOut = exact.join(
           table.select(col("event_type"), col("user_id")),
           Seq("event_type", "user_id"), "left_anti")
         .groupBy(col("event_type"))
         .agg(max(col("true_n")).as("max_out"))
-      bounds.join(minEst, "event_type").join(maxOut, "event_type")
+      bounds.join(minEst, "event_type")
+        .join(maxOut, Seq("event_type"), "left")
+        .withColumn("max_out", coalesce(col("max_out"), lit(0L)))
         .select(col("event_type"), col("n_entries"),
           (col("under") === 0L).as("upper_ok"),
           (col("over") === 0L).as("lower_ok"),
@@ -398,9 +414,10 @@ object StreamQueries {
         .orderBy(col("event_type"))
     },
     oracle = Some("""
-      SELECT event_type, CAST(64 AS BIGINT) AS n_entries,
+      SELECT event_type,
+             CAST(least(64, count(DISTINCT user_id)) AS BIGINT) AS n_entries,
              TRUE AS upper_ok, TRUE AS lower_ok, TRUE AS coverage_ok
-      FROM (SELECT DISTINCT event_type FROM events)
+      FROM events GROUP BY event_type
       ORDER BY event_type"""))
 
   val defs: Map[String, QueryDef] = Map(

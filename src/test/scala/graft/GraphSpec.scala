@@ -189,4 +189,25 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2src(5L) === 1L && got2src(6L) === 0L && got2src(3L) === 2L)
   }
+
+  test("bfs: per-round lineage cut is value-identical to the uncut loop at deep rounds") {
+    import spark.implicits._
+    // a 12-hop chain at rounds = 12 — the depth where the UNCUT
+    // dual-consumer loop's plan tree would have doubled 12 times;
+    // bfs (cut) must equal an inline uncut reference loop exactly
+    val chain = (1L to 12L).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val sources = Seq(1L).toDF("node")
+    var ref = sources.select(col("node"), lit(0L).as("d"))
+    for (_ <- 1 to 12)
+      ref = ref.union(
+        edges.as("e").join(ref.as("l"), col("e.dst") === col("l.node"))
+          .select(col("e.src").as("node"), (col("l.d") + 1).as("d")))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+    val want = ref.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Graph.bfs(edges, sources, rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got === (1L to 13L).map(i => i -> (i - 1)).toMap)
+  }
 }

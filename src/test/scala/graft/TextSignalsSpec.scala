@@ -216,6 +216,12 @@ class TextSignalsSpec extends SparkSpec {
     val rows = Pipeline.dRecordLink.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty)
+    // deletion-neighborhood recall is structural: the dirty name IS a
+    // delete-1 variant of its source, so every dirty record must link
+    val nDirty = graft.Tables.load(spark, sf, "customer")
+      .filter(col("c_custkey") % 3 === 0).count()
+    assert(rows.length.toLong === nDirty,
+      s"coverage ${rows.length}/$nDirty — blocking lost a dirty record")
     assert(rows.forall(_._3 <= 2), "a dirty record matched only at lev > 2")
     val correct = rows.count { case (dirtyId, matched, _) =>
       matched === dirtyId - 10000000L }
