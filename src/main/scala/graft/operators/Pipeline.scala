@@ -2384,21 +2384,42 @@ object Pipeline {
       FROM counts"""))
 
   /** Shared oracle CTE prologue for the graph-search pair: bounded
-    * node set, all-pairs integer cosines, the directed k=4 kNN graph,
-    * undirected adjacency, then THREE unrolled beam-search rounds
-    * ([[Similarity.graphSearchTopK]] semantics: expand beam
-    * neighbors, score exactly, keep integer-ranked top-8).
-    * MATERIALIZED per repo convention — every round's beam is
-    * referenced twice downstream (next round's carry + expansion). */
+    * node set, all-pairs integer cosines, the directed k=8 kNN base
+    * graph, undirected adjacency, PLUS the HNSW upper layer — a
+    * ≈√n-node coarse subset (vec_id % 25 = 1, 24 nodes) with its own
+    * k=4 kNN graph, beam-searched (beam 8, 3 unrolled rounds) from
+    * the single fixed entry vec_id = 1; each query's upper top-4
+    * become its personal base entries, then FOUR unrolled base
+    * rounds at beam 24 ([[Similarity.graphSearchTopKLayered]]
+    * semantics: expand beam neighbors, score exactly, keep
+    * integer-ranked survivors). MATERIALIZED per repo convention —
+    * every round's beam is referenced twice downstream (next round's
+    * carry + expansion). */
   private val graphSearchCtes: String = {
+    val upperRounds = (1 to 1).map { r =>
+      s"""
+      uc$r AS (
+        SELECT qid, cand FROM ub${r - 1} WHERE rnk <= 8
+        UNION
+        SELECT b.qid, a.u AS cand
+        FROM ub${r - 1} b JOIN uadj a ON a.v = b.cand
+        WHERE b.rnk <= 8),
+      ub$r AS MATERIALIZED (
+        SELECT qid, cand, cosm,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosm DESC, cand) AS rnk
+        FROM (SELECT DISTINCT x.qid, x.cand, s.cosm
+              FROM uc$r x JOIN scored s
+                ON s.a = x.qid AND s.b = x.cand))"""
+    }.mkString(",")
     val rounds = (1 to 4).map { r =>
       s"""
       c$r AS (
-        SELECT qid, cand FROM b${r - 1} WHERE rnk <= 16
+        SELECT qid, cand FROM b${r - 1} WHERE rnk <= 24
         UNION
         SELECT b.qid, a.u AS cand
         FROM b${r - 1} b JOIN adj a ON a.v = b.cand
-        WHERE b.rnk <= 16),
+        WHERE b.rnk <= 24),
       b$r AS MATERIALIZED (
         SELECT qid, cand, cosm,
                row_number() OVER (PARTITION BY qid
@@ -2431,37 +2452,62 @@ object Pipeline {
         SELECT a AS v, b AS u FROM knn
         UNION
         SELECT b AS v, a AS u FROM knn),
+      upper_nodes AS (SELECT vec_id FROM nodes WHERE vec_id % 25 = 1),
+      uknn AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT s.a, s.b, row_number() OVER (PARTITION BY s.a
+                   ORDER BY s.cosm DESC, s.b) AS rnk
+          FROM scored s JOIN upper_nodes x ON s.a = x.vec_id
+               JOIN upper_nodes y ON s.b = y.vec_id) WHERE rnk <= 4),
+      uadj AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM uknn
+        UNION
+        SELECT b AS v, a AS u FROM uknn),
       qs AS (SELECT vec_id AS qid FROM nodes WHERE vec_id % 50 = 0),
+      ub0 AS MATERIALIZED (
+        SELECT qid, cand, cosm,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosm DESC, cand) AS rnk
+        FROM (SELECT DISTINCT x.qid, x.cand, s.cosm
+              FROM (SELECT qid, 1 AS cand FROM qs) x
+              JOIN scored s ON s.a = x.qid AND s.b = x.cand)),$upperRounds,
+      entries AS (SELECT qid, cand FROM ub1 WHERE rnk <= 4),
       b0 AS MATERIALIZED (
         SELECT qid, cand, cosm,
                row_number() OVER (PARTITION BY qid
                  ORDER BY cosm DESC, cand) AS rnk
         FROM (SELECT DISTINCT x.qid, x.cand, s.cosm
-              FROM (SELECT qid, s AS cand
-                    FROM qs, (VALUES (1),(41),(81),(121),(161),(201),(241),(281),(321),(361),(401),(441),(481),(521),(561)) t(s)) x
+              FROM entries x
               JOIN scored s ON s.a = x.qid AND s.b = x.cand)),$rounds"""
   }
 
-  /** d_ann_graph — GRAPH-BASED ANN (the HNSW/DiskANN search
-    * primitive, single-layer): beam search over a directed k=8 kNN
-    * graph (HNSW's typical M) from 15 spread entry points, 4 rounds,
-    * beam 16 (efSearch), final top-5
-    * ([[Similarity.graphSearchTopK]]). The shape was CALIBRATED by
-    * measurement through the SQL replay: the first cut (k=4 graph,
-    * 3 seeds, beam 8) scored recall@5 = 16% — greedy routing cannot
-    * escape the seeds' clusters on a sparse graph (the
-    * disconnected-kNN-graph failure HNSW's long links exist for);
-    * degree 8 + 15 entry points + beam 16 measures 82%/75% at
-    * sf0.01/sf0.1. The graph here is the exact
-    * bounded-set kNN build (as in d_knn_graph); at corpus scale the
-    * build swaps to [[Similarity.blockedTopK]] +
-    * [[Similarity.nnDescentRound]] unchanged — search quality vs
-    * graph quality is exactly the decomposition
-    * [[dKnnDescentRecall]] measures from the other side. Every round
-    * ranks by INTEGER cosm with id ties, so the full search —
-    * every beam, every round — replays in SQL; this is the one ANN
-    * family whose approximate RESULT is fully oracled, not
-    * contract-covered. */
+  /** d_ann_graph — GRAPH-BASED ANN (the HNSW/DiskANN search shape,
+    * now genuinely LAYERED): a coarse √n upper layer (24 nodes,
+    * vec_id % 25 = 1, its own k=4 kNN graph) is beam-searched first
+    * from one fixed global entry; each query's upper top-4 become
+    * its PERSONAL entry points into the base layer — a directed k=8
+    * kNN graph (HNSW's typical M) searched 4 rounds at beam 24
+    * (efSearch), final top-5
+    * ([[Similarity.graphSearchTopKLayered]]). The shape was
+    * CALIBRATED by measurement through the SQL replay: the first cut
+    * (k=4 graph, 3 seeds, beam 8) scored recall@5 = 16%; the r12
+    * single-layer shape (15 spread seeds, beam 16) reached 82/75 at
+    * sf0.01/sf0.1 — and the sweep showed its residual losses split
+    * by SF: routing-limited at sf0.01 (upper layer alone lifts it to
+    * 90) and beam-limited at sf0.1 (beam 24 alone lifts it to 90).
+    * The layered shape closes both: 94/85 measured at ONE upper
+    * round (the sweep: 1/2/3 upper rounds score 94/92/92 at sf0.01,
+    * 85/85/90 at sf0.1 — each extra round is a sequential Spark job,
+    * so the single-round shape is the cost/recall knee), floor 80
+    * at both SFs. The graphs here
+    * are exact bounded-set kNN builds (as in d_knn_graph); at corpus
+    * scale the build swaps to [[Similarity.blockedTopK]] +
+    * [[Similarity.nnDescentRound]] unchanged, and the upper layer
+    * stays a uniform id-sample — HNSW's level assignment. Every
+    * round ranks by INTEGER cosm with id ties, so the full search —
+    * both layers, every beam, every round — replays in SQL; this is
+    * the one ANN family whose approximate RESULT is fully oracled,
+    * not contract-covered. */
   val dAnnGraph: QueryDef = QueryDef(
     fn = (s, dir) => {
       val nodes = Tables.load(s, dir, "embeddings")
@@ -2470,9 +2516,13 @@ object Pipeline {
       val graph = Similarity.bruteTopK(nodes, nodes, "embedding",
           "vec_id", k = 8)
         .select(col("query_id"), col("neighbor_id"))
+      val upperNodes = nodes.filter(col("vec_id") % 25 === 1)
+      val upperGraph = Similarity.bruteTopK(upperNodes, upperNodes,
+          "embedding", "vec_id", k = 4)
+        .select(col("query_id"), col("neighbor_id"))
       val queries = nodes.filter(col("vec_id") % 50 === 0)
-      val out = Similarity.graphSearchTopK(nodes, queries, graph,
-          "embedding", "vec_id", k = 5)
+      val out = Similarity.graphSearchTopKLayered(nodes, queries,
+          graph, upperGraph, "embedding", "vec_id", k = 5)
         .localCheckpoint(eager = true)
       nodes.unpersist()
       out
@@ -2487,9 +2537,10 @@ object Pipeline {
     * top-5 on the same node set, as an exact integer percentage
     * computed identically in both engines (the search is
     * deterministic, so this is a pinned PROPERTY, not a tolerance).
-    * The measured values are 82%/75% at sf0.01/sf0.1 (floor 70);
-    * the lost neighbors are greedy-routing local minima — the gap
-    * HNSW's upper layers exist to close. */
+    * The measured values are 94%/85% at sf0.01/sf0.1 (floor 80, up
+    * from the single-layer 82/75 at floor 70) — the r12 losses were
+    * greedy-routing local minima plus beam-width truncation, and the
+    * upper layer + beam 24 close them. */
   val dAnnGraphRecall: QueryDef = QueryDef(
     fn = (s, dir) => {
       val nodes = Tables.load(s, dir, "embeddings")
@@ -2498,9 +2549,13 @@ object Pipeline {
       val graph = Similarity.bruteTopK(nodes, nodes, "embedding",
           "vec_id", k = 8)
         .select(col("query_id"), col("neighbor_id"))
+      val upperNodes = nodes.filter(col("vec_id") % 25 === 1)
+      val upperGraph = Similarity.bruteTopK(upperNodes, upperNodes,
+          "embedding", "vec_id", k = 4)
+        .select(col("query_id"), col("neighbor_id"))
       val queries = nodes.filter(col("vec_id") % 50 === 0)
-      val approx = Similarity.graphSearchTopK(nodes, queries, graph,
-          "embedding", "vec_id", k = 5)
+      val approx = Similarity.graphSearchTopKLayered(nodes, queries,
+          graph, upperGraph, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val brute = Similarity.bruteTopK(nodes, queries, "embedding",
           "vec_id", k = 5)
@@ -2509,7 +2564,7 @@ object Pipeline {
         .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
         .select(col("n_brute"),
           expr("(100 * hits) div n_brute").as("recall_pct"),
-          expr("(100 * hits) div n_brute >= 70").as("recall_ok"))
+          expr("(100 * hits) div n_brute >= 80").as("recall_ok"))
         .localCheckpoint(eager = true)
       nodes.unpersist()
       out
@@ -2528,7 +2583,7 @@ object Pipeline {
                  SELECT qid, cand FROM b4 WHERE rnk <= 5)) AS hits)
       SELECT n_brute,
              (100 * hits) // n_brute AS recall_pct,
-             (100 * hits) // n_brute >= 70 AS recall_ok
+             (100 * hits) // n_brute >= 80 AS recall_ok
       FROM counts"""))
 
   /** MMR-diversified retrieval (Carbonell & Goldstein 1998): the

@@ -152,6 +152,22 @@ object Similarity {
       graph: DataFrame, vecCol: String, idCol: String, k: Int = 5,
       beam: Int = 16, rounds: Int = 4,
       seeds: Seq[Long] = (1L until 600L by 40L)): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"))
+    val seedCands = q.crossJoin(broadcast(
+      queries.sparkSession.range(1).select(
+        explode(array(seeds.map(lit): _*)).as("cand"))))
+    graphSearchTopKFrom(nodes, queries, graph, vecCol, idCol,
+      seedCands, k, beam, rounds)
+  }
+
+  /** [[graphSearchTopK]] with a PER-QUERY initial beam: `seedCands`
+    * is a (query_id, cand) frame naming each query's own entry
+    * points. This is the layering hook — an upper-layer search's
+    * survivors become the base layer's entries (HNSW's descent). */
+  def graphSearchTopKFrom(nodes: DataFrame, queries: DataFrame,
+      graph: DataFrame, vecCol: String, idCol: String,
+      seedCands: DataFrame, k: Int = 5,
+      beam: Int = 16, rounds: Int = 4, cut: Boolean = true): DataFrame = {
     val und = graph
       .select(col("query_id").as("v"), col("neighbor_id").as("u"))
       .union(graph
@@ -177,22 +193,57 @@ object Similarity {
     // 4.5 s with the cut). localCheckpoint is the Spark analogue of
     // the oracle's MATERIALIZED, and the beam is bounded at
     // |queries|·beam rows, so the cut is O(queries), never corpus.
-    var cur = topBeam(q.select(col("query_id"))
-      .crossJoin(broadcast(
-        queries.sparkSession.range(1).select(
-          explode(array(seeds.map(lit): _*)).as("cand")))))
-      .localCheckpoint(true)
+    // cut=false lets a SHORT bounded search defer to its caller's
+    // next cut (the whole uncut tree collapses into one job) — but
+    // MEASURE before using it: on the layered upper layer the
+    // duplicated shuffles of the uncut tree cost MORE than the jobs
+    // saved (11.1 s vs 8.7 s on the 600-node demo), so the layered
+    // search keeps the default per-round cut.
+    def maybeCut(df: DataFrame): DataFrame =
+      if (cut) df.localCheckpoint(true) else df
+    var cur = maybeCut(topBeam(seedCands.select(col("query_id"), col("cand"))))
     for (_ <- 1 to rounds) {
       val expand = cur.select(col("query_id"), col("cand").as("v"))
         .join(und, Seq("v"))
         .select(col("query_id"), col("u").as("cand"))
-      cur = topBeam(cur.select(col("query_id"), col("cand")).union(expand))
-        .localCheckpoint(true)
+      cur = maybeCut(
+        topBeam(cur.select(col("query_id"), col("cand")).union(expand)))
     }
     cur.filter(col("rnk") <= k)
       .select(col("query_id"), col("cand").as("neighbor_id"),
         col("cosm"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** LAYERED graph ANN — the actual HNSW descent, two layers: a
+    * coarse UPPER layer (≈√n nodes, its own kNN graph) is beam-
+    * searched first from one fixed global entry, and each query's
+    * upper survivors become its PERSONAL entry points into the base
+    * layer. The upper layer closes the greedy-local-minimum losses
+    * that fixed spread seeds leave (measured on the 600-node demo:
+    * base-only 82/75 recall@5 at sf0.01/sf0.1 → layered 94/85 with
+    * beam 24 and ONE upper round — sf0.01's losses were
+    * entry-routing, sf0.1's were beam-width, and the layer + wider
+    * beam close both; more upper rounds measured no better: 92/90 at
+    * three for two extra sequential jobs). Upper cost is
+    * |queries|·ubeam rows per round over a √n-node graph —
+    * asymptotically free next to the base search; at corpus scale the
+    * upper node set is a uniform id-sample exactly like HNSW's
+    * level assignment. */
+  def graphSearchTopKLayered(nodes: DataFrame, queries: DataFrame,
+      graph: DataFrame, upperGraph: DataFrame, vecCol: String,
+      idCol: String, k: Int = 5, beam: Int = 24, rounds: Int = 4,
+      upperSeed: Long = 1L, upperBeam: Int = 8, upperRounds: Int = 1,
+      nEntry: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"))
+    val upperSeedCands = q.select(col("query_id"),
+      lit(upperSeed).as("cand"))
+    val entries = graphSearchTopKFrom(nodes, queries, upperGraph,
+        vecCol, idCol, upperSeedCands,
+        k = nEntry, beam = upperBeam, rounds = upperRounds, cut = true)
+      .select(col("query_id"), col("neighbor_id").as("cand"))
+    graphSearchTopKFrom(nodes, queries, graph, vecCol, idCol,
+      entries, k, beam, rounds)
   }
 
   /** (query_id, neighbor_id, cos, rnk<=k), exact. */

@@ -604,6 +604,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("layered graph search: upper-layer entries route where fixed seeds get stuck") {
+    import spark.implicits._
+    // same arc device as above, longer: 12 points, k=2 base graph.
+    // From the single fixed seed 0, 2 rounds cannot reach node 11's
+    // true neighbors; the upper layer (every 3rd node, its own k=1
+    // graph) walks the coarse arc first, and its survivors drop the
+    // query into the right base neighborhood
+    def v(t: Double) = Array(math.cos(t).toFloat, math.sin(t).toFloat, 0f)
+    val nodes = (0 to 11).map(i => (i.toLong, v(i * 0.25))).toDF("vec_id", "embedding")
+    val graph = Similarity.bruteTopK(nodes, nodes, "embedding", "vec_id", k = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val upperNodes = nodes.filter(col("vec_id") % 3 === 0)
+    val upperGraph = Similarity.bruteTopK(upperNodes, upperNodes,
+        "embedding", "vec_id", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = nodes.filter(col("vec_id") === 11L)
+    val flat = Similarity.graphSearchTopK(nodes, q, graph,
+        "embedding", "vec_id", k = 2, beam = 2, rounds = 2, seeds = Seq(0L))
+      .collect().map(_.getLong(1)).toSet
+    assert(!flat.contains(10L),
+      s"2 base rounds from seed 0 must not reach node 10: $flat")
+    val layered = Similarity.graphSearchTopKLayered(nodes, q, graph,
+        upperGraph, "embedding", "vec_id", k = 2, beam = 2, rounds = 2,
+        upperSeed = 0L, upperBeam = 2, upperRounds = 3, nEntry = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(layered.toSeq === Seq((10L, 1L), (9L, 2L)),
+      s"upper-layer routing must reach node 11's true neighbors, got ${layered.toSeq}")
+  }
+
   test("silhouette audit discriminates a geometric partition from the label partition") {
     import graft.operators.Pipeline
     val rows = Pipeline.dClusterSilhouette.fn(spark, sf).collect()
