@@ -2443,13 +2443,13 @@ object Relational {
   private val mvCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private def custAgg(df: DataFrame): DataFrame =
+  private[operators] def custAgg(df: DataFrame): DataFrame =
     df.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
         max(col("o_orderdate")).as("last_order"))
 
-  private val MvSplit = "1997-01-01"
+  private[operators] val MvSplit = "1997-01-01"
 
   private def mvBase(s: SparkSession, dir: String): DataFrame = {
     mvCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)

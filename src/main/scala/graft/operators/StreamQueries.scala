@@ -200,6 +200,144 @@ object StreamQueries {
     },
     oracle = sScd2.oracle)
 
+  /** s_mv — STREAMING materialized-view maintenance, the lambda-
+    * architecture closing leg of [[Relational.qMvIncremental]]: the
+    * same per-customer order aggregate, but the delta (1997+ orders)
+    * arrives as a STREAM — five delivery-ordered micro-batch files
+    * replayed through readStream + foreachBatch, each batch's partial
+    * aggregate MERGED into a persisted store seeded with the pre-1997
+    * base. The store is VERSION-CHAINED (batch b reads v(b), writes
+    * v(b+1) — the k_sink_stream rename-commit discipline: a retried
+    * batch rewrites its own version from the same input, so the merge
+    * is idempotent), and each merge is one keyed re-aggregate of
+    * store ∪ batch-partial — count/sum merge by sum, last-order by
+    * max, all integer/date algebra. The final store must equal the
+    * FULL RECOMPUTE of the view from all orders: the exact oracle the
+    * batch leg uses, now asserting that no micro-batch boundary,
+    * merge step, or store rewrite corrupted the view.
+    *
+    * Scale: the store is customer-sized (dimension-sized, never
+    * fact-sized) and each batch merge touches store + batch only —
+    * the production foreachBatch-upsert shape; the file-split replay
+    * is test harnessing, exactly as in [[sScd2Held]]. */
+  val sMv: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_smv/${new java.io.File(dir).getName}"
+      rmTree(new java.io.File(base))
+      val orders = graft.Tables.load(s, dir, "orders")
+      val split = to_timestamp(lit(Relational.MvSplit))
+      // seed: the persisted pre-split partial (the stored MV)
+      Relational.custAgg(orders.filter(col("o_orderdate") < split))
+        .write.mode("overwrite").parquet(s"$base/store/v0")
+      // the delta stream: 1997+ orders split into 5 delivery-ordered
+      // micro-batch files by order date (orders arrive over time)
+      val delta = orders.filter(col("o_orderdate") >= split)
+        .withColumn("dms", unix_millis(col("o_orderdate").cast("timestamp")))
+      val bounds = delta.agg(min(col("dms")).as("lo"), max(col("dms")).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val nb = 5
+      val bucketed = delta.withColumn("b",
+          ((col("dms") - lo) * nb / (hi - lo + 1)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (0 until nb).foreach { i =>
+        bucketed.filter(col("b") === i).drop("dms", "b")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
+      }
+      bucketed.unpersist()
+      val version = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream
+        .schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val v = version.get()
+          val cur = s.read.parquet(s"$base/store/v$v")
+          cur.unionByName(Relational.custAgg(batch))
+            .groupBy(col("o_custkey"))
+            .agg(sum(col("n_orders")).as("n_orders"),
+              sum(col("total_cents")).as("total_cents"),
+              max(col("last_order")).as("last_order"))
+            .write.mode("overwrite").parquet(s"$base/store/v${v + 1}")
+          version.set(v + 1)
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$base/store/v${version.get()}")
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Relational.qMvIncremental.oracle)
+
+  /** s_pull_budget — the reference's PULL-BUDGET drain
+    * (kafka.max.pull.hrs / kafka.max.pull.minutes.per.task,
+    * KafkaInputFormat.java:60-61) as a driver-oracled row running the
+    * REAL admission-controlled stream: the events topic is produced
+    * to a segment log, then drained under Trigger.AvailableNow with
+    * `maxRecordsPerTrigger` = max(512, n/8) — so the backlog always
+    * splits into multiple bounded micro-batches — through the graft
+    * DSv2 source's [[graft.sources.PullBudget]] admission path.
+    * foreachBatch folds each batch's decoded per-type counts into a
+    * driver map (bounded by type cardinality) and records batch
+    * sizes. The contract the oracle replays: the drained per-type
+    * counts equal the batch table EXACTLY (offset-pinned admission
+    * loses nothing and duplicates nothing across every budget
+    * boundary), the drain really did split (`multi_batch`), and every
+    * batch respected the budget within the per-partition rounding
+    * slack of ≤ 8 (`batches_bounded` — each of the 8 partitions may
+    * round its proportional share up to one extra record, the same
+    * +8 LogSegmentSourceSpec pins). */
+  val sPullBudget: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pull_budget/${new java.io.File(dir).getName}"
+      rmTree(new java.io.File(base))
+      graft.sources.LogSegments.write(
+        MessageLog.eventsTopic(s, dir), s"$base/src")
+      val budget = math.max(512L,
+        graft.Tables.load(s, dir, "events").count() / 8)
+      val typeCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+      val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = s.readStream.format("graft-log")
+        .option("maxRecordsPerTrigger", budget.toString)
+        .load(s"$base/src")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val perType = Streaming.decodeEvents(batch)
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+            .collect()
+          sizes.add(perType.map(_.getLong(1)).sum)
+          perType.foreach { r =>
+            typeCounts.updateWith(r.getString(0)) {
+              c => Some(c.getOrElse(0L) + r.getLong(1))
+            }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      val all = sizes.asScala.toSeq
+      val multi = all.count(_ > 0) >= 2
+      val bounded = all.forall(_ <= budget + 8)
+      import s.implicits._
+      typeCounts.toSeq.sortBy(_._1)
+        .map { case (t, n) => (t, n, multi, bounded) }
+        .toDF("event_type", "n", "multi_batch", "batches_bounded")
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             TRUE AS multi_batch, TRUE AS batches_bounded
+      FROM events GROUP BY event_type
+      ORDER BY event_type"""))
+
   /** Ingest-time decontamination ([[Streaming.contaminationHits]] —
     * bloom screen per document, exact verify join for suspects only).
     * The driver's batch gate left-joins the corpus back for the full
@@ -425,6 +563,8 @@ object StreamQueries {
     "s_topk_contract" -> sTopkContract,
     "s_cusum" -> sCusum,
     "s_scd2_held" -> sScd2Held,
+    "s_mv" -> sMv,
+    "s_pull_budget" -> sPullBudget,
     "s_transitions" -> sTransitions,
     "s_funnel" -> sFunnel,
     "s_attribution" -> sAttribution,
