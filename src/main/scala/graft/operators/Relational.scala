@@ -2498,7 +2498,220 @@ object Relational {
              max(o_orderdate) AS last_order
       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** q_theta_sketch — mergeable SET-OPERATION sketches (the KMV /
+    * theta-sketch family, Bar-Yossef et al. 2002 / Dasgupta et al.'s
+    * DataSketches theta): [[qHllSketch]] answers only COUNT-distinct;
+    * the question HLL structurally cannot answer — |A∩B| across two
+    * pre-sketched corpora (audience overlap, cross-corpus
+    * contamination mass) — is exactly what KMV's sample-based theta
+    * form exists for. Each set keeps its k=1024 smallest distinct
+    * hash values (the sketch IS a uniform sample below threshold θ =
+    * kth hash): |S| ≈ (k−1)·2³²/θ, union sketches merge by keeping
+    * the k smallest of the combined samples (the mergeability that
+    * makes this a one-pass-per-partition + tiny-merge shape at
+    * 100 TB — Spark's sort-limit is per-partition top-k + driver
+    * merge, the sketch algebra itself), and intersection estimates
+    * from sample agreement below θ* = min(θA, θB). A sketch holding
+    * fewer than k values is EXACT (θ = 2³²). Everything is integer
+    * (md5-hex → long via the positional-digit device, integer-div
+    * estimators), so DuckDB replays estimate-for-estimate. Sets: the
+    * distinct order-placing customers of the two date halves.
+    * Measured error at k=1024: ≤0.9% (sf0.01) / ≤2.7% (sf0.1) across
+    * all four measures vs the ~3.1% RSE theory bound; the pinned
+    * contract is err_ppm ≤ 100000 (10%, ≥3.7× margin). */
+  val qThetaSketch: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val K = 1024
+      val H = 4294967296L
+      val hexExpr = (1 to 8).map(i =>
+        s"(locate(substring(hh, $i, 1), '0123456789abcdef') - 1) * " +
+          s"${1L << (4 * (8 - i))}L")
+        .mkString("(", " + ", ")")
+      def keys(pred: org.apache.spark.sql.Column): DataFrame =
+        t(s, dir, "orders").filter(pred)
+          .select(col("o_custkey").as("x")).distinct()
+          .withColumn("hh",
+            md5(concat(lit("theta:"), col("x").cast("string"))))
+          .withColumn("h", expr(hexExpr))
+          .select(col("x"), col("h"))
+          .localCheckpoint(true)
+      val a = keys(col("o_orderdate") < to_timestamp(lit("1995-07-01")))
+      val b = keys(col("o_orderdate") >= to_timestamp(lit("1995-07-01")))
+      // k smallest by (h, x): the x tie-break pins the boundary when
+      // two keys collide in the 32-bit hash space
+      def sk(df: DataFrame): DataFrame =
+        df.orderBy(col("h"), col("x")).limit(K).localCheckpoint(true)
+      val (ska, skb) = (sk(a), sk(b))
+      val sku = sk(ska.union(skb).distinct())
+      def stats(skd: DataFrame, tag: String): DataFrame =
+        skd.agg(count(lit(1)).as(s"m_$tag"),
+          when(count(lit(1)) < K, lit(H)).otherwise(max(col("h")))
+            .as(s"th_$tag"))
+      val ex = a.agg(count(lit(1)).as("xa"))
+        .crossJoin(b.agg(count(lit(1)).as("xb")))
+        .crossJoin(a.select(col("x")).union(b.select(col("x"))).distinct()
+          .agg(count(lit(1)).as("xu")))
+        .crossJoin(a.join(b.select(col("x")), "x")
+          .agg(count(lit(1)).as("xi")))
+      val st = stats(ska, "a").crossJoin(stats(skb, "b"))
+        .crossJoin(stats(sku, "u"))
+        .withColumn("th_i", least(col("th_a"), col("th_b")))
+      val mi = ska.join(skb.select(col("x")), "x")
+        .crossJoin(st.select(col("th_i").as("thx")))
+        .filter(col("h") <= col("thx"))
+        .agg(count(lit(1)).as("m_i"))
+      def estOf(m: String, th: String) =
+        when(col(m) < K, col(m))
+          .otherwise(expr(s"((${K - 1} * ${H}L) div $th)"))
+      val rows = st.crossJoin(mi).crossJoin(ex)
+        .select(
+          struct(lit("a").as("measure"),
+            estOf("m_a", "th_a").as("est"), col("xa").as("exact")).as("r1"),
+          struct(lit("b").as("measure"),
+            estOf("m_b", "th_b").as("est"), col("xb").as("exact")).as("r2"),
+          struct(lit("union").as("measure"),
+            estOf("m_u", "th_u").as("est"), col("xu").as("exact")).as("r3"),
+          struct(lit("intersect").as("measure"),
+            expr(s"((m_i * ${H}L) div th_i)").as("est"),
+            col("xi").as("exact")).as("r4"))
+        .select(explode(array(col("r1"), col("r2"), col("r3"), col("r4")))
+          .as("r"))
+        .select(col("r.measure").as("measure"), col("r.est").as("est"),
+          col("r.exact").as("exact"))
+      rows
+        .withColumn("err_ppm",
+          expr("(abs(est - exact) * 1000000) div exact"))
+        .withColumn("within_bound", col("err_ppm") <= 100000L)
+        .orderBy(col("measure"))
+    },
+    oracle = Some {
+      val hexDuck = (1 to 8).map(i =>
+        s"(strpos('0123456789abcdef', substring(hh, $i, 1)) - 1) * " +
+          s"CAST(${1L << (4 * (8 - i))} AS BIGINT)")
+        .mkString("(", " + ", ")")
+      s"""
+      WITH a_keys AS (
+        SELECT DISTINCT o_custkey AS x FROM orders
+        WHERE o_orderdate < TIMESTAMP '1995-07-01'),
+      b_keys AS (
+        SELECT DISTINCT o_custkey AS x FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'),
+      ah AS (SELECT x, $hexDuck AS h FROM (
+        SELECT x, md5('theta:' || CAST(x AS VARCHAR)) AS hh FROM a_keys)),
+      bh AS (SELECT x, $hexDuck AS h FROM (
+        SELECT x, md5('theta:' || CAST(x AS VARCHAR)) AS hh FROM b_keys)),
+      ska AS (SELECT x, h FROM (
+        SELECT x, h, row_number() OVER (ORDER BY h, x) AS rnk FROM ah)
+        WHERE rnk <= 1024),
+      skb AS (SELECT x, h FROM (
+        SELECT x, h, row_number() OVER (ORDER BY h, x) AS rnk FROM bh)
+        WHERE rnk <= 1024),
+      mu AS (SELECT DISTINCT x, h FROM (
+        SELECT x, h FROM ska UNION SELECT x, h FROM skb)),
+      sku AS (SELECT x, h FROM (
+        SELECT x, h, row_number() OVER (ORDER BY h, x) AS rnk FROM mu)
+        WHERE rnk <= 1024),
+      sta AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        CASE WHEN count(*) < 1024 THEN 4294967296
+             ELSE max(h) END AS th FROM ska),
+      stb AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        CASE WHEN count(*) < 1024 THEN 4294967296
+             ELSE max(h) END AS th FROM skb),
+      stu AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        CASE WHEN count(*) < 1024 THEN 4294967296
+             ELSE max(h) END AS th FROM sku),
+      thi AS (SELECT least(a.th, b.th) AS th FROM sta a, stb b),
+      sti AS (SELECT CAST(count(*) AS BIGINT) AS mi
+        FROM ska JOIN (SELECT x FROM skb) USING (x), thi
+        WHERE ska.h <= thi.th),
+      ex AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM a_keys) AS xa,
+        (SELECT CAST(count(*) AS BIGINT) FROM b_keys) AS xb,
+        (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT x FROM a_keys UNION SELECT x FROM b_keys)) AS xu,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM a_keys JOIN b_keys USING (x)) AS xi),
+      rows_(measure, est, exact) AS (
+        SELECT 'a', CASE WHEN m < 1024 THEN m
+          ELSE (1023 * 4294967296) // th END, xa FROM sta, ex
+        UNION ALL
+        SELECT 'b', CASE WHEN m < 1024 THEN m
+          ELSE (1023 * 4294967296) // th END, xb FROM stb, ex
+        UNION ALL
+        SELECT 'union', CASE WHEN m < 1024 THEN m
+          ELSE (1023 * 4294967296) // th END, xu FROM stu, ex
+        UNION ALL
+        SELECT 'intersect', (mi * 4294967296) // th, xi
+        FROM sti, thi, ex)
+      SELECT measure, CAST(est AS BIGINT) AS est, exact,
+             CAST((abs(est - exact) * 1000000) // exact AS BIGINT)
+               AS err_ppm,
+             (abs(est - exact) * 1000000) // exact <= 100000
+               AS within_bound
+      FROM rows_ ORDER BY measure"""
+    })
+
+  /** q_concurrency — interval CONCURRENCY by sweep line (the classic
+    * "max concurrent sessions" / resources-in-use-over-time question;
+    * the counting sibling of the gaps-and-islands family [[qScd2]]
+    * covers): each lineitem is in transit over
+    * [ship_day, ship_day + transit], transit content-determined
+    * (1 + (orderkey·7 + linenumber) % 28 days — the house
+    * construct device standing in for a receipt date the table
+    * doesn't carry); the answer is shipments in transit per day.
+    * The sweep is the scale story: facts reduce to per-day +1/−1
+    * DELTA counts first (two partial-aggregated keyed counts — the
+    * only passes over the fact table), and the running sum then runs
+    * over the DATE DOMAIN (2528 rows at both SFs — bounded by
+    * calendar span, not by data), so the single-partition
+    * prefix-sum window is domain-sized, never fact-sized — same
+    * argument as [[qZonemap]]'s grid. Max in-transit measured:
+    * 438 (sf0.01) / 3946 (sf0.1). */
+  val qConcurrency: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val day = "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+      val iv = t(s, dir, "lineitem").select(
+        expr(day).as("sday"),
+        expr(s"$day + 1 + (l_orderkey * 7 + l_linenumber) % 28").as("eday"))
+      val starts = iv.groupBy(col("sday")).agg(count(lit(1)).as("starts"))
+        .select(col("sday").as("day"), col("starts"), lit(0L).as("ends"))
+      val ends = iv.groupBy(col("eday")).agg(count(lit(1)).as("ends"))
+        .select((col("eday") + 1).as("day"), lit(0L).as("starts"),
+          col("ends"))
+      val agg = starts.unionByName(ends).groupBy(col("day"))
+        .agg(sum(col("starts")).as("starts"), sum(col("ends")).as("ends"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      agg.withColumn("active", sum(col("starts") - col("ends")).over(w))
+        .select(col("day"), col("starts"), col("ends"), col("active"))
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      WITH iv AS (
+        SELECT epoch(l_shipdate) // 86400 AS sday,
+               epoch(l_shipdate) // 86400
+                 + 1 + (l_orderkey * 7 + l_linenumber) % 28 AS eday
+        FROM lineitem),
+      deltas AS (
+        SELECT sday AS day, CAST(count(*) AS BIGINT) AS starts,
+               CAST(0 AS BIGINT) AS ends
+        FROM iv GROUP BY 1
+        UNION ALL
+        SELECT eday + 1 AS day, CAST(0 AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM iv GROUP BY 1),
+      agg AS (
+        SELECT day, CAST(sum(starts) AS BIGINT) AS starts,
+               CAST(sum(ends) AS BIGINT) AS ends
+        FROM deltas GROUP BY 1)
+      SELECT CAST(day AS BIGINT) AS day, starts, ends,
+             CAST(sum(starts - ends) OVER (ORDER BY day) AS BIGINT)
+               AS active
+      FROM agg ORDER BY day"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "q_theta_sketch" -> qThetaSketch,
+    "q_concurrency" -> qConcurrency,
     "q_bloom_join" -> qBloomJoin,
     "q_mv_incremental" -> qMvIncremental,
     "q_attribution" -> qAttribution,

@@ -192,4 +192,45 @@ class RelationalOpsSpec extends SparkSpec {
     for (a <- out; b <- out if a != b)
       assert(!dominates((a._1, a._2, a._3), (b._1, b._2, b._3)))
   }
+
+  test("q_theta_sketch: every estimate within bound; small sets exact below capacity") {
+    val rows = Relational.qThetaSketch.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.map(_._1).sorted.toSeq ===
+      Seq("a", "b", "intersect", "union"))
+    assert(rows.forall(_._5), s"estimate out of bound: $rows")
+    // at sf0.001 every distinct-customer set is under the k=1024
+    // capacity, so the KMV sketches hold the FULL sets: estimates
+    // must be exact, not merely within bound
+    for ((m, est, exact, err, _) <- rows if exact <= 1024) {
+      assert(est === exact, s"$m: sub-capacity sketch must be exact")
+      assert(err === 0L)
+    }
+    // set algebra sanity against the exact columns
+    val ex = rows.map(r => r._1 -> r._3).toMap
+    assert(ex("a") + ex("b") === ex("union") + ex("intersect"),
+      "inclusion-exclusion must hold on the exact counts")
+  }
+
+  test("q_concurrency: sweep equals brute per-day interval counting") {
+    val out = Relational.qConcurrency.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val iv = Tables.load(spark, sf, "lineitem")
+      .select(
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("s"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000" +
+          " + 1 + (l_orderkey * 7 + l_linenumber) % 28").as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute: active(day) = intervals with s <= day <= e
+    for ((day, _, _, active) <- out.take(50) ++ out.takeRight(50)) {
+      val brute = iv.count { case (st, en) => st <= day && day <= en }.toLong
+      assert(active === brute, s"day $day: active $active != brute $brute")
+    }
+    // active never negative, and returns to zero after the last end
+    assert(out.forall(_._4 >= 0))
+    assert(out.last._4 === 0L, "sweep must close every interval")
+  }
 }
