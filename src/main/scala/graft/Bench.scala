@@ -272,13 +272,20 @@ object Bench {
     // both a filtered profiling run and a full run at another SF (or a
     // ScaleProbe replica dir) would silently clobber it with numbers
     // the README/SURVEY claims no longer back.
-    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1") {
+    // SPARK_GRAFT_FULL_OUT names an explicit destination for the
+    // full-precision record at ANY sfDir (the ~sf1 replica artifact);
+    // the implicit bench_full.json stays sf0.1-only so a replica run
+    // can never clobber the canonical sidecar.
+    val fullOut = sys.env.get("SPARK_GRAFT_FULL_OUT")
+      .orElse(if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
+        Some("bench_full.json") else None)
+    fullOut.foreach { out =>
       val fullQs = timings.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val fullFailed =
         if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$fullFailed,"sf":"$sfDir"}""" + "\n")
       catch { case NonFatal(_) => () }
     }
