@@ -3959,7 +3959,228 @@ object Pipeline {
       FROM px GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Shared oracle prologue for the graph-insert pair: base k=8 kNN
+    * graph over vec_id < 400 with its √n upper layer, then the 100
+    * delta nodes (400 ≤ id < 500 — the universe is capped at 500 so
+    * the demo is NON-degenerate at every SF; the embeddings table
+    * has exactly 500 rows at sf0.01) INSERTED by the unrolled
+    * layered beam search over the base graph (their top-8 become
+    * their out-edges), then the merged adjacency. Same MATERIALIZED
+    * unroll discipline as [[graphSearchCtes]]. */
+  private def insertBeamRounds(prefix: String, adj: String,
+      rounds: Int, beam: Int): String =
+    (1 to rounds).map { r =>
+      s"""
+      ${prefix}c$r AS (
+        SELECT qid, cand FROM ${prefix}b${r - 1} WHERE rnk <= $beam
+        UNION
+        SELECT b.qid, a.u AS cand
+        FROM ${prefix}b${r - 1} b JOIN $adj a ON a.v = b.cand
+        WHERE b.rnk <= $beam),
+      ${prefix}b$r AS MATERIALIZED (
+        SELECT qid, cand, cosm,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosm DESC, cand) AS rnk
+        FROM (SELECT DISTINCT x.qid, x.cand, s.cosm
+              FROM ${prefix}c$r x JOIN scored s
+                ON s.a = x.qid AND s.b = x.cand))"""
+    }.mkString(",")
+
+  private val graphInsertCtes: String = s"""
+      WITH nodes AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+      elems AS (
+        SELECT q.vec_id AS a, c.vec_id AS b,
+               CAST(unnest(q.embedding) AS DOUBLE) AS qe,
+               CAST(unnest(c.embedding) AS DOUBLE) AS ce
+        FROM nodes q, nodes c WHERE c.vec_id <> q.vec_id),
+      scored AS MATERIALIZED (
+        SELECT a, b,
+               CAST(round(SUM(qe*ce) /
+                 (sqrt(SUM(qe*qe)) * sqrt(SUM(ce*ce))) * 10000)
+                 AS BIGINT) AS cosm
+        FROM elems GROUP BY a, b),
+      bknn AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT a, b, row_number() OVER (PARTITION BY a
+                   ORDER BY cosm DESC, b) AS rnk
+          FROM scored WHERE a < 400 AND b < 400) WHERE rnk <= 8),
+      badj AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM bknn
+        UNION SELECT b AS v, a AS u FROM bknn),
+      bup AS (SELECT vec_id FROM nodes
+              WHERE vec_id % 25 = 1 AND vec_id < 400),
+      buknn AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT s.a, s.b, row_number() OVER (PARTITION BY s.a
+                   ORDER BY s.cosm DESC, s.b) AS rnk
+          FROM scored s JOIN bup x ON s.a = x.vec_id
+               JOIN bup y ON s.b = y.vec_id) WHERE rnk <= 4),
+      buadj AS MATERIALIZED (
+        SELECT a AS v, b AS u FROM buknn
+        UNION SELECT b AS v, a AS u FROM buknn),
+      dq AS (SELECT vec_id AS qid FROM nodes WHERE vec_id >= 400),
+      iub0 AS MATERIALIZED (
+        SELECT qid, cand, cosm,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosm DESC, cand) AS rnk
+        FROM (SELECT DISTINCT x.qid, x.cand, s.cosm
+              FROM (SELECT qid, 1 AS cand FROM dq) x
+              JOIN scored s ON s.a = x.qid AND s.b = x.cand)),${insertBeamRounds("iu", "buadj", 1, 8)},
+      ient AS (SELECT qid, cand FROM iub1 WHERE rnk <= 4),
+      ib0 AS MATERIALIZED (
+        SELECT qid, cand, cosm,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosm DESC, cand) AS rnk
+        FROM (SELECT DISTINCT x.qid, x.cand, s.cosm
+              FROM ient x
+              JOIN scored s ON s.a = x.qid AND s.b = x.cand)),${insertBeamRounds("i", "badj", 4, 24)},
+      inserts AS (SELECT qid AS a, cand AS b, cosm, rnk
+                  FROM ib4 WHERE rnk <= 8)"""
+
+  /** d_ann_graph_insert — INCREMENTAL graph-ANN maintenance, the
+    * HNSW INSERT path ([[dAnnIvfDelta]]'s lifecycle story for the
+    * graph family): 100 new vectors (400 ≤ vec_id < 500) enter an
+    * existing index — the k=8 base graph over vec_id < 400 with its
+    * √n upper layer — by running the LAYERED BEAM SEARCH as their
+    * insert routine (HNSW's actual insertion: search the graph for
+    * your own neighborhood, link to the top-M found; M = 8 here).
+    * New nodes enter at layer 0, the overwhelmingly common HNSW case
+    * (P(level>0) = 1/M per level) — the upper sample stays the base
+    * one. Reverse edges make inserted nodes REACHABLE from the old
+    * graph (the bidirectional-link half of the algorithm), which
+    * [[dAnnGraphInsertRecall]] proves. Output is the 800-row
+    * inserted edge list — every beam of every round integer-ranked,
+    * so the whole insert replays in SQL. */
+  val dAnnGraphInsert: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 500)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = nodes.filter(col("vec_id") < 400)
+      val delta = nodes.filter(col("vec_id") >= 400)
+      val baseGraph = Similarity.bruteTopK(base, base, "embedding",
+          "vec_id", k = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val baseUpper = base.filter(col("vec_id") % 25 === 1)
+      val baseUpperGraph = Similarity.bruteTopK(baseUpper, baseUpper,
+          "embedding", "vec_id", k = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val out = Similarity.graphSearchTopKLayered(base, delta,
+          baseGraph, baseUpperGraph, "embedding", "vec_id", k = 8)
+        .select(col("query_id").as("new_id"), col("neighbor_id"),
+          col("cosm"), col("rnk"))
+        .orderBy(col("new_id"), col("rnk"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some(graphInsertCtes + """
+      SELECT a AS new_id, b AS neighbor_id, cosm, rnk
+      FROM inserts ORDER BY new_id, rnk"""))
+
+  /** d_ann_graph_insert_recall — the merged-index quality contract
+    * behind [[dAnnGraphInsert]]: the standard query set searches the
+    * MERGED graph (base ∪ insert edges, undirected) through the same
+    * layered machinery, scored against the brute top-5 over the full
+    * 500-node universe. Measured 98%/90% at sf0.01/sf0.1 — as good
+    * as the one-shot build ([[dAnnGraphRecall]] 94/85), which is the
+    * point: incremental maintenance does not degrade the index (the
+    * same invariant [[dAnnIvfDelta]] pins for IVF). new_covered
+    * counts brute-true neighbors that ARE inserted nodes and got
+    * found — reverse-edge reachability, measured 14/14 at sf0.01 and
+    * 8/10 at sf0.1 (insert-only nodes carry in-edges from their own
+    * inserts alone — the weaker-in-degree asymmetry HNSW's
+    * bidirectional linking mitigates but doesn't erase), so the
+    * pinned contract is new_covered ≥ half of n_new, plus recall
+    * floor 80 as the one-shot search. */
+  val dAnnGraphInsertRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 500)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = nodes.filter(col("vec_id") < 400)
+      val delta = nodes.filter(col("vec_id") >= 400)
+      val baseGraph = Similarity.bruteTopK(base, base, "embedding",
+          "vec_id", k = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val baseUpper = base.filter(col("vec_id") % 25 === 1)
+      val baseUpperGraph = Similarity.bruteTopK(baseUpper, baseUpper,
+          "embedding", "vec_id", k = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val inserts = Similarity.graphSearchTopKLayered(base, delta,
+          baseGraph, baseUpperGraph, "embedding", "vec_id", k = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      val merged = baseGraph.union(inserts)
+      val queries = nodes.filter(col("vec_id") % 50 === 0)
+      val approx = Similarity.graphSearchTopKLayered(nodes, queries,
+          merged, baseUpperGraph, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val brute = Similarity.bruteTopK(nodes, queries, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val bruteNew = brute.filter(col("neighbor_id") >= 400)
+      val out = brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(bruteNew.agg(count(lit(1)).as("n_new")))
+        .crossJoin(bruteNew.intersect(approx)
+          .agg(count(lit(1)).as("new_covered")))
+        .select(col("n_brute"),
+          expr("(100 * hits) div n_brute").as("recall_pct"),
+          expr("(100 * hits) div n_brute >= 80").as("recall_ok"),
+          col("n_new"), col("new_covered"),
+          (col("new_covered") * 2 >= col("n_new")).as("new_reachable_ok"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some(graphInsertCtes + s""",
+      madj AS MATERIALIZED (
+        SELECT v, u FROM badj
+        UNION SELECT a, b FROM inserts
+        UNION SELECT b, a FROM inserts),
+      qs AS (SELECT vec_id AS qid FROM nodes WHERE vec_id % 50 = 0),
+      qub0 AS MATERIALIZED (
+        SELECT qid, cand, cosm,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosm DESC, cand) AS rnk
+        FROM (SELECT DISTINCT x.qid, x.cand, s.cosm
+              FROM (SELECT qid, 1 AS cand FROM qs) x
+              JOIN scored s ON s.a = x.qid AND s.b = x.cand)),${insertBeamRounds("qu", "buadj", 1, 8)},
+      qent AS (SELECT qid, cand FROM qub1 WHERE rnk <= 4),
+      qb0 AS MATERIALIZED (
+        SELECT qid, cand, cosm,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cosm DESC, cand) AS rnk
+        FROM (SELECT DISTINCT x.qid, x.cand, s.cosm
+              FROM qent x
+              JOIN scored s ON s.a = x.qid AND s.b = x.cand)),${insertBeamRounds("q", "madj", 4, 24)},
+      brute AS (SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (PARTITION BY a
+                 ORDER BY cosm DESC, b) AS rnk
+        FROM scored WHERE a % 50 = 0) WHERE rnk <= 5),
+      brute_new AS (SELECT a, b FROM brute WHERE b >= 400),
+      counts AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM brute) AS n_brute,
+        (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT a, b FROM brute INTERSECT
+          SELECT qid, cand FROM qb4 WHERE rnk <= 5)) AS hits,
+        (SELECT CAST(count(*) AS BIGINT) FROM brute_new) AS n_new,
+        (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT a, b FROM brute_new INTERSECT
+          SELECT qid, cand FROM qb4 WHERE rnk <= 5)) AS new_covered)
+      SELECT n_brute,
+             (100 * hits) // n_brute AS recall_pct,
+             (100 * hits) // n_brute >= 80 AS recall_ok,
+             n_new, new_covered,
+             new_covered * 2 >= n_new AS new_reachable_ok
+      FROM counts"""))
+
   val defs: Map[String, QueryDef] = Map(
+    "d_ann_graph_insert" -> dAnnGraphInsert,
+    "d_ann_graph_insert_recall" -> dAnnGraphInsertRecall,
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
     "t_tokens" -> tTokens,

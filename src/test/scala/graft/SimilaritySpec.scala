@@ -633,6 +633,27 @@ class SimilaritySpec extends SparkSpec {
       s"upper-layer routing must reach node 11's true neighbors, got ${layered.toSeq}")
   }
 
+  test("graph insert: every delta node links M base neighbors; merged search reaches inserted nodes") {
+    import graft.operators.Pipeline
+    val edges = Pipeline.dAnnGraphInsert.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(edges.nonEmpty)
+    // every inserted edge leaves a delta node and lands in the base set
+    assert(edges.forall(e => e._1 >= 400L && e._1 < 500L))
+    assert(edges.forall(_._2 < 400L))
+    // exactly M = 8 out-edges per inserted node, ranks 1..8
+    edges.groupBy(_._1).foreach { case (id, es) =>
+      assert(es.length === 8, s"node $id has ${es.length} insert edges")
+      assert(es.map(_._3).sorted.toSeq === (1L to 8L))
+    }
+    // the merged-index contract row: recall floor AND reverse-edge
+    // reachability of the inserted nodes hold at the spec SF too
+    val r = Pipeline.dAnnGraphInsertRecall.fn(spark, sf).collect()(0)
+    assert(r.getBoolean(2), s"merged recall ${r.getLong(1)} under floor")
+    assert(r.getBoolean(5),
+      s"new-node coverage ${r.getLong(4)}/${r.getLong(3)} under half")
+  }
+
   test("silhouette audit discriminates a geometric partition from the label partition") {
     import graft.operators.Pipeline
     val rows = Pipeline.dClusterSilhouette.fn(spark, sf).collect()
