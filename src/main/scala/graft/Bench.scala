@@ -285,8 +285,15 @@ object Bench {
       val fullFailed =
         if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      // A filtered run (SPARK_GRAFT_ONLY) that names SPARK_GRAFT_FULL_OUT
+      // writes a PARTIAL suite: embed the active filter and switch the
+      // metric label so the record is self-identifying and can never be
+      // mistaken for (or clobber the semantics of) a full-suite total.
+      val metric = if (only.isEmpty) "total" else "partial"
+      val fullOnly = only.fold("")(ks =>
+        ks.toSeq.sorted.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs$fullFailed,"sf":"$sfDir"}""" + "\n")
+        s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$fullQs$fullFailed$fullOnly,"sf":"$sfDir"}""" + "\n")
       catch { case NonFatal(_) => () }
     }
     spark.stop()

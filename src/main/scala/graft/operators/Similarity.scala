@@ -124,6 +124,49 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** FULL-CORPUS graph-ANN index build — the production composition
+    * the bounded demo keys (d_ann_graph*) stand in for, with every
+    * stage linear in the corpus:
+    *  - seed: [[blockedTopK]] whose block COUNT scales with n (fixed
+    *    ≈`blockRows` rows per block), so seed pair mass is
+    *    O(n·blockRows) — never n²;
+    *  - refine: `rounds` [[nnDescentRound]]s, O(n·k²) cosines each,
+    *    each round localCheckpointed (its output feeds the next
+    *    round's adjacency TWICE — carry + 2-hop self-join — the
+    *    established dual-consumer cut);
+    *  - upper layer: a uniform ≈√n id-sample (HNSW's level
+    *    assignment) with its own exact kNN graph — (√n)² = n cosines,
+    *    also linear.
+    * Returns (baseGraph, upperGraph, entryId): the directed
+    * (query_id, neighbor_id) edge lists ready for
+    * [[graphSearchTopKLayered]], plus the global entry node —
+    * 1 + upStep, the SECOND upper-layer node, chosen off the standard
+    * vec_id < 10 probe set because the search's self-filter empties a
+    * query's seed beam when the query IS the entry (measured: probe
+    * query 1 returned zero rows with entry 1, costing 5 of 50 recall
+    * slots). `n` is the caller-supplied corpus row count (it already
+    * has it from sizing decisions; recounting here would add a
+    * job). */
+  def buildGraphIndexFull(nodes: DataFrame, vecCol: String,
+      idCol: String, n: Long, k: Int = 8, rounds: Int = 2,
+      blockRows: Int = 128,
+      upperK: Int = 4): (DataFrame, DataFrame, Long) = {
+    val blocks = math.max(4L, n / blockRows).toInt
+    var g = blockedTopK(nodes, vecCol, idCol, k = k, blocks = blocks)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      g = nnDescentRound(nodes, g, vecCol, idCol, k = k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+    val upStep = math.max(2L, math.round(math.sqrt(n.toDouble)))
+    val upperNodes = nodes.filter(pmod(col(idCol), lit(upStep)) === 1)
+    val upperGraph = bruteTopK(upperNodes, upperNodes, vecCol, idCol,
+        k = upperK)
+      .select(col("query_id"), col("neighbor_id"))
+    (g, upperGraph, 1L + upStep)
+  }
+
   /** Graph-based ANN: greedy BEAM SEARCH over a directed kNN graph —
     * the HNSW/DiskANN search primitive, single-layer. Start the beam
     * at fixed entry points; each round expands the beam's UNDIRECTED

@@ -248,26 +248,30 @@ object StreamQueries {
           .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
       }
       bucketed.unpersist()
-      val version = new java.util.concurrent.atomic.AtomicLong(0L)
+      val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = s.readStream
         .schema(orders.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val v = version.get()
-          val cur = s.read.parquet(s"$base/store/v$v")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // Version keyed by BATCH IDENTITY, not an in-memory counter:
+          // batch b reads v(b) and overwrites v(b+1), so a re-delivered
+          // batchId after a successful commit rewrites ITS OWN version
+          // from the same input — idempotent by construction, even if
+          // the driver-side counter were lost to a restart.
+          val cur = s.read.parquet(s"$base/store/v$batchId")
           cur.unionByName(Relational.custAgg(batch))
             .groupBy(col("o_custkey"))
             .agg(sum(col("n_orders")).as("n_orders"),
               sum(col("total_cents")).as("total_cents"),
               max(col("last_order")).as("last_order"))
-            .write.mode("overwrite").parquet(s"$base/store/v${v + 1}")
-          version.set(v + 1)
+            .write.mode("overwrite").parquet(s"$base/store/v${batchId + 1}")
+          lastVersion.updateAndGet(v => math.max(v, batchId + 1))
           ()
         }
         .start()
       q.processAllAvailable(); q.stop()
-      s.read.parquet(s"$base/store/v${version.get()}")
+      s.read.parquet(s"$base/store/v${lastVersion.get()}")
         .orderBy(col("o_custkey"))
     },
     oracle = Relational.qMvIncremental.oracle)
@@ -300,8 +304,13 @@ object StreamQueries {
       rmTree(new java.io.File(base))
       graft.sources.LogSegments.write(
         MessageLog.eventsTopic(s, dir), s"$base/src")
-      val budget = math.max(512L,
-        graft.Tables.load(s, dir, "events").count() / 8)
+      val nEvents = graft.Tables.load(s, dir, "events").count()
+      // The multi_batch pin in the oracle requires the drain to SPLIT:
+      // cap the budget at n/2 so any corpus with ≥2 events produces ≥2
+      // micro-batches even when the 512 floor alone would swallow a
+      // tiny SF's whole backlog in one batch.
+      val budget = math.max(1L,
+        math.min(nEvents / 2, math.max(512L, nEvents / 8)))
       val typeCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
       val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val q = s.readStream.format("graft-log")
@@ -318,6 +327,12 @@ object StreamQueries {
               c => Some(c.getOrElse(0L) + r.getLong(1))
             }
           }
+          // Driver fold is bounded by TYPE cardinality, never event
+          // volume — the same loud guard s_cusum carries, so a
+          // high-cardinality type column fails fast instead of OOMing.
+          require(typeCounts.size <= 10000,
+            s"s_pull_budget driver fold saw ${typeCounts.size} event types (>10000): " +
+              "the per-type fold is only safe for bounded type cardinality")
           ()
         }
         .trigger(Trigger.AvailableNow()).start()

@@ -654,6 +654,38 @@ class SimilaritySpec extends SparkSpec {
       s"new-node coverage ${r.getLong(4)}/${r.getLong(3)} under half")
   }
 
+  test("full-corpus graph index: linear build stages, entry off the probe set, contracts hold") {
+    import graft.operators.Pipeline
+    val nodes = graft.Tables.load(spark, sf, "embeddings")
+    val n = nodes.count()
+    val (g, ug, entry) = Similarity.buildGraphIndexFull(
+      nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+    // the base graph covers (nearly) every node at out-degree <= 12
+    val deg = g.groupBy(col("query_id")).agg(count(lit(1)).as("d")).collect()
+    assert(deg.length.toLong >= n - 1)
+    assert(deg.forall(_.getLong(1) <= 12L))
+    // upper layer is the ~sqrt(n) uniform sample and contains the entry
+    val upStep = math.max(2L, math.round(math.sqrt(n.toDouble)))
+    val upperIds = ug.select(col("query_id")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(upperIds.forall(_ % upStep === 1L))
+    assert(entry === 1L + upStep)
+    assert(upperIds.contains(entry))
+    // entry is OFF the standard vec_id < 10 probe set: every probe
+    // query must return exactly k rows (the self-filter regression —
+    // entry 1 returned an empty beam for query 1)
+    val full = Pipeline.dAnnGraphFull.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(full.length === 50, s"expected 10 queries x 5, got ${full.length}")
+    assert(full.forall(r => r._1 != r._2))
+    // contract rows at the spec SF
+    val r = Pipeline.dAnnGraphFullRecall.fn(spark, sf).collect()(0)
+    assert(r.getBoolean(1), "full-corpus recall under floor")
+    val ir = Pipeline.dAnnGraphFullInsertRecall.fn(spark, sf).collect()(0)
+    assert(ir.getBoolean(1), "insert recall under floor")
+    assert(ir.getBoolean(2), "inserted nodes not reachable")
+  }
+
   test("silhouette audit discriminates a geometric partition from the label partition") {
     import graft.operators.Pipeline
     val rows = Pipeline.dClusterSilhouette.fn(spark, sf).collect()
