@@ -276,6 +276,93 @@ object StreamQueries {
     },
     oracle = Relational.qMvIncremental.oracle)
 
+  /** One CDC micro-batch applied to the version-chained key-value
+    * store: read v(batchId), MERGE (evict keys present in the batch,
+    * append the batch — [[Relational.mergeUpsert]]'s NOT-IN +
+    * UNION-ALL plan), overwrite v(batchId+1). Versions are keyed by
+    * BATCH IDENTITY, so a re-delivered batch rewrites its own target
+    * version from the same store input — idempotent on redelivery by
+    * construction (StreamingSpec applies a batch twice and pins the
+    * identical result). Factored out so the spec drives the exact
+    * production code path. */
+  private[graft] def mergeCdcBatch(s: org.apache.spark.sql.SparkSession,
+      storeBase: String,
+      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      key: String): Unit = {
+    val cur = s.read.parquet(s"$storeBase/v$batchId")
+    Relational.mergeUpsert(cur, batch, key)
+      .write.mode("overwrite").parquet(s"$storeBase/v${batchId + 1}")
+  }
+
+  /** s_merge — STREAMING CDC MERGE, the lambda-closing leg of
+    * [[Relational.qMerge]] exactly as [[sMv]] closes it for
+    * materialized views: the SAME change set (updates = status-U
+    * orders with repriced totals, inserts = negated new keys) arrives
+    * as a STREAM — four delivery-ordered micro-batch files replayed
+    * through readStream + foreachBatch — and each batch MERGEs into a
+    * persisted store seeded with the untouched base table via
+    * [[mergeCdcBatch]] (batchId-keyed version chain: idempotent
+    * redelivery, spec-pinned). The final store must equal the one-shot
+    * batch MERGE of all changes: q_merge's NOT-IN + UNION-ALL oracle
+    * verbatim, asserting no micro-batch boundary, eviction, or store
+    * rewrite corrupted the table. Change keys are unique across the
+    * whole delta (each key is either one update or one insert), so
+    * the file split is order-independent by construction.
+    *
+    * Scale: each batch merge touches store + batch only — the
+    * production foreachBatch-upsert shape (Delta/Iceberg MERGE's
+    * eviction plan); the store rewrite is the bounded-dimension
+    * pattern, never fact-sized churn. File-split replay is test
+    * harnessing, as in [[sMv]]/[[sScd2Held]]. */
+  val sMerge: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_smerge/${new java.io.File(dir).getName}"
+      rmTree(new java.io.File(base))
+      val orders = graft.Tables.load(s, dir, "orders")
+      // seed: the store starts as the base table (v0)
+      orders.write.mode("overwrite").parquet(s"$base/store/v0")
+      // the CDC delta: q_merge's exact change set, split into 4
+      // delivery-ordered micro-batch files by order date
+      val updates = orders.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val inserts = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", (col("o_orderkey") + 1) * -1)
+        .withColumn("o_orderstatus", lit("N"))
+      val delta = updates.unionByName(inserts)
+        .withColumn("dms", unix_millis(col("o_orderdate").cast("timestamp")))
+      val bounds = delta.agg(min(col("dms")).as("lo"), max(col("dms")).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val nb = 4
+      val bucketed = delta.withColumn("b",
+          ((col("dms") - lo) * nb / (hi - lo + 1)).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (0 until nb).foreach { i =>
+        bucketed.filter(col("b") === i).drop("dms", "b")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
+      }
+      bucketed.unpersist()
+      val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream
+        .schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          mergeCdcBatch(s, s"$base/store", batch, batchId, "o_orderkey")
+          lastVersion.updateAndGet(v => math.max(v, batchId + 1))
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$base/store/v${lastVersion.get()}")
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Relational.qMerge.oracle)
+
   /** s_pull_budget — the reference's PULL-BUDGET drain
     * (kafka.max.pull.hrs / kafka.max.pull.minutes.per.task,
     * KafkaInputFormat.java:60-61) as a driver-oracled row running the
@@ -350,6 +437,80 @@ object StreamQueries {
     oracle = Some("""
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              TRUE AS multi_batch, TRUE AS batches_bounded
+      FROM events GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** s_pull_clock — the reference's WALL-CLOCK pull budget
+    * (`kafka.max.pull.minutes.per.task`, KafkaInputFormat.java:60-61)
+    * as a driver-oracled row, completing the pair [[sPullBudget]]
+    * opened for the record budget: the events topic drains under
+    * `maxPullMinutesPerTask` through the DSv2 source's rate-adaptive
+    * admission path ([[graft.sources.PullBudget]] — a micro-batch's
+    * end offsets pin before tasks run, so "stop when time is up"
+    * re-expresses as rows = budget × measured rate, EWMA'd trigger
+    * over trigger, seeded by `pullRateInitGuess`).
+    *
+    * What is DETERMINISTIC about a wall-clock budget — and therefore
+    * what the oracle pins: (1) exactly-once per-type totals across
+    * every budget boundary; (2) the FIRST trigger's admission, which
+    * rides only the seed rate, never a clock: budget 1 min × seed
+    * n/240 rec/s = n/4 rows (+8 per-partition rounding slack) —
+    * `first_bounded`; (3) therefore the drain SPLITS — ≥2 non-empty
+    * batches, `multi_batch`. What is NOT deterministic — each later
+    * batch's size — rides the measured rate by design (that is the
+    * feature: catch-up adapts to observed throughput) and is exactly
+    * what the oracle does NOT pin. Driver fold is type-bounded with
+    * the same cardinality guard as [[sPullBudget]]. */
+  val sPullClock: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pull_clock/${new java.io.File(dir).getName}"
+      rmTree(new java.io.File(base))
+      graft.sources.LogSegments.write(
+        MessageLog.eventsTopic(s, dir), s"$base/src")
+      val nEvents = graft.Tables.load(s, dir, "events").count()
+      // seed rate chosen so the first trigger admits ~n/4 records in
+      // the 1-minute budget: 60 s × (n/240 rec/s) = n/4
+      val seedRate = nEvents / 240.0
+      val firstCap = nEvents / 4 + 8
+      val typeCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+      val sizes = scala.collection.concurrent.TrieMap.empty[Long, Long]
+      val q = s.readStream.format("graft-log")
+        .option("maxPullMinutesPerTask", "1")
+        .option("pullRateInitGuess", seedRate.toString)
+        .load(s"$base/src")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val perType = Streaming.decodeEvents(batch)
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+            .collect()
+          sizes.put(batchId, perType.map(_.getLong(1)).sum)
+          perType.foreach { r =>
+            typeCounts.updateWith(r.getString(0)) {
+              c => Some(c.getOrElse(0L) + r.getLong(1))
+            }
+          }
+          require(typeCounts.size <= 10000,
+            s"s_pull_clock driver fold saw ${typeCounts.size} event types (>10000): " +
+              "the per-type fold is only safe for bounded type cardinality")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val multi = sizes.values.count(_ > 0) >= 2
+      val firstBounded = sizes.getOrElse(0L, 0L) <= firstCap
+      import s.implicits._
+      typeCounts.toSeq.sortBy(_._1)
+        .map { case (t, n) => (t, n, multi, firstBounded) }
+        .toDF("event_type", "n", "multi_batch", "first_bounded")
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             TRUE AS multi_batch, TRUE AS first_bounded
       FROM events GROUP BY event_type
       ORDER BY event_type"""))
 
@@ -579,7 +740,9 @@ object StreamQueries {
     "s_cusum" -> sCusum,
     "s_scd2_held" -> sScd2Held,
     "s_mv" -> sMv,
+    "s_merge" -> sMerge,
     "s_pull_budget" -> sPullBudget,
+    "s_pull_clock" -> sPullClock,
     "s_transitions" -> sTransitions,
     "s_funnel" -> sFunnel,
     "s_attribution" -> sAttribution,

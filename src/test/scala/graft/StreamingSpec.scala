@@ -7,6 +7,37 @@ import org.apache.spark.sql.streaming.Trigger
 
 class StreamingSpec extends SparkSpec {
 
+  test("streaming CDC merge: redelivered batch is idempotent; final store equals one-shot merge") {
+    import graft.operators.{Relational, StreamQueries}
+    val store = java.nio.file.Files.createTempDirectory("graft_smerge_spec").toString
+    val base = graft.Tables.load(spark, sf, "orders")
+    base.write.mode("overwrite").parquet(s"$store/v0")
+    val updates = base.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val inserts = base.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", (col("o_orderkey") + 1) * -1)
+      .withColumn("o_orderstatus", lit("N"))
+    // two delivery batches; batch 1 gets REDELIVERED (a retry after a
+    // successful commit) — the batchId-keyed version chain must make
+    // the second application rewrite v2 identically, not double-merge
+    StreamQueries.mergeCdcBatch(spark, store, updates, 0L, "o_orderkey")
+    StreamQueries.mergeCdcBatch(spark, store, inserts, 1L, "o_orderkey")
+    val v2First = spark.read.parquet(s"$store/v2")
+      .orderBy(col("o_orderkey")).collect()
+    StreamQueries.mergeCdcBatch(spark, store, inserts, 1L, "o_orderkey")
+    val v2Again = spark.read.parquet(s"$store/v2")
+      .orderBy(col("o_orderkey")).collect()
+    assert(v2Again.toSeq === v2First.toSeq,
+      "redelivered batch must rewrite its own version identically")
+    // and the chained store equals the one-shot batch MERGE
+    val oneShot = Relational.mergeUpsert(base,
+        updates.unionByName(inserts), "o_orderkey")
+      .orderBy(col("o_orderkey")).collect()
+    assert(v2Again.toSeq === oneShot.toSeq,
+      "chained CDC merge must equal the one-shot batch merge")
+  }
+
   test("streaming windowed agg over a log stream equals the batch plan") {
     val path = java.nio.file.Files.createTempDirectory("graft_stream").toString
     MessageLog.writeLog(MessageLog.eventsTopic(spark, sf), path)
