@@ -18,11 +18,24 @@ import org.apache.spark.sql.functions._
   * replica generator, not of the plans:
   *
   *  - documents: replica i > 0 weaves a replica-unique marker token in
-  *    every 5th word — word-shingle Jaccard across replicas drops to
-  *    ~0.25 (< the 0.5 minhash threshold) and char-4-gram Jaccard to
-  *    ~0.55 (< the 0.7 ngram threshold), while within a replica the
-  *    planted near-dups transform identically so their overlap is
-  *    untouched.
+  *    every 5th word AND applies a replica-unique character BIJECTION
+  *    (translate over 'abcdefghij' rotated by i — period 10, distinct
+  *    for every replica). A bijection maps each replica's gram/word
+  *    sets one-to-one, so WITHIN-replica Jaccard (word or char-gram)
+  *    is preserved EXACTLY, while cross-replica char-4-gram overlap
+  *    collapses to near zero. The r13 marker-only weave left
+  *    cross-replica char-gram Jaccard ~0.55 — right at the 12x6
+  *    banding's S-curve midpoint, so d_dedup_ngram's 10x row (4.4x)
+  *    measured candidate-pair mass the device itself injected, not
+  *    the plan (the r13 verdict's decorrelation finding).
+  *  - events: replica i shifts ts by i * (base span + 10 min) — each
+  *    replica occupies a DISJOINT time domain, so interval/sweep
+  *    operators (q_range_join's error windows) match only their own
+  *    replica's events and true pair mass scales linearly. With the
+  *    shared axis, matched pairs grew exactly k² (measured 479,031 →
+  *    47,903,100 at k=10) — output explosion from the device, not the
+  *    plan (q_range_join's 4.3x wall-clock against 100x output was
+  *    already strongly sub-linear).
   *  - embeddings: replica i rotates the dimension axes by 7*i — a
   *    norm- and distance-preserving permutation, so each replica's
   *    neighborhoods are exactly the base ones, while cross-replica
@@ -42,7 +55,7 @@ object ScaleProbe {
     // skip guard will accept (a marker removed only at the end would
     // keep validating the old factor while tables are half-overwritten)
     Option(new java.io.File(out).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith("_REPLICA_COMPLETE_V2")).foreach(_.delete())
+      .filter(_.getName.startsWith("_REPLICA_COMPLETE_V3")).foreach(_.delete())
     def t(name: String): DataFrame = spark.read.parquet(s"$base/$name.parquet")
     def w(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -56,14 +69,25 @@ object ScaleProbe {
     w(shifted(t("lineitem"), "l_orderkey")((d, _) => d), "lineitem")
     w(shifted(t("orders"), "o_orderkey")((d, _) => d), "orders")
     // user_id shifts too so per-user state (sessions, running totals)
-    // scales in keys, not just rows per key
-    w(shifted(t("events"), "event_id")((d, i) =>
-      d.withColumn("user_id", col("user_id") + lit(i * Off))), "events")
-    // replica-unique marker woven through the text (see scaladoc)
+    // scales in keys, not just rows per key; ts shifts each replica to
+    // a disjoint time domain (see scaladoc). Events go through
+    // Tables.load so ts rides the long-nanos contract (the base file
+    // is a microsecond timestamp; the replica persists the normalized
+    // LONG, which Tables.load passes through unchanged).
+    val ev = graft.Tables.load(spark, base, "events")
+    val evBounds = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val evSpan = evBounds.getLong(1) - evBounds.getLong(0) +
+      600L * 1000000000L // + the widest interval any operator opens
+    w(shifted(ev, "event_id")((d, i) =>
+      d.withColumn("user_id", col("user_id") + lit(i * Off))
+        .withColumn("ts", col("ts") + lit(i * evSpan))), "events")
+    // replica-unique marker + character bijection (see scaladoc)
+    val alpha = "abcdefghij"
     w(shifted(t("documents"), "doc_id")((d, i) =>
       if (i == 0) d
-      else d.withColumn("text", concat_ws(" ", expr(
-        s"transform(split(text, ' '), (w, j) -> IF(j % 5 = 4, concat(w, ' zzz${i}qqq'), w))")))),
+      else d.withColumn("text", translate(concat_ws(" ", expr(
+          s"transform(split(text, ' '), (w, j) -> IF(j % 5 = 4, concat(w, ' zzz${i}qqq'), w))")),
+        alpha, alpha.drop(i % 10) + alpha.take(i % 10)))),
       "documents")
     // per-replica axis rotation (see scaladoc)
     w(shifted(t("embeddings"), "vec_id")((d, i) =>
@@ -83,7 +107,7 @@ object ScaleProbe {
 
   // factor is part of the marker so a 10x dir is never mistaken for 30x
   private def marker(k: Int): String =
-    if (k == 10) "_REPLICA_COMPLETE_V2" else s"_REPLICA_COMPLETE_V2_x$k"
+    if (k == 10) "_REPLICA_COMPLETE_V3" else s"_REPLICA_COMPLETE_V3_x$k"
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sfx1")
