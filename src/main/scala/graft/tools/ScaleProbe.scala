@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   *
   *  - documents: replica i > 0 weaves a replica-unique marker token in
   *    every 5th word AND applies a replica-unique character BIJECTION
-  *    (translate over 'abcdefghij' rotated by i — period 10, distinct
-  *    for every replica). A bijection maps each replica's gram/word
-  *    sets one-to-one, so WITHIN-replica Jaccard (word or char-gram)
-  *    is preserved EXACTLY, while cross-replica char-4-gram overlap
-  *    collapses to near zero. The r13 marker-only weave left
+  *    (a seeded permutation of the full alphabet — 26! transforms, so
+  *    every replica's map is distinct at ANY replica count). A
+  *    bijection maps each replica's gram/word sets one-to-one, so
+  *    WITHIN-replica Jaccard (word or char-gram) is preserved
+  *    EXACTLY, while cross-replica char-4-gram overlap collapses to
+  *    near zero. The r13 marker-only weave left
   *    cross-replica char-gram Jaccard ~0.55 — right at the 12x6
   *    banding's S-curve midpoint, so d_dedup_ngram's 10x row (4.4x)
   *    measured candidate-pair mass the device itself injected, not
@@ -55,7 +56,7 @@ object ScaleProbe {
     // skip guard will accept (a marker removed only at the end would
     // keep validating the old factor while tables are half-overwritten)
     Option(new java.io.File(out).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith("_REPLICA_COMPLETE_V3")).foreach(_.delete())
+      .filter(_.getName.startsWith("_REPLICA_COMPLETE_V4")).foreach(_.delete())
     def t(name: String): DataFrame = spark.read.parquet(s"$base/$name.parquet")
     def w(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -81,13 +82,30 @@ object ScaleProbe {
     w(shifted(ev, "event_id")((d, i) =>
       d.withColumn("user_id", col("user_id") + lit(i * Off))
         .withColumn("ts", col("ts") + lit(i * evSpan))), "events")
-    // replica-unique marker + character bijection (see scaladoc)
-    val alpha = "abcdefghij"
+    // replica-unique marker + character bijection (see scaladoc).
+    // The bijection is a SEEDED PERMUTATION of the full alphabet
+    // (26! >> any replica count), not a rotation: a rotation's period
+    // caps the distinct transforms, and at k=100 the first cut
+    // (rotate 'abcdefghij' by i%10) put every 10th replica back on a
+    // SHARED bijection — their cross-pairs sat at the banding S-curve
+    // midpoint again and d_dedup_ngram's exact-verify gram join
+    // spilled the disk to death. Lower and upper case both map (the
+    // dedup kernels lower() first — an unmapped uppercase letter
+    // would leak identity grams through the lowering).
+    def permAlpha(i: Int): (String, String) = {
+      val lower = "abcdefghijklmnopqrstuvwxyz"
+      val p = new scala.util.Random(0xC0FFEE + i)
+        .shuffle(lower.toList).mkString
+      (lower + lower.toUpperCase, p + p.toUpperCase)
+    }
     w(shifted(t("documents"), "doc_id")((d, i) =>
       if (i == 0) d
-      else d.withColumn("text", translate(concat_ws(" ", expr(
-          s"transform(split(text, ' '), (w, j) -> IF(j % 5 = 4, concat(w, ' zzz${i}qqq'), w))")),
-        alpha, alpha.drop(i % 10) + alpha.take(i % 10)))),
+      else {
+        val (from, to) = permAlpha(i)
+        d.withColumn("text", translate(concat_ws(" ", expr(
+            s"transform(split(text, ' '), (w, j) -> IF(j % 5 = 4, concat(w, ' zzz${i}qqq'), w))")),
+          from, to))
+      }),
       "documents")
     // per-replica axis rotation (see scaladoc)
     w(shifted(t("embeddings"), "vec_id")((d, i) =>
@@ -107,7 +125,7 @@ object ScaleProbe {
 
   // factor is part of the marker so a 10x dir is never mistaken for 30x
   private def marker(k: Int): String =
-    if (k == 10) "_REPLICA_COMPLETE_V3" else s"_REPLICA_COMPLETE_V3_x$k"
+    if (k == 10) "_REPLICA_COMPLETE_V4" else s"_REPLICA_COMPLETE_V4_x$k"
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sfx1")
