@@ -1870,7 +1870,7 @@ object Pipeline {
       val emb = Tables.load(s, dir, "embeddings")
       val n = emb.count()
       val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id",
-        Similarity.autoNlist(n), 3)
+        Similarity.autoNlistPairs(n), 3)
       val centDf = {
         import s.implicits._
         cents.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
@@ -1921,7 +1921,7 @@ object Pipeline {
       val emb = Tables.load(s, dir, "embeddings")
       val n = emb.count()
       val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id",
-        Similarity.autoNlist(n), 3)
+        Similarity.autoNlistPairs(n), 3)
       val centDf = {
         import s.implicits._
         cents.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }

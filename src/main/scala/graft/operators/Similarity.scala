@@ -554,6 +554,23 @@ object Similarity {
     math.min(4096, math.max(16,
       math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt))
 
+  /** Coarse-quantizer sizing for WITHIN-CLUSTER PAIR work (the
+    * SemDeDup composition), as opposed to IVF SEARCH routing
+    * ([[autoNlist]]'s √n): √n keeps cluster size √n, so all-pairs
+    * work inside clusters is nlist·(n/nlist)² = n^1.5 — measured
+    * falling over (executor OOM, ~714M candidate pairs) at n = 200k
+    * in the 100× probe. Beyond the crossover where √n clusters
+    * exceed ~64 rows, size by cluster instead: nlist = n/64, so pair
+    * mass stays O(n·64·probes²) — linear. Below the crossover
+    * (n ≲ 262k... n ≤ 4096² for the √n branch; in practice every
+    * driver-gate SF) this equals [[autoNlist]], so test-scale
+    * behavior and the measured recall floors are unchanged. The 16384
+    * cap bounds the per-vector assignment cost (argmax over centroids
+    * is nlist·dim flops); past it (n ≳ 1M) the documented next step
+    * is hierarchical routing, not a bigger flat codebook. */
+  private[graft] def autoNlistPairs(n: Long): Int =
+    math.max(autoNlist(n), math.min(16384L, n / 64L).toInt)
+
   /** Wrap a driver-side centroid matrix as a broadcast for the
     * expression kernels: tasks serialize a handle, each executor
     * fetches the matrix once — nlist can grow to thousands without
