@@ -4303,10 +4303,70 @@ object Pipeline {
              TRUE AS new_reachable_ok
       FROM embeddings WHERE vec_id < 10"""))
 
+  /** d_ann_graph_full_delete_recall — the DELETE leg of the
+    * full-corpus graph-ANN lifecycle (build → insert → DELETE →
+    * search), completing what [[dAnnGraphFullInsertRecall]] opened:
+    * 10% of the corpus (vec_id ≡ 7 mod 10) is TOMBSTONED — the
+    * hnswlib/FAISS mark-deleted semantics: deleted nodes STAY in the
+    * graph and keep ROUTING (removing their edges would disconnect
+    * regions; compaction is a periodic rebuild), but are excluded
+    * from results. The search runs k·3 deep (tombstone oversampling —
+    * ~10% deletion needs far less; 3× also covers the worst case of
+    * a query whose whole true top-k was deleted), drops tombstones,
+    * and re-ranks to k. Contracts: recall ≥ 0.8 vs the brute top-5
+    * over SURVIVORS (deleted neighbors' slots must be REFILLED by
+    * next-best survivors — measured 100/96 at sf0.01/sf0.1), and
+    * full_k (every query still returns exactly k rows — a thinned
+    * result set is the failure mode oversampling exists to prevent).
+    * Tombstone filtering is a per-candidate predicate on the
+    * query-bounded beam output — zero extra corpus work. */
+  val dAnnGraphFullDeleteRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = nodes.count()
+      val (graph, upper, entry) = Similarity.buildGraphIndexFull(
+        nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+      val q = nodes.filter(col("vec_id") < 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosm").desc, col("neighbor_id"))
+      val approx = Similarity.graphSearchTopKLayered(nodes, q, graph,
+          upper, "embedding", "vec_id", k = 15, beam = 48, rounds = 6,
+          upperSeed = entry)
+        .filter(pmod(col("neighbor_id"), lit(10)) =!= 7)
+        .withColumn("rnk2", row_number().over(w).cast("long"))
+        .filter(col("rnk2") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val survivors = nodes.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val brute = Similarity.bruteTopK(survivors, q, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val out = brute.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(approx.agg(count(lit(1)).as("n_returned")))
+        .select(col("n_queries"),
+          (col("hits").cast("double") / col("n_brute") >= 0.8)
+            .as("recall_ok"),
+          (col("n_returned") === col("n_brute")).as("full_k"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             TRUE AS full_k
+      FROM embeddings WHERE vec_id < 10"""))
+
   val defs: Map[String, QueryDef] = Map(
     "d_ann_graph_insert" -> dAnnGraphInsert,
     "d_ann_graph_insert_recall" -> dAnnGraphInsertRecall,
     "d_ann_graph_full" -> dAnnGraphFull,
+    "d_ann_graph_full_delete_recall" -> dAnnGraphFullDeleteRecall,
     "d_ann_graph_full_recall" -> dAnnGraphFullRecall,
     "d_ann_graph_full_insert_recall" -> dAnnGraphFullInsertRecall,
     "t_langid" -> tLangid,

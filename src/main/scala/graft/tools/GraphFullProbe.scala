@@ -39,6 +39,32 @@ object GraphFullProbe {
         println(s"PROBE dir=$dir n=$n gk=$gk rounds=$rounds beam=$beam " +
           s"srounds=$srounds recall=${100 * hits / nBrute} hits=$hits/$nBrute")
       }
+      // delete leg: tombstone vec_id % 10 == 7, search k*3 deep,
+      // drop tombstones, re-rank to 5; recall vs brute over survivors
+      {
+        val (g, ug, entry) = Similarity.buildGraphIndexFull(
+          nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosm").desc, col("neighbor_id"))
+        val approxD = Similarity.graphSearchTopKLayered(nodes, queries,
+            g, ug, "embedding", "vec_id", k = 15, beam = 48, rounds = 6,
+            upperSeed = entry)
+          .filter(pmod(col("neighbor_id"), lit(10)) =!= 7)
+          .withColumn("rnk2", row_number().over(w).cast("long"))
+          .filter(col("rnk2") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        val survivors = nodes.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+        val bruteD = Similarity.bruteTopK(survivors, queries,
+            "embedding", "vec_id", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(true)
+        val nb = bruteD.count()
+        val hd = bruteD.intersect(approxD).count()
+        println(s"PROBE-DELETE dir=$dir n=$n recall=${100 * hd / nb} " +
+          s"hits=$hd/$nb returned=${approxD.count()}")
+      }
       // insert split: base 80%, delta 20%
       val split = n * 4 / 5
       val base = nodes.filter(col("vec_id") < split)

@@ -684,6 +684,10 @@ class SimilaritySpec extends SparkSpec {
     val ir = Pipeline.dAnnGraphFullInsertRecall.fn(spark, sf).collect()(0)
     assert(ir.getBoolean(1), "insert recall under floor")
     assert(ir.getBoolean(2), "inserted nodes not reachable")
+    // delete leg: tombstoned search refills every slot from survivors
+    val dr = Pipeline.dAnnGraphFullDeleteRecall.fn(spark, sf).collect()(0)
+    assert(dr.getBoolean(1), "survivor recall under floor after delete")
+    assert(dr.getBoolean(2), "tombstones thinned a result set below k")
   }
 
   test("silhouette audit discriminates a geometric partition from the label partition") {
