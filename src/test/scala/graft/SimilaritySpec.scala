@@ -342,6 +342,35 @@ class SimilaritySpec extends SparkSpec {
     assert(default === explicit)
   }
 
+  test("pair-work quantizer sizing is cluster-bounded past the sqrt(n) crossover") {
+    // below the crossover: identical to autoNlist, so every measured
+    // recall floor at the driver-gate SFs is untouched by the r14 fix
+    assert(Similarity.autoNlistPairs(500) === Similarity.autoNlist(500))
+    assert(Similarity.autoNlistPairs(2000) === Similarity.autoNlist(2000))
+    // past it: nlist = n/64, so within-cluster pair mass is
+    // O(n·64·probes²) — sqrt(n) sizing was n^1.5 and OOM'd at n=200k
+    // (the 100x probe's one real find)
+    assert(Similarity.autoNlistPairs(200000) === 3125)
+    assert(Similarity.autoNlistPairs(200000) > Similarity.autoNlist(200000))
+    // monotone in n, and the assignment-cost cap binds eventually
+    assert(Similarity.autoNlistPairs(2000000) === 16384)
+    val ns = Seq(100L, 1000L, 10000L, 100000L, 1000000L, 10000000L)
+    assert(ns.map(Similarity.autoNlistPairs) === ns.map(Similarity.autoNlistPairs).sorted)
+  }
+
+  test("ngram banding AUTO-steepens past the pinned bench shape") {
+    import graft.operators.Dedup
+    // the pinned 12x6 is exactly what AUTO resolves to at the test
+    // corpus sizes (the bench keys pin it to keep the sizing count()
+    // out of benched time)...
+    assert(Dedup.autoNgramRows(5000) === 6)
+    assert(Dedup.autoNgramBands(6) === 12)
+    // ...and at the 100x probe's 500k docs AUTO steepens the rows —
+    // the production path for the fixed-shape background collisions
+    // the 100x table documents (d_dedup_ngram 59x with the pin)
+    assert(Dedup.autoNgramRows(500000) > 6)
+  }
+
   test("SQ8: per-coordinate error bound, self-cosine near 1, top-k near brute") {
     import org.apache.spark.sql.graft.Bridge
     import graft.plans.{BroadcastSq8, SQ8Cosine, SQ8Encode}
