@@ -139,14 +139,21 @@ object Similarity {
     *    also linear.
     * Returns (baseGraph, upperGraph, entryId): the directed
     * (query_id, neighbor_id) edge lists ready for
-    * [[graphSearchTopKLayered]], plus the global entry node —
-    * 1 + upStep, the SECOND upper-layer node, chosen off the standard
-    * vec_id < 10 probe set because the search's self-filter empties a
+    * [[graphSearchTopKLayered]], plus the global entry node — the
+    * SMALLEST ACTUAL upper-layer id ≥ 10, read from the sampled node
+    * set itself (one column-pruned min over ≈√n rows — the build is
+    * a multi-job operation already). Deriving from real ids makes
+    * the off-the-probe-set guarantee unconditional: the former
+    * 1 + upStep arithmetic landed back inside the vec_id < 10 probe
+    * set for n ≲ 72 and assumed contiguous ids — and staying off the
+    * probe set matters because the search's self-filter empties a
     * query's seed beam when the query IS the entry (measured: probe
     * query 1 returned zero rows with entry 1, costing 5 of 50 recall
-    * slots). `n` is the caller-supplied corpus row count (it already
-    * has it from sizing decisions; recounting here would add a
-    * job). */
+    * slots). If every upper id is < 10 (a sub-dozen-row corpus) the
+    * smallest upper id is used — self-filter losses are then the
+    * corpus's own property, not an id-arithmetic artifact. `n` is
+    * the caller-supplied corpus row count (it already has it from
+    * sizing decisions; recounting here would add a job). */
   def buildGraphIndexFull(nodes: DataFrame, vecCol: String,
       idCol: String, n: Long, k: Int = 8, rounds: Int = 2,
       blockRows: Int = 128,
@@ -161,10 +168,18 @@ object Similarity {
         .localCheckpoint(true)
     val upStep = math.max(2L, math.round(math.sqrt(n.toDouble)))
     val upperNodes = nodes.filter(pmod(col(idCol), lit(upStep)) === 1)
+    val entryRow = upperNodes.agg(
+        min(when(col(idCol) >= 10, col(idCol))).as("offProbe"),
+        min(col(idCol)).as("anyId")).head()
+    require(!entryRow.isNullAt(1),
+      s"graft: buildGraphIndexFull upper layer is empty (n=$n, " +
+        s"upStep=$upStep) — no id ≡ 1 mod $upStep exists in $idCol")
+    val entry =
+      if (!entryRow.isNullAt(0)) entryRow.getLong(0) else entryRow.getLong(1)
     val upperGraph = bruteTopK(upperNodes, upperNodes, vecCol, idCol,
         k = upperK)
       .select(col("query_id"), col("neighbor_id"))
-    (g, upperGraph, 1L + upStep)
+    (g, upperGraph, entry)
   }
 
   /** Graph-based ANN: greedy BEAM SEARCH over a directed kNN graph —
@@ -561,9 +576,12 @@ object Similarity {
     * falling over (executor OOM, ~714M candidate pairs) at n = 200k
     * in the 100× probe. Beyond the crossover where √n clusters
     * exceed ~64 rows, size by cluster instead: nlist = n/64, so pair
-    * mass stays O(n·64·probes²) — linear. Below the crossover
-    * (n ≲ 262k... n ≤ 4096² for the √n branch; in practice every
-    * driver-gate SF) this equals [[autoNlist]], so test-scale
+    * mass stays O(n·64·probes²) — linear. The crossover is where
+    * n/64 overtakes [[autoNlist]]'s min(4096, ⌈√n⌉): √n = n/64 at
+    * n = 4096, so divergence starts at n ≈ 4.1k (NOT 262k — 4096² is
+    * where √n would hit autoNlist's own cap, a different knee).
+    * Below n ≈ 4.1k — which covers every driver-gate SF (500/2000
+    * embeddings) — this equals [[autoNlist]], so test-scale
     * behavior and the measured recall floors are unchanged. The 16384
     * cap bounds the per-vector assignment cost (argmax over centroids
     * is nlist·dim flops); past it (n ≳ 1M) the documented next step

@@ -54,9 +54,12 @@ object ScaleProbe {
     // drop ALL completion markers BEFORE the first write: an
     // interrupted cross-factor rebuild must leave a dir no factor's
     // skip guard will accept (a marker removed only at the end would
-    // keep validating the old factor while tables are half-overwritten)
+    // keep validating the old factor while tables are half-overwritten).
+    // Every GENERATION of marker goes (V2/V3/V4/...), not just the
+    // current one — stale old-generation markers are inert to the skip
+    // guard but misleading state in a rebuilt dir.
     Option(new java.io.File(out).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith("_REPLICA_COMPLETE_V4")).foreach(_.delete())
+      .filter(_.getName.startsWith("_REPLICA_COMPLETE")).foreach(_.delete())
     def t(name: String): DataFrame = spark.read.parquet(s"$base/$name.parquet")
     def w(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")

@@ -698,8 +698,22 @@ class SimilaritySpec extends SparkSpec {
     val upperIds = ug.select(col("query_id")).distinct().collect()
       .map(_.getLong(0)).toSet
     assert(upperIds.forall(_ % upStep === 1L))
+    // entry = smallest ACTUAL upper id >= 10, derived from the sampled
+    // ids (on this contiguous-id corpus that equals the legacy
+    // 1 + upStep arithmetic — the derivation is a strict generalization)
+    assert(entry === upperIds.filter(_ >= 10L).min)
     assert(entry === 1L + upStep)
     assert(upperIds.contains(entry))
+    // tiny corpus: the legacy arithmetic (1 + upStep = 5 at n = 20)
+    // landed INSIDE the vec_id < 10 probe set; the derived entry must
+    // stay off it whenever any upper id >= 10 exists
+    val tiny = nodes.filter(col("vec_id") < 20)
+    val (_, tinyUg, tinyEntry) = Similarity.buildGraphIndexFull(
+      tiny, "embedding", "vec_id", 20, k = 4, rounds = 1)
+    assert(tinyEntry >= 10L,
+      s"tiny-corpus entry $tinyEntry is inside the probe set")
+    assert(tinyUg.select(col("query_id")).distinct().collect()
+      .map(_.getLong(0)).contains(tinyEntry))
     // entry is OFF the standard vec_id < 10 probe set: every probe
     // query must return exactly k rows (the self-filter regression —
     // entry 1 returned an empty beam for query 1)
