@@ -4178,16 +4178,73 @@ object Pipeline {
              new_covered * 2 >= n_new AS new_reachable_ok
       FROM counts"""))
 
+  // Graph-ANN index store: [[Similarity.buildGraphIndexFull]]'s edge
+  // lists written to parquet ONCE per (session, dir, variant) and read
+  // back with their (entry, k, n) shape metadata — the ivfListStore /
+  // Corpus.sigStore device, now for the build that was the suite's
+  // most expensive stage (each lifecycle key used to rebuild the same
+  // index). An index is built once and probed many times — the
+  // production topology — so the search/insert/delete/compact legs
+  // read the store. Variants: "full" = the whole embeddings table
+  // (search + delete legs), "base" = the 4/5 pmod split the insert
+  // leg indexes, "compact" = survivors of the delete leg's tombstone
+  // predicate (the compaction rebuild).
+  private val graphStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String),
+      (DataFrame, DataFrame, Long, Long, Int)]
+
+  /** Tombstone predicate shared by the delete and compaction legs:
+    * vec_id ≡ 7 mod 10 (pmod — replica-stable, unlike an id
+    * threshold). */
+  private def graphTombstoned(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = pmod(c, lit(10)) === 7
+
+  /** Insert-leg delta predicate: vec_id ≡ 4 mod 5 — a deterministic
+    * 20% batch that is REPLICA-STABLE (an id-threshold split like
+    * vec_id ≥ 4n/5 degenerates on replica dirs whose ids are offset
+    * by i·10⁸: the "80%" base collapses to the base replica only). */
+  private def graphDelta(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = pmod(c, lit(5)) === 4
+
+  private[graft] def graphIndexStore(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      variant: String): (DataFrame, DataFrame, Long, Long, Int) = {
+    graphStoreCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    graphStoreCache.getOrElseUpdate((s, dir, variant), {
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_graphstore_" +
+        s"${new java.io.File(dir).getName}_${dirTag}_$variant"
+      val emb = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = variant match {
+        case "full" => emb
+        case "base" => emb.filter(!graphDelta(col("vec_id")))
+        case "compact" => emb.filter(!graphTombstoned(col("vec_id")))
+        case other => throw new IllegalArgumentException(
+          s"graft: unknown graph-index store variant '$other'")
+      }
+      val n = nodes.count()
+      val (g, u, e) = Similarity.buildGraphIndexFull(
+        nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+      Similarity.writeGraphIndex(g, u, e, n, 12, path)
+      emb.unpersist()
+      Similarity.readGraphIndex(s, path)
+    })
+  }
+
   /** d_ann_graph_full — the UN-CAPPED graph-ANN composition (the
     * scale story the bounded demo keys d_ann_graph* stand in for):
     * the index over the FULL embeddings table is built by
     * [[Similarity.buildGraphIndexFull]] — corpus-scaled blocked seed
     * (≈128 rows/block, O(n) pair mass) + two NN-descent rounds
     * (O(n·k²) each) at degree k=12, plus the √n uniform-sample upper
-    * layer — then layer-searched at beam 48 / 6 rounds. Every build
-    * stage is LINEAR in the corpus and the search is query-linear, so
-    * unlike the demo family this key's input genuinely scales with
-    * SF (500 → 2000 rows at sf0.01 → sf0.1, and 10× beyond in the
+    * layer — PERSISTED once per corpus ([[graphIndexStore]]: parquet
+    * edge lists + shape metadata, bare store rejected) and
+    * layer-searched at beam 48 / 6 rounds. Every build stage is
+    * LINEAR in the corpus and the search is query-linear, so unlike
+    * the demo family this key's input genuinely scales with SF
+    * (500 → 2000 rows at sf0.01 → sf0.1, and 10× beyond in the
     * replica probes). The graph shape (k=12, beam 48, 6 rounds) is
     * the measured cost/recall knee on the NN-descent (imperfect)
     * graph: the sweep read 50→74→86→88 recall at sf0.1 for
@@ -4201,9 +4258,7 @@ object Pipeline {
     fn = (s, dir) => {
       val nodes = Tables.load(s, dir, "embeddings")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = nodes.count()
-      val (graph, upper, entry) = Similarity.buildGraphIndexFull(
-        nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+      val (graph, upper, entry, _, _) = graphIndexStore(s, dir, "full")
       val out = Similarity.graphSearchTopKLayered(nodes,
           nodes.filter(col("vec_id") < 10), graph, upper,
           "embedding", "vec_id", k = 5, beam = 48, rounds = 6,
@@ -4226,10 +4281,8 @@ object Pipeline {
     fn = (s, dir) => {
       val nodes = Tables.load(s, dir, "embeddings")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = nodes.count()
       val q = nodes.filter(col("vec_id") < 10)
-      val (graph, upper, entry) = Similarity.buildGraphIndexFull(
-        nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+      val (graph, upper, entry, _, _) = graphIndexStore(s, dir, "full")
       val approx = Similarity.graphSearchTopKLayered(nodes, q, graph,
           upper, "embedding", "vec_id", k = 5, beam = 48, rounds = 6,
           upperSeed = entry)
@@ -4245,33 +4298,35 @@ object Pipeline {
 
   /** d_ann_graph_full_insert_recall — the INSERT path against the
     * full-corpus index ([[dAnnGraphInsert]]'s lifecycle story,
-    * un-capped): the newest 20% of the corpus (vec_id ≥ 4n/5) enters
-    * the NN-descent index built over the older 80% by running the
-    * layered search as its insert routine (link to top-12 found);
-    * the standard 10-query probe then searches the MERGED graph
-    * (base ∪ insert edges — reverse edges make inserted nodes
-    * reachable) and must clear the SAME floors as the one-shot
-    * full build: recall ≥ 0.8 (measured 100/96 at sf0.01/sf0.1 —
-    * insertion does not degrade the index) and new_covered·2 ≥ n_new
-    * (brute-true neighbors that are INSERTED nodes and got found —
-    * measured 15/15 and 9/9, full reverse-edge reachability). Every stage linear:
-    * the delta insert is |delta|·beam-bounded query work. */
+    * un-capped): a 20% delta batch (vec_id ≡ 4 mod 5 — pmod, so the
+    * split is REPLICA-STABLE: an id-threshold split degenerated on
+    * replica dirs whose ids are offset by i·10⁸, silently turning
+    * the 80/20 scenario into ~10/90) enters the NN-descent index
+    * built — and PERSISTED, [[graphIndexStore]] "base" — over the
+    * other 80% by running the layered search as its insert routine
+    * (link to top-12 found); the standard 10-query probe then
+    * searches the MERGED graph (base ∪ insert edges — reverse edges
+    * make inserted nodes reachable) and must clear the SAME floors
+    * as the one-shot full build: recall ≥ 0.8 (insertion does not
+    * degrade the index) and new_covered·2 ≥ n_new (brute-true
+    * neighbors that are INSERTED nodes and got found — reverse-edge
+    * reachability). Every stage linear: the delta insert is
+    * |delta|·beam-bounded query work. */
   val dAnnGraphFullInsertRecall: QueryDef = QueryDef(
     fn = (s, dir) => {
       val nodes = Tables.load(s, dir, "embeddings")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = nodes.count()
-      val split = n * 4 / 5
-      val base = nodes.filter(col("vec_id") < split)
-      val delta = nodes.filter(col("vec_id") >= split)
-      val (baseGraph, baseUpper, entry) = Similarity.buildGraphIndexFull(
-        base, "embedding", "vec_id", split, k = 12, rounds = 2)
+      val base = nodes.filter(!graphDelta(col("vec_id")))
+      val delta = nodes.filter(graphDelta(col("vec_id")))
+      val (baseGraph, baseUpper, entry, _, _) =
+        graphIndexStore(s, dir, "base")
       val inserts = Similarity.graphSearchTopKLayered(base, delta,
           baseGraph, baseUpper, "embedding", "vec_id", k = 12,
           beam = 48, rounds = 6, upperSeed = entry)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(eager = true)
-      val merged = baseGraph.union(inserts)
+      val merged = baseGraph
+        .select(col("query_id"), col("neighbor_id")).union(inserts)
       val q = nodes.filter(col("vec_id") < 10)
       val approx = Similarity.graphSearchTopKLayered(nodes, q, merged,
           baseUpper, "embedding", "vec_id", k = 5, beam = 48,
@@ -4282,7 +4337,7 @@ object Pipeline {
           "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(eager = true)
-      val bruteNew = brute.filter(col("neighbor_id") >= split)
+      val bruteNew = brute.filter(graphDelta(col("neighbor_id")))
       val out = brute.agg(count(lit(1)).as("n_queries"))
         .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
         .crossJoin(bruteNew.agg(count(lit(1)).as("n_new")))
@@ -4306,11 +4361,12 @@ object Pipeline {
   /** d_ann_graph_full_delete_recall — the DELETE leg of the
     * full-corpus graph-ANN lifecycle (build → insert → DELETE →
     * search), completing what [[dAnnGraphFullInsertRecall]] opened:
-    * 10% of the corpus (vec_id ≡ 7 mod 10) is TOMBSTONED — the
-    * hnswlib/FAISS mark-deleted semantics: deleted nodes STAY in the
-    * graph and keep ROUTING (removing their edges would disconnect
-    * regions; compaction is a periodic rebuild), but are excluded
-    * from results. The search runs k·3 deep (tombstone oversampling —
+    * 10% of the corpus (vec_id ≡ 7 mod 10, [[graphTombstoned]]) is
+    * TOMBSTONED — the hnswlib/FAISS mark-deleted semantics: deleted
+    * nodes STAY in the stored graph and keep ROUTING (removing their
+    * edges would disconnect regions; the periodic rebuild is
+    * [[dAnnGraphFullCompactRecall]]'s leg), but are excluded from
+    * results. The search runs k·3 deep (tombstone oversampling —
     * ~10% deletion needs far less; 3× also covers the worst case of
     * a query whose whole true top-k was deleted), drops tombstones,
     * and re-ranks to k. Contracts: recall ≥ 0.8 vs the brute top-5
@@ -4324,9 +4380,7 @@ object Pipeline {
     fn = (s, dir) => {
       val nodes = Tables.load(s, dir, "embeddings")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = nodes.count()
-      val (graph, upper, entry) = Similarity.buildGraphIndexFull(
-        nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+      val (graph, upper, entry, _, _) = graphIndexStore(s, dir, "full")
       val q = nodes.filter(col("vec_id") < 10)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
@@ -4334,12 +4388,12 @@ object Pipeline {
       val approx = Similarity.graphSearchTopKLayered(nodes, q, graph,
           upper, "embedding", "vec_id", k = 15, beam = 48, rounds = 6,
           upperSeed = entry)
-        .filter(pmod(col("neighbor_id"), lit(10)) =!= 7)
+        .filter(!graphTombstoned(col("neighbor_id")))
         .withColumn("rnk2", row_number().over(w).cast("long"))
         .filter(col("rnk2") <= 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(eager = true)
-      val survivors = nodes.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val survivors = nodes.filter(!graphTombstoned(col("vec_id")))
       val brute = Similarity.bruteTopK(survivors, q, "embedding",
           "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -4362,11 +4416,80 @@ object Pipeline {
              TRUE AS full_k
       FROM embeddings WHERE vec_id < 10"""))
 
+  /** d_ann_graph_full_compact_recall — COMPACTION, the last leg of
+    * the graph-ANN lifecycle (build → insert → delete → COMPACT →
+    * search): [[dAnnGraphFullDeleteRecall]] tombstones 10% and leaves
+    * them routing in the stored index; once the tombstone fraction
+    * crosses the rebuild threshold (5% here — hnswlib's
+    * deleted-fraction heuristic, checked by a loud require so the
+    * key can never silently degrade into a no-op), the index is
+    * REBUILT over survivors and persisted ([[graphIndexStore]]
+    * "compact"). Because the rebuild IS [[Similarity
+    * .buildGraphIndexFull]] over the survivor set — one code path,
+    * no incremental patching — "rebuilt ≡ fresh build over
+    * survivors" holds by construction (the s_mv full-recompute
+    * identity; SimilaritySpec pins it structurally). Contracts:
+    * `tombstones_gone` — ZERO edges incident to a tombstoned id in
+    * the compacted index AND the stored node count equals the
+    * survivor count (the index genuinely shrank; mark-deleted alone
+    * never shrinks); `recall_ok` — ≥ 0.8 vs brute over survivors on
+    * the standard probe set (compaction must not lose routing
+    * quality — and the plain k-deep search now suffices where the
+    * delete leg needed k·3 oversampling, the operational payoff);
+    * `full_k` — every query still returns exactly k rows. */
+  val dAnnGraphFullCompactRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = nodes.count()
+      val survivors = nodes.filter(!graphTombstoned(col("vec_id")))
+      val nSurv = survivors.count()
+      require((n - nSurv) * 20 >= n,
+        s"graft: compaction leg expects tombstone fraction >= 5% " +
+          s"(got ${n - nSurv} of $n) — below the rebuild threshold " +
+          "the correct action is to keep the tombstoned index")
+      val (graph, upper, entry, storedN, _) =
+        graphIndexStore(s, dir, "compact")
+      val q = nodes.filter(col("vec_id") < 10)
+      val approx = Similarity.graphSearchTopKLayered(survivors, q,
+          graph, upper, "embedding", "vec_id", k = 5, beam = 48,
+          rounds = 6, upperSeed = entry)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val brute = Similarity.bruteTopK(survivors, q, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val tombEdges = graph.filter(
+        graphTombstoned(col("query_id")) ||
+          graphTombstoned(col("neighbor_id")))
+      val out = brute.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(approx.agg(count(lit(1)).as("n_returned")))
+        .crossJoin(tombEdges.agg(count(lit(1)).as("n_tomb_edges")))
+        .select(col("n_queries"),
+          (col("n_tomb_edges") === 0 && lit(storedN == nSurv))
+            .as("tombstones_gone"),
+          (col("hits").cast("double") / col("n_brute") >= 0.8)
+            .as("recall_ok"),
+          (col("n_returned") === col("n_brute")).as("full_k"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             TRUE AS tombstones_gone, TRUE AS recall_ok, TRUE AS full_k
+      FROM embeddings WHERE vec_id < 10"""))
+
   val defs: Map[String, QueryDef] = Map(
     "d_ann_graph_insert" -> dAnnGraphInsert,
     "d_ann_graph_insert_recall" -> dAnnGraphInsertRecall,
     "d_ann_graph_full" -> dAnnGraphFull,
     "d_ann_graph_full_delete_recall" -> dAnnGraphFullDeleteRecall,
+    "d_ann_graph_full_compact_recall" -> dAnnGraphFullCompactRecall,
     "d_ann_graph_full_recall" -> dAnnGraphFullRecall,
     "d_ann_graph_full_insert_recall" -> dAnnGraphFullInsertRecall,
     "t_langid" -> tLangid,

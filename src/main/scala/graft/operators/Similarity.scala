@@ -182,6 +182,57 @@ object Similarity {
     (g, upperGraph, entry)
   }
 
+  /** Column-metadata key carrying the shape a graph-index store was
+    * written with — (entry, k, n) — so a probe always uses the
+    * STORE's own entry node and degree instead of trusting the
+    * caller to re-specify them identically
+    * ([[graft.operators.Dedup.SignatureShapeKey]]'s discipline for
+    * the vector index). */
+  private[graft] val GraphIndexShapeKey = "graft.graphstore.shape"
+
+  /** Persist a [[buildGraphIndexFull]] result: base edge list →
+    * `path`/graph, upper edge list → `path`/upper, with (entry, k, n)
+    * in the base list's `query_id` column metadata (parquet
+    * round-trips field metadata — the [[Dedup.signatureStore]]
+    * device). THE production shape for graph ANN: an index is built
+    * once and probed many times, so search/insert/delete/compact
+    * paths read the store instead of re-running the O(n·k²) NN
+    * descent per query batch. At 100 TB the edge lists are
+    * corpus-sized parquet — partition them by pmod(query_id) if the
+    * adjacency join becomes shuffle-bound. */
+  def writeGraphIndex(graph: DataFrame, upper: DataFrame, entry: Long,
+      n: Long, k: Int, path: String): Unit = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(GraphIndexShapeKey, s"$entry,$k,$n").build()
+    graph.select(col("query_id").as("query_id", meta),
+        col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$path/graph")
+    upper.select(col("query_id"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$path/upper")
+  }
+
+  /** Read a [[writeGraphIndex]] store back: (graph, upper, entry, n,
+    * k). A bare store — no shape metadata on `query_id` — is rejected
+    * loudly, never probed with a guessed entry node (searching from a
+    * non-upper-layer entry silently returns an empty beam, the worst
+    * failure mode: wrong results, no error). */
+  def readGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, Long, Long, Int) = {
+    val g = spark.read.parquet(s"$path/graph")
+    val field = g.schema.find(_.name == "query_id").getOrElse(
+      throw new IllegalArgumentException(
+        "graft: graph-index store needs a query_id column " +
+          "(see Similarity.writeGraphIndex)"))
+    require(field.metadata.contains(GraphIndexShapeKey),
+      "graft: graph-index store carries no shape metadata — rebuild " +
+        "it with Similarity.writeGraphIndex, or the search would " +
+        "silently seed from a guessed entry node")
+    val Array(entry, k, n) =
+      field.metadata.getString(GraphIndexShapeKey).split(",")
+    (g, spark.read.parquet(s"$path/upper"), entry.toLong, n.toLong,
+      k.toInt)
+  }
+
   /** Graph-based ANN: greedy BEAM SEARCH over a directed kNN graph —
     * the HNSW/DiskANN search primitive, single-layer. Start the beam
     * at fixed entry points; each round expands the beam's UNDIRECTED

@@ -731,6 +731,52 @@ class SimilaritySpec extends SparkSpec {
     val dr = Pipeline.dAnnGraphFullDeleteRecall.fn(spark, sf).collect()(0)
     assert(dr.getBoolean(1), "survivor recall under floor after delete")
     assert(dr.getBoolean(2), "tombstones thinned a result set below k")
+    // compaction leg: rebuild over survivors — tombstoned edges gone,
+    // index shrank to the survivor count, recall floor still clears
+    val cr = Pipeline.dAnnGraphFullCompactRecall.fn(spark, sf).collect()(0)
+    assert(cr.getBoolean(1), "tombstones survived compaction")
+    assert(cr.getBoolean(2), "post-compaction recall under floor")
+    assert(cr.getBoolean(3), "compacted search thinned below k")
+  }
+
+  test("graph-index store round-trips edges and shape; bare store rejected; compaction = fresh build over survivors") {
+    val nodes = graft.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 100)
+    val (g, ug, entry) = Similarity.buildGraphIndexFull(
+      nodes, "embedding", "vec_id", 100, k = 4, rounds = 1)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_spec_graphstore"
+    Similarity.writeGraphIndex(g, ug, entry, 100, 4, path)
+    val (g2, ug2, entry2, n2, k2) = Similarity.readGraphIndex(spark, path)
+    assert((entry2, n2, k2) === (entry, 100L, 4))
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges(g2) === edges(g), "stored base edges != built")
+    assert(edges(ug2) === edges(ug), "stored upper edges != built")
+    // a store without shape metadata is rejected, never probed with a
+    // guessed entry node
+    val bare = s"${sys.props("java.io.tmpdir")}/graft_spec_barestore"
+    g.select(col("query_id"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$bare/graph")
+    ug.write.mode("overwrite").parquet(s"$bare/upper")
+    intercept[IllegalArgumentException] {
+      Similarity.readGraphIndex(spark, bare)
+    }
+    // the compaction rebuild is buildGraphIndexFull over survivors —
+    // one code path, so compacted ≡ fresh-build identity holds
+    // edge-for-edge (the s_mv full-recompute identity)
+    val survivors = nodes.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val nSurv = survivors.count()
+    val (cg, cug, ce) = Similarity.buildGraphIndexFull(
+      survivors, "embedding", "vec_id", nSurv, k = 4, rounds = 1)
+    val (cg2, cug2, ce2) = Similarity.buildGraphIndexFull(
+      survivors, "embedding", "vec_id", nSurv, k = 4, rounds = 1)
+    assert(ce === ce2 && edges(cg) === edges(cg2) &&
+      edges(cug) === edges(cug2),
+      "rebuild over the same survivors must be deterministic")
+    assert(cg.filter(pmod(col("query_id"), lit(10)) === 7 ||
+        pmod(col("neighbor_id"), lit(10)) === 7).count() === 0L,
+      "fresh build over survivors must carry no tombstoned edge")
   }
 
   test("silhouette audit discriminates a geometric partition from the label partition") {
