@@ -49,4 +49,28 @@ object Tables {
   /** Register every table as a temp view so spark.sql(...) works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Table row count from parquet FOOTER metadata — a driver-side
+    * file-metadata read, NEVER a Spark job. This is the job-free row
+    * hint the AUTO-sizing paths take (`rowHint` in
+    * [[graft.operators.Dedup]] / [[graft.operators.Similarity]]): a
+    * production pipeline knows its corpus size from footer stats
+    * before planning, it does not pay a count() scan to size a
+    * banding shape. Footers are a few KB per file regardless of data
+    * volume, so at 100 TB this reads megabytes, not terabytes. */
+  def metadataRowCount(spark: SparkSession, sfDir: String,
+      name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
+      else fs.listStatus(root)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    files.iterator.map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

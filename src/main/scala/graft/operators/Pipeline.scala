@@ -1570,13 +1570,18 @@ object Pipeline {
     * hashed-gram Jaccard equals string-gram Jaccard modulo 64-bit
     * collisions, i.e. exactly). */
   val dDedupNgram: QueryDef = QueryDef(
-    // contract queries pin explicit shapes (repo convention) — 12x6 is
-    // what AUTO resolves to at these corpus sizes (DedupSpec proves the
-    // equality), and pinning keeps the AUTO sizing count() out of the
-    // benched per-query time
+    // registered at the AUTO S-curve shape — the production path, and
+    // the SCALE-SAFE one: a fixed 12x6 banding's background-collision
+    // candidate mass is quadratic in corpus size (measured 59x at 100x
+    // data before this change), while AUTO steepens rows with n and
+    // holds it linear. The row count feeding AUTO is the job-free
+    // parquet-footer read (Tables.metadataRowCount), so sizing costs
+    // zero Spark jobs in benched time; at the driver-gate corpus sizes
+    // AUTO resolves to exactly the legacy 12x6 (DedupSpec pins the
+    // equality), so the oracle contract is unchanged.
     fn = (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        bands = 12, rows = 6)
+        rowHint = Tables.metadataRowCount(s, dir, "documents"))
         .orderBy(col("id_a"), col("id_b")),
     oracle = Some("""
       WITH g AS (

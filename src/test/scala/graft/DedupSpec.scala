@@ -386,6 +386,10 @@ class DedupSpec extends SparkSpec {
     assert(auto === pinned)
     assert(hinted === auto)
     assert(auto.nonEmpty)
+    // the registered key's job-free hint: the parquet-footer row count
+    // is exactly the corpus count (so hinted-AUTO == counted-AUTO)
+    assert(graft.Tables.metadataRowCount(spark, sf, "documents")
+      === docs.count())
   }
 
   test("steeper AUTO shapes execute end-to-end and keep the high-J pairs") {
