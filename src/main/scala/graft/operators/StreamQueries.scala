@@ -427,7 +427,7 @@ object StreamQueries {
       import scala.jdk.CollectionConverters._
       val all = sizes.asScala.toSeq
       val multi = all.count(_ > 0) >= 2
-      val bounded = all.forall(_ <= budget + 8)
+      val bounded = all.forall(_ <= budget + MessageLog.eventsPartitions)
       import s.implicits._
       typeCounts.toSeq.sortBy(_._1)
         .map { case (t, n) => (t, n, multi, bounded) }
@@ -473,9 +473,11 @@ object StreamQueries {
         MessageLog.eventsTopic(s, dir), s"$base/src")
       val nEvents = graft.Tables.load(s, dir, "events").count()
       // seed rate chosen so the first trigger admits ~n/4 records in
-      // the 1-minute budget: 60 s × (n/240 rec/s) = n/4
+      // the 1-minute budget: 60 s × (n/240 rec/s) = n/4; slack = one
+      // rounding record per topic-partition, derived from the topic's
+      // own partition constant so a repartitioned topic moves the pin
       val seedRate = nEvents / 240.0
-      val firstCap = nEvents / 4 + 8
+      val firstCap = nEvents / 4 + MessageLog.eventsPartitions
       val typeCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
       val sizes = scala.collection.concurrent.TrieMap.empty[Long, Long]
       val q = s.readStream.format("graft-log")
@@ -511,6 +513,87 @@ object StreamQueries {
     oracle = Some("""
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              TRUE AS multi_batch, TRUE AS first_bounded
+      FROM events GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** s_pull_hours — the reference's TOTAL wall-clock budget
+    * (`kafka.max.pull.hrs`, KafkaInputFormat.java:60-61), the last
+    * budget knob in the family [[sPullBudget]] (records/trigger) and
+    * [[sPullClock]] (minutes/task) opened: once a stream INSTANCE's
+    * budget is spent, no further records are admitted — the
+    * remaining backlog belongs to the NEXT run (Camus's
+    * bounded-backfill contract). Exercised as it ships: TWO
+    * AvailableNow drains of the events topic from ONE checkpoint.
+    * Run 1 carries maxPullHours = 1e-6 (3.6 ms — spent the moment
+    * the first micro-batch lands, since the budget clock starts at
+    * the first admission decision and no micro-batch completes in
+    * 3.6 ms) plus a record cap of n/4, so it deterministically
+    * admits EXACTLY its first trigger, then stops mid-backlog and
+    * terminates (zero admission ends an AvailableNow drain). Run 2
+    * restarts from the same checkpoint with a fresh (absent) budget
+    * and finishes. The oracle pins exactly the deterministic surface
+    * (the [[sPullClock]] discipline): exactly-once per-type totals
+    * across BOTH runs (nothing lost, nothing replayed at the budget
+    * boundary), `run1_bounded` (run 1 = one capped trigger, ≤ n/4 +
+    * per-partition slack from [[MessageLog.eventsPartitions]]), and
+    * `run1_partial` (the budget genuinely split the drain: both runs
+    * admitted records). */
+  val sPullHours: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pull_hours/${new java.io.File(dir).getName}"
+      rmTree(new java.io.File(base))
+      graft.sources.LogSegments.write(
+        MessageLog.eventsTopic(s, dir), s"$base/src")
+      val nEvents = graft.Tables.load(s, dir, "events").count()
+      val perTrigger = math.max(1L, nEvents / 4)
+      val typeCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+      val runTotals = scala.collection.concurrent.TrieMap.empty[Int, Long]
+      def drain(run: Int, hours: Option[String]): Unit = {
+        val reader = s.readStream.format("graft-log")
+          .option("maxRecordsPerTrigger", perTrigger.toString)
+        val q = hours.fold(reader)(h => reader.option("maxPullHours", h))
+          .load(s"$base/src")
+          .writeStream
+          .option("checkpointLocation", s"$base/chk")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val perType = Streaming.decodeEvents(batch)
+              .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+              .collect()
+            runTotals.updateWith(run) {
+              c => Some(c.getOrElse(0L) + perType.map(_.getLong(1)).sum)
+            }
+            perType.foreach { r =>
+              typeCounts.updateWith(r.getString(0)) {
+                c => Some(c.getOrElse(0L) + r.getLong(1))
+              }
+            }
+            require(typeCounts.size <= 10000,
+              s"s_pull_hours driver fold saw ${typeCounts.size} event types (>10000): " +
+                "the per-type fold is only safe for bounded type cardinality")
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      drain(1, Some("0.000001")) // budget spent after the 1st admission
+      drain(2, None)             // fresh run: finish the backlog
+      val r1 = runTotals.getOrElse(1, 0L)
+      val r2 = runTotals.getOrElse(2, 0L)
+      val run1Bounded = r1 <= perTrigger + MessageLog.eventsPartitions
+      val run1Partial = r1 > 0 && r2 > 0
+      import s.implicits._
+      typeCounts.toSeq.sortBy(_._1)
+        .map { case (t, n) => (t, n, run1Bounded, run1Partial) }
+        .toDF("event_type", "n", "run1_bounded", "run1_partial")
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             TRUE AS run1_bounded, TRUE AS run1_partial
       FROM events GROUP BY event_type
       ORDER BY event_type"""))
 
@@ -743,6 +826,7 @@ object StreamQueries {
     "s_merge" -> sMerge,
     "s_pull_budget" -> sPullBudget,
     "s_pull_clock" -> sPullClock,
+    "s_pull_hours" -> sPullHours,
     "s_transitions" -> sTransitions,
     "s_funnel" -> sFunnel,
     "s_attribution" -> sAttribution,

@@ -141,7 +141,9 @@ private[sources] class SegmentTable(rawPath: String, decodeJson: Option[String] 
   *  - `maxPullHours`: total wall-clock budget for the stream instance —
   *    once exceeded, no further records are admitted (the remainder is
   *    the next run's backlog, exactly the reference's bounded-backfill
-  *    contract).
+  *    contract). The clock starts at the first admission decision, so
+  *    any positive budget admits at least the first trigger; a zero
+  *    budget admits nothing.
   */
 private[graft] case class PullBudget(maxRows: Option[Long],
     perTriggerMs: Option[Long], totalMs: Option[Long], initRatePerSec: Double)
@@ -386,8 +388,15 @@ private[sources] class SegmentMicroBatchStream(path: String,
   }
 
   // rate bookkeeping for the wall-clock budgets (driver-side; one
-  // stream instance per query run)
-  private val streamStartMs = System.currentTimeMillis()
+  // stream instance per query run). The TOTAL budget clock starts at
+  // the FIRST ADMISSION DECISION, not at stream construction — the
+  // reference's pull clock starts when pulling starts, and planning
+  // latency between construction and the first trigger must not eat
+  // the budget (with it, a sub-second total budget could expire
+  // before admitting anything even on an idle box, making the
+  // first-trigger-always-admits property nondeterministic). A zero
+  // budget still admits nothing: elapsed 0 >= 0.
+  private var streamStartMs = -1L
   private var lastTriggerMs = -1L
   private var lastAdmitted = -1L
   private var ewmaRatePerMs = -1.0
@@ -433,6 +442,7 @@ private[sources] class SegmentMicroBatchStream(path: String,
     * nothing — the remaining backlog belongs to the next run. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     observeTrigger()
+    if (streamStartMs < 0) streamStartMs = System.currentTimeMillis()
     val s = start.asInstanceOf[SegmentOffsets].next
     if (budget.totalMs.exists(t => System.currentTimeMillis() - streamStartMs >= t)) {
       lastAdmitted = 0L

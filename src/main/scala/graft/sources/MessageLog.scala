@@ -64,11 +64,22 @@ object MessageLog {
   SchemaRegistry.register("events", eventSchemaJson)
   SchemaRegistry.register("documents", documentSchemaJson)
 
+  /** Topic-partition count for [[eventsTopic]] (and
+    * [[documentsTopic]]) — ALSO the per-partition admission slack
+    * bound the pull-budget oracles pin: the proportional budget split
+    * rounds each non-empty partition up to one extra record, so a
+    * trigger may admit up to `eventsPartitions` rows over its record
+    * budget. The oracles derive their slack from THIS constant so a
+    * repartitioned topic moves the pin with it instead of failing
+    * spuriously on a stale magic number. */
+  val eventsPartitions: Int = 8
+
   /** `events` as a topic. `ts` arrives as long nanos (nanosAsLong). */
   def eventsTopic(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.load(spark, sfDir, "events")
     val withPart = ev
-      .withColumn("partition", expr("cast(user_id % 8 as int)"))
+      .withColumn("partition",
+        expr(s"cast(user_id % $eventsPartitions as int)"))
     val w = Window.partitionBy(col("partition")).orderBy(col("ts"), col("event_id"))
     withPart
       .withColumn("offset", (row_number().over(w) - 1).cast("long"))
