@@ -635,8 +635,23 @@ object Similarity {
     * embeddings) — this equals [[autoNlist]], so test-scale
     * behavior and the measured recall floors are unchanged. The 16384
     * cap bounds the per-vector assignment cost (argmax over centroids
-    * is nlist·dim flops); past it (n ≳ 1M) the documented next step
-    * is hierarchical routing, not a bigger flat codebook. */
+    * is nlist·dim flops).
+    *
+    * Hierarchical (two-level) routing was PROBED as the next step
+    * past the cap and measured NOT WORTH LANDING on this embedding
+    * space (tools/hier_probe.py + hier_pair_recall.py, n = 200k,
+    * nlist = 3125, 56 coarse cells over the fine centroids): routing
+    * through the top-w coarse cells cuts assignment flops 18.6×/
+    * 11.2×/6.2× at w = 2/4/8 but agrees with the flat argmax only
+    * 31%/45%/62% of the time, and — the metric that matters — keeps
+    * only 48%/66%/80% of the flat path's τ-pair candidate recall
+    * (0.333 flat vs 0.161/0.219/0.266 on 38k true pairs). The space
+    * is weakly clustered (the d_cluster_silhouette finding), so
+    * coarse cells don't predict fine cells; recovering recall needs
+    * w ≈ 16+, at which point the flop cut is ≈3× — a poor trade
+    * while flat assignment at the 16384 cap is a bounded map-side
+    * kernel. Revisit only with a corpus whose silhouette shows real
+    * cluster structure. */
   private[graft] def autoNlistPairs(n: Long): Int =
     math.max(autoNlist(n), math.min(16384L, n / 64L).toInt)
 
