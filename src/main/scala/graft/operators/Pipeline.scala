@@ -4489,6 +4489,120 @@ object Pipeline {
              TRUE AS tombstones_gone, TRUE AS recall_ok, TRUE AS full_k
       FROM embeddings WHERE vec_id < 10"""))
 
+  private val shardedStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (DataFrame, DataFrame, Long, Int, Int)]
+
+  /** Build-once/probe-many for the SHARDED graph index
+    * ([[graphIndexStore]]'s discipline): built at
+    * [[Similarity.autoShards]] shards, persisted via
+    * [[Similarity.writeShardedGraphIndex]], probes read the store —
+    * fan-out shape always comes from the store's own metadata. */
+  private[graft] def shardedGraphStore(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long, Int, Int) = {
+    shardedStoreCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    shardedStoreCache.getOrElseUpdate((s, dir), {
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_graphstore_" +
+        s"${new java.io.File(dir).getName}_${dirTag}_sharded"
+      val emb = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      val shards = Similarity.autoShards(n)
+      val (g, entries) = Similarity.buildGraphIndexSharded(
+        emb, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+      Similarity.writeShardedGraphIndex(g, entries, n, 12, shards, path)
+      emb.unpersist()
+      Similarity.readShardedGraphIndex(s, path)
+    })
+  }
+
+  /** d_ann_graph_sharded — the SHARD-PARALLEL graph-ANN deployment
+    * (DiskANN/partitioned-HNSW shape): the corpus splits into
+    * [[Similarity.autoShards]] pmod-shards, each with its own
+    * independent NN-descent subgraph built by ONE distributed pass
+    * ([[Similarity.buildGraphIndexSharded]] — shard isolation is a
+    * construction invariant: seed edges are within-shard and the
+    * NN-descent 2-hop closure cannot leave a shard, so subgraph
+    * builds are embarrassingly parallel with ZERO cross-shard
+    * shuffle mass — the property that matters at 10¹⁰ vectors where
+    * a monolithic build's candidate shuffles span the corpus).
+    * Search scatter-gathers: every query seeds every shard's entry,
+    * beams stay per-(query, shard), the merge is one final top-k
+    * window ([[Similarity.graphSearchTopKSharded]]). Index persisted
+    * once ([[shardedGraphStore]]). Rows-only (NN-descent not
+    * SQL-replayable); [[dAnnGraphShardedRecall]] is the contract. */
+  val dAnnGraphSharded: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (graph, entries, _, _, shards) = shardedGraphStore(s, dir)
+      val out = Similarity.graphSearchTopKSharded(nodes,
+          nodes.filter(col("vec_id") < 10), graph, entries,
+          "embedding", "vec_id", shards, k = 5, beamPerShard = 16,
+          rounds = 6)
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = None)
+
+  /** d_ann_graph_sharded_recall — the contract behind
+    * [[dAnnGraphSharded]]: recall@5 vs brute ≥ 0.8 on the standard
+    * probe set, `shard_isolated` (ZERO edges cross a shard boundary —
+    * the invariant that makes the build embarrassingly parallel;
+    * checked over the WHOLE stored edge list, one pmod filter),
+    * `entries_cover` (one entry per shard, all off the probe set),
+    * and `full_k` (the merge returns exactly k per query — a
+    * mis-fanned search thins result sets before it loses recall). */
+  val dAnnGraphShardedRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = nodes.filter(col("vec_id") < 10)
+      val (graph, entries, _, _, shards) = shardedGraphStore(s, dir)
+      val approx = Similarity.graphSearchTopKSharded(nodes, q, graph,
+          entries, "embedding", "vec_id", shards, k = 5,
+          beamPerShard = 16, rounds = 6)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val brute = Similarity.bruteTopK(nodes, q, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val crossShard = graph.filter(
+        pmod(col("query_id"), lit(shards)) =!=
+          pmod(col("neighbor_id"), lit(shards)))
+      val entryStats = entries.agg(
+        count(lit(1)).as("n_entries"),
+        countDistinct(col("shard")).as("n_shards"),
+        min(col("entry_id")).as("min_entry"))
+      val out = brute.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(approx.agg(count(lit(1)).as("n_returned")))
+        .crossJoin(crossShard.agg(count(lit(1)).as("n_cross")))
+        .crossJoin(entryStats)
+        .select(col("n_queries"),
+          (col("hits").cast("double") / col("n_brute") >= 0.8)
+            .as("recall_ok"),
+          (col("n_cross") === 0).as("shard_isolated"),
+          (col("n_entries") === shards.toLong &&
+            col("n_shards") === shards.toLong &&
+            col("min_entry") >= 10).as("entries_cover"),
+          (col("n_returned") === col("n_brute")).as("full_k"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             TRUE AS shard_isolated, TRUE AS entries_cover, TRUE AS full_k
+      FROM embeddings WHERE vec_id < 10"""))
+
   val defs: Map[String, QueryDef] = Map(
     "d_ann_graph_insert" -> dAnnGraphInsert,
     "d_ann_graph_insert_recall" -> dAnnGraphInsertRecall,
@@ -4497,6 +4611,8 @@ object Pipeline {
     "d_ann_graph_full_compact_recall" -> dAnnGraphFullCompactRecall,
     "d_ann_graph_full_recall" -> dAnnGraphFullRecall,
     "d_ann_graph_full_insert_recall" -> dAnnGraphFullInsertRecall,
+    "d_ann_graph_sharded" -> dAnnGraphSharded,
+    "d_ann_graph_sharded_recall" -> dAnnGraphShardedRecall,
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
     "t_tokens" -> tTokens,

@@ -233,6 +233,126 @@ object Similarity {
       k.toInt)
   }
 
+  /** Default shard count for [[buildGraphIndexSharded]]: one shard
+    * per ≈64k nodes, floor 4 — per-shard build state (seed blocks +
+    * NN-descent adjacency) stays bounded however large the corpus,
+    * which is the property that lets every executor build its shards
+    * without cross-shard traffic. Fan-out cost at search time grows
+    * with the shard count (each query carries shards·beamPerShard
+    * beam rows), the standard sharded-index tradeoff. */
+  def autoShards(n: Long): Int = math.max(4L, n / 65536L + 1L).toInt
+
+  /** SHARD-PARALLEL graph-ANN build — the multi-executor composition
+    * [[buildGraphIndexFull]]'s monolithic build trades away: the
+    * corpus splits into `shards` disjoint pmod-shards and each shard
+    * gets its OWN independent NN-descent subgraph. The payoff is in
+    * the dataflow, not the driver: because every seed edge stays
+    * inside one shard, and NN-descent candidates are neighbors plus
+    * neighbors-of-neighbors of EXISTING edges, the 2-hop closure can
+    * never leave a shard either — so ONE distributed pass of the
+    * ordinary [[nnDescentRound]] over the union edge list refines
+    * ALL shards' subgraphs simultaneously, with zero cross-shard
+    * shuffle mass (shard isolation is a construction invariant, and
+    * the d_ann_graph_sharded_recall contract pins it). This is the
+    * DiskANN/partitioned-HNSW deployment shape: at 10¹⁰ vectors a
+    * single NN-descent's candidate shuffles span the whole corpus,
+    * while sharded builds bound every join to within-shard rows and
+    * shards build embarrassingly parallel across executors.
+    *
+    * Seed: the [[blockedTopK]] device restricted within shard — two
+    * CROSS-CUTTING blockings of the within-shard index (id div
+    * shards), ≈`blockRows` rows per block, so seed pair mass is
+    * O(n·blockRows) exactly like the full build (one blocking alone
+    * is a NN-descent fixed point — see [[blockedTopK]]).
+    *
+    * Returns (graph, entries): the union edge list plus one entry
+    * node per shard — the smallest in-shard id ≥ 10 (off the
+    * standard probe set; the [[buildGraphIndexFull]] self-filter
+    * lesson), falling back to the shard's smallest id. Search fans
+    * out with [[graphSearchTopKSharded]]. */
+  def buildGraphIndexSharded(nodes: DataFrame, vecCol: String,
+      idCol: String, n: Long, shards: Int, k: Int = 8,
+      rounds: Int = 2, blockRows: Int = 128): (DataFrame, DataFrame) = {
+    require(shards >= 2,
+      s"graft: sharded graph build needs >= 2 shards (got $shards)")
+    val bps = math.max(4L, (n / shards) / blockRows)
+    def scored(blk: Column => Column): DataFrame = {
+      val q = nodes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        blk(col(idCol)).as("blk"))
+      val c = nodes.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        blk(col(idCol)).as("blk"))
+      q.join(c, Seq("blk")).filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    }
+    // both blockings prefix with the shard id, so block keys never
+    // collide across shards and every seed edge is within-shard
+    val blk1: Column => Column = id =>
+      pmod(id, lit(shards)) * bps + pmod(expr(s"`$idCol` div $shards"), lit(bps))
+    val blk2: Column => Column = id =>
+      pmod(id, lit(shards)) * bps +
+        pmod(expr(s"(`$idCol` div $shards) div $bps"), lit(bps))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    var g = scored(blk1).union(scored(blk2)).distinct()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      g = nnDescentRound(nodes, g, vecCol, idCol, k = k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+    val entries = nodes
+      .groupBy(pmod(col(idCol), lit(shards)).as("shard"))
+      .agg(min(when(col(idCol) >= 10, col(idCol))).as("offProbe"),
+        min(col(idCol)).as("anyId"))
+      .select(col("shard"),
+        coalesce(col("offProbe"), col("anyId")).as("entry_id"))
+    (g, entries)
+  }
+
+  /** Column-metadata key for a [[writeShardedGraphIndex]] store:
+    * (k, n, shards). */
+  private[graft] val ShardedGraphShapeKey = "graft.graphstore.sharded.shape"
+
+  /** Persist a [[buildGraphIndexSharded]] result — edge list +
+    * per-shard entry table, (k, n, shards) in the edge list's
+    * `query_id` metadata so a probe always fans out with the STORE's
+    * own shard count (a mismatched count would mis-route pmod shard
+    * assignment silently). At 100 TB the natural layout partitions
+    * the edge parquet BY shard — each shard's subgraph is then one
+    * partition-pruned read. */
+  def writeShardedGraphIndex(graph: DataFrame, entries: DataFrame,
+      n: Long, k: Int, shards: Int, path: String): Unit = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(ShardedGraphShapeKey, s"$k,$n,$shards").build()
+    graph.select(col("query_id").as("query_id", meta),
+        col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$path/graph")
+    entries.select(col("shard"), col("entry_id"))
+      .write.mode("overwrite").parquet(s"$path/entries")
+  }
+
+  /** Read a [[writeShardedGraphIndex]] store: (graph, entries, n, k,
+    * shards). Bare stores rejected, as in [[readGraphIndex]]. */
+  def readShardedGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, Long, Int, Int) = {
+    val g = spark.read.parquet(s"$path/graph")
+    val field = g.schema.find(_.name == "query_id").getOrElse(
+      throw new IllegalArgumentException(
+        "graft: sharded graph-index store needs a query_id column " +
+          "(see Similarity.writeShardedGraphIndex)"))
+    require(field.metadata.contains(ShardedGraphShapeKey),
+      "graft: sharded graph-index store carries no shape metadata — " +
+        "rebuild it with Similarity.writeShardedGraphIndex, or the " +
+        "search would fan out with a guessed shard count")
+    val Array(k, n, shards) =
+      field.metadata.getString(ShardedGraphShapeKey).split(",")
+    (g, spark.read.parquet(s"$path/entries"), n.toLong, k.toInt,
+      shards.toInt)
+  }
+
   /** Graph-based ANN: greedy BEAM SEARCH over a directed kNN graph —
     * the HNSW/DiskANN search primitive, single-layer. Start the beam
     * at fixed entry points; each round expands the beam's UNDIRECTED
@@ -353,6 +473,65 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id").as("cand"))
     graphSearchTopKFrom(nodes, queries, graph, vecCol, idCol,
       entries, k, beam, rounds)
+  }
+
+  /** Fan-out-and-merge search over a [[buildGraphIndexSharded]]
+    * index, expressed as ONE dataflow: every query seeds a beam at
+    * EVERY shard's entry node, and the beam window partitions by
+    * (query, shard-of-candidate) — so each shard's greedy search
+    * proceeds independently inside the same two equi-joins per round
+    * (a global beam would let one strong shard evict another shard's
+    * entry before its region is explored; the per-shard partition IS
+    * the fan-out). The merge is the final per-query top-k window
+    * over all shards' survivors — exactly the scatter-gather a
+    * sharded index runs on a cluster (each shard's search touches
+    * only its own edges; the gather is shards·beamPerShard rows per
+    * query). Per-round work is |queries|·shards·beamPerShard·(2k)
+    * candidate rows — query-linear, corpus enters only via the
+    * graph. Deterministic: integer cosm + id ties, per-round
+    * localCheckpoint (the established dual-consumer cut). */
+  def graphSearchTopKSharded(nodes: DataFrame, queries: DataFrame,
+      graph: DataFrame, entries: DataFrame, vecCol: String,
+      idCol: String, shards: Int, k: Int = 5, beamPerShard: Int = 12,
+      rounds: Int = 4): DataFrame = {
+    val und = graph
+      .select(col("query_id").as("v"), col("neighbor_id").as("u"))
+      .union(graph
+        .select(col("neighbor_id").as("v"), col("query_id").as("u")))
+      .distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))
+    val w = Window
+      .partitionBy(col("query_id"), pmod(col("cand"), lit(shards)))
+      .orderBy(col("cosm").desc, col("cand"))
+    def topBeam(cands: DataFrame): DataFrame =
+      cands.distinct()
+        .join(vecs, Seq("cand"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("cand") =!= col("query_id"))
+        .select(col("query_id"), col("cand"),
+          round(cosine(col("qv"), col("cv")) * 10000).cast("long")
+            .as("cosm"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= beamPerShard)
+    val seed = queries.select(col(idCol).as("query_id"))
+      .crossJoin(broadcast(entries.select(col("entry_id").as("cand"))))
+    var cur = topBeam(seed).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val expand = cur.select(col("query_id"), col("cand").as("v"))
+        .join(und, Seq("v"))
+        .select(col("query_id"), col("u").as("cand"))
+      cur = topBeam(cur.select(col("query_id"), col("cand")).union(expand))
+        .localCheckpoint(true)
+    }
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosm").desc, col("cand"))
+    cur.select(col("query_id"), col("cand"), col("cosm"))
+      .withColumn("rnk", row_number().over(wq).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("cosm"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   /** (query_id, neighbor_id, cos, rnk<=k), exact. */

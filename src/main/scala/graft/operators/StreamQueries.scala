@@ -648,6 +648,123 @@ object StreamQueries {
       FROM enc WHERE event_type = 'purchase'
       ORDER BY user_id, ts_ms, purchase_id"""))
 
+  /** One ANN-ingest micro-batch applied to the version-chained edge
+    * store: the batch's new vectors enter the BASE graph-ANN index by
+    * running the layered search as the insert routine (link each new
+    * node to its top-12 found base neighbors — [[graft.operators
+    * .Pipeline]]'s dAnnGraphFullInsertRecall path, streamed), and
+    * v(batchId+1) = v(batchId) ∪ the batch's insert edges. Versions
+    * are keyed by BATCH IDENTITY ([[mergeCdcBatch]]'s discipline), so
+    * a re-delivered batch recomputes ITS OWN version from the same
+    * store input and the same batch content — idempotent on
+    * redelivery by construction (StreamingSpec applies a batch twice
+    * and pins the identical edge set). Inserts link into the BASE
+    * index only, so the final merged graph is a pure union —
+    * independent of batch arrival order, which a file-source replay
+    * does not pin. */
+  private[graft] def insertAnnBatch(s: org.apache.spark.sql.SparkSession,
+      storeBase: String, baseNodes: org.apache.spark.sql.DataFrame,
+      baseGraph: org.apache.spark.sql.DataFrame,
+      baseUpper: org.apache.spark.sql.DataFrame, entry: Long,
+      batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val cur = s.read.parquet(s"$storeBase/v$batchId")
+    val edges = Similarity.graphSearchTopKLayered(baseNodes, batch,
+        baseGraph, baseUpper, "embedding", "vec_id", k = 12,
+        beam = 48, rounds = 6, upperSeed = entry)
+      .select(col("query_id"), col("neighbor_id"))
+    cur.unionByName(edges).distinct()
+      .write.mode("overwrite").parquet(s"$storeBase/v${batchId + 1}")
+  }
+
+  /** s_ann_ingest — STREAMING ANN index maintenance, the
+    * lambda-closing leg for the graph-ANN family exactly as [[sMv]]
+    * closes it for MVs and [[sMerge]] for CDC upserts: the 80% base
+    * index is built once and persisted (Pipeline.graphIndexStore
+    * "base" — the same store the batch insert leg probes), the 20%
+    * delta (vec_id ≡ 4 mod 5) streams in as 4 delivery-ordered
+    * micro-batch files, and each batch enters the index through
+    * [[insertAnnBatch]] — layered search-as-insert against the BASE
+    * graph, edges appended to a batchId-KEYED version chain
+    * (idempotent redelivery; order-independent final graph because
+    * inserts link into base only). The final merged graph (base ∪
+    * all insert edges) serves the standard probe set and must clear
+    * the SAME floors as the one-shot insert key: recall ≥ 0.8 vs
+    * brute over the FULL corpus, `all_covered` (every delta node
+    * carries insert edges — nothing dropped at a batch boundary),
+    * `multi_batch` (the stream genuinely split). Per-batch cost =
+    * |batch| layered searches + the edge-store rewrite — never a
+    * corpus rebuild, the production shape of continuous vector-index
+    * ingestion. */
+  val sAnnIngest: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sann/${new java.io.File(dir).getName}"
+      rmTree(new java.io.File(base))
+      val emb = graft.Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val baseNodes = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+      val nDelta = delta.count()
+      val (baseGraph, baseUpper, entry, _, _) =
+        Pipeline.graphIndexStore(s, dir, "base")
+      // seed the chain with the base edges (v0 = the stored index)
+      baseGraph.select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(s"$base/store/v0")
+      // 4 delivery-ordered micro-batch files (vec_id buckets — any
+      // deterministic split works: the final graph is order-free)
+      val nb = 4
+      (0 until nb).foreach { i =>
+        delta.filter(pmod(expr("vec_id div 5"), lit(nb)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
+      }
+      val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          insertAnnBatch(s, s"$base/store", baseNodes, baseGraph,
+            baseUpper, entry, batch, batchId)
+          lastVersion.updateAndGet(v => math.max(v, batchId + 1))
+          batches.incrementAndGet()
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val merged = s.read.parquet(s"$base/store/v${lastVersion.get()}")
+      val queries = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.graphSearchTopKLayered(emb, queries,
+          merged, baseUpper, "embedding", "vec_id", k = 5, beam = 48,
+          rounds = 6, upperSeed = entry)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val brute = Similarity.bruteTopK(emb, queries, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val covered = merged.filter(pmod(col("query_id"), lit(5)) === 4)
+        .select(col("query_id")).distinct().count()
+      val out = brute.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .select(col("n_queries"),
+          (col("hits").cast("double") / col("n_brute") >= 0.8)
+            .as("recall_ok"),
+          lit(covered == nDelta).as("all_covered"),
+          lit(batches.get() >= 2L).as("multi_batch"))
+        .localCheckpoint(eager = true)
+      emb.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             TRUE AS all_covered, TRUE AS multi_batch
+      FROM embeddings WHERE vec_id < 10"""))
+
   /** Stream-stream LEFT OUTER interval join (the alerting companion
     * to [[sStreamJoin]]'s inner): every error row survives — paired
     * with its lookback clicks or emitted once as unanswered.
@@ -826,6 +943,7 @@ object StreamQueries {
     "s_merge" -> sMerge,
     "s_pull_budget" -> sPullBudget,
     "s_pull_clock" -> sPullClock,
+    "s_ann_ingest" -> sAnnIngest,
     "s_pull_hours" -> sPullHours,
     "s_transitions" -> sTransitions,
     "s_funnel" -> sFunnel,

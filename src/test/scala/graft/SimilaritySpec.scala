@@ -779,6 +779,63 @@ class SimilaritySpec extends SparkSpec {
       "fresh build over survivors must carry no tombstoned edge")
   }
 
+  test("sharded graph index: shard isolation, per-shard entries, deterministic build, fan-out contracts") {
+    import graft.operators.Pipeline
+    val nodes = graft.Tables.load(spark, sf, "embeddings")
+    val n = nodes.count()
+    val shards = Similarity.autoShards(n)
+    assert(shards === 4, "spec corpus sits under the 64k auto step")
+    val (g, entries) = Similarity.buildGraphIndexSharded(
+      nodes, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+    // shard isolation is a CONSTRUCTION invariant: within-shard seed
+    // edges + NN-descent's 2-hop closure can never leave a shard
+    assert(g.filter(pmod(col("query_id"), lit(shards)) =!=
+      pmod(col("neighbor_id"), lit(shards))).count() === 0L,
+      "an edge crossed a shard boundary")
+    // exactly one entry per shard, inside its own shard, off the
+    // vec_id < 10 probe set (the full-build self-filter lesson)
+    val es = entries.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(es.map(_._1).toSet === (0L until shards).toSet)
+    assert(es.length === shards)
+    assert(es.forall { case (sh, e) => e % shards == sh },
+      "an entry node sits outside its shard")
+    assert(es.forall(_._2 >= 10L), "an entry node is on the probe set")
+    // build is deterministic (blocked seed + NN-descent are pure
+    // integer/rounded-cosine algebra)
+    val (g2, _) = Similarity.buildGraphIndexSharded(
+      nodes, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(g) === edgeSet(g2), "sharded rebuild diverged")
+    // store round-trip carries the fan-out shape; bare store rejected
+    val path = s"${sys.props("java.io.tmpdir")}/graft_spec_shardstore"
+    Similarity.writeShardedGraphIndex(g, entries, n, 12, shards, path)
+    val (gs, ents, n2, k2, shards2) =
+      Similarity.readShardedGraphIndex(spark, path)
+    assert((n2, k2, shards2) === (n, 12, shards))
+    assert(edgeSet(gs.select(col("query_id"), col("neighbor_id")))
+      === edgeSet(g))
+    assert(ents.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === es.toSet)
+    val bare = s"${sys.props("java.io.tmpdir")}/graft_spec_shardbare"
+    g.write.mode("overwrite").parquet(s"$bare/graph")
+    entries.write.mode("overwrite").parquet(s"$bare/entries")
+    intercept[IllegalArgumentException] {
+      Similarity.readShardedGraphIndex(spark, bare)
+    }
+    // driver-row contracts at the spec SF: recall floor, isolation,
+    // entry cover, full-k — and the rows-only key returns 10 x 5
+    val r = Pipeline.dAnnGraphShardedRecall.fn(spark, sf).collect()(0)
+    assert(r.getBoolean(1), "sharded fan-out recall under floor")
+    assert(r.getBoolean(2), "stored edge list not shard-isolated")
+    assert(r.getBoolean(3), "entry table does not cover the shards")
+    assert(r.getBoolean(4), "merge thinned a result set below k")
+    val rows = Pipeline.dAnnGraphSharded.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 50, s"expected 10 x 5, got ${rows.length}")
+    assert(rows.forall(p => p._1 != p._2))
+  }
+
   test("silhouette audit discriminates a geometric partition from the label partition") {
     import graft.operators.Pipeline
     val rows = Pipeline.dClusterSilhouette.fn(spark, sf).collect()

@@ -38,6 +38,49 @@ class StreamingSpec extends SparkSpec {
       "chained CDC merge must equal the one-shot batch merge")
   }
 
+  test("streaming ANN ingest: redelivered batch is idempotent; chained edges equal the one-shot insert") {
+    import graft.operators.{Pipeline, Similarity, StreamQueries}
+    val store = java.nio.file.Files.createTempDirectory("graft_sann_spec").toString
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val baseNodes = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+    val (baseGraph, baseUpper, entry, _, _) =
+      Pipeline.graphIndexStore(spark, sf, "base")
+    baseGraph.select(col("query_id"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$store/v0")
+    val b0 = delta.filter(pmod(expr("vec_id div 5"), lit(2)) === 0)
+    val b1 = delta.filter(pmod(expr("vec_id div 5"), lit(2)) === 1)
+    def edgeSet(path: String) = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    StreamQueries.insertAnnBatch(spark, store, baseNodes, baseGraph,
+      baseUpper, entry, b0, 0L)
+    StreamQueries.insertAnnBatch(spark, store, baseNodes, baseGraph,
+      baseUpper, entry, b1, 1L)
+    val v2First = edgeSet(s"$store/v2")
+    // batch 1 REDELIVERED after a successful commit: the batchId-keyed
+    // chain must rewrite v2 identically, never double-insert
+    StreamQueries.insertAnnBatch(spark, store, baseNodes, baseGraph,
+      baseUpper, entry, b1, 1L)
+    assert(edgeSet(s"$store/v2") === v2First,
+      "redelivered ANN batch must rewrite its own version identically")
+    // inserts link into the BASE graph only, so chained == one-shot
+    // (order independence — the property the file replay rides on)
+    val oneShot = Similarity.graphSearchTopKLayered(baseNodes, delta,
+        baseGraph, baseUpper, "embedding", "vec_id", k = 12,
+        beam = 48, rounds = 6, upperSeed = entry)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ++
+      baseGraph.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v2First === oneShot,
+      "chained ANN ingest must equal the one-shot insert edge set")
+    // the driver row's contracts hold at the spec SF
+    val r = StreamQueries.sAnnIngest.fn(spark, sf).collect()(0)
+    assert(r.getBoolean(1), "streamed-ingest recall under floor")
+    assert(r.getBoolean(2), "a delta node lost its insert edges")
+    assert(r.getBoolean(3), "the ingest stream did not split")
+  }
+
   test("streaming windowed agg over a log stream equals the batch plan") {
     val path = java.nio.file.Files.createTempDirectory("graft_stream").toString
     MessageLog.writeLog(MessageLog.eventsTopic(spark, sf), path)
