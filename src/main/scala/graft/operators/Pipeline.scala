@@ -4277,11 +4277,15 @@ object Pipeline {
   /** d_ann_graph_full_recall — the contract behind [[dAnnGraphFull]]:
     * recall@5 of the full-corpus NN-descent-built layered search vs
     * the brute top-5 on the standard 10-query probe set, floor 0.8.
-    * Measured 100% at sf0.01 (n=500) and 94% at sf0.1 (n=2000) —
-    * above the exact-graph demo (dAnnGraphRecall 94/85) because the
-    * probe queries are corpus members whose own neighborhoods the
-    * NN-descent build already routes well, and NOTHING is capped: the 10× replica row scales the corpus,
-    * closing the r13 verdict's "flat by construction" finding. */
+    * Measured 100% at sf0.01 (n=500) and 90% at sf0.1 (n=2000) under
+    * the seeded-hash blocked seed (the id-arithmetic seed read
+    * 100/94 but collapsed on structured id spaces at 100× — see
+    * [[Similarity.hashBlockedTopK]]) — above the exact-graph demo
+    * (dAnnGraphRecall 94/85) because the probe queries are corpus
+    * members whose own neighborhoods the NN-descent build already
+    * routes well, and NOTHING is capped: the 10× replica row scales
+    * the corpus, closing the r13 verdict's "flat by construction"
+    * finding. */
   val dAnnGraphFullRecall: QueryDef = QueryDef(
     fn = (s, dir) => {
       val nodes = Tables.load(s, dir, "embeddings")

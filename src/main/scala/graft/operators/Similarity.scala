@@ -124,12 +124,47 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** [[blockedTopK]]'s two cross-cutting blockings with SEEDED-HASH
+    * block keys — the structure-robust seed the production builds
+    * use. The id-ARITHMETIC blockings (id mod B, id div B mod B) are
+    * only uniform when ids are dense and unstructured; on a
+    * STRUCTURED id space they can collapse catastrophically.
+    * Measured: the 100× scale replica offsets ids by i·10⁸, and for
+    * the insert leg's base corpus (n=160k ⇒ B=1250, which divides
+    * 10⁸ exactly) `id div 1250 mod 1250` mapped EVERY node to two
+    * blocks — a 6.4-billion-pair block whose single hash-aggregate
+    * task span-sorted for two hours. `xxhash64(seed, id) mod B`
+    * is uniform for ANY id structure; two seeds give the two
+    * cross-cutting views (a single blocking is a NN-descent fixed
+    * point — see [[blockedTopK]]). Deterministic: xxhash64 is a pure
+    * function of (seed, id). Not SQL-replayable — the capped demo
+    * family keeps [[blockedTopK]] for the oracle-replayed path. */
+  private[operators] def hashBlockedTopK(nodes: DataFrame,
+      vecCol: String, idCol: String, k: Int, blocks: Int): DataFrame = {
+    def scored(seed: Int): DataFrame = {
+      val q = nodes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        pmod(xxhash64(lit(seed), col(idCol)), lit(blocks)).as("blk"))
+      val c = nodes.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        pmod(xxhash64(lit(seed), col(idCol)), lit(blocks)).as("blk"))
+      q.join(c, Seq("blk")).filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored(1).union(scored(2)).distinct()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** FULL-CORPUS graph-ANN index build — the production composition
     * the bounded demo keys (d_ann_graph*) stand in for, with every
     * stage linear in the corpus:
-    *  - seed: [[blockedTopK]] whose block COUNT scales with n (fixed
-    *    ≈`blockRows` rows per block), so seed pair mass is
-    *    O(n·blockRows) — never n²;
+    *  - seed: [[hashBlockedTopK]] whose block COUNT scales with n
+    *    (fixed ≈`blockRows` rows per block), so seed pair mass is
+    *    O(n·blockRows) — never n² — and whose seeded-hash block keys
+    *    stay uniform on structured id spaces (the id-arithmetic
+    *    blocking collapsed at 100×; see [[hashBlockedTopK]]);
     *  - refine: `rounds` [[nnDescentRound]]s, O(n·k²) cosines each,
     *    each round localCheckpointed (its output feeds the next
     *    round's adjacency TWICE — carry + 2-hop self-join — the
@@ -159,7 +194,7 @@ object Similarity {
       blockRows: Int = 128,
       upperK: Int = 4): (DataFrame, DataFrame, Long) = {
     val blocks = math.max(4L, n / blockRows).toInt
-    var g = blockedTopK(nodes, vecCol, idCol, k = k, blocks = blocks)
+    var g = hashBlockedTopK(nodes, vecCol, idCol, k = k, blocks = blocks)
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds)
@@ -259,11 +294,13 @@ object Similarity {
     * while sharded builds bound every join to within-shard rows and
     * shards build embarrassingly parallel across executors.
     *
-    * Seed: the [[blockedTopK]] device restricted within shard — two
-    * CROSS-CUTTING blockings of the within-shard index (id div
-    * shards), ≈`blockRows` rows per block, so seed pair mass is
+    * Seed: the [[hashBlockedTopK]] device restricted within shard —
+    * two CROSS-CUTTING seeded-hash blockings prefixed by the shard
+    * id, ≈`blockRows` rows per block, so seed pair mass is
     * O(n·blockRows) exactly like the full build (one blocking alone
-    * is a NN-descent fixed point — see [[blockedTopK]]).
+    * is a NN-descent fixed point — see [[blockedTopK]]; seeded
+    * hashes, not id arithmetic, so structured id spaces cannot
+    * collapse the blocks — see [[hashBlockedTopK]]).
     *
     * Returns (graph, entries): the union edge list plus one entry
     * node per shard — the smallest in-shard id ≥ 10 (off the
@@ -286,12 +323,13 @@ object Similarity {
           round(cosine(col("qv"), col("cv")), 4).as("cos"))
     }
     // both blockings prefix with the shard id, so block keys never
-    // collide across shards and every seed edge is within-shard
+    // collide across shards and every seed edge is within-shard;
+    // within-shard keys are seeded hashes (id arithmetic collapses
+    // on structured id spaces — see hashBlockedTopK)
     val blk1: Column => Column = id =>
-      pmod(id, lit(shards)) * bps + pmod(expr(s"`$idCol` div $shards"), lit(bps))
+      pmod(id, lit(shards)) * bps + pmod(xxhash64(lit(1), id), lit(bps))
     val blk2: Column => Column = id =>
-      pmod(id, lit(shards)) * bps +
-        pmod(expr(s"(`$idCol` div $shards) div $bps"), lit(bps))
+      pmod(id, lit(shards)) * bps + pmod(xxhash64(lit(2), id), lit(bps))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     var g = scored(blk1).union(scored(blk2)).distinct()
