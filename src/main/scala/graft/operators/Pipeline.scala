@@ -4607,6 +4607,128 @@ object Pipeline {
              TRUE AS shard_isolated, TRUE AS entries_cover, TRUE AS full_k
       FROM embeddings WHERE vec_id < 10"""))
 
+  private val routedStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (DataFrame, DataFrame, Array[Seq[Float]], Long, Int)]
+
+  /** Build-once/probe-many for the ROUTED (k-means-sharded) graph
+    * index: built at [[Similarity.autoRoutedShards]] shards, persisted
+    * via [[Similarity.writeRoutedGraphIndex]] (edge list + entries +
+    * the shard centroids the index is only meaningful with), probes
+    * read the store. */
+  private[graft] def routedGraphStore(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame, Array[Seq[Float]], Long, Int) = {
+    routedStoreCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    routedStoreCache.getOrElseUpdate((s, dir), {
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_graphstore_" +
+        s"${new java.io.File(dir).getName}_${dirTag}_routed"
+      val emb = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      val shards = Similarity.autoRoutedShards(n)
+      val (g, entries, cents) = Similarity.buildGraphIndexRouted(
+        emb, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+      Similarity.writeRoutedGraphIndex(g, entries, cents, n, 12, path)
+      emb.unpersist()
+      Similarity.readRoutedGraphIndex(s, path)
+    })
+  }
+
+  /** d_ann_graph_routed — ROUTED sharded graph ANN, the query-cost
+    * fix for [[dAnnGraphSharded]]'s scatter-gather: that key's search
+    * probes EVERY shard and [[Similarity.autoShards]] grows shards
+    * linearly with n, so per-query work is corpus-LINEAR at the
+    * 100-TB frame (n=10¹⁰ → ~152k shards → ~2.4M candidate cosines
+    * per query per round). Here shards are k-means cells
+    * ([[Similarity.buildGraphIndexRouted]] — geometry-aware, which is
+    * what makes routing possible: pmod shards are uniform random
+    * subsamples no router can beat), each query probes only its 2
+    * nearest-by-centroid shards ([[Similarity.graphSearchTopKRouted]]),
+    * and per-query cost is probeShards·beamPerShard·2k —
+    * corpus-INDEPENDENT. Index persisted once ([[routedGraphStore]],
+    * centroids stored with the edges). Rows-only (NN-descent + Lloyd
+    * not SQL-replayable); [[dAnnGraphRoutedRecall]] is the contract. */
+  val dAnnGraphRouted: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (graph, entries, cents, _, _) = routedGraphStore(s, dir)
+      val out = Similarity.graphSearchTopKRouted(nodes,
+          nodes.filter(col("vec_id") < 10), graph, entries, cents,
+          "embedding", "vec_id", k = 5, beamPerShard = 16,
+          rounds = 6, probeShards = 2)
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = None)
+
+  /** d_ann_graph_routed_recall — the contract behind
+    * [[dAnnGraphRouted]]: recall@5 vs brute ≥ 0.8 on the standard
+    * probe set UNDER ROUTING (the recall the 2-of-N probe actually
+    * delivers, not the all-shards number), `probe_bounded` (every
+    * query routed to exactly probeShards shards AND
+    * probeShards·4 ≤ shards — the ≤¼ cut that makes routing a real
+    * cost reduction, pinned so shard-count drift can never silently
+    * turn routing back into scatter-gather), `routed_subset` (every
+    * returned neighbor lies in a shard its query probed — the search
+    * touched nothing outside its route), and `full_k`. */
+  val dAnnGraphRoutedRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = nodes.filter(col("vec_id") < 10)
+      val (graph, entries, cents, _, _) = routedGraphStore(s, dir)
+      val probeShards = 2
+      val approx = Similarity.graphSearchTopKRouted(nodes, q, graph,
+          entries, cents, "embedding", "vec_id", k = 5,
+          beamPerShard = 16, rounds = 6, probeShards = probeShards)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val brute = Similarity.bruteTopK(nodes, q, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val route = Similarity.routedShards(q, "embedding", "vec_id",
+        cents, probeShards)
+      val routeCounts = route.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_routed"))
+        .agg(min(col("n_routed")).as("min_routed"),
+          max(col("n_routed")).as("max_routed"))
+      val offRoute = approx
+        .join(Similarity.shardAssign(nodes, "embedding", "vec_id", cents)
+          .select(col("id").as("neighbor_id"), col("shard")),
+          Seq("neighbor_id"))
+        .join(route.withColumn("routed", lit(true)),
+          Seq("query_id", "shard"), "left")
+        .filter(!coalesce(col("routed"), lit(false)))
+      val out = brute.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(approx.agg(count(lit(1)).as("n_returned")))
+        .crossJoin(offRoute.agg(count(lit(1)).as("n_off_route")))
+        .crossJoin(routeCounts)
+        .select(col("n_queries"),
+          (col("hits").cast("double") / col("n_brute") >= 0.8)
+            .as("recall_ok"),
+          (col("min_routed") === probeShards.toLong &&
+            col("max_routed") === probeShards.toLong &&
+            lit(probeShards * 4 <= cents.length)).as("probe_bounded"),
+          (col("n_off_route") === 0).as("routed_subset"),
+          (col("n_returned") === col("n_brute")).as("full_k"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             TRUE AS probe_bounded, TRUE AS routed_subset, TRUE AS full_k
+      FROM embeddings WHERE vec_id < 10"""))
+
   val defs: Map[String, QueryDef] = Map(
     "d_ann_graph_insert" -> dAnnGraphInsert,
     "d_ann_graph_insert_recall" -> dAnnGraphInsertRecall,
@@ -4617,6 +4739,8 @@ object Pipeline {
     "d_ann_graph_full_insert_recall" -> dAnnGraphFullInsertRecall,
     "d_ann_graph_sharded" -> dAnnGraphSharded,
     "d_ann_graph_sharded_recall" -> dAnnGraphShardedRecall,
+    "d_ann_graph_routed" -> dAnnGraphRouted,
+    "d_ann_graph_routed_recall" -> dAnnGraphRoutedRecall,
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
     "t_tokens" -> tTokens,

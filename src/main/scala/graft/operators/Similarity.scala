@@ -24,6 +24,25 @@ object Similarity {
   private def sig(c: Column, bits: Int, seed: Long): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(c), bits, seed))
 
+  /** The blocked-pairs scored join every blocked kNN seed is built
+    * from: nodes self-joined on a block key, scored by rounded
+    * cosine, self-pairs dropped. `blk` is evaluated against the
+    * `nodes` frame's own columns (the argument is `col(idCol)` for
+    * convenience — a block key may also reference other columns of
+    * `nodes`, e.g. a precomputed shard assignment). Shared by
+    * [[blockedTopK]], [[hashBlockedTopK]], the sharded and routed
+    * graph builds — one join body to keep in sync, not four. */
+  private def blockScored(nodes: DataFrame, vecCol: String,
+      idCol: String, blk: Column => Column): DataFrame = {
+    val q = nodes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      blk(col(idCol)).as("blk"))
+    val c = nodes.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      blk(col(idCol)).as("blk"))
+    q.join(c, Seq("blk")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+  }
+
   /** Mutual k-NN graph over a node set: (a, b, cosm) with a < b,
     * kept only when each node is in the other's top-k by rounded
     * cosine (round(cos,4), ties by neighbor id); edge weight is the
@@ -67,15 +86,8 @@ object Similarity {
     * by both. */
   def blockedTopK(nodes: DataFrame, vecCol: String, idCol: String,
       k: Int = 5, blocks: Int = 4): DataFrame = {
-    def scored(blk: Column => Column): DataFrame = {
-      val q = nodes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        blk(col(idCol)).as("blk"))
-      val c = nodes.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        blk(col(idCol)).as("blk"))
-      q.join(c, Seq("blk")).filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qv"), col("cv")), 4).as("cos"))
-    }
+    def scored(blk: Column => Column): DataFrame =
+      blockScored(nodes, vecCol, idCol, blk)
     val both = scored(id => pmod(id, lit(blocks)))
       .union(scored(id => pmod(expr(s"`$idCol` div $blocks"), lit(blocks))))
       .distinct()
@@ -141,15 +153,9 @@ object Similarity {
     * family keeps [[blockedTopK]] for the oracle-replayed path. */
   private[operators] def hashBlockedTopK(nodes: DataFrame,
       vecCol: String, idCol: String, k: Int, blocks: Int): DataFrame = {
-    def scored(seed: Int): DataFrame = {
-      val q = nodes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        pmod(xxhash64(lit(seed), col(idCol)), lit(blocks)).as("blk"))
-      val c = nodes.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        pmod(xxhash64(lit(seed), col(idCol)), lit(blocks)).as("blk"))
-      q.join(c, Seq("blk")).filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qv"), col("cv")), 4).as("cos"))
-    }
+    def scored(seed: Int): DataFrame =
+      blockScored(nodes, vecCol, idCol,
+        id => pmod(xxhash64(lit(seed), id), lit(blocks)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored(1).union(scored(2)).distinct()
@@ -313,15 +319,8 @@ object Similarity {
     require(shards >= 2,
       s"graft: sharded graph build needs >= 2 shards (got $shards)")
     val bps = math.max(4L, (n / shards) / blockRows)
-    def scored(blk: Column => Column): DataFrame = {
-      val q = nodes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        blk(col(idCol)).as("blk"))
-      val c = nodes.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        blk(col(idCol)).as("blk"))
-      q.join(c, Seq("blk")).filter(col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(cosine(col("qv"), col("cv")), 4).as("cos"))
-    }
+    def scored(blk: Column => Column): DataFrame =
+      blockScored(nodes, vecCol, idCol, blk)
     // both blockings prefix with the shard id, so block keys never
     // collide across shards and every seed edge is within-shard;
     // within-shard keys are seeded hashes (id arithmetic collapses
@@ -389,6 +388,201 @@ object Similarity {
       field.metadata.getString(ShardedGraphShapeKey).split(",")
     (g, spark.read.parquet(s"$path/entries"), n.toLong, k.toInt,
       shards.toInt)
+  }
+
+  /** Default shard count for [[buildGraphIndexRouted]]: same growth
+    * law as [[autoShards]] but floor 12 — routing needs enough cells
+    * that probing a quarter of them is a real cut even at demo
+    * corpus sizes, and the measured recall knee sits there (the
+    * embedding space's latent cluster structure resolves at ~12
+    * cells: recall@5 under w=2 routing read 86/80 at 8 shards vs
+    * 88/96 at 12 at sf0.01/sf0.1, with occupancy balanced within
+    * ±15% in both — the 8-cell quantizer merges latent clusters and
+    * its cell boundaries cut true neighborhoods). At scale the two
+    * laws coincide. */
+  def autoRoutedShards(n: Long): Int =
+    math.max(12L, n / 65536L + 1L).toInt
+
+  /** ROUTED shard-parallel graph-ANN build — the fix for the
+    * scatter-gather search's corpus-linear query cost: shards are
+    * GEOMETRY-AWARE (k-means cells over the embedding space, the IVF
+    * coarse quantizer reused as the shard assignment) instead of
+    * pmod-of-id, so a query's true neighbors concentrate in a few
+    * shards and search probes only the `w` nearest-by-centroid
+    * shards ([[graphSearchTopKRouted]]) — per-query cost becomes
+    * w·beamPerShard·2k, INDEPENDENT of the shard count and hence of
+    * the corpus (with pmod shards every shard is a uniform random
+    * subsample, a query's top-k spreads uniformly, and NO router can
+    * beat probing everything — geometry-aware assignment is what
+    * makes routing possible at all; this is the DiskANN/partitioned-
+    * HNSW deployment: cluster the corpus, graph per cluster, route
+    * by centroid).
+    *
+    * Build dataflow is [[buildGraphIndexSharded]]'s with the shard
+    * prefix swapped: assignment is one map-side [[NearestCentroid]]
+    * projection (no shuffle), seed blockings are seeded-hash blocks
+    * PREFIXED by the assigned shard, so every seed edge is
+    * within-shard and the NN-descent 2-hop closure stays
+    * shard-closed — one distributed pass refines all shards' graphs,
+    * zero cross-shard shuffle mass. Block size is set from AVERAGE
+    * occupancy; k-means cells skew, so a cell at c× the average
+    * carries c² its share of seed pairs — bounded by cluster-size
+    * skew, the same exposure [[autoNlistPairs]] documents for
+    * semantic dedup (and at production scale the assignment reuses
+    * that cap). Centroids train on the [[trainQuantizer]] sample +
+    * Lloyd budget — deterministic, a few KB on the driver.
+    *
+    * Returns (graph, entries, centroids): the union edge list, one
+    * entry per non-empty shard (smallest in-shard id ≥ 10, the
+    * off-probe-set discipline), and the shard centroids the index is
+    * only meaningful with (persist all three together —
+    * [[writeRoutedGraphIndex]]). */
+  def buildGraphIndexRouted(nodes: DataFrame, vecCol: String,
+      idCol: String, n: Long, shards: Int, k: Int = 8,
+      rounds: Int = 2, blockRows: Int = 128, lloydIters: Int = 1)
+      : (DataFrame, DataFrame, Array[Seq[Float]]) = {
+    require(shards >= 2,
+      s"graft: routed graph build needs >= 2 shards (got $shards)")
+    val cents = trainQuantizer(nodes, vecCol, idCol, shards, lloydIters)
+    val centRef = broadcastCentroids(nodes, cents)
+    def shardOf(v: Column): Column =
+      Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
+    val bps = math.max(4L, (n / shards) / blockRows)
+    // block key = assigned shard × bps + within-shard seeded hash;
+    // the shard prefix comes from the VECTOR (map-side assignment),
+    // the within-shard key from the id — structure-robust on any id
+    // space (hashBlockedTopK's lesson)
+    def blk(seed: Int): Column => Column = id =>
+      shardOf(col(vecCol)).cast("long") * bps +
+        pmod(xxhash64(lit(seed), id), lit(bps))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    var g = blockScored(nodes, vecCol, idCol, blk(1))
+      .union(blockScored(nodes, vecCol, idCol, blk(2))).distinct()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      g = nnDescentRound(nodes, g, vecCol, idCol, k = k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+    val entries = nodes
+      .groupBy(shardOf(col(vecCol)).as("shard"))
+      .agg(min(when(col(idCol) >= 10, col(idCol))).as("offProbe"),
+        min(col(idCol)).as("anyId"))
+      .select(col("shard"),
+        coalesce(col("offProbe"), col("anyId")).as("entry_id"))
+    (g, entries, cents)
+  }
+
+  /** Column-metadata key for a [[writeRoutedGraphIndex]] store:
+    * (k, n, shards). */
+  private[graft] val RoutedGraphShapeKey = "graft.graphstore.routed.shape"
+
+  /** Persist a [[buildGraphIndexRouted]] result — edge list, entry
+    * table, and the SHARD CENTROIDS (a routed index is only
+    * meaningful with the exact quantizer that assigned its shards:
+    * storing them together is what makes the binding inherent, the
+    * ivfPqTopK fingerprint lesson without needing a stamp). Shape
+    * metadata on the edge list as in [[writeShardedGraphIndex]]. */
+  def writeRoutedGraphIndex(graph: DataFrame, entries: DataFrame,
+      cents: Array[Seq[Float]], n: Long, k: Int, path: String): Unit = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(RoutedGraphShapeKey, s"$k,$n,${cents.length}").build()
+    graph.select(col("query_id").as("query_id", meta),
+        col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$path/graph")
+    entries.select(col("shard"), col("entry_id"))
+      .write.mode("overwrite").parquet(s"$path/entries")
+    val spark = graph.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.map(_.toFloat)) }
+      .toDF("shard", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Read a [[writeRoutedGraphIndex]] store: (graph, entries,
+    * centroids, n, k). Bare stores rejected; a centroid table whose
+    * shard ids are not exactly 0..shards-1 is rejected too — a
+    * truncated centroid read would silently mis-route every query. */
+  def readRoutedGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame, Array[Seq[Float]], Long, Int) = {
+    val g = spark.read.parquet(s"$path/graph")
+    val field = g.schema.find(_.name == "query_id").getOrElse(
+      throw new IllegalArgumentException(
+        "graft: routed graph-index store needs a query_id column " +
+          "(see Similarity.writeRoutedGraphIndex)"))
+    require(field.metadata.contains(RoutedGraphShapeKey),
+      "graft: routed graph-index store carries no shape metadata — " +
+        "rebuild it with Similarity.writeRoutedGraphIndex, or the " +
+        "search would route with a guessed quantizer")
+    val Array(k, n, shards) =
+      field.metadata.getString(RoutedGraphShapeKey).split(",")
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("shard")).collect()
+    require(centRows.length == shards.toInt &&
+      centRows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"graft: routed graph-index centroid table is not 0..${shards.toInt - 1}")
+    val cents: Array[Seq[Float]] =
+      centRows.map(_.getSeq[Float](1).toSeq)
+    (g, spark.read.parquet(s"$path/entries"), cents, n.toLong, k.toInt)
+  }
+
+  /** Per-query shard ROUTE for a [[buildGraphIndexRouted]] index: the
+    * `w` nearest shards by query-to-centroid cosine — (query_id,
+    * shard). One map-side kernel over the (few) query rows; the
+    * contract key pins the route the search actually took by
+    * replaying this exact function. */
+  def routedShards(queries: DataFrame, vecCol: String, idCol: String,
+      cents: Array[Seq[Float]], probeShards: Int): DataFrame = {
+    val centRef = broadcastCentroids(queries, cents)
+    probeLists(queries, vecCol, idCol, centRef, cents.length, probeShards)
+      .select(col("query_id"), col("list_id").cast("int").as("shard"))
+  }
+
+  /** Shard assignment of a node set under a routed index's
+    * quantizer: (id, shard), one map-side [[NearestCentroid]]
+    * projection. The routed recall contract uses it to pin that
+    * every returned neighbor lies in a shard its query actually
+    * probed. */
+  def shardAssign(nodes: DataFrame, vecCol: String, idCol: String,
+      cents: Array[Seq[Float]]): DataFrame = {
+    val centRef = broadcastCentroids(nodes, cents)
+    nodes.select(col(idCol).as("id"),
+      Bridge.column(NearestCentroid(Bridge.expression(col(vecCol)),
+        centRef)).as("shard"))
+  }
+
+  /** Search a [[buildGraphIndexRouted]] index: route each query to
+    * its `probeShards` nearest shard centroids ([[routedShards]] —
+    * the IVF multi-probe device), seed a beam at ONLY those shards'
+    * entries, and run the per-(query, shard) beam loop — candidates
+    * cannot leave a probed shard because edges are shard-closed by
+    * construction, and the candidate's shard is re-derived map-side
+    * from its vector ([[NearestCentroid]]), never joined. Per-query
+    * cost is probeShards·beamPerShard·2k rows per round —
+    * CORPUS-INDEPENDENT, the property the all-shards scatter-gather
+    * ([[graphSearchTopKSharded]]) gives up: at n=10¹⁰ autoShards
+    * reads ~152k shards and probing every one is ~2.4M candidate
+    * cosines per query per round; routing probes w=2–8 whatever the
+    * corpus. The routing loss (true neighbors living in un-probed
+    * shards) is the standard IVF recall tradeoff, pinned by the
+    * d_ann_graph_routed_recall contract. */
+  def graphSearchTopKRouted(nodes: DataFrame, queries: DataFrame,
+      graph: DataFrame, entries: DataFrame, cents: Array[Seq[Float]],
+      vecCol: String, idCol: String, k: Int = 5,
+      beamPerShard: Int = 16, rounds: Int = 4,
+      probeShards: Int = 2): DataFrame = {
+    val centRef = broadcastCentroids(nodes, cents)
+    def shardOf(v: Column): Column =
+      Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
+    val seeds = routedShards(queries, vecCol, idCol, cents, probeShards)
+      .join(broadcast(entries), Seq("shard"))
+      .select(col("query_id"), col("entry_id").as("cand"))
+    shardedBeamLoop(nodes, queries, graph, seeds, vecCol, idCol,
+      (_, candVec) => shardOf(candVec), k, beamPerShard, rounds)
   }
 
   /** Graph-based ANN: greedy BEAM SEARCH over a directed kNN graph —
@@ -532,6 +726,29 @@ object Similarity {
       graph: DataFrame, entries: DataFrame, vecCol: String,
       idCol: String, shards: Int, k: Int = 5, beamPerShard: Int = 12,
       rounds: Int = 4): DataFrame = {
+    val seed = queries.select(col(idCol).as("query_id"))
+      .crossJoin(broadcast(entries.select(col("entry_id").as("cand"))))
+    shardedBeamLoop(nodes, queries, graph, seed, vecCol, idCol,
+      (candId, _) => pmod(candId, lit(shards)), k, beamPerShard, rounds)
+  }
+
+  /** The per-(query, shard) beam loop behind [[graphSearchTopKSharded]]
+    * and [[graphSearchTopKRouted]]: seeds come in as an explicit
+    * (query_id, cand) frame, `shardOf(candId, candVec)` names the
+    * candidate's shard (pmod of the id for hash-sharded indexes, the
+    * nearest-centroid assignment for routed ones — both map-side), and
+    * the final merge is one per-query top-k window over every probed
+    * shard's survivors. The SEED beam is exempt from the
+    * cand =!= query self-filter: a query that coincides with a
+    * shard's entry node would otherwise lose that whole shard before
+    * any expansion (empty-seed-beam failure mode) — instead the self
+    * row seeds round 1's expansion of the query's own neighborhood
+    * and the self-filter applies from the first expansion round and
+    * at the final merge, where it belongs. */
+  private def shardedBeamLoop(nodes: DataFrame, queries: DataFrame,
+      graph: DataFrame, seedCands: DataFrame, vecCol: String,
+      idCol: String, shardOf: (Column, Column) => Column, k: Int,
+      beamPerShard: Int, rounds: Int): DataFrame = {
     val und = graph
       .select(col("query_id").as("v"), col("neighbor_id").as("u"))
       .union(graph
@@ -540,31 +757,35 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))
     val w = Window
-      .partitionBy(col("query_id"), pmod(col("cand"), lit(shards)))
+      .partitionBy(col("query_id"), shardOf(col("cand"), col("cv")))
       .orderBy(col("cosm").desc, col("cand"))
-    def topBeam(cands: DataFrame): DataFrame =
-      cands.distinct()
+    def topBeam(cands: DataFrame, selfFilter: Boolean): DataFrame = {
+      val scored = cands.distinct()
         .join(vecs, Seq("cand"))
         .join(broadcast(q), Seq("query_id"))
-        .filter(col("cand") =!= col("query_id"))
-        .select(col("query_id"), col("cand"),
+      (if (selfFilter) scored.filter(col("cand") =!= col("query_id"))
+       else scored)
+        .select(col("query_id"), col("cand"), col("cv"),
           round(cosine(col("qv"), col("cv")) * 10000).cast("long")
             .as("cosm"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= beamPerShard)
-    val seed = queries.select(col(idCol).as("query_id"))
-      .crossJoin(broadcast(entries.select(col("entry_id").as("cand"))))
-    var cur = topBeam(seed).localCheckpoint(true)
+        .select(col("query_id"), col("cand"), col("cosm"))
+    }
+    var cur = topBeam(seedCands.select(col("query_id"), col("cand")),
+      selfFilter = false).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val expand = cur.select(col("query_id"), col("cand").as("v"))
         .join(und, Seq("v"))
         .select(col("query_id"), col("u").as("cand"))
-      cur = topBeam(cur.select(col("query_id"), col("cand")).union(expand))
+      cur = topBeam(cur.select(col("query_id"), col("cand")).union(expand),
+          selfFilter = true)
         .localCheckpoint(true)
     }
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cosm").desc, col("cand"))
-    cur.select(col("query_id"), col("cand"), col("cosm"))
+    cur.filter(col("cand") =!= col("query_id"))
+      .select(col("query_id"), col("cand"), col("cosm"))
       .withColumn("rnk", row_number().over(wq).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cand").as("neighbor_id"),

@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Dev probe: measured recall@5 of the ROUTED sharded graph search
+  * vs brute truth on the standard probe set, per SF dir, at a sweep
+  * of probeShards — the number the d_ann_graph_routed_recall floor
+  * (0.8 at w=2) is calibrated against. Dev tool, not library
+  * surface. */
+object RoutedProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    dirs.foreach { dir =>
+      val emb = Tables.load(spark, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      val shards = sys.env.get("RP_SHARDS").map(_.toInt).getOrElse(Similarity.autoRoutedShards(n))
+      val (g, entries, cents) = Similarity.buildGraphIndexRouted(
+        emb, "embedding", "vec_id", n, shards, k = 12, rounds = 2, lloydIters = sys.env.get("RP_LLOYD").map(_.toInt).getOrElse(1))
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteTopK(emb, q, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val nBrute = brute.count()
+      for (w <- Seq(1, 2, 3, 4)) {
+        val approx = Similarity.graphSearchTopKRouted(emb, q, g,
+            entries, cents, "embedding", "vec_id", k = 5,
+            beamPerShard = 16, rounds = 6, probeShards = w)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = brute.intersect(approx).count()
+        println(f"[routed] $dir%-28s shards=$shards w=$w recall@5 = " +
+          f"${hits * 100.0 / nBrute}%5.1f%%")
+      }
+      emb.unpersist()
+    }
+    spark.stop()
+  }
+}
+object RoutedOccupancy {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val emb = Tables.load(spark, dir, "embeddings").cache()
+    val n = emb.count()
+    for (shards <- Seq(8, 12, 16)) {
+      val cents = Similarity.trainQuantizer(emb, "embedding", "vec_id", shards, 1)
+      val occ = Similarity.shardAssign(emb, "embedding", "vec_id", cents)
+        .groupBy("shard").count().orderBy(desc("count")).collect()
+      println(s"[occ] $dir shards=$shards n=$n -> " +
+        occ.map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" "))
+    }
+    spark.stop()
+  }
+}

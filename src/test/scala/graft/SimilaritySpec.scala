@@ -836,6 +836,93 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(p => p._1 != p._2))
   }
 
+  test("routed graph index: assignment isolation, centroid store binding, routed contracts, entry-seed exemption") {
+    import graft.operators.Pipeline
+    val nodes = graft.Tables.load(spark, sf, "embeddings")
+    val n = nodes.count()
+    val shards = Similarity.autoRoutedShards(n)
+    val (g, entries, cents) = Similarity.buildGraphIndexRouted(
+      nodes, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+    assert(cents.length === shards)
+    // shard isolation under the ASSIGNMENT (k-means cells, not pmod):
+    // within-shard seed edges + the 2-hop closure never cross cells
+    val assign = Similarity.shardAssign(nodes, "embedding", "vec_id", cents)
+    val crossings = g
+      .join(assign.select(col("id").as("query_id"), col("shard").as("qs")),
+        Seq("query_id"))
+      .join(assign.select(col("id").as("neighbor_id"), col("shard").as("ns")),
+        Seq("neighbor_id"))
+      .filter(col("qs") =!= col("ns")).count()
+    assert(crossings === 0L, "an edge crossed a k-means shard boundary")
+    // one entry per NON-EMPTY shard, inside its own shard, off the
+    // probe set when the shard has any id >= 10
+    val occupied = assign.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val es = entries.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(es.map(_._1).toSet === occupied)
+    val assignMap = assign.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(es.forall { case (sh, e) => assignMap(e) == sh },
+      "an entry node sits outside its own cell")
+    // deterministic rebuild (quantizer sample, seeded hashes, integer
+    // cosine algebra — all pure)
+    val (g2, _, cents2) = Similarity.buildGraphIndexRouted(
+      nodes, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cents.map(_.toList).toList === cents2.map(_.toList).toList)
+    assert(edgeSet(g) === edgeSet(g2), "routed rebuild diverged")
+    // store round-trip carries edges + entries + CENTROIDS (the index
+    // is only meaningful with the quantizer that assigned its shards);
+    // bare and truncated-centroid stores are rejected
+    val path = s"${sys.props("java.io.tmpdir")}/graft_spec_routedstore"
+    Similarity.writeRoutedGraphIndex(g, entries, cents, n, 12, path)
+    val (gs, ents, cs, n2, k2) = Similarity.readRoutedGraphIndex(spark, path)
+    assert((n2, k2) === (n, 12))
+    assert(cs.map(_.toList).toList === cents.map(_.toList).toList)
+    assert(edgeSet(gs) === edgeSet(g))
+    assert(ents.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      === es.toSet)
+    val bare = s"${sys.props("java.io.tmpdir")}/graft_spec_routedbare"
+    g.write.mode("overwrite").parquet(s"$bare/graph")
+    entries.write.mode("overwrite").parquet(s"$bare/entries")
+    intercept[IllegalArgumentException] {
+      Similarity.readRoutedGraphIndex(spark, bare)
+    }
+    // driver-row contracts: recall floor, probe bound, route subset,
+    // full-k — and the rows-only key returns 10 x 5
+    val r = Pipeline.dAnnGraphRoutedRecall.fn(spark, sf).collect()(0)
+    assert(r.getBoolean(1), "routed recall under floor")
+    assert(r.getBoolean(2), "probe bound violated (or shards < 4w)")
+    assert(r.getBoolean(3), "a result escaped its query's route")
+    assert(r.getBoolean(4), "merge thinned a result set below k")
+    val rows = Pipeline.dAnnGraphRouted.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 50, s"expected 10 x 5, got ${rows.length}")
+    assert(rows.forall(p => p._1 != p._2))
+    // entry-seed exemption (ADVICE r15): a query that IS a shard's
+    // entry node must still explore that shard — the seed beam keeps
+    // the self row (expanding the query's own neighborhood) and the
+    // self-filter applies from round 1 and at the merge. Before the
+    // fix the self-filter emptied that shard's seed beam and the
+    // shard contributed ZERO candidates (shard-closed edges mean no
+    // later round can re-enter it).
+    val pShards = Similarity.autoShards(n)
+    val (pg, pEntries) = Similarity.buildGraphIndexSharded(
+      nodes, "embedding", "vec_id", n, pShards, k = 12, rounds = 2)
+    val entry0 = pEntries.orderBy(col("shard")).collect()(0)
+    val entryQuery = nodes.filter(col("vec_id") === entry0.getLong(1))
+    val got = Similarity.graphSearchTopKSharded(nodes, entryQuery, pg,
+        pEntries, "embedding", "vec_id", pShards,
+        k = pShards * 16, beamPerShard = 16, rounds = 4)
+      .collect()
+    assert(got.forall(r => r.getLong(1) != entry0.getLong(1)),
+      "self row leaked through the final merge")
+    assert(got.exists(r => r.getLong(1) % pShards == entry0.getLong(0)),
+      "entry-coincident query lost its own shard (seed exemption broken)")
+  }
+
   test("silhouette audit discriminates a geometric partition from the label partition") {
     import graft.operators.Pipeline
     val rows = Pipeline.dClusterSilhouette.fn(spark, sf).collect()
