@@ -4201,7 +4201,7 @@ object Pipeline {
   /** Tombstone predicate shared by the delete and compaction legs:
     * vec_id ≡ 7 mod 10 (pmod — replica-stable, unlike an id
     * threshold). */
-  private def graphTombstoned(c: org.apache.spark.sql.Column)
+  private[graft] def graphTombstoned(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = pmod(c, lit(10)) === 7
 
   /** Insert-leg delta predicate: vec_id ≡ 4 mod 5 — a deterministic

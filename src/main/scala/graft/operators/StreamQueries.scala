@@ -648,33 +648,44 @@ object StreamQueries {
       FROM enc WHERE event_type = 'purchase'
       ORDER BY user_id, ts_ms, purchase_id"""))
 
-  /** One ANN-ingest micro-batch applied to the version-chained edge
-    * store: the batch's new vectors enter the BASE graph-ANN index by
+  /** One ANN-ingest micro-batch applied to the APPEND-ONLY edge
+    * chain: the batch's new vectors enter the BASE graph-ANN index by
     * running the layered search as the insert routine (link each new
     * node to its top-12 found base neighbors — [[graft.operators
-    * .Pipeline]]'s dAnnGraphFullInsertRecall path, streamed), and
-    * v(batchId+1) = v(batchId) ∪ the batch's insert edges. Versions
-    * are keyed by BATCH IDENTITY ([[mergeCdcBatch]]'s discipline), so
-    * a re-delivered batch recomputes ITS OWN version from the same
-    * store input and the same batch content — idempotent on
-    * redelivery by construction (StreamingSpec applies a batch twice
-    * and pins the identical edge set). Inserts link into the BASE
-    * index only, so the final merged graph is a pure union —
-    * independent of batch arrival order, which a file-source replay
-    * does not pin. */
+    * .Pipeline]]'s dAnnGraphFullInsertRecall path, streamed), and the
+    * batch writes ONLY ITS OWN insert edges as chain link
+    * `d<batchId>` (the anchor `v0` holds the base edges; readers
+    * union the chain). Links are keyed by BATCH IDENTITY
+    * ([[mergeCdcBatch]]'s versioning discipline), so a re-delivered
+    * batch recomputes its own link from the same base index and the
+    * same batch content and OVERWRITES it — idempotent on redelivery
+    * by construction (StreamingSpec applies a batch twice and pins
+    * the identical chain). Inserts link into the BASE index only, so
+    * the merged graph is a pure union — independent of batch arrival
+    * order, which a file-source replay does not pin, and DISJOINT
+    * across links (each delta node inserts in exactly one batch), so
+    * the union needs no dedup. Unlike a cur ∪ edges full-store
+    * rewrite, per-batch write cost is |batch|·k edges — never
+    * index-sized, the property that matters when the accumulated
+    * index dwarfs every micro-batch (at sf10 the full-rewrite chain
+    * re-shuffled the whole edge store four times per run). */
   private[graft] def insertAnnBatch(s: org.apache.spark.sql.SparkSession,
       storeBase: String, baseNodes: org.apache.spark.sql.DataFrame,
       baseGraph: org.apache.spark.sql.DataFrame,
       baseUpper: org.apache.spark.sql.DataFrame, entry: Long,
       batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
-    val cur = s.read.parquet(s"$storeBase/v$batchId")
-    val edges = Similarity.graphSearchTopKLayered(baseNodes, batch,
+    Similarity.graphSearchTopKLayered(baseNodes, batch,
         baseGraph, baseUpper, "embedding", "vec_id", k = 12,
         beam = 48, rounds = 6, upperSeed = entry)
       .select(col("query_id"), col("neighbor_id"))
-    cur.unionByName(edges).distinct()
-      .write.mode("overwrite").parquet(s"$storeBase/v${batchId + 1}")
+      .write.mode("overwrite").parquet(s"$storeBase/d$batchId")
   }
+
+  /** Read an [[insertAnnBatch]] chain back as one edge list: the v0
+    * anchor unioned with every d* link, one glob parquet scan. */
+  private[graft] def readAnnChain(s: org.apache.spark.sql.SparkSession,
+      storeBase: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(s"$storeBase/*")
 
   /** s_ann_ingest — STREAMING ANN index maintenance, the
     * lambda-closing leg for the graph-ANN family exactly as [[sMv]]
@@ -684,23 +695,30 @@ object StreamQueries {
     * delta (vec_id ≡ 4 mod 5) streams in as 4 delivery-ordered
     * micro-batch files, and each batch enters the index through
     * [[insertAnnBatch]] — layered search-as-insert against the BASE
-    * graph, edges appended to a batchId-KEYED version chain
-    * (idempotent redelivery; order-independent final graph because
-    * inserts link into base only). The final merged graph (base ∪
-    * all insert edges) serves the standard probe set and must clear
-    * the SAME floors as the one-shot insert key: recall ≥ 0.8 vs
-    * brute over the FULL corpus, `all_covered` (every delta node
-    * carries insert edges — nothing dropped at a batch boundary),
-    * `multi_batch` (the stream genuinely split). Per-batch cost =
-    * |batch| layered searches + the edge-store rewrite — never a
-    * corpus rebuild, the production shape of continuous vector-index
-    * ingestion. */
+    * graph, the batch's OWN edges written as one batchId-keyed
+    * APPEND-ONLY chain link (idempotent redelivery — a replayed
+    * batch overwrites its own link; order-independent final graph
+    * because inserts link into base only). The merged graph
+    * ([[readAnnChain]]: v0 anchor ∪ every d* link, one glob scan)
+    * serves the standard probe set and must clear the SAME floors as
+    * the one-shot insert key: recall ≥ 0.8 vs brute over the FULL
+    * corpus, `all_covered` (every delta node carries insert edges —
+    * nothing dropped at a batch boundary), `multi_batch` (the stream
+    * genuinely split). Per-batch cost = |batch| layered searches +
+    * a |batch|·k edge write — never index-sized, the production
+    * shape of continuous vector-index ingestion. */
   val sAnnIngest: QueryDef = QueryDef(
     fn = (s, dir) => {
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
       }
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sann/${new java.io.File(dir).getName}"
+      // dirTag in the path (graphIndexStore's discipline): two data
+      // dirs sharing a basename must not collide on the tmp store —
+      // the unconditional rmTree would corrupt the other run's chain
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sann/" +
+        s"${new java.io.File(dir).getName}_$dirTag"
       rmTree(new java.io.File(base))
       val emb = graft.Tables.load(s, dir, "embeddings")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -709,7 +727,7 @@ object StreamQueries {
       val nDelta = delta.count()
       val (baseGraph, baseUpper, entry, _, _) =
         Pipeline.graphIndexStore(s, dir, "base")
-      // seed the chain with the base edges (v0 = the stored index)
+      // anchor the chain with the base edges (v0 = the stored index)
       baseGraph.select(col("query_id"), col("neighbor_id"))
         .write.mode("overwrite").parquet(s"$base/store/v0")
       // 4 delivery-ordered micro-batch files (vec_id buckets — any
@@ -719,7 +737,6 @@ object StreamQueries {
         delta.filter(pmod(expr("vec_id div 5"), lit(nb)) === i)
           .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
       }
-      val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
       val batches = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = s.readStream
         .schema(emb.schema)
@@ -728,13 +745,15 @@ object StreamQueries {
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           insertAnnBatch(s, s"$base/store", baseNodes, baseGraph,
             baseUpper, entry, batch, batchId)
-          lastVersion.updateAndGet(v => math.max(v, batchId + 1))
           batches.incrementAndGet()
           ()
         }
         .start()
-      q.processAllAvailable(); q.stop()
-      val merged = s.read.parquet(s"$base/store/v${lastVersion.get()}")
+      // stop in finally: a foreachBatch failure must not leave the
+      // query running against its temp checkpoint (it would wedge
+      // subsequent keys in the same session)
+      try q.processAllAvailable() finally q.stop()
+      val merged = readAnnChain(s, s"$base/store")
       val queries = emb.filter(col("vec_id") < 10)
       val approx = Similarity.graphSearchTopKLayered(emb, queries,
           merged, baseUpper, "embedding", "vec_id", k = 5, beam = 48,
@@ -763,6 +782,112 @@ object StreamQueries {
     oracle = Some("""
       SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
              TRUE AS all_covered, TRUE AS multi_batch
+      FROM embeddings WHERE vec_id < 10"""))
+
+  /** s_ann_delete — the STREAMING DELETE + COMPACTION leg of the
+    * graph-ANN lifecycle, closing the operational loop [[sAnnIngest]]
+    * opened for inserts: tombstone ids arrive as delivery-ordered
+    * micro-batches, each batch appends its OWN tombstone set as a
+    * batchId-keyed chain link (`t<batchId>` — [[insertAnnBatch]]'s
+    * append-only discipline: a redelivered batch overwrites its own
+    * link, per-batch write cost is |batch|-sized, and the merged
+    * tombstone set is one glob scan). While the accumulated fraction
+    * sits under the 5% rebuild threshold the correct action is
+    * mark-deleted search (the batch delete leg's oversampled probe);
+    * here the streamed tombstones cross it — the same loud `require`
+    * as the batch compaction leg, so the key can never silently
+    * degrade into a no-op — and compaction triggers: the index is
+    * REBUILT over survivors (ONE code path with the batch leg —
+    * [[Pipeline.graphIndexStore]] "compact") and the standard probe
+    * set searches the compacted store PLAIN k-deep (no oversampling,
+    * the operational payoff). Contracts: recall ≥ 0.8 vs brute over
+    * survivors, `tombstones_gone` (zero edges incident to a streamed
+    * tombstone in the compacted index), `compact_triggered` (the
+    * merged chain genuinely crossed 5% — threshold drift cannot
+    * silently skip the rebuild), `multi_batch` (the tombstones
+    * genuinely streamed). */
+  val sAnnDelete: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sanndel/" +
+        s"${new java.io.File(dir).getName}_$dirTag"
+      rmTree(new java.io.File(base))
+      val emb = graft.Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      val tomb = emb.filter(Pipeline.graphTombstoned(col("vec_id")))
+        .select(col("vec_id"))
+      // 2 delivery-ordered tombstone micro-batch files
+      val nb = 2
+      (0 until nb).foreach { i =>
+        tomb.filter(pmod(expr("vec_id div 10"), lit(nb)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
+      }
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream
+        .schema(tomb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          batch.select(col("vec_id"))
+            .write.mode("overwrite").parquet(s"$base/tomb/t$batchId")
+          batches.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val tombAll = s.read.parquet(s"$base/tomb/*")
+        .select(col("vec_id")).distinct()
+        .localCheckpoint(eager = true)
+      val nTomb = tombAll.count()
+      require(nTomb * 20 >= n,
+        s"graft: streamed tombstone fraction under the 5% rebuild " +
+          s"threshold (got $nTomb of $n) — below it the correct " +
+          "action is mark-deleted search, not compaction")
+      val (graph, upper, entry, storedN, _) =
+        Pipeline.graphIndexStore(s, dir, "compact")
+      val survivors = emb.join(tombAll, Seq("vec_id"), "left_anti")
+      val qs = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.graphSearchTopKLayered(survivors, qs,
+          graph, upper, "embedding", "vec_id", k = 5, beam = 48,
+          rounds = 6, upperSeed = entry)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val brute = Similarity.bruteTopK(survivors, qs, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val tombEdges = graph
+        .join(tombAll.select(col("vec_id").as("query_id")), Seq("query_id"))
+        .select(col("query_id").as("vid"))
+        .union(graph
+          .join(tombAll.select(col("vec_id").as("neighbor_id")),
+            Seq("neighbor_id"))
+          .select(col("neighbor_id").as("vid")))
+      val out = brute.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(tombEdges.agg(count(lit(1)).as("n_tomb_edges")))
+        .select(col("n_queries"),
+          (col("hits").cast("double") / col("n_brute") >= 0.8)
+            .as("recall_ok"),
+          (col("n_tomb_edges") === 0 && lit(storedN == n - nTomb))
+            .as("tombstones_gone"),
+          lit(nTomb * 20 >= n).as("compact_triggered"),
+          lit(batches.get() >= 2L).as("multi_batch"))
+        .localCheckpoint(eager = true)
+      emb.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             TRUE AS tombstones_gone, TRUE AS compact_triggered,
+             TRUE AS multi_batch
       FROM embeddings WHERE vec_id < 10"""))
 
   /** Stream-stream LEFT OUTER interval join (the alerting companion
@@ -944,6 +1069,7 @@ object StreamQueries {
     "s_pull_budget" -> sPullBudget,
     "s_pull_clock" -> sPullClock,
     "s_ann_ingest" -> sAnnIngest,
+    "s_ann_delete" -> sAnnDelete,
     "s_pull_hours" -> sPullHours,
     "s_transitions" -> sTransitions,
     "s_funnel" -> sFunnel,

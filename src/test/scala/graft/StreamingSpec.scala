@@ -56,13 +56,20 @@ class StreamingSpec extends SparkSpec {
       baseUpper, entry, b0, 0L)
     StreamQueries.insertAnnBatch(spark, store, baseNodes, baseGraph,
       baseUpper, entry, b1, 1L)
-    val v2First = edgeSet(s"$store/v2")
+    // append-only chain: each link holds ONLY its own batch's edges
+    // (per-batch write cost is |batch|-sized, never index-sized)
+    val d1First = edgeSet(s"$store/d1")
+    val chainFirst = edgeSet(s"$store/*")
+    assert(d1First.size < chainFirst.size,
+      "a chain link rewrote more than its own batch")
     // batch 1 REDELIVERED after a successful commit: the batchId-keyed
-    // chain must rewrite v2 identically, never double-insert
+    // link must rewrite d1 identically, never double-insert
     StreamQueries.insertAnnBatch(spark, store, baseNodes, baseGraph,
       baseUpper, entry, b1, 1L)
-    assert(edgeSet(s"$store/v2") === v2First,
-      "redelivered ANN batch must rewrite its own version identically")
+    assert(edgeSet(s"$store/d1") === d1First,
+      "redelivered ANN batch must rewrite its own link identically")
+    assert(edgeSet(s"$store/*") === chainFirst,
+      "redelivery changed the merged chain")
     // inserts link into the BASE graph only, so chained == one-shot
     // (order independence — the property the file replay rides on)
     val oneShot = Similarity.graphSearchTopKLayered(baseNodes, delta,
@@ -72,13 +79,22 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ++
       baseGraph.select(col("query_id"), col("neighbor_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(v2First === oneShot,
+    assert(chainFirst === oneShot,
       "chained ANN ingest must equal the one-shot insert edge set")
     // the driver row's contracts hold at the spec SF
     val r = StreamQueries.sAnnIngest.fn(spark, sf).collect()(0)
     assert(r.getBoolean(1), "streamed-ingest recall under floor")
     assert(r.getBoolean(2), "a delta node lost its insert edges")
     assert(r.getBoolean(3), "the ingest stream did not split")
+  }
+
+  test("streaming ANN delete: tombstone chain triggers compaction, compacted search clears floors") {
+    import graft.operators.StreamQueries
+    val r = StreamQueries.sAnnDelete.fn(spark, sf).collect()(0)
+    assert(r.getBoolean(1), "post-compaction recall under floor")
+    assert(r.getBoolean(2), "a streamed tombstone survives in the compacted index")
+    assert(r.getBoolean(3), "compaction did not trigger at >= 5%")
+    assert(r.getBoolean(4), "the tombstone stream did not split")
   }
 
   test("streaming windowed agg over a log stream equals the batch plan") {
