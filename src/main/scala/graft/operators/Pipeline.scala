@@ -4729,6 +4729,35 @@ object Pipeline {
              TRUE AS probe_bounded, TRUE AS routed_subset, TRUE AS full_k
       FROM embeddings WHERE vec_id < 10"""))
 
+  /** d_ann_graph_filtered_recall — FILTERED search served from the
+    * GRAPH index ([[Similarity.graphSearchTopKLayeredFiltered]]),
+    * closing the filtered-ANN story for the graph family (the exact
+    * and IVF paths have [[dAnnFiltered]]/[[dAnnFilteredRecall]]):
+    * the layered search traverses unfiltered with a beam oversampled
+    * to beam ≳ k/selectivity (96 for k=5 at s=0.1 — constraining
+    * traversal itself would disconnect routing, the standard
+    * filtered-HNSW argument), then the per-query label predicate
+    * prunes and re-ranks. Same 0.7 floor as the IVF filtered
+    * contract, vs the filtered-exact truth. */
+  val dAnnGraphFilteredRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = nodes.filter(col("vec_id") < 10)
+      val (graph, upper, entry, _, _) = graphIndexStore(s, dir, "full")
+      val out = annRecall(
+          Similarity.graphSearchTopKLayeredFiltered(nodes, q, graph,
+            upper, "embedding", "vec_id", "label", k = 5, beam = 96,
+            rounds = 6, upperSeed = entry),
+          Similarity.bruteTopKFiltered(nodes, q, "embedding",
+            "vec_id", "label"),
+          0.7)
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some(recallOracleSql))
+
   val defs: Map[String, QueryDef] = Map(
     "d_ann_graph_insert" -> dAnnGraphInsert,
     "d_ann_graph_insert_recall" -> dAnnGraphInsertRecall,
@@ -4741,6 +4770,7 @@ object Pipeline {
     "d_ann_graph_sharded_recall" -> dAnnGraphShardedRecall,
     "d_ann_graph_routed" -> dAnnGraphRouted,
     "d_ann_graph_routed_recall" -> dAnnGraphRoutedRecall,
+    "d_ann_graph_filtered_recall" -> dAnnGraphFilteredRecall,
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
     "t_tokens" -> tTokens,

@@ -707,6 +707,46 @@ object Similarity {
       entries, k, beam, rounds)
   }
 
+  /** FILTERED layered graph search — predicate-constrained ANN served
+    * from the graph index, the HNSW analogue of [[ivfTopKFiltered]]:
+    * the layered search traverses UNFILTERED (constraining the beam
+    * to matching nodes would disconnect routing — matching nodes are
+    * reached through non-matching neighbors, the standard
+    * filtered-HNSW argument) with an OVERSAMPLED beam, returns its
+    * full `beam`-deep survivor set, and the per-query label predicate
+    * prunes + re-ranks to k. Oversampling is the thin-set knob: with
+    * selectivity s the expected matching survivors are beam·s, so
+    * beam ≳ k/s keeps result sets full (s = 0.1 here → beam 96 for
+    * k=5, same sizing rule as ivfTopKFiltered's oversample 16).
+    * Candidate relation stays queries·beam rows — query-bounded; the
+    * label join is broadcast on the query side and id-keyed on the
+    * candidate side, exactly the filtered-IVF plan. */
+  def graphSearchTopKLayeredFiltered(nodes: DataFrame,
+      queries: DataFrame, graph: DataFrame, upperGraph: DataFrame,
+      vecCol: String, idCol: String, labelCol: String, k: Int = 5,
+      beam: Int = 96, rounds: Int = 4, upperSeed: Long = 1L,
+      upperBeam: Int = 8, upperRounds: Int = 1,
+      nEntry: Int = 4): DataFrame = {
+    val cand = graphSearchTopKLayered(nodes, queries, graph,
+      upperGraph, vecCol, idCol, k = beam, beam = beam,
+      rounds = rounds, upperSeed = upperSeed, upperBeam = upperBeam,
+      upperRounds = upperRounds, nEntry = nEntry)
+    val nl = nodes.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nl"))
+    val ql = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("ql"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosm").desc, col("neighbor_id"))
+    cand.join(broadcast(ql), Seq("query_id"))
+      .join(nl, Seq("neighbor_id"))
+      .filter(col("nl") === col("ql"))
+      .withColumn("rnk2", row_number().over(w).cast("long"))
+      .filter(col("rnk2") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosm"),
+        col("rnk2").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Fan-out-and-merge search over a [[buildGraphIndexSharded]]
     * index, expressed as ONE dataflow: every query seeds a beam at
     * EVERY shard's entry node, and the beam window partitions by

@@ -57,3 +57,27 @@ object RoutedOccupancy {
     spark.stop()
   }
 }
+object FilteredGraphProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.load(spark, dir, "embeddings").cache()
+      val n = emb.count()
+      val (g, u, e) = Similarity.buildGraphIndexFull(
+        emb, "embedding", "vec_id", n, k = 12, rounds = 2)
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteTopKFiltered(emb, q, "embedding", "vec_id", "label")
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nb = brute.count()
+      for (beam <- Seq(48, 96)) {
+        val ap = Similarity.graphSearchTopKLayeredFiltered(emb, q, g, u,
+            "embedding", "vec_id", "label", k = 5, beam = beam,
+            rounds = 6, upperSeed = e)
+          .select(col("query_id"), col("neighbor_id"))
+        println(f"[fgp] $dir beam=$beam recall = ${brute.intersect(ap).count() * 100.0 / nb}%5.1f%% (n_exact=$nb)")
+      }
+      emb.unpersist()
+    }
+    spark.stop()
+  }
+}

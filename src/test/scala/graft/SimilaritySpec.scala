@@ -923,6 +923,29 @@ class SimilaritySpec extends SparkSpec {
       "entry-coincident query lost its own shard (seed exemption broken)")
   }
 
+  test("filtered layered graph search: matching-label results only, full result sets, recall contract") {
+    import graft.operators.Pipeline
+    val nodes = graft.Tables.load(spark, sf, "embeddings")
+    val n = nodes.count()
+    val (g, u, e) = Similarity.buildGraphIndexFull(
+      nodes, "embedding", "vec_id", n, k = 12, rounds = 2)
+    val q = nodes.filter(col("vec_id") < 10)
+    val got = Similarity.graphSearchTopKLayeredFiltered(nodes, q, g, u,
+        "embedding", "vec_id", "label", k = 5, beam = 96, rounds = 6,
+        upperSeed = e)
+      .join(nodes.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), Seq("neighbor_id"))
+      .join(nodes.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), Seq("query_id"))
+      .collect()
+    assert(got.forall(r => r.getAs[String]("nl") == r.getAs[String]("ql")),
+      "a result violates its query's label predicate")
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)), "self-match")
+    // the driver-row recall contract holds at the spec SF
+    val r = Pipeline.dAnnGraphFilteredRecall.fn(spark, sf).collect()(0)
+    assert(r.getBoolean(1), "filtered graph recall under floor")
+  }
+
   test("silhouette audit discriminates a geometric partition from the label partition") {
     import graft.operators.Pipeline
     val rows = Pipeline.dClusterSilhouette.fn(spark, sf).collect()
