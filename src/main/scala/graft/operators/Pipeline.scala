@@ -4535,8 +4535,12 @@ object Pipeline {
     * a monolithic build's candidate shuffles span the corpus).
     * Search scatter-gathers: every query seeds every shard's entry,
     * beams stay per-(query, shard), the merge is one final top-k
-    * window ([[Similarity.graphSearchTopKSharded]]). Index persisted
-    * once ([[shardedGraphStore]]). Rows-only (NN-descent not
+    * window ([[Similarity.graphSearchTopKSharded]]) — exhaustive
+    * over shards, so query cost grows with the shard count: the
+    * right shape while shards stay in the tens, while at corpus
+    * scale the ROUTED variant ([[dAnnGraphRouted]]) caps per-query
+    * work at w probed shards. Index persisted once
+    * ([[shardedGraphStore]]). Rows-only (NN-descent not
     * SQL-replayable); [[dAnnGraphShardedRecall]] is the contract. */
   val dAnnGraphSharded: QueryDef = QueryDef(
     fn = (s, dir) => {

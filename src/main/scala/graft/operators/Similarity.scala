@@ -280,7 +280,12 @@ object Similarity {
     * which is the property that lets every executor build its shards
     * without cross-shard traffic. Fan-out cost at search time grows
     * with the shard count (each query carries shards·beamPerShard
-    * beam rows), the standard sharded-index tradeoff. */
+    * beam rows) — fine while shards stay in the tens, but since this
+    * law grows shards linearly with n, per-query cost is
+    * corpus-LINEAR at the 100-TB frame; the scale path for SEARCH is
+    * the ROUTED index ([[buildGraphIndexRouted]]): geometry-aware
+    * shards + centroid routing make per-query cost
+    * corpus-independent. */
   def autoShards(n: Long): Int = math.max(4L, n / 65536L + 1L).toInt
 
   /** SHARD-PARALLEL graph-ANN build — the multi-executor composition
