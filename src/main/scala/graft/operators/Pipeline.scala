@@ -4208,7 +4208,7 @@ object Pipeline {
     * 20% batch that is REPLICA-STABLE (an id-threshold split like
     * vec_id ≥ 4n/5 degenerates on replica dirs whose ids are offset
     * by i·10⁸: the "80%" base collapses to the base replica only). */
-  private def graphDelta(c: org.apache.spark.sql.Column)
+  private[graft] def graphDelta(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = pmod(c, lit(5)) === 4
 
   private[graft] def graphIndexStore(
@@ -4612,29 +4612,39 @@ object Pipeline {
       FROM embeddings WHERE vec_id < 10"""))
 
   private val routedStoreCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
+    .empty[(org.apache.spark.sql.SparkSession, String, String),
       (DataFrame, DataFrame, Array[Seq[Float]], Long, Int)]
 
   /** Build-once/probe-many for the ROUTED (k-means-sharded) graph
     * index: built at [[Similarity.autoRoutedShards]] shards, persisted
     * via [[Similarity.writeRoutedGraphIndex]] (edge list + entries +
     * the shard centroids the index is only meaningful with), probes
-    * read the store. */
+    * read the store. Variants as [[graphIndexStore]]: "full" = the
+    * whole embeddings table, "base" = everything but the insert-leg
+    * delta ([[graphDelta]]) — the streaming routed-ingest leg's
+    * starting index. */
   private[graft] def routedGraphStore(
-      s: org.apache.spark.sql.SparkSession, dir: String)
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      variant: String = "full")
       : (DataFrame, DataFrame, Array[Seq[Float]], Long, Int) = {
     routedStoreCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    routedStoreCache.getOrElseUpdate((s, dir), {
+    routedStoreCache.getOrElseUpdate((s, dir, variant), {
       val dirTag = java.lang.Integer.toHexString(
         java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
       val path = s"${sys.props("java.io.tmpdir")}/graft_graphstore_" +
-        s"${new java.io.File(dir).getName}_${dirTag}_routed"
+        s"${new java.io.File(dir).getName}_${dirTag}_routed_$variant"
       val emb = Tables.load(s, dir, "embeddings")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = emb.count()
+      val nodes = variant match {
+        case "full" => emb
+        case "base" => emb.filter(!graphDelta(col("vec_id")))
+        case other => throw new IllegalArgumentException(
+          s"graft: unknown routed graph-index store variant '$other'")
+      }
+      val n = nodes.count()
       val shards = Similarity.autoRoutedShards(n)
       val (g, entries, cents) = Similarity.buildGraphIndexRouted(
-        emb, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+        nodes, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
       Similarity.writeRoutedGraphIndex(g, entries, cents, n, 12, path)
       emb.unpersist()
       Similarity.readRoutedGraphIndex(s, path)

@@ -560,6 +560,30 @@ object Similarity {
         centRef)).as("shard"))
   }
 
+  /** Search a [[buildGraphIndexRouted]] index within each query's
+    * own ASSIGNED cell only — the INSERT primitive: routing goes
+    * through [[shardAssign]] (the exact argmax the build used), not
+    * the rounded multi-probe ranking, so a search-as-insert's edges
+    * provably stay inside the cell [[NearestCentroid]] assigns the
+    * new node to (a 4-dp rounding tie between two cells in the
+    * multi-probe route could otherwise link a node outside its
+    * assigned cell and silently break the shard-closure invariant
+    * routing depends on). */
+  def graphSearchTopKAssigned(nodes: DataFrame, queries: DataFrame,
+      graph: DataFrame, entries: DataFrame, cents: Array[Seq[Float]],
+      vecCol: String, idCol: String, k: Int = 5,
+      beamPerShard: Int = 16, rounds: Int = 4): DataFrame = {
+    val centRef = broadcastCentroids(nodes, cents)
+    def shardOf(v: Column): Column =
+      Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
+    val seeds = shardAssign(queries, vecCol, idCol, cents)
+      .select(col("id").as("query_id"), col("shard"))
+      .join(broadcast(entries), Seq("shard"))
+      .select(col("query_id"), col("entry_id").as("cand"))
+    shardedBeamLoop(nodes, queries, graph, seeds, vecCol, idCol,
+      (_, candVec) => shardOf(candVec), k, beamPerShard, rounds)
+  }
+
   /** Search a [[buildGraphIndexRouted]] index: route each query to
     * its `probeShards` nearest shard centroids ([[routedShards]] —
     * the IVF multi-probe device), seed a beam at ONLY those shards'

@@ -784,6 +784,131 @@ object StreamQueries {
              TRUE AS all_covered, TRUE AS multi_batch
       FROM embeddings WHERE vec_id < 10"""))
 
+  /** One ROUTED-index ingest micro-batch: each new vector is
+    * assigned to its nearest k-means cell by the STORE's own
+    * quantizer and linked to its top-12 in-cell neighbors by running
+    * the in-ASSIGNED-cell search as the insert routine
+    * ([[Similarity.graphSearchTopKAssigned]] — routed by the exact
+    * assignment argmax, not the rounded multi-probe ranking, so
+    * every insert edge provably stays inside the assigned cell and
+    * the shard-closure invariant that makes routing sound survives
+    * ingestion by construction). Edges land in a batchId-keyed
+    * append-only chain link exactly as [[insertAnnBatch]]. */
+  private[graft] def insertAnnBatchRouted(
+      s: org.apache.spark.sql.SparkSession, storeBase: String,
+      baseNodes: org.apache.spark.sql.DataFrame,
+      baseGraph: org.apache.spark.sql.DataFrame,
+      entries: org.apache.spark.sql.DataFrame,
+      cents: Array[Seq[Float]],
+      batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    Similarity.graphSearchTopKAssigned(baseNodes, batch, baseGraph,
+        entries, cents, "embedding", "vec_id", k = 12,
+        beamPerShard = 24, rounds = 6)
+      .select(col("query_id"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(s"$storeBase/d$batchId")
+  }
+
+  /** s_ann_ingest_routed — STREAMING ingest into the ROUTED
+    * (k-means-sharded) graph index, the scale-path twin of
+    * [[sAnnIngest]]: since the routed index is the search shape that
+    * survives corpus growth (per-query cost independent of shard
+    * count), its maintenance loop must too. The 80% base routed
+    * index is built once and persisted
+    * ([[Pipeline.routedGraphStore]] "base"); the 20% delta streams
+    * in 4 delivery-ordered micro-batches; each batch enters through
+    * [[insertAnnBatchRouted]] — cell assignment is one map-side
+    * NearestCentroid projection against the STORE's quantizer, the
+    * in-assigned-cell search links top-12, and edges append to
+    * the batchId-keyed chain (idempotent redelivery, order-free
+    * union, |batch|-sized writes — all of [[insertAnnBatch]]'s
+    * properties). The merged graph is searched ROUTED (w=3 — the
+    * base-trained quantizer's cells shift slightly vs the
+    * full-corpus build and the demo-SF boundary losses need one
+    * extra probe: measured 76/88 at w=2 vs 80/96 at w=3 for
+    * sf0.01/sf0.1; w·4 = shards still holds the ≤¼ cut at the
+    * 12-cell floor) by the standard probe set: recall ≥ 0.8 vs
+    * brute over the FULL corpus,
+    * `all_covered` (every delta node carries insert edges),
+    * `cell_closed` (ZERO chained edges cross a cell of the store's
+    * quantizer — ingestion preserved the invariant routing depends
+    * on), `multi_batch`. */
+  val sAnnIngestRouted: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sannr/" +
+        s"${new java.io.File(dir).getName}_$dirTag"
+      rmTree(new java.io.File(base))
+      val emb = graft.Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+      val nDelta = delta.count()
+      val (baseGraph, entries, cents, _, _) =
+        Pipeline.routedGraphStore(s, dir, "base")
+      val baseNodes = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      baseGraph.select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(s"$base/store/v0")
+      val nb = 4
+      (0 until nb).foreach { i =>
+        delta.filter(pmod(expr("vec_id div 5"), lit(nb)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
+      }
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          insertAnnBatchRouted(s, s"$base/store", baseNodes, baseGraph,
+            entries, cents, batch, batchId)
+          batches.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = readAnnChain(s, s"$base/store")
+      val queries = emb.filter(col("vec_id") < 10)
+      val approx = Similarity.graphSearchTopKRouted(emb, queries,
+          merged, entries, cents, "embedding", "vec_id", k = 5,
+          beamPerShard = 16, rounds = 6, probeShards = 3)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val brute = Similarity.bruteTopK(emb, queries, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val covered = merged.filter(pmod(col("query_id"), lit(5)) === 4)
+        .select(col("query_id")).distinct().count()
+      val assign = Similarity.shardAssign(emb, "embedding", "vec_id", cents)
+      val crossCell = merged
+        .join(assign.select(col("id").as("query_id"), col("shard").as("qs")),
+          Seq("query_id"))
+        .join(assign.select(col("id").as("neighbor_id"),
+          col("shard").as("ns")), Seq("neighbor_id"))
+        .filter(col("qs") =!= col("ns"))
+      val out = brute.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(crossCell.agg(count(lit(1)).as("n_cross")))
+        .select(col("n_queries"),
+          (col("hits").cast("double") / col("n_brute") >= 0.8)
+            .as("recall_ok"),
+          lit(covered == nDelta).as("all_covered"),
+          (col("n_cross") === 0).as("cell_closed"),
+          lit(batches.get() >= 2L).as("multi_batch"))
+        .localCheckpoint(eager = true)
+      emb.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             TRUE AS all_covered, TRUE AS cell_closed, TRUE AS multi_batch
+      FROM embeddings WHERE vec_id < 10"""))
+
   /** s_ann_delete — the STREAMING DELETE + COMPACTION leg of the
     * graph-ANN lifecycle, closing the operational loop [[sAnnIngest]]
     * opened for inserts: tombstone ids arrive as delivery-ordered
@@ -1070,6 +1195,7 @@ object StreamQueries {
     "s_pull_clock" -> sPullClock,
     "s_ann_ingest" -> sAnnIngest,
     "s_ann_delete" -> sAnnDelete,
+    "s_ann_ingest_routed" -> sAnnIngestRouted,
     "s_pull_hours" -> sPullHours,
     "s_transitions" -> sTransitions,
     "s_funnel" -> sFunnel,

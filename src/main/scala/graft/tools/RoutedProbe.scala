@@ -81,3 +81,38 @@ object FilteredGraphProbe {
     spark.stop()
   }
 }
+object RoutedIngestProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.load(spark, dir, "embeddings").cache()
+      val baseNodes = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+      val nBase = baseNodes.count()
+      val shards = Similarity.autoRoutedShards(nBase)
+      val (g, entries, cents) = Similarity.buildGraphIndexRouted(
+        baseNodes, "embedding", "vec_id", nBase, shards, k = 12, rounds = 2)
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteTopK(emb, q, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nb = brute.count()
+      for ((ik, ib) <- Seq((12, 24))) {
+        val ins = Similarity.graphSearchTopKAssigned(baseNodes, delta, g,
+            entries, cents, "embedding", "vec_id", k = ik,
+            beamPerShard = ib, rounds = 6)
+          .select(col("query_id"), col("neighbor_id"))
+        val merged = g.select(col("query_id"), col("neighbor_id"))
+          .union(ins).localCheckpoint(true)
+        for ((w, bps) <- Seq((3, 24), (4, 16), (4, 24))) {
+          val ap = Similarity.graphSearchTopKRouted(emb, q, merged,
+              entries, cents, "embedding", "vec_id", k = 5,
+              beamPerShard = bps, rounds = 6, probeShards = w)
+            .select(col("query_id"), col("neighbor_id"))
+          println(f"[rip] $dir ik=$ik ib=$ib w=$w bps=$bps recall = ${brute.intersect(ap).count() * 100.0 / nb}%5.1f%%")
+        }
+      }
+      emb.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -88,6 +88,35 @@ class StreamingSpec extends SparkSpec {
     assert(r.getBoolean(3), "the ingest stream did not split")
   }
 
+  test("streaming ROUTED ANN ingest: cell-closed insert edges, chain contracts at the spec SF") {
+    import graft.operators.{Pipeline, Similarity, StreamQueries}
+    // the assigned-cell insert primitive provably keeps edges inside
+    // the cell NearestCentroid assigns the new node to
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val baseNodes = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+    val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+    val (g, entries, cents, _, _) =
+      Pipeline.routedGraphStore(spark, sf, "base")
+    val ins = Similarity.graphSearchTopKAssigned(baseNodes, delta, g,
+        entries, cents, "embedding", "vec_id", k = 12,
+        beamPerShard = 24, rounds = 6)
+      .select(col("query_id"), col("neighbor_id"))
+    val assign = Similarity.shardAssign(emb, "embedding", "vec_id", cents)
+    val cross = ins
+      .join(assign.select(col("id").as("query_id"), col("shard").as("qs")),
+        Seq("query_id"))
+      .join(assign.select(col("id").as("neighbor_id"), col("shard").as("ns")),
+        Seq("neighbor_id"))
+      .filter(col("qs") =!= col("ns")).count()
+    assert(cross === 0L, "an insert edge left its assigned cell")
+    // driver-row contracts
+    val r = StreamQueries.sAnnIngestRouted.fn(spark, sf).collect()(0)
+    assert(r.getBoolean(1), "routed-ingest recall under floor")
+    assert(r.getBoolean(2), "a delta node lost its insert edges")
+    assert(r.getBoolean(3), "ingestion broke cell closure")
+    assert(r.getBoolean(4), "the ingest stream did not split")
+  }
+
   test("streaming ANN delete: tombstone chain triggers compaction, compacted search clears floors") {
     import graft.operators.StreamQueries
     val r = StreamQueries.sAnnDelete.fn(spark, sf).collect()(0)
