@@ -429,13 +429,14 @@ object Similarity {
     * PREFIXED by the assigned shard, so every seed edge is
     * within-shard and the NN-descent 2-hop closure stays
     * shard-closed — one distributed pass refines all shards' graphs,
-    * zero cross-shard shuffle mass. Block size is set from AVERAGE
-    * occupancy; k-means cells skew, so a cell at c× the average
-    * carries c² its share of seed pairs — bounded by cluster-size
-    * skew, the same exposure [[autoNlistPairs]] documents for
-    * semantic dedup (and at production scale the assignment reuses
-    * that cap). Centroids train on the [[trainQuantizer]] sample +
-    * Lloyd budget — deterministic, a few KB on the driver.
+    * zero cross-shard shuffle mass. Per-cell block counts come from
+    * MEASURED occupancy (one bounded aggregate), so every seed block
+    * holds ≈`blockRows` rows however skewed the quantizer's cells —
+    * under an average-based global count a cell at c× the average
+    * would carry c² its share of seed pairs, the quadratic-in-one-
+    * reducer shape [[hashBlockedTopK]] exists to prevent. Centroids
+    * train on the [[trainQuantizer]] sample + Lloyd budget —
+    * deterministic, a few KB on the driver.
     *
     * Returns (graph, entries, centroids): the union edge list, one
     * entry per non-empty shard (smallest in-shard id ≥ 10, the
@@ -452,18 +453,35 @@ object Similarity {
     val centRef = broadcastCentroids(nodes, cents)
     def shardOf(v: Column): Column =
       Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
-    val bps = math.max(4L, (n / shards) / blockRows)
-    // block key = assigned shard × bps + within-shard seeded hash;
-    // the shard prefix comes from the VECTOR (map-side assignment),
-    // the within-shard key from the id — structure-robust on any id
-    // space (hashBlockedTopK's lesson)
+    // Per-shard block counts from MEASURED occupancy, not the average:
+    // k-means cells skew, and under a global block count a cell at c×
+    // the average carries c² its share of seed pairs — the same
+    // quadratic-in-one-reducer failure shape the id-arithmetic seed
+    // had. One bounded aggregate (≤ shards rows to the driver) sizes
+    // every cell's blocks so each block holds ≈blockRows rows
+    // REGARDLESS of how the quantizer carved the space; cumulative
+    // offsets keep block ids globally unique. The per-row lookup is a
+    // broadcast join on the shard id — no plan-sized literals, any
+    // shard count.
+    val occ = nodes.groupBy(shardOf(col(vecCol)).as("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bpsByShard = occ.map { case (sh, c) =>
+      (sh, math.max(4L, c / blockRows)) }
+    val offsets = bpsByShard.scanLeft(0L)(_ + _._2)
+    val spark0 = nodes.sparkSession
+    import spark0.implicits._
+    val shardBlocks = broadcast(bpsByShard.zip(offsets).toSeq
+      .map { case ((sh, bps), off) => (sh, bps, off) }
+      .toDF("blk_shard", "blk_bps", "blk_off"))
+    val tagged = nodes
+      .withColumn("blk_shard", shardOf(col(vecCol)))
+      .join(shardBlocks, Seq("blk_shard"))
     def blk(seed: Int): Column => Column = id =>
-      shardOf(col(vecCol)).cast("long") * bps +
-        pmod(xxhash64(lit(seed), id), lit(bps))
+      col("blk_off") + pmod(xxhash64(lit(seed), id), col("blk_bps"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    var g = blockScored(nodes, vecCol, idCol, blk(1))
-      .union(blockScored(nodes, vecCol, idCol, blk(2))).distinct()
+    var g = blockScored(tagged, vecCol, idCol, blk(1))
+      .union(blockScored(tagged, vecCol, idCol, blk(2))).distinct()
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"))
