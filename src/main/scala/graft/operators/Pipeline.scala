@@ -4622,7 +4622,8 @@ object Pipeline {
     * read the store. Variants as [[graphIndexStore]]: "full" = the
     * whole embeddings table, "base" = everything but the insert-leg
     * delta ([[graphDelta]]) — the streaming routed-ingest leg's
-    * starting index. */
+    * starting index, "compact" = survivors of the tombstone
+    * predicate ([[graphTombstoned]]) — the compaction rebuild. */
   private[graft] def routedGraphStore(
       s: org.apache.spark.sql.SparkSession, dir: String,
       variant: String = "full")
@@ -4638,6 +4639,7 @@ object Pipeline {
       val nodes = variant match {
         case "full" => emb
         case "base" => emb.filter(!graphDelta(col("vec_id")))
+        case "compact" => emb.filter(!graphTombstoned(col("vec_id")))
         case other => throw new IllegalArgumentException(
           s"graft: unknown routed graph-index store variant '$other'")
       }
@@ -4743,6 +4745,115 @@ object Pipeline {
              TRUE AS probe_bounded, TRUE AS routed_subset, TRUE AS full_k
       FROM embeddings WHERE vec_id < 10"""))
 
+  /** d_ann_graph_routed_delete_recall — the DELETE leg of the ROUTED
+    * index's lifecycle ([[dAnnGraphFullDeleteRecall]]'s semantics on
+    * the scale-path index): 10% tombstoned ([[graphTombstoned]]),
+    * deleted nodes STAY in the stored cells and keep routing, the
+    * routed search runs k·3 deep (tombstone oversampling), drops
+    * tombstones, re-ranks to k. Recall ≥ 0.8 vs brute over SURVIVORS
+    * (deleted slots refilled by next-best survivors — measured 90/96
+    * at sf0.01/sf0.1 under the standard w=2 route: the k·3-deep beam
+    * already explores each probed cell past the deleted slots) and
+    * full_k. */
+  val dAnnGraphRoutedDeleteRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = nodes.filter(col("vec_id") < 10)
+      val (graph, entries, cents, _, _) = routedGraphStore(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosm").desc, col("neighbor_id"))
+      val approx = Similarity.graphSearchTopKRouted(nodes, q, graph,
+          entries, cents, "embedding", "vec_id", k = 15,
+          beamPerShard = 16, rounds = 6, probeShards = 2)
+        .filter(!graphTombstoned(col("neighbor_id")))
+        .withColumn("rnk2", row_number().over(w).cast("long"))
+        .filter(col("rnk2") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val survivors = nodes.filter(!graphTombstoned(col("vec_id")))
+      val brute = Similarity.bruteTopK(survivors, q, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val out = brute.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(approx.agg(count(lit(1)).as("n_returned")))
+        .select(col("n_queries"),
+          (col("hits").cast("double") / col("n_brute") >= 0.8)
+            .as("recall_ok"),
+          (col("n_returned") === col("n_brute")).as("full_k"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             TRUE AS full_k
+      FROM embeddings WHERE vec_id < 10"""))
+
+  /** d_ann_graph_routed_compact_recall — COMPACTION for the ROUTED
+    * index ([[dAnnGraphFullCompactRecall]]'s semantics on the
+    * scale-path index): past the 5% tombstone threshold (loud
+    * require) the index — cells, centroids, entries, edges — is
+    * REBUILT over survivors ([[routedGraphStore]] "compact": ONE
+    * code path with the fresh build, so rebuilt ≡ fresh-over-
+    * survivors by construction; the quantizer retrains on survivors,
+    * which is what compaction MEANS for a routed index — the cells
+    * follow the surviving distribution). Contracts: `tombstones_gone`
+    * (zero edges incident to a tombstone AND stored node count =
+    * survivor count), recall ≥ 0.8 vs brute over survivors via the
+    * PLAIN w=2 routed search (no oversampling — the operational
+    * payoff), `full_k`. */
+  val dAnnGraphRoutedCompactRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = nodes.count()
+      val survivors = nodes.filter(!graphTombstoned(col("vec_id")))
+      val nSurv = survivors.count()
+      require((n - nSurv) * 20 >= n,
+        s"graft: routed compaction expects tombstone fraction >= 5% " +
+          s"(got ${n - nSurv} of $n)")
+      val (graph, entries, cents, storedN, _) =
+        routedGraphStore(s, dir, "compact")
+      val q = nodes.filter(col("vec_id") < 10)
+      val approx = Similarity.graphSearchTopKRouted(survivors, q,
+          graph, entries, cents, "embedding", "vec_id", k = 5,
+          beamPerShard = 16, rounds = 6, probeShards = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val brute = Similarity.bruteTopK(survivors, q, "embedding",
+          "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val tombEdges = graph.filter(
+        graphTombstoned(col("query_id")) ||
+          graphTombstoned(col("neighbor_id")))
+      val out = brute.agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"))
+        .crossJoin(brute.intersect(approx).agg(count(lit(1)).as("hits")))
+        .crossJoin(approx.agg(count(lit(1)).as("n_returned")))
+        .crossJoin(tombEdges.agg(count(lit(1)).as("n_tomb_edges")))
+        .select(col("n_queries"),
+          (col("n_tomb_edges") === 0 && lit(storedN == nSurv))
+            .as("tombstones_gone"),
+          (col("hits").cast("double") / col("n_brute") >= 0.8)
+            .as("recall_ok"),
+          (col("n_returned") === col("n_brute")).as("full_k"))
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             TRUE AS tombstones_gone, TRUE AS recall_ok, TRUE AS full_k
+      FROM embeddings WHERE vec_id < 10"""))
+
   /** d_ann_graph_filtered_recall — FILTERED search served from the
     * GRAPH index ([[Similarity.graphSearchTopKLayeredFiltered]]),
     * closing the filtered-ANN story for the graph family (the exact
@@ -4784,6 +4895,8 @@ object Pipeline {
     "d_ann_graph_sharded_recall" -> dAnnGraphShardedRecall,
     "d_ann_graph_routed" -> dAnnGraphRouted,
     "d_ann_graph_routed_recall" -> dAnnGraphRoutedRecall,
+    "d_ann_graph_routed_delete_recall" -> dAnnGraphRoutedDeleteRecall,
+    "d_ann_graph_routed_compact_recall" -> dAnnGraphRoutedCompactRecall,
     "d_ann_graph_filtered_recall" -> dAnnGraphFilteredRecall,
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,

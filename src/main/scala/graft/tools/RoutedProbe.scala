@@ -116,3 +116,35 @@ object RoutedIngestProbe {
     spark.stop()
   }
 }
+object RoutedDeleteProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    import org.apache.spark.sql.expressions.Window
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.load(spark, dir, "embeddings").cache()
+      val n = emb.count()
+      val shards = Similarity.autoRoutedShards(n)
+      val (g, entries, cents) = Similarity.buildGraphIndexRouted(
+        emb, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+      val q = emb.filter(col("vec_id") < 10)
+      val surv = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+      val brute = Similarity.bruteTopK(surv, q, "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nb = brute.count()
+      val w5 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosm").desc, col("neighbor_id"))
+      for (w <- Seq(2, 3)) {
+        val ap = Similarity.graphSearchTopKRouted(emb, q, g, entries,
+            cents, "embedding", "vec_id", k = 15, beamPerShard = 16,
+            rounds = 6, probeShards = w)
+          .filter(pmod(col("neighbor_id"), lit(10)) =!= 7)
+          .withColumn("rnk2", row_number().over(w5).cast("long"))
+          .filter(col("rnk2") <= 5)
+          .select(col("query_id"), col("neighbor_id"))
+        println(f"[rdp] $dir w=$w recall = ${brute.intersect(ap).count() * 100.0 / nb}%5.1f%%")
+      }
+      emb.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -890,6 +890,14 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.readRoutedGraphIndex(spark, bare)
     }
+    // the routed LIFECYCLE rows: tombstoned search refills deleted
+    // slots, compaction rebuilds cells over survivors (one code path)
+    val rd = Pipeline.dAnnGraphRoutedDeleteRecall.fn(spark, sf).collect()(0)
+    assert(rd.getBoolean(1) && rd.getBoolean(2),
+      "routed delete leg failed a contract")
+    val rc = Pipeline.dAnnGraphRoutedCompactRecall.fn(spark, sf).collect()(0)
+    assert(rc.getBoolean(1) && rc.getBoolean(2) && rc.getBoolean(3),
+      "routed compaction leg failed a contract")
     // driver-row contracts: recall floor, probe bound, route subset,
     // full-k — and the rows-only key returns 10 x 5
     val r = Pipeline.dAnnGraphRoutedRecall.fn(spark, sf).collect()(0)
