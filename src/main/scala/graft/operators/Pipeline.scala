@@ -4854,6 +4854,43 @@ object Pipeline {
              TRUE AS tombstones_gone, TRUE AS recall_ok, TRUE AS full_k
       FROM embeddings WHERE vec_id < 10"""))
 
+  /** d_ann_graph_routed_filtered_recall — FILTERED search on the
+    * ROUTED index ([[Similarity.graphSearchTopKRoutedFiltered]]):
+    * the production query shape at 100 TB is predicate + vector
+    * search served by the index whose per-query cost does not grow
+    * with the corpus, so the filtered story must hold THERE, not
+    * just on the monolithic graph. A selective predicate makes the
+    * matching top-k geometrically FARTHER, so filtered routing
+    * probes MORE cells than unfiltered (w=4 = 2·w_base — the
+    * measured knee: recall reads 58/68/76 at w=2/3/4 at sf0.01,
+    * marginal recall per extra probe flattening; FAISS's
+    * raise-nprobe-under-filters rule) with the per-cell beam
+    * oversampled to 48 (≳k/selectivity at s=0.1), label post-filter
+    * + re-rank. Floor 0.7 vs the filtered-exact truth, measured
+    * 76/88 at sf0.01/sf0.1 — an honest WORST CASE: this corpus's
+    * labels are independent of geometry, so the filtered truth is
+    * near-uniform over cells and routing can keep the least of its
+    * advantage; label-correlated embeddings (the common production
+    * case) retain more. */
+  val dAnnGraphRoutedFilteredRecall: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val nodes = Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = nodes.filter(col("vec_id") < 10)
+      val (graph, entries, cents, _, _) = routedGraphStore(s, dir)
+      val out = annRecall(
+          Similarity.graphSearchTopKRoutedFiltered(nodes, q, graph,
+            entries, cents, "embedding", "vec_id", "label", k = 5,
+            beamPerShard = 48, rounds = 6, probeShards = 4),
+          Similarity.bruteTopKFiltered(nodes, q, "embedding",
+            "vec_id", "label"),
+          0.7)
+        .localCheckpoint(eager = true)
+      nodes.unpersist()
+      out
+    },
+    oracle = Some(recallOracleSql))
+
   /** d_ann_graph_filtered_recall — FILTERED search served from the
     * GRAPH index ([[Similarity.graphSearchTopKLayeredFiltered]]),
     * closing the filtered-ANN story for the graph family (the exact
@@ -4898,6 +4935,7 @@ object Pipeline {
     "d_ann_graph_routed_delete_recall" -> dAnnGraphRoutedDeleteRecall,
     "d_ann_graph_routed_compact_recall" -> dAnnGraphRoutedCompactRecall,
     "d_ann_graph_filtered_recall" -> dAnnGraphFilteredRecall,
+    "d_ann_graph_routed_filtered_recall" -> dAnnGraphRoutedFilteredRecall,
     "t_langid" -> tLangid,
     "t_quality" -> tQuality,
     "t_tokens" -> tTokens,

@@ -565,6 +565,40 @@ object Similarity {
       .select(col("query_id"), col("list_id").cast("int").as("shard"))
   }
 
+  /** FILTERED search on the ROUTED index — the production query
+    * shape at scale (predicate + vector search, served by the index
+    * whose per-query cost is corpus-independent): route to the `w`
+    * nearest cells, traverse UNFILTERED with the beam oversampled to
+    * ≳k/selectivity per probed cell (the same two rules
+    * [[graphSearchTopKLayeredFiltered]] and [[ivfTopKFiltered]]
+    * document), then the per-query label predicate prunes the
+    * w·beamPerShard survivors and re-ranks to k. Candidate relation
+    * stays query-bounded; the filter never touches the corpus. */
+  def graphSearchTopKRoutedFiltered(nodes: DataFrame,
+      queries: DataFrame, graph: DataFrame, entries: DataFrame,
+      cents: Array[Seq[Float]], vecCol: String, idCol: String,
+      labelCol: String, k: Int = 5, beamPerShard: Int = 48,
+      rounds: Int = 4, probeShards: Int = 2): DataFrame = {
+    val cand = graphSearchTopKRouted(nodes, queries, graph, entries,
+      cents, vecCol, idCol, k = probeShards * beamPerShard,
+      beamPerShard = beamPerShard, rounds = rounds,
+      probeShards = probeShards)
+    val nl = nodes.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nl"))
+    val ql = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("ql"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosm").desc, col("neighbor_id"))
+    cand.join(broadcast(ql), Seq("query_id"))
+      .join(nl, Seq("neighbor_id"))
+      .filter(col("nl") === col("ql"))
+      .withColumn("rnk2", row_number().over(w).cast("long"))
+      .filter(col("rnk2") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosm"),
+        col("rnk2").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Shard assignment of a node set under a routed index's
     * quantizer: (id, shard), one map-side [[NearestCentroid]]
     * projection. The routed recall contract uses it to pin that

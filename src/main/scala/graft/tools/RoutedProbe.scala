@@ -148,3 +148,28 @@ object RoutedDeleteProbe {
     spark.stop()
   }
 }
+object RoutedFilteredProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val emb = Tables.load(spark, dir, "embeddings").cache()
+      val n = emb.count()
+      val shards = Similarity.autoRoutedShards(n)
+      val (g, entries, cents) = Similarity.buildGraphIndexRouted(
+        emb, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteTopKFiltered(emb, q, "embedding", "vec_id", "label")
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+      val nb = brute.count()
+      for ((w, bps) <- Seq((2, 48), (3, 48), (4, 48), (3, 96))) {
+        val ap = Similarity.graphSearchTopKRoutedFiltered(emb, q, g,
+            entries, cents, "embedding", "vec_id", "label", k = 5,
+            beamPerShard = bps, rounds = 6, probeShards = w)
+          .select(col("query_id"), col("neighbor_id"))
+        println(f"[rfp] $dir w=$w bps=$bps recall = ${brute.intersect(ap).count() * 100.0 / nb}%5.1f%% (nb=$nb)")
+      }
+      emb.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -952,6 +952,10 @@ class SimilaritySpec extends SparkSpec {
     // the driver-row recall contract holds at the spec SF
     val r = Pipeline.dAnnGraphFilteredRecall.fn(spark, sf).collect()(0)
     assert(r.getBoolean(1), "filtered graph recall under floor")
+    // ... and on the ROUTED index (selectivity-scaled probing)
+    val rr = Pipeline.dAnnGraphRoutedFilteredRecall.fn(spark, sf)
+      .collect()(0)
+    assert(rr.getBoolean(1), "routed filtered recall under floor")
   }
 
   test("silhouette audit discriminates a geometric partition from the label partition") {
