@@ -4646,7 +4646,7 @@ object Pipeline {
       val n = nodes.count()
       val shards = Similarity.autoRoutedShards(n)
       val (g, entries, cents) = Similarity.buildGraphIndexRouted(
-        nodes, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+        nodes, "embedding", "vec_id", shards, k = 12, rounds = 2)
       Similarity.writeRoutedGraphIndex(g, entries, cents, n, 12, path)
       emb.unpersist()
       Similarity.readRoutedGraphIndex(s, path)

@@ -439,32 +439,59 @@ object Similarity {
     * deterministic, a few KB on the driver.
     *
     * Returns (graph, entries, centroids): the union edge list, one
-    * entry per non-empty shard (smallest in-shard id ≥ 10, the
-    * off-probe-set discipline), and the shard centroids the index is
-    * only meaningful with (persist all three together —
-    * [[writeRoutedGraphIndex]]). */
+    * entry per stored cell (EVERY stored cell is occupied — empty
+    * trained cells are dropped and the rest renumbered, see the
+    * occupancy note in the body; entry = smallest in-cell id ≥ 10,
+    * the off-probe-set discipline), and the cell centroids the index
+    * is only meaningful with (persist all three together —
+    * [[writeRoutedGraphIndex]]). `shards` is the TRAINED cell count;
+    * the returned quantizer may be smaller if training left cells
+    * empty. */
   def buildGraphIndexRouted(nodes: DataFrame, vecCol: String,
-      idCol: String, n: Long, shards: Int, k: Int = 8,
+      idCol: String, shards: Int, k: Int = 8,
       rounds: Int = 2, blockRows: Int = 128, lloydIters: Int = 1)
       : (DataFrame, DataFrame, Array[Seq[Float]]) = {
     require(shards >= 2,
       s"graft: routed graph build needs >= 2 shards (got $shards)")
-    val cents = trainQuantizer(nodes, vecCol, idCol, shards, lloydIters)
+    val trained = trainQuantizer(nodes, vecCol, idCol, shards, lloydIters)
+    val refAll = broadcastCentroids(nodes, trained)
+    // Occupancy over the TRAINED cells — one bounded aggregate
+    // (≤ shards rows to the driver) that serves three masters: it
+    // detects EMPTY cells, sizes per-cell seed blocks, and orders the
+    // renumbering. Empty cells are DROPPED from the stored quantizer:
+    // an empty cell is nobody's argmax, so removing its centroid
+    // changes no node's assignment (the winning centroid is by
+    // definition occupied and stays; renumbered argmax ≡ renumbering
+    // of the original argmax) — but keeping it would make every probe
+    // routed there a SILENT no-op (no entries to seed: a query loses
+    // a probe, a new vector inserted by assignment gets zero seeds
+    // and falls out of the index), which no contract downstream could
+    // see. With the drop, entries cover every stored cell 0..m-1 by
+    // construction.
+    val occAll = nodes
+      .groupBy(Bridge.column(
+        NearestCentroid(Bridge.expression(col(vecCol)), refAll))
+        .as("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val cents = occAll.map { case (sh, _) => trained(sh) }
+    require(cents.length >= 2,
+      s"graft: routed graph build collapsed to ${cents.length} " +
+        "occupied cell(s) — the corpus cannot support routing; use " +
+        "the monolithic or pmod-sharded build")
     val centRef = broadcastCentroids(nodes, cents)
     def shardOf(v: Column): Column =
       Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
-    // Per-shard block counts from MEASURED occupancy, not the average:
-    // k-means cells skew, and under a global block count a cell at c×
-    // the average carries c² its share of seed pairs — the same
-    // quadratic-in-one-reducer failure shape the id-arithmetic seed
-    // had. One bounded aggregate (≤ shards rows to the driver) sizes
-    // every cell's blocks so each block holds ≈blockRows rows
-    // REGARDLESS of how the quantizer carved the space; cumulative
-    // offsets keep block ids globally unique. The per-row lookup is a
-    // broadcast join on the shard id — no plan-sized literals, any
-    // shard count.
-    val occ = nodes.groupBy(shardOf(col(vecCol)).as("shard")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // Per-cell block counts from the MEASURED occupancy, not the
+    // average: k-means cells skew, and under a global block count a
+    // cell at c× the average carries c² its share of seed pairs — the
+    // same quadratic-in-one-reducer failure shape the id-arithmetic
+    // seed had. Cumulative offsets keep block ids globally unique;
+    // the per-row lookup is a broadcast join on the cell id — no
+    // plan-sized literals, any shard count. (shardOf itself is
+    // re-evaluated map-side per consumer — ≈shards·dim flops per row,
+    // deliberately cheaper at corpus scale than materializing an
+    // assignment column and re-shuffling it back onto the nodes.)
+    val occ = occAll.zipWithIndex.map { case ((_, c), i) => (i, c) }
     val bpsByShard = occ.map { case (sh, c) =>
       (sh, math.max(4L, c / blockRows)) }
     val offsets = bpsByShard.scanLeft(0L)(_ + _._2)
@@ -583,20 +610,7 @@ object Similarity {
       cents, vecCol, idCol, k = probeShards * beamPerShard,
       beamPerShard = beamPerShard, rounds = rounds,
       probeShards = probeShards)
-    val nl = nodes.select(col(idCol).as("neighbor_id"),
-      col(labelCol).as("nl"))
-    val ql = queries.select(col(idCol).as("query_id"),
-      col(labelCol).as("ql"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosm").desc, col("neighbor_id"))
-    cand.join(broadcast(ql), Seq("query_id"))
-      .join(nl, Seq("neighbor_id"))
-      .filter(col("nl") === col("ql"))
-      .withColumn("rnk2", row_number().over(w).cast("long"))
-      .filter(col("rnk2") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosm"),
-        col("rnk2").as("rnk"))
-      .orderBy(col("query_id"), col("rnk"))
+    labelPruneRerank(cand, nodes, queries, idCol, labelCol, k)
   }
 
   /** Shard assignment of a node set under a routed index's
@@ -625,11 +639,16 @@ object Similarity {
       graph: DataFrame, entries: DataFrame, cents: Array[Seq[Float]],
       vecCol: String, idCol: String, k: Int = 5,
       beamPerShard: Int = 16, rounds: Int = 4): DataFrame = {
+    // ONE centroid broadcast serves both the seed assignment and the
+    // beam window's cell derivation (a second ref per call would
+    // accumulate executor blocks across a stream's micro-batches —
+    // trainQuantizer's per-round-destroy lesson)
     val centRef = broadcastCentroids(nodes, cents)
     def shardOf(v: Column): Column =
       Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
-    val seeds = shardAssign(queries, vecCol, idCol, cents)
-      .select(col("id").as("query_id"), col("shard"))
+    val seeds = queries
+      .select(col(idCol).as("query_id"),
+        shardOf(col(vecCol)).as("shard"))
       .join(broadcast(entries), Seq("shard"))
       .select(col("query_id"), col("entry_id").as("cand"))
     shardedBeamLoop(nodes, queries, graph, seeds, vecCol, idCol,
@@ -656,10 +675,16 @@ object Similarity {
       vecCol: String, idCol: String, k: Int = 5,
       beamPerShard: Int = 16, rounds: Int = 4,
       probeShards: Int = 2): DataFrame = {
+    // ONE centroid broadcast serves both the multi-probe route and
+    // the beam window's cell derivation (routedShards would build a
+    // second ref per call — executor-block accumulation across a
+    // stream's micro-batches)
     val centRef = broadcastCentroids(nodes, cents)
     def shardOf(v: Column): Column =
       Bridge.column(NearestCentroid(Bridge.expression(v), centRef))
-    val seeds = routedShards(queries, vecCol, idCol, cents, probeShards)
+    val seeds = probeLists(queries, vecCol, idCol, centRef,
+        cents.length, probeShards)
+      .select(col("query_id"), col("list_id").cast("int").as("shard"))
       .join(broadcast(entries), Seq("shard"))
       .select(col("query_id"), col("entry_id").as("cand"))
     shardedBeamLoop(nodes, queries, graph, seeds, vecCol, idCol,
@@ -788,6 +813,30 @@ object Similarity {
       entries, k, beam, rounds)
   }
 
+  /** The label post-filter + re-rank stage shared by every filtered
+    * graph search: prune the oversampled candidate set by the
+    * per-query predicate, re-rank survivors to k. Query side
+    * broadcasts; candidate side joins by id — the relation is
+    * queries·beam rows, never corpus-sized. */
+  private def labelPruneRerank(cand: DataFrame, nodes: DataFrame,
+      queries: DataFrame, idCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val nl = nodes.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nl"))
+    val ql = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("ql"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosm").desc, col("neighbor_id"))
+    cand.join(broadcast(ql), Seq("query_id"))
+      .join(nl, Seq("neighbor_id"))
+      .filter(col("nl") === col("ql"))
+      .withColumn("rnk2", row_number().over(w).cast("long"))
+      .filter(col("rnk2") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosm"),
+        col("rnk2").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** FILTERED layered graph search — predicate-constrained ANN served
     * from the graph index, the HNSW analogue of [[ivfTopKFiltered]]:
     * the layered search traverses UNFILTERED (constraining the beam
@@ -812,20 +861,7 @@ object Similarity {
       upperGraph, vecCol, idCol, k = beam, beam = beam,
       rounds = rounds, upperSeed = upperSeed, upperBeam = upperBeam,
       upperRounds = upperRounds, nEntry = nEntry)
-    val nl = nodes.select(col(idCol).as("neighbor_id"),
-      col(labelCol).as("nl"))
-    val ql = queries.select(col(idCol).as("query_id"),
-      col(labelCol).as("ql"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosm").desc, col("neighbor_id"))
-    cand.join(broadcast(ql), Seq("query_id"))
-      .join(nl, Seq("neighbor_id"))
-      .filter(col("nl") === col("ql"))
-      .withColumn("rnk2", row_number().over(w).cast("long"))
-      .filter(col("rnk2") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosm"),
-        col("rnk2").as("rnk"))
-      .orderBy(col("query_id"), col("rnk"))
+    labelPruneRerank(cand, nodes, queries, idCol, labelCol, k)
   }
 
   /** Fan-out-and-merge search over a [[buildGraphIndexSharded]]

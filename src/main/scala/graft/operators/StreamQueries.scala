@@ -669,7 +669,7 @@ object StreamQueries {
     * index-sized, the property that matters when the accumulated
     * index dwarfs every micro-batch (at sf10 the full-rewrite chain
     * re-shuffled the whole edge store four times per run). */
-  private[graft] def insertAnnBatch(s: org.apache.spark.sql.SparkSession,
+  private[graft] def insertAnnBatch(
       storeBase: String, baseNodes: org.apache.spark.sql.DataFrame,
       baseGraph: org.apache.spark.sql.DataFrame,
       baseUpper: org.apache.spark.sql.DataFrame, entry: Long,
@@ -722,8 +722,10 @@ object StreamQueries {
       rmTree(new java.io.File(base))
       val emb = graft.Tables.load(s, dir, "embeddings")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val baseNodes = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
-      val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+      // the SAME predicate the cached "base" store was built with —
+      // a locally re-spelled split could silently diverge from it
+      val baseNodes = emb.filter(!Pipeline.graphDelta(col("vec_id")))
+      val delta = emb.filter(Pipeline.graphDelta(col("vec_id")))
       val nDelta = delta.count()
       val (baseGraph, baseUpper, entry, _, _) =
         Pipeline.graphIndexStore(s, dir, "base")
@@ -743,7 +745,7 @@ object StreamQueries {
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          insertAnnBatch(s, s"$base/store", baseNodes, baseGraph,
+          insertAnnBatch(s"$base/store", baseNodes, baseGraph,
             baseUpper, entry, batch, batchId)
           batches.incrementAndGet()
           ()
@@ -794,8 +796,7 @@ object StreamQueries {
     * the shard-closure invariant that makes routing sound survives
     * ingestion by construction). Edges land in a batchId-keyed
     * append-only chain link exactly as [[insertAnnBatch]]. */
-  private[graft] def insertAnnBatchRouted(
-      s: org.apache.spark.sql.SparkSession, storeBase: String,
+  private[graft] def insertAnnBatchRouted(storeBase: String,
       baseNodes: org.apache.spark.sql.DataFrame,
       baseGraph: org.apache.spark.sql.DataFrame,
       entries: org.apache.spark.sql.DataFrame,
@@ -844,11 +845,13 @@ object StreamQueries {
       rmTree(new java.io.File(base))
       val emb = graft.Tables.load(s, dir, "embeddings")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val delta = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+      // the SAME predicate the cached "base" store was built with —
+      // a locally re-spelled split could silently diverge from it
+      val delta = emb.filter(Pipeline.graphDelta(col("vec_id")))
       val nDelta = delta.count()
       val (baseGraph, entries, cents, _, _) =
         Pipeline.routedGraphStore(s, dir, "base")
-      val baseNodes = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      val baseNodes = emb.filter(!Pipeline.graphDelta(col("vec_id")))
       baseGraph.select(col("query_id"), col("neighbor_id"))
         .write.mode("overwrite").parquet(s"$base/store/v0")
       val nb = 4
@@ -862,7 +865,7 @@ object StreamQueries {
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          insertAnnBatchRouted(s, s"$base/store", baseNodes, baseGraph,
+          insertAnnBatchRouted(s"$base/store", baseNodes, baseGraph,
             entries, cents, batch, batchId)
           batches.incrementAndGet()
           ()
@@ -1001,9 +1004,8 @@ object StreamQueries {
         .select(col("n_queries"),
           (col("hits").cast("double") / col("n_brute") >= 0.8)
             .as("recall_ok"),
-          (col("n_tomb_edges") === 0 && lit(storedN == n - nTomb))
-            .as("tombstones_gone"),
-          lit(nTomb * 20 >= n).as("compact_triggered"),
+          (col("n_tomb_edges") === 0).as("tombstones_gone"),
+          lit(storedN == n - nTomb).as("compact_triggered"),
           lit(batches.get() >= 2L).as("multi_batch"))
         .localCheckpoint(eager = true)
       emb.unpersist()

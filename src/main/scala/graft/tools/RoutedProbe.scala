@@ -21,7 +21,7 @@ object RoutedProbe {
       val n = emb.count()
       val shards = sys.env.get("RP_SHARDS").map(_.toInt).getOrElse(Similarity.autoRoutedShards(n))
       val (g, entries, cents) = Similarity.buildGraphIndexRouted(
-        emb, "embedding", "vec_id", n, shards, k = 12, rounds = 2, lloydIters = sys.env.get("RP_LLOYD").map(_.toInt).getOrElse(1))
+        emb, "embedding", "vec_id", shards, k = 12, rounds = 2, lloydIters = sys.env.get("RP_LLOYD").map(_.toInt).getOrElse(1))
       val q = emb.filter(col("vec_id") < 10)
       val brute = Similarity.bruteTopK(emb, q, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -91,7 +91,7 @@ object RoutedIngestProbe {
       val nBase = baseNodes.count()
       val shards = Similarity.autoRoutedShards(nBase)
       val (g, entries, cents) = Similarity.buildGraphIndexRouted(
-        baseNodes, "embedding", "vec_id", nBase, shards, k = 12, rounds = 2)
+        baseNodes, "embedding", "vec_id", shards, k = 12, rounds = 2)
       val q = emb.filter(col("vec_id") < 10)
       val brute = Similarity.bruteTopK(emb, q, "embedding", "vec_id", k = 5)
         .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
@@ -125,7 +125,7 @@ object RoutedDeleteProbe {
       val n = emb.count()
       val shards = Similarity.autoRoutedShards(n)
       val (g, entries, cents) = Similarity.buildGraphIndexRouted(
-        emb, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+        emb, "embedding", "vec_id", shards, k = 12, rounds = 2)
       val q = emb.filter(col("vec_id") < 10)
       val surv = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
       val brute = Similarity.bruteTopK(surv, q, "embedding", "vec_id", k = 5)
@@ -156,7 +156,7 @@ object RoutedFilteredProbe {
       val n = emb.count()
       val shards = Similarity.autoRoutedShards(n)
       val (g, entries, cents) = Similarity.buildGraphIndexRouted(
-        emb, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+        emb, "embedding", "vec_id", shards, k = 12, rounds = 2)
       val q = emb.filter(col("vec_id") < 10)
       val brute = Similarity.bruteTopKFiltered(emb, q, "embedding", "vec_id", "label")
         .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)

@@ -842,8 +842,11 @@ class SimilaritySpec extends SparkSpec {
     val n = nodes.count()
     val shards = Similarity.autoRoutedShards(n)
     val (g, entries, cents) = Similarity.buildGraphIndexRouted(
-      nodes, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+      nodes, "embedding", "vec_id", shards, k = 12, rounds = 2)
+    // empty trained cells are dropped from the stored quantizer;
+    // at the spec SF every cell is occupied so the counts agree
     assert(cents.length === shards)
+    assert(cents.length >= 2)
     // shard isolation under the ASSIGNMENT (k-means cells, not pmod):
     // within-shard seed edges + the 2-hop closure never cross cells
     val assign = Similarity.shardAssign(nodes, "embedding", "vec_id", cents)
@@ -867,7 +870,7 @@ class SimilaritySpec extends SparkSpec {
     // deterministic rebuild (quantizer sample, seeded hashes, integer
     // cosine algebra — all pure)
     val (g2, _, cents2) = Similarity.buildGraphIndexRouted(
-      nodes, "embedding", "vec_id", n, shards, k = 12, rounds = 2)
+      nodes, "embedding", "vec_id", shards, k = 12, rounds = 2)
     def edgeSet(df: org.apache.spark.sql.DataFrame) = df
       .select(col("query_id"), col("neighbor_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -52,9 +52,9 @@ class StreamingSpec extends SparkSpec {
     val b1 = delta.filter(pmod(expr("vec_id div 5"), lit(2)) === 1)
     def edgeSet(path: String) = spark.read.parquet(path)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    StreamQueries.insertAnnBatch(spark, store, baseNodes, baseGraph,
+    StreamQueries.insertAnnBatch(store, baseNodes, baseGraph,
       baseUpper, entry, b0, 0L)
-    StreamQueries.insertAnnBatch(spark, store, baseNodes, baseGraph,
+    StreamQueries.insertAnnBatch(store, baseNodes, baseGraph,
       baseUpper, entry, b1, 1L)
     // append-only chain: each link holds ONLY its own batch's edges
     // (per-batch write cost is |batch|-sized, never index-sized)
@@ -64,7 +64,7 @@ class StreamingSpec extends SparkSpec {
       "a chain link rewrote more than its own batch")
     // batch 1 REDELIVERED after a successful commit: the batchId-keyed
     // link must rewrite d1 identically, never double-insert
-    StreamQueries.insertAnnBatch(spark, store, baseNodes, baseGraph,
+    StreamQueries.insertAnnBatch(store, baseNodes, baseGraph,
       baseUpper, entry, b1, 1L)
     assert(edgeSet(s"$store/d1") === d1First,
       "redelivered ANN batch must rewrite its own link identically")
