@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Graph.defs,
     operators.Selection.defs,
     operators.Winnow.defs,
+    operators.Spans.defs,
     operators.StreamQueries.defs)
 
   private lazy val defs: Map[String, QueryDef] =

@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** EXACT DUPLICATED-SPAN extraction — the substring-level dedup of
+  * "Deduplicating Training Data Makes Language Models Better" (Lee et
+  * al., ACL 2022, the ExactSubstr pipeline): instead of flagging
+  * whole near-duplicate DOCUMENTS (the MinHash/SimHash family) or
+  * the PAIRS sharing a window ([[Dedup.sharedWindowPairs]]), find the
+  * duplicated TEXT itself — for every document, the maximal token
+  * spans every position of which lies inside some K-token window that
+  * occurs at least twice in the corpus (counting within-document
+  * repeats: a doc that repeats its own boilerplate is duplication
+  * too). Downstream curation cuts exactly these spans out of the
+  * training text; the paper's headline statistic ("x% of C4's tokens
+  * sit inside a duplicated substring") is [[dDedupSpansStats]].
+  *
+  * The paper builds a corpus-wide suffix array; the Spark-native
+  * shape replaces it with the fixed-K window equivalence: a substring
+  * of length >= K occurs twice iff all its K-windows do, so
+  * (1) hash every K-token window WITH ITS POSITION (token-linear
+  * rows, map-side, whole-stage codegen — no custom kernel needed),
+  * (2) one count over the window-hash key keeps positions whose
+  * window recurs anywhere in the corpus (>= 2 TOTAL occurrences, the
+  * within-doc-repeat decision above),
+  * (3) one doc-local sort merges surviving windows into maximal
+  * spans (classic gaps-and-islands: a new island starts where a
+  * position overshoots the running max end by > 1).
+  * Token-linear shuffles only — the gram-key leg (a map-side-combined
+  * count plus an AQE-splittable semi-join) and one into per-doc
+  * windows; NO pair join anywhere, so unlike the
+  * postings-join dedup ops there is no df cap and no candidate-mass
+  * bound to defend: a million-document boilerplate gram costs one
+  * count, and the resulting giant spans are exactly the output a
+  * curation pass wants. That is what makes this the 100-TB substitute
+  * for the suffix array: the suffix array's global sort is replaced
+  * by two linear shuffles and the detection guarantee degrades only
+  * at the ends (a duplicated run shorter than K is invisible —
+  * Lee et al. pick K well above noise length for the same reason).
+  *
+  * Cross-engine exactness: tokenization is the dedup block's shared
+  * contract (trim + lower + whitespace split + whole-doc fallback
+  * under K tokens — [[Pipeline.wordWindowSql]]'s semantics, with the
+  * fallback window covering [1, n]); the gram key is the first 15 hex
+  * digits of md5 decoded to a 60-bit BIGINT by an 8-term-per-digit
+  * positional sum generated from ONE loop for both dialects (the
+  * [[Winnow]] device — 15 digits, not 16: a 16-digit decode can
+  * overflow BIGINT, which DuckDB raises on and the JVM wraps, so the
+  * two engines would diverge exactly where it matters least). 60 bits
+  * keeps corpus-scale collision mass (~n_windows^2 / 2^61 for the
+  * pair-merging direction) negligible where a 32-bit key would not
+  * be. All span arithmetic is integer.
+  */
+object Spans {
+
+  /** Window size in tokens: the exact-substring unit, shared with
+    * d_dedup_window so the two views of window duplication (pair
+    * list there, span list here) agree on what "duplicated" means. */
+  private val K = 8
+
+  /** md5 prefix width: 60 bits — see the overflow note above. */
+  private val HexDigits = 15
+
+  // ONE loop generates both dialects of the hex decode (the Winnow
+  // device): the engines cannot drift on the gram key.
+  private def hexToLongSpark(h: String): String =
+    (1 to HexDigits).map(i =>
+      s"(locate(substring($h, $i, 1), '0123456789abcdef') - 1) * " +
+        s"${1L << (4 * (HexDigits - i))}L")
+      .mkString("(", " + ", ")")
+  private def hexToLongDuck(h: String): String =
+    (1 to HexDigits).map(i =>
+      s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1) * " +
+        s"CAST(${1L << (4 * (HexDigits - i))} AS BIGINT)")
+      .mkString("(", " + ", ")")
+
+  /** Positional K-windows that recur (>= 2 occurrences corpus-wide,
+    * within-document repeats included): (doc_id, p, endp) with p the
+    * 1-based token position and endp = min(p+K-1, n) — the whole-doc
+    * fallback window of a short document covers [1, n]. */
+  private[operators] def duplicatedWindows(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    val wins = toks.select(col("doc_id"), col("n"),
+        posexplode(expr(
+          s"""transform(sequence(1, greatest(cast(n as int) - ${K - 1}, 1)),
+                i -> substring(md5(concat_ws(' ', slice(t, i, $K))),
+                               1, $HexDigits))""")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        least(col("pos") + lit(K.toLong), col("n")).as("endp"),
+        expr(hexToLongSpark("col")).as("g"))
+    // recurrence via groupBy + semi-join, NOT count() OVER
+    // (PARTITION BY g): with no df cap (deliberately — boilerplate
+    // spans are exactly the output) a corpus-hot gram would land its
+    // whole posting on one window reducer, and window skew cannot be
+    // split. The groupBy collapses each gram to one row per map
+    // partition (partial agg), and the semi-join's probe-side skew is
+    // AQE-splittable — the hot path stays balanced at any df.
+    val dupKeys = wins.groupBy(col("g")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= 2).select(col("g"))
+    wins.join(dupKeys, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("p"), col("endp"))
+  }
+
+  /** Maximal duplicated spans per document: (doc_id, span_start,
+    * span_end, span_tokens, n_windows), token positions 1-based
+    * inclusive. Islands merge windows that overlap OR touch
+    * (p <= running_max_end + 1): two abutting duplicated windows are
+    * one contiguous duplicated run. */
+  def spansOf(docs: DataFrame): DataFrame = {
+    val dup = duplicatedWindows(docs)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val isl = dup
+      .withColumn("_pm", max(col("endp"))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_isl", sum(
+          when(col("_pm").isNull || col("p") > col("_pm") + 1, 1L)
+            .otherwise(0L))
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("p")).as("span_start"), max(col("endp")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
+
+  /** Shared oracle CTEs mirroring [[duplicatedWindows]] + the island
+    * merge (DuckDB dialect; list slicing clips at the end exactly as
+    * Spark's `slice`, so the short-doc fallback window matches). */
+  private val spansSql: String = s"""t AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents),
+      e0 AS (
+        SELECT doc_id, i AS p,
+               least(i + ${K - 1}, len(toks)) AS endp,
+               substring(md5(array_to_string(
+                 toks[CAST(i AS INT):CAST(i AS INT)+${K - 1}], ' ')),
+                 1, $HexDigits) AS h
+        FROM t, unnest(generate_series(1, greatest(len(toks) - ${K - 1}, 1))) AS u(i)),
+      e AS (SELECT doc_id, p, endp, ${hexToLongDuck("h")} AS g FROM e0),
+      dup AS (
+        SELECT doc_id, p, endp FROM (
+          SELECT doc_id, p, endp, count(*) OVER (PARTITION BY g) AS c
+          FROM e)
+        WHERE c >= 2),
+      prev AS (
+        SELECT doc_id, p, endp,
+               max(endp) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM dup),
+      isl AS (
+        SELECT doc_id, p, endp,
+               sum(CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM prev),
+      spans AS (
+        SELECT doc_id, min(p) AS span_start, max(endp) AS span_end,
+               max(endp) - min(p) + 1 AS span_tokens,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM isl GROUP BY doc_id, isl)"""
+
+  /** d_dedup_spans — the span list itself: every maximal duplicated
+    * token span in every document. The oracle rebuilds windows,
+    * recurrence counts, and the island merge from the raw text, so
+    * tokenization, hashing, the >= 2 threshold, and the merge rule
+    * must ALL reproduce for the hash to match. */
+  val dDedupSpans: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      spansOf(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("span_start")),
+    oracle = Some(s"""
+      WITH $spansSql
+      SELECT doc_id, span_start, span_end, span_tokens, n_windows
+      FROM spans
+      ORDER BY doc_id, span_start"""))
+
+  /** Per-document duplication profile over [[spansOf]]: token count,
+    * span count, duplicated-token count and per-mille duplicated
+    * fraction — zero-span documents included (the report a curation
+    * pass reads; its corpus sum is the paper's headline statistic). */
+  def spanStatsOf(docs: DataFrame): DataFrame = {
+    val perDoc = spansOf(docs).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+    docs.select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_pm", expr("1000 * dup_tokens div n_tokens"))
+  }
+
+  /** d_dedup_spans_stats — [[spanStatsOf]] on the documents table,
+    * integer per-mille so both engines' rounding is identical. */
+  val dDedupSpansStats: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      spanStatsOf(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH $spansSql,
+      per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+                  AS BIGINT) AS n_tokens,
+             coalesce(p.n_spans, 0) AS n_spans,
+             coalesce(p.dup_tokens, 0) AS dup_tokens,
+             CAST(1000 * coalesce(p.dup_tokens, 0)
+               // len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+               AS BIGINT) AS dup_pm
+      FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
+  val defs: Map[String, QueryDef] = Map(
+    "d_dedup_spans" -> dDedupSpans,
+    "d_dedup_spans_stats" -> dDedupSpansStats)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Spans
+import org.apache.spark.sql.DataFrame
+
+/** Exact duplicated-span extraction (the ExactSubstr semantics of
+  * Lee et al., ACL 2022), asserted on constructed documents where
+  * the expected span list is decidable by hand. */
+class SpanSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** (doc_id, span_start, span_end, span_tokens, n_windows). */
+  private def spans(df: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+    Spans.spansOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+
+  test("a shared 8-token window yields the exact [1,8] span in both docs") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val out = spans(docsOf(
+      1L -> (shared + " " + (1 to 8).map(i => s"a$i").mkString(" ")),
+      2L -> (shared + " " + (1 to 8).map(i => s"b$i").mkString(" "))))
+    assert(out === Set((1L, 1L, 8L, 8L, 1L), (2L, 1L, 8L, 8L, 1L)))
+  }
+
+  test("overlapping duplicated windows merge into one maximal span") {
+    // 12 shared tokens -> windows at p=1..5 all duplicated -> one
+    // span [1,12] of 5 windows; the distinct suffixes contribute none
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val out = spans(docsOf(
+      1L -> (shared + " " + (1 to 8).map(i => s"a$i").mkString(" ")),
+      2L -> (shared + " " + (1 to 8).map(i => s"b$i").mkString(" "))))
+    assert(out === Set((1L, 1L, 12L, 12L, 5L), (2L, 1L, 12L, 12L, 5L)))
+  }
+
+  test("two separated shared runs stay two spans; a 1-token gap keeps them apart") {
+    // doc 1: [run1(8)] [gap g1] [run2(8)] — both runs shared with docs
+    // 2/3; the single unique gap token must not be bridged
+    val r1 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val r2 = (1 to 8).map(i => s"y$i").mkString(" ")
+    val out = spans(docsOf(
+      1L -> s"$r1 g1 $r2",
+      2L -> (r1 + " " + (1 to 8).map(i => s"b$i").mkString(" ")),
+      3L -> (r2 + " " + (1 to 8).map(i => s"c$i").mkString(" "))))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1 === Set((1L, 1L, 8L, 8L, 1L), (1L, 10L, 17L, 8L, 1L)))
+  }
+
+  test("a within-document repeat is duplication: period-8 doc merges to one full span") {
+    // 16 tokens with period 8: windows p=1 and p=9 are the only
+    // duplicated ones and abut ([1,8] then [9,16]) -> one span [1,16]
+    val half = (1 to 8).map(i => s"r$i").mkString(" ")
+    val out = spans(docsOf(1L -> s"$half $half",
+      2L -> (1 to 8).map(i => s"z$i").mkString(" ")))
+    assert(out === Set((1L, 1L, 16L, 16L, 2L)))
+  }
+
+  test("short documents fall back to the whole-doc window, spanning [1, n]") {
+    val out = spans(docsOf(1L -> "tiny pair", 2L -> "tiny pair",
+      3L -> "other text here"))
+    assert(out === Set((1L, 1L, 2L, 2L, 1L), (2L, 1L, 2L, 2L, 1L)))
+  }
+
+  test("noise floor: a shared run of 7 tokens (< K) is invisible") {
+    val shared = (1 to 7).map(i => s"s$i").mkString(" ")
+    val out = spans(docsOf(
+      1L -> ((1 to 8).map(i => s"a$i").mkString(" ") + " " + shared),
+      2L -> ((1 to 8).map(i => s"b$i").mkString(" ") + " " + shared)))
+    assert(out.isEmpty)
+  }
+
+  test("stats cover zero-span docs and the per-mille is exact") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val stats = Spans.spanStatsOf(docsOf(
+      1L -> (shared + " t1 t2 t3 t4 t5 t6 t7 t8"), // 16 tokens, 8 dup
+      2L -> (shared + " u1 u2 u3 u4 u5 u6 u7 u8"),
+      3L -> "all unique tokens in this one here yes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats(1L) === ((16L, 1L, 8L, 500L)))
+    assert(stats(3L) === ((8L, 0L, 0L, 0L)))
+  }
+}
