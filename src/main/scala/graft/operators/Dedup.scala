@@ -693,6 +693,25 @@ object Dedup {
     * broadcast centroid matrix — no crossJoin fanout, no window
     * shuffle; the centroid matrix is collected driver-side first (k x
     * dim floats, KB-scale, same as the IVF quantizer plumbing). */
+  /** Multi-probe cluster assignment, (vec_id, lid) with lid the
+    * 0-based centroid index: per-row top-`probes` clusters by ROUNDED
+    * (4dp) cosine with smaller-lid tie-break — the same argmax rule
+    * as [[semanticPairs]]' single-probe path at p=1, extracted so the
+    * STREAMING dedup leg blocks arrivals against keeper postings with
+    * byte-identical assignments to the batch pair pass. One map-side
+    * [[CentroidCosines]] projection + top-p slice; no shuffle. */
+  private[graft] def probeAssign(df: DataFrame, vecCol: String,
+      idCol: String, centRef: BroadcastCentroids, nlist: Int,
+      probes: Int): DataFrame = {
+    val ranked = slice(reverse(array_sort(arrays_zip(
+      transform(Bridge.column(CentroidCosines(
+        Bridge.expression(col(vecCol)), centRef)), c => round(c, 4)).as("c"),
+      transform(sequence(lit(0), lit(nlist - 1)), i => -i).as("nlid")))),
+      1, math.min(probes, nlist))
+    df.select(col(idCol).as("vec_id"), explode(ranked).as("pr"))
+      .select(col("vec_id"), (-col("pr.nlid")).as("lid"))
+  }
+
   def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
       k: Int = -1, tau: Double = 0.35,
       centroids: Option[DataFrame] = None, rowHint: Long = -1L,
@@ -744,21 +763,11 @@ object Dedup {
       val centRef = BroadcastCentroids(
         df.sparkSession.sparkContext.broadcast(cents.map(_.toArray)))
       val nlist = cents.length
-      // per-row top-p cluster assignment, all map-side: rounded cosine
-      // with smaller-seed-id tie-break (lid ascends with seed_id), the
-      // same argmax rule as the single-probe path at p=1
-      val ranked = slice(reverse(array_sort(arrays_zip(
-        transform(Bridge.column(CentroidCosines(
-          Bridge.expression(col(vecCol)), centRef)), c => round(c, 4)).as("c"),
-        transform(sequence(lit(0), lit(nlist - 1)), i => -i).as("nlid")))),
-        1, math.min(probes, nlist))
       // same two-phase shape as [[embeddingPairs]]: the cluster join
       // moves (id, lid) rows, never embeddings; candidate pairs are
       // deduped (min shared lid) before vectors join back and the
       // cosine kernel runs once per distinct pair
-      val assigned = df.select(col(idCol).as("vec_id"),
-          explode(ranked).as("pr"))
-        .select(col("vec_id"), (-col("pr.nlid")).as("lid"))
+      val assigned = probeAssign(df, vecCol, idCol, centRef, nlist, probes)
       val cand = assigned.as("l")
         .join(assigned.as("r"),
           col("l.lid") === col("r.lid") && col("l.vec_id") < col("r.vec_id"))

@@ -1017,6 +1017,293 @@ object StreamQueries {
              TRUE AS multi_batch
       FROM embeddings WHERE vec_id < 10"""))
 
+  /** Read an append-only chain back, RESTRICTED to links strictly
+    * below a batch id (plus the v0 anchor): the replay-correct view a
+    * REDELIVERED batch must recompute its decisions against — links
+    * written by this or later batches are excluded, so batch b's
+    * recomputation sees exactly the state it saw the first time (the
+    * chain discipline's idempotency, extended to operators whose
+    * per-batch DECISIONS read the accumulated state, not just the
+    * static base store). Link names are `<prefix><batchId>`. */
+  private[graft] def readChainBelow(s: org.apache.spark.sql.SparkSession,
+      dirPath: String, prefix: String, below: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val paths = Option(new java.io.File(dirPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter { c =>
+        val nm = c.getName
+        nm == "v0" || (nm.startsWith(prefix) &&
+          nm.drop(prefix.length).nonEmpty &&
+          nm.drop(prefix.length).forall(_.isDigit) &&
+          nm.drop(prefix.length).toLong < below)
+      }
+      .map(_.getAbsolutePath).sorted.toIndexedSeq
+    s.read.parquet(paths: _*)
+  }
+
+  /** Drop-decision threshold, integer cosm (= round(cos·10⁴)): the
+    * d_semdedup family's τ = 0.35 on this embedding space. */
+  private val SemDropCosm = 3500L
+
+  /** Residual-duplication ceiling for [[sSemdedup]]'s miss contract:
+    * the fraction of KEPT stream vectors that still have an exact
+    * τ-neighbor among the final keepers (the duplication the blocked
+    * drop path failed to catch — the boundary losses
+    * d_semdedup_recall floors for the batch pass). Measured 0/35 at
+    * sf0.01 and 0/19 at sf0.1 under 8-probe arrivals (4-probe
+    * arrivals measured 1/36 and 5/34 — the extra probes close the
+    * straddling-pair gap); ceiling leaves headroom for a few misses
+    * on corpora with more boundary mass, the recall-contract
+    * methodology. */
+  private val SemResidualMaxPct = 10L
+
+  /** One semantic-dedup micro-batch against the accumulated keeper
+    * chain (the [[sSemdedup]] per-batch body, extracted so the spec
+    * can replay a batch and pin redelivery idempotency): reads
+    * keeper vectors + postings STRICTLY BELOW `b`
+    * ([[readChainBelow]]), drops arrivals with an exact τ-match among
+    * cell-blocked keeper candidates, dedups the remainder within the
+    * batch by the batch semdedup decision, and appends three
+    * batchId-keyed links — drop ledger `x<b>`, keeper vectors
+    * `k<b>`, keeper postings `p<b>`. */
+  private[graft] def semDedupBatch(s: org.apache.spark.sql.SparkSession,
+      base: String, centRef: graft.plans.BroadcastCentroids,
+      centDf: org.apache.spark.sql.DataFrame, nlist: Int,
+      probes: Int, arrivalProbes: Int,
+      batch: org.apache.spark.sql.DataFrame, b: Long): Unit = {
+    val curKeep = readChainBelow(s, s"$base/keep", "k", b)
+    val curPost = readChainBelow(s, s"$base/post", "p", b)
+    // leg 1: drop arrivals an accumulated keeper already covers —
+    // candidates are (arrival, keeper) pairs sharing a probed cell
+    // (the two-phase semanticPairs shape: the cell join moves
+    // (id, lid) rows, vectors join back once per DISTINCT candidate
+    // pair), verified by exact cosine
+    val cand = Dedup.probeAssign(batch, "embedding", "vec_id",
+        centRef, nlist, arrivalProbes)
+      .join(curPost.select(col("lid"), col("vec_id").as("kid")),
+        Seq("lid"))
+      .select(col("vec_id"), col("kid")).distinct()
+    val idxDrops = cand
+      .join(broadcast(batch.select(col("vec_id"),
+        col("embedding").as("va"))), Seq("vec_id"))
+      .join(curKeep.select(col("vec_id").as("kid"),
+        col("embedding").as("vb")), Seq("kid"))
+      .select(col("vec_id"), col("kid"),
+        round(Similarity.cosine(col("va"), col("vb")) * 10000)
+          .cast("long").as("cosm"))
+      .filter(col("cosm") >= SemDropCosm)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("kid"), struct(col("cosm"),
+        (-col("kid")).as("nid"))).as("match_id"))
+      .withColumn("rep_id", col("match_id"))
+      .localCheckpoint(eager = true)
+    // leg 2: the batch semdedup decision WITHIN the batch (arrivals
+    // in one micro-batch are concurrent — no arrival order exists,
+    // so the batch keep rule is the right one)
+    val idxSurv = batch
+      .join(idxDrops.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    val pairs = Dedup.semanticPairs(idxSurv, "embedding", "vec_id",
+        centroids = Some(centDf), probes = probes)
+      .localCheckpoint(eager = true)
+    val labeled = Dedup.clusters(pairs,
+      universe = Some(idxSurv.select(col("vec_id"))))
+    // within-batch match = best pair partner (exact cos >= tau by
+    // construction); representative = the cluster canonical
+    val sym = pairs.select(col("id_a").as("id"),
+        col("id_b").as("p"), col("cos"))
+      .union(pairs.select(col("id_b").as("id"),
+        col("id_a").as("p"), col("cos")))
+    val bestPartner = sym.groupBy(col("id"))
+      .agg(max_by(col("p"), struct(col("cos"),
+        (-col("p")).as("nid"))).as("match_id"))
+    val wbDrops = labeled.filter(!col("is_canonical"))
+      .select(col("id").as("vec_id"), col("cluster_id").as("rep_id"))
+      .join(bestPartner.select(col("id").as("vec_id"),
+        col("match_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("match_id"), col("rep_id"))
+    idxDrops.select(col("vec_id"), col("match_id"), col("rep_id"))
+      .unionByName(wbDrops)
+      .write.mode("overwrite").parquet(s"$base/drop/x$b")
+    // leg 3: survivors become keepers — vectors plus their
+    // probe-cell postings, each a |batch|-sized chain link
+    val survivors = batch
+      .join(s.read.parquet(s"$base/drop/x$b").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    survivors.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$base/keep/k$b")
+    Dedup.probeAssign(survivors, "embedding", "vec_id", centRef,
+        nlist, probes)
+      .select(col("lid"), col("vec_id"))
+      .write.mode("overwrite").parquet(s"$base/post/p$b")
+  }
+
+  /** s_semdedup — STREAMING SEMANTIC DEDUP, the online leg of the
+    * d_semdedup family: new vectors arrive in delivery-ordered
+    * micro-batches; each arrival is blocked against the ACCUMULATED
+    * keeper set by the SAME multi-probe quantizer blocking the batch
+    * pass uses ([[Dedup.probeAssign]], probes = 4, centroids trained
+    * once on the base corpus — the production train-once/serve-online
+    * shape), exact-cosine-checked against only the keepers sharing a
+    * probed cell, and DROPPED on any match ≥ τ = 0.35 (first-seen
+    * wins, the online semantics of corpus ingestion). Arrivals that
+    * clear the keeper check are deduped WITHIN the batch by the batch
+    * decision itself ([[Dedup.semanticPairs]] + [[Dedup.clusters]]
+    * keep-min-id — one code path with d_semdedup_keep), and survivors
+    * become keepers: vectors + their probe-cell POSTINGS append as
+    * batchId-keyed chain links (assignment computed once per keeper
+    * at insert, never recomputed — the posting chain is what batch
+    * n+1 joins against). A graph-ANN drop path was probed first and
+    * measured structurally worse (45% residual at sf0.01 vs 18%
+    * here): beam search optimizes nearest-neighbor recall, but a
+    * τ = 0.35 drop decision in this weakly-clustered space needs
+    * recall on THRESHOLD matches far beyond top-k — exactly what
+    * cell blocking bounds and beam search does not.
+    *
+    * Decisions are recomputed against [[readChainBelow]] (links
+    * strictly below the batch), so a REDELIVERED batch replays its
+    * exact original decisions — idempotent by construction. Per-batch
+    * cost: |batch|·nlist assignment flops map-side plus
+    * Σ_cell |arrivals_cell|·|keepers_cell| exact cosines — the batch
+    * pass's pair-mass shape, kept linear by [[Similarity
+    * .autoNlistPairs]] sizing; never a corpus scan.
+    *
+    * Contracts (all exact, recomputed from raw vectors at the end):
+    * `partition_ok` — drops ∪ kept is a disjoint partition of the
+    * stream; `drops_sound` — every dropped vector's recorded match
+    * has exact cosine ≥ τ (no vector was discarded on a hallucinated
+    * similarity — the check that matters when the decision is DATA
+    * LOSS); `reps_kept` — every drop names a kept representative
+    * (keeper drops name their matched keeper; within-batch drops name
+    * their cluster canonical, kept by the min-id rule), so the
+    * audit trail a curation pass needs ("which keeper displaced
+    * this?") never dangles; `dropped_some` — the stream genuinely
+    * deduped; `residual_ok` — ≤ [[SemResidualMaxPct]]% of kept
+    * stream vectors (id-capped sample, the d_semdedup_recall
+    * convention) still have an exact τ-neighbor among final keepers;
+    * `multi_batch` — the stream genuinely split. */
+  val sSemdedup: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ssem/" +
+        s"${new java.io.File(dir).getName}_$dirTag"
+      rmTree(new java.io.File(base))
+      val emb = graft.Tables.load(s, dir, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val baseNodes = emb.filter(!Pipeline.graphDelta(col("vec_id")))
+      val delta = emb.filter(Pipeline.graphDelta(col("vec_id")))
+      val nDelta = delta.count()
+      val nBase = baseNodes.count()
+      val nlist = Similarity.autoNlistPairs(nBase)
+      val cents = Similarity.trainQuantizer(baseNodes, "embedding",
+        "vec_id", nlist, 3)
+      val centRef = graft.plans.BroadcastCentroids(
+        s.sparkContext.broadcast(cents.map(_.toArray)))
+      val probes = 4
+      // the ARRIVAL side probes deeper (the IVF convention of
+      // spending nprobe on the query side: keeper postings stay ×4,
+      // so the posting chain's size is the batch pass's, while each
+      // arrival checks 8 cells — a straddling τ-pair is recovered
+      // when ANY of the 8×4 combinations share a cell)
+      val arrivalProbes = 8
+      // chain anchors: v0 = the base keepers (vectors + their
+      // probe-cell postings) and an empty drop ledger fixing the
+      // ledger schema
+      baseNodes.select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$base/keep/v0")
+      Dedup.probeAssign(baseNodes, "embedding", "vec_id", centRef,
+          nlist, probes)
+        .select(col("lid"), col("vec_id"))
+        .write.mode("overwrite").parquet(s"$base/post/v0")
+      delta.filter(lit(false))
+        .select(col("vec_id"), col("vec_id").as("match_id"),
+          col("vec_id").as("rep_id"))
+        .write.mode("overwrite").parquet(s"$base/drop/v0")
+      val centDf = {
+        import s.implicits._
+        cents.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("seed_id", "sv")
+      }
+      val nb = 4
+      (0 until nb).foreach { i =>
+        delta.filter(pmod(expr("vec_id div 5"), lit(nb)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
+      }
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, b: Long) =>
+          semDedupBatch(s, base, centRef, centDf, nlist, probes,
+            arrivalProbes, batch, b)
+          batches.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val keepers = readChainBelow(s, s"$base/keep", "k", Long.MaxValue)
+        .localCheckpoint(eager = true)
+      val drops = readChainBelow(s, s"$base/drop", "x", Long.MaxValue)
+        .localCheckpoint(eager = true)
+      val keptStream = keepers.filter(Pipeline.graphDelta(col("vec_id")))
+      val nKept = keptStream.count()
+      val nDrops = drops.count()
+      val overlap = keptStream.join(drops, Seq("vec_id"), "left_semi").count()
+      // exact re-verification of every drop from raw vectors
+      val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val dropCos = drops
+        .join(vecs.select(col("id").as("vec_id"), col("v").as("va")),
+          Seq("vec_id"))
+        .join(vecs.select(col("id").as("match_id"), col("v").as("vb")),
+          Seq("match_id"))
+        .select(round(Similarity.cosine(col("va"), col("vb")) * 10000)
+          .cast("long").as("cosm"))
+      val repsDangling = drops
+        .join(keepers.select(col("vec_id").as("rep_id")), Seq("rep_id"),
+          "left_anti").count()
+      // residual duplication among the kept: the KEEPER side is
+      // id-capped (the d_semdedup_recall convention bounds the brute
+      // audit leg) but the kept side runs in full — survivors of a
+      // dedup pass are the small side by construction, and auditing
+      // all of them keeps the ratio's denominator honest instead of
+      // sample-noise-dominated
+      val keptAud = keptStream
+        .select(col("vec_id").as("ka"), col("embedding").as("va"))
+      val keepCap = keepers.filter(col("vec_id") < 1000)
+        .select(col("vec_id").as("kb"), col("embedding").as("vb"))
+      val resid = keptAud.crossJoin(broadcast(keepCap))
+        .filter(col("ka") =!= col("kb"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")) * 10000)
+          .cast("long") >= SemDropCosm)
+        .select(col("ka")).distinct().count()
+      val nKeptCap = keptAud.count()
+      val out = delta.agg(count(lit(1)).as("n_stream"))
+        .crossJoin(dropCos.agg(
+          coalesce(min(col("cosm")), lit(SemDropCosm)).as("min_cosm")))
+        .select(col("n_stream"),
+          lit(nKept + nDrops == nDelta && overlap == 0L).as("partition_ok"),
+          (col("min_cosm") >= SemDropCosm).as("drops_sound"),
+          lit(repsDangling == 0L).as("reps_kept"),
+          lit(nDrops >= 1L).as("dropped_some"),
+          lit(resid * 100L <= SemResidualMaxPct * math.max(nKeptCap, 1L))
+            .as("residual_ok"),
+          lit(batches.get() >= 2L).as("multi_batch"))
+        .localCheckpoint(eager = true)
+      emb.unpersist()
+      out
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_stream, TRUE AS partition_ok,
+             TRUE AS drops_sound, TRUE AS reps_kept, TRUE AS dropped_some,
+             TRUE AS residual_ok, TRUE AS multi_batch
+      FROM embeddings WHERE vec_id % 5 = 4"""))
+
   /** Stream-stream LEFT OUTER interval join (the alerting companion
     * to [[sStreamJoin]]'s inner): every error row survives — paired
     * with its lookback clicks or emitted once as unanswered.
@@ -1198,6 +1485,7 @@ object StreamQueries {
     "s_ann_ingest" -> sAnnIngest,
     "s_ann_delete" -> sAnnDelete,
     "s_ann_ingest_routed" -> sAnnIngestRouted,
+    "s_semdedup" -> sSemdedup,
     "s_pull_hours" -> sPullHours,
     "s_transitions" -> sTransitions,
     "s_funnel" -> sFunnel,
