@@ -222,7 +222,83 @@ object Spans {
       FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** The corpus with every duplicated span EXCISED — the ExactSubstr
+    * pipeline's actual product (Lee et al. cut the duplicated
+    * substring and train on what remains, rather than dropping whole
+    * documents): per document, the tokens outside every [[spansOf]]
+    * interval, re-joined in order. Returns (doc_id, n_tokens,
+    * kept_tokens, clean_text); a fully-duplicated document survives
+    * as an empty string, which downstream length filters then drop —
+    * the decision stays visible instead of the row silently
+    * vanishing. Cost shape: one token-level explode (token-linear),
+    * one doc-keyed join of positions against that doc's spans (spans
+    * per doc are few — interval-merged — so the range predicate runs
+    * inside a doc-local hash match, no sweep needed), one doc-keyed
+    * ordered re-aggregation. */
+  def cleanOf(docs: DataFrame): DataFrame = {
+    val sp = spansOf(docs)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val pos = docs.select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        posexplode(col("t")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).cast("long").as("p"), col("col").as("w"))
+    val kept = pos.join(sp,
+      pos("doc_id") === sp("doc_id") &&
+        col("p").between(col("span_start"), col("span_end")),
+      "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("kept_tokens"),
+        array_join(transform(array_sort(
+            collect_list(struct(col("p"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+    docs.select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+          .as("n_all"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_all").as("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** d_dedup_spans_clean — [[cleanOf]] on the documents table: the
+    * oracle re-derives spans from raw text and re-assembles the
+    * surviving tokens with an ordered string_agg, so excision
+    * boundaries and token order must both reproduce exactly. */
+  val dDedupSpansClean: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      cleanOf(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH $spansSql,
+      ptok AS (
+        SELECT doc_id, i AS p, toks[CAST(i AS INT)] AS w,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+      keptk AS (
+        SELECT pt.doc_id, pt.p, pt.w, pt.n_tokens
+        FROM ptok pt
+        WHERE NOT EXISTS (
+          SELECT 1 FROM spans s
+          WHERE s.doc_id = pt.doc_id
+            AND pt.p BETWEEN s.span_start AND s.span_end)),
+      cleaned AS (
+        SELECT doc_id, max(n_tokens) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS kept_tokens,
+               string_agg(w, ' ' ORDER BY p) AS clean_text
+        FROM keptk GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+                  AS BIGINT) AS n_tokens,
+             coalesce(c.kept_tokens, 0) AS kept_tokens,
+             coalesce(c.clean_text, '') AS clean_text
+      FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
   val defs: Map[String, QueryDef] = Map(
     "d_dedup_spans" -> dDedupSpans,
-    "d_dedup_spans_stats" -> dDedupSpansStats)
+    "d_dedup_spans_stats" -> dDedupSpansStats,
+    "d_dedup_spans_clean" -> dDedupSpansClean)
 }

@@ -73,6 +73,21 @@ class SpanSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("clean excises spans, keeps token order; full dups become empty") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val rest = (1 to 8).map(i => s"a$i").mkString(" ")
+    val out = Spans.cleanOf(docsOf(
+      1L -> (shared + " " + rest),
+      2L -> (shared + " " + (1 to 8).map(i => s"b$i").mkString(" ")),
+      3L -> "tiny pair", 4L -> "tiny pair",
+      5L -> "solo unique tokens only here"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((16L, 8L, rest)))
+    assert(out(3L) === ((2L, 0L, "")))
+    assert(out(5L) === ((5L, 5L, "solo unique tokens only here")))
+  }
+
   test("stats cover zero-span docs and the per-mille is exact") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")
     val stats = Spans.spanStatsOf(docsOf(
