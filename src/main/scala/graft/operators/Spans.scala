@@ -77,15 +77,15 @@ object Spans {
         s"CAST(${1L << (4 * (HexDigits - i))} AS BIGINT)")
       .mkString("(", " + ", ")")
 
-  /** Positional K-windows that recur (>= 2 occurrences corpus-wide,
-    * within-document repeats included): (doc_id, p, endp) with p the
-    * 1-based token position and endp = min(p+K-1, n) — the whole-doc
-    * fallback window of a short document covers [1, n]. */
-  private[operators] def duplicatedWindows(docs: DataFrame): DataFrame = {
+  /** Every positional K-window of every document: (doc_id, p, endp,
+    * g) with p the 1-based token position, endp = min(p+K-1, n) — the
+    * whole-doc fallback window of a short document covers [1, n] —
+    * and g the 60-bit window hash. Map-side, whole-stage codegen. */
+  private def positionalWindows(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("t"))
       .withColumn("n", size(col("t")).cast("long"))
-    val wins = toks.select(col("doc_id"), col("n"),
+    toks.select(col("doc_id"), col("n"),
         posexplode(expr(
           s"""transform(sequence(1, greatest(cast(n as int) - ${K - 1}, 1)),
                 i -> substring(md5(concat_ws(' ', slice(t, i, $K))),
@@ -93,6 +93,14 @@ object Spans {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         least(col("pos") + lit(K.toLong), col("n")).as("endp"),
         expr(hexToLongSpark("col")).as("g"))
+  }
+
+  /** Positional K-windows that recur (>= 2 occurrences corpus-wide,
+    * within-document repeats included): (doc_id, p, endp) with p the
+    * 1-based token position and endp = min(p+K-1, n) — the whole-doc
+    * fallback window of a short document covers [1, n]. */
+  private[operators] def duplicatedWindows(docs: DataFrame): DataFrame = {
+    val wins = positionalWindows(docs)
     // recurrence via groupBy + semi-join, NOT count() OVER
     // (PARTITION BY g): with no df cap (deliberately — boilerplate
     // spans are exactly the output) a corpus-hot gram would land its
@@ -111,10 +119,15 @@ object Spans {
     * inclusive. Islands merge windows that overlap OR touch
     * (p <= running_max_end + 1): two abutting duplicated windows are
     * one contiguous duplicated run. */
-  def spansOf(docs: DataFrame): DataFrame = {
-    val dup = duplicatedWindows(docs)
+  def spansOf(docs: DataFrame): DataFrame =
+    mergeSpans(duplicatedWindows(docs))
+
+  /** Gaps-and-islands merge of (doc_id, p, endp) windows into maximal
+    * spans — one doc-local sort; a new island starts where a position
+    * overshoots the running max end by > 1. */
+  private def mergeSpans(windows: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val isl = dup
+    val isl = windows
       .withColumn("_pm", max(col("endp"))
         .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("_isl", sum(
@@ -129,10 +142,10 @@ object Spans {
         col("n_windows"))
   }
 
-  /** Shared oracle CTEs mirroring [[duplicatedWindows]] + the island
-    * merge (DuckDB dialect; list slicing clips at the end exactly as
-    * Spark's `slice`, so the short-doc fallback window matches). */
-  private val spansSql: String = s"""t AS (
+  /** Shared oracle CTEs mirroring [[positionalWindows]] (DuckDB
+    * dialect; list slicing clips at the end exactly as Spark's
+    * `slice`, so the short-doc fallback window matches). */
+  private val winSql: String = s"""t AS (
         SELECT doc_id,
                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
         FROM documents),
@@ -143,13 +156,11 @@ object Spans {
                  toks[CAST(i AS INT):CAST(i AS INT)+${K - 1}], ' ')),
                  1, $HexDigits) AS h
         FROM t, unnest(generate_series(1, greatest(len(toks) - ${K - 1}, 1))) AS u(i)),
-      e AS (SELECT doc_id, p, endp, ${hexToLongDuck("h")} AS g FROM e0),
-      dup AS (
-        SELECT doc_id, p, endp FROM (
-          SELECT doc_id, p, endp, count(*) OVER (PARTITION BY g) AS c
-          FROM e)
-        WHERE c >= 2),
-      prev AS (
+      e AS (SELECT doc_id, p, endp, ${hexToLongDuck("h")} AS g FROM e0)"""
+
+  /** Island merge over a `dup(doc_id, p, endp)` CTE ([[mergeSpans]]'
+    * mirror), ending in `spans`. */
+  private val islandSql: String = s"""prev AS (
         SELECT doc_id, p, endp,
                max(endp) OVER (PARTITION BY doc_id ORDER BY p
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
@@ -165,6 +176,15 @@ object Spans {
                max(endp) - min(p) + 1 AS span_tokens,
                CAST(count(*) AS BIGINT) AS n_windows
         FROM isl GROUP BY doc_id, isl)"""
+
+  /** [[duplicatedWindows]] + [[mergeSpans]]' full oracle chain. */
+  private val spansSql: String = s"""$winSql,
+      dup AS (
+        SELECT doc_id, p, endp FROM (
+          SELECT doc_id, p, endp, count(*) OVER (PARTITION BY g) AS c
+          FROM e)
+        WHERE c >= 2),
+      $islandSql"""
 
   /** d_dedup_spans — the span list itself: every maximal duplicated
     * token span in every document. The oracle rebuilds windows,
@@ -235,8 +255,15 @@ object Spans {
     * per doc are few — interval-merged — so the range predicate runs
     * inside a doc-local hash match, no sweep needed), one doc-keyed
     * ordered re-aggregation. */
-  def cleanOf(docs: DataFrame): DataFrame = {
-    val sp = spansOf(docs)
+  def cleanOf(docs: DataFrame): DataFrame =
+    exciseSpans(docs, spansOf(docs))
+
+  /** Cut every given span out of its document and re-join the
+    * surviving tokens in order: (doc_id, n_tokens, kept_tokens,
+    * clean_text), every input document present (an empty string when
+    * nothing survives). */
+  private def exciseSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val sp = spans
       .select(col("doc_id"), col("span_start"), col("span_end"))
     val pos = docs.select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("t"))
@@ -267,13 +294,11 @@ object Spans {
     * oracle re-derives spans from raw text and re-assembles the
     * surviving tokens with an ordered string_agg, so excision
     * boundaries and token order must both reproduce exactly. */
-  val dDedupSpansClean: QueryDef = QueryDef(
-    fn = (s, dir) =>
-      cleanOf(Tables.load(s, dir, "documents"))
-        .orderBy(col("doc_id")),
-    oracle = Some(s"""
-      WITH $spansSql,
-      ptok AS (
+  /** Excision CTEs over a `spans` CTE ([[exciseSpans]]' mirror):
+    * surviving tokens re-assembled with an ordered string_agg, ending
+    * in `cleaned`; the final SELECT left-joins documents so zero-kept
+    * and zero-span docs both emit. */
+  private val excisionSql: String = s"""ptok AS (
         SELECT doc_id, i AS p, toks[CAST(i AS INT)] AS w,
                CAST(len(toks) AS BIGINT) AS n_tokens
         FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
@@ -288,17 +313,194 @@ object Spans {
         SELECT doc_id, max(n_tokens) AS n_tokens,
                CAST(count(*) AS BIGINT) AS kept_tokens,
                string_agg(w, ' ' ORDER BY p) AS clean_text
-        FROM keptk GROUP BY doc_id)
+        FROM keptk GROUP BY doc_id)"""
+
+  private val excisionSelectSql: String = s"""
       SELECT d.doc_id,
              CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
                   AS BIGINT) AS n_tokens,
              coalesce(c.kept_tokens, 0) AS kept_tokens,
              coalesce(c.clean_text, '') AS clean_text
       FROM documents d LEFT JOIN cleaned c ON c.doc_id = d.doc_id
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""
+
+  val dDedupSpansClean: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      cleanOf(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH $spansSql,
+      $excisionSql
+      $excisionSelectSql"""))
+
+  /** Maximal spans of a document covered by BENCHMARK K-windows —
+    * [[positionalWindows]] semi-joined against the distinct window
+    * hashes of the benchmark set (the t_contamination convention:
+    * doc_id < 20 is the benchmark; a document never contaminates
+    * itself), then the same island merge. */
+  def contaminationSpansOf(docs: DataFrame, benchMaxId: Long): DataFrame = {
+    val wins = positionalWindows(docs)
+    val bench = positionalWindows(docs.filter(col("doc_id") < benchMaxId))
+      .select(col("doc_id").as("bench_id"), col("g")).distinct()
+    val hit = wins.as("l").join(bench.as("r"),
+        col("l.g") === col("r.g") && col("l.doc_id") =!= col("r.bench_id"),
+        "left_semi")
+      .select(col("doc_id"), col("p"), col("endp"))
+    mergeSpans(hit)
+  }
+
+  /** t_decontaminate — span-level DECONTAMINATION, the removal step
+    * behind t_contamination's detection (production decontamination
+    * excises the overlapping text and keeps the document — dropping
+    * whole documents over one quoted benchmark item wastes the rest):
+    * every token span covered by a benchmark K-window is cut,
+    * surviving tokens re-join in order. Same output shape as
+    * d_dedup_spans_clean; benchmark documents themselves keep their
+    * own text (self-matches excluded) but lose spans shared with
+    * OTHER benchmark docs — exactly t_contamination's pair rule. The
+    * benchmark window set is DISTINCT per doc and bounded, so at
+    * scale it rides the same broadcast/bloom ladder as the detection
+    * ops; the span/excision legs are the d_dedup_spans machinery
+    * (token-linear, no pair join). */
+  val tDecontaminate: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      exciseSpans(docs, contaminationSpansOf(docs, 20L))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH $winSql,
+      bench AS (
+        SELECT DISTINCT doc_id AS bench_id, g FROM e WHERE doc_id < 20),
+      dup AS (
+        SELECT DISTINCT e.doc_id, e.p, e.endp
+        FROM e JOIN bench ON e.g = bench.g AND e.doc_id <> bench.bench_id),
+      $islandSql,
+      $excisionSql
+      $excisionSelectSql"""))
+
+  /** s_dedup_spans — STREAMING span-level dedup, the online leg of
+    * [[dDedupSpans]] exactly as s_semdedup is d_semdedup's: documents
+    * arrive in delivery-ordered micro-batches, each arrival's
+    * duplicated spans are detected against the ACCUMULATED gram set
+    * (base corpus + every earlier batch — a semi-join of the
+    * arrival's positional windows against the membership chain, then
+    * the same island merge), the span ledger appends as a
+    * batchId-keyed link, and the batch's own distinct gram hashes
+    * join the membership chain so batch n+1 sees them. Decisions read
+    * [[StreamQueries.readChainBelow]] (links strictly below the
+    * batch), so redelivery replays its original ledger link.
+    *
+    * First-seen-wins at span granularity: a document carrying text
+    * that ANY earlier document already contributed gets exactly that
+    * text flagged; within-batch recurrence is deliberately out of
+    * scope here (that is [[dDedupSpans]]' job over the batch).
+    *
+    * Because arrival order is a PURE FUNCTION of doc_id (base =
+    * doc_id ≢ 4 mod 5; batch of a delta doc = (doc_id div 5) mod 4 —
+    * the replica-stable split device), the ENTIRE streamed ledger is
+    * SQL-replayable: the oracle recomputes every batch's spans with
+    * an EXISTS over earlier-batch grams and must hash-match the
+    * streamed output row for row — a full hash oracle for a
+    * streaming operator, not a boolean contract. Per-batch cost:
+    * |batch| windows hashed map-side, one semi-join against the gram
+    * chain (gram-keyed, AQE-splittable), one |batch|-sized ledger +
+    * gram write — never corpus-sized. */
+  /** Seed the s_dedup_spans chain: the base corpus' distinct gram
+    * hashes as gram/v0 plus an empty ledger anchor (fixes the schema
+    * for the final chain read). */
+  private[graft] def spanDedupSeed(base: String, baseDocs: DataFrame): Unit = {
+    positionalWindows(baseDocs).select(col("g")).distinct()
+      .write.mode("overwrite").parquet(s"$base/gram/v0")
+    mergeSpans(positionalWindows(baseDocs).filter(lit(false))
+        .select(col("doc_id"), col("p"), col("endp")))
+      .write.mode("overwrite").parquet(s"$base/ledger/v0")
+    ()
+  }
+
+  /** One s_dedup_spans micro-batch: the arrival's duplicated spans
+    * against the gram chain STRICTLY BELOW b (base v0 + earlier
+    * batches — redelivery of batch b recomputes against the same
+    * view, so its ledger link replays identically), written as
+    * ledger/x<b>, the batch's distinct grams as gram/g<b>. */
+  private[graft] def spanDedupBatch(s: org.apache.spark.sql.SparkSession,
+      base: String, batch: DataFrame, b: Long): Unit = {
+    val seen = StreamQueries.readChainBelow(s, s"$base/gram", "g", b)
+    val wins = positionalWindows(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mergeSpans(wins.join(seen, Seq("g"), "left_semi")
+        .select(col("doc_id"), col("p"), col("endp")))
+      .write.mode("overwrite").parquet(s"$base/ledger/x$b")
+    wins.select(col("g")).distinct()
+      .write.mode("overwrite").parquet(s"$base/gram/g$b")
+    wins.unpersist()
+    ()
+  }
+
+  val sDedupSpans: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_sspan/" +
+        s"${new java.io.File(dir).getName}_$dirTag"
+      rmTree(new java.io.File(base))
+      val docs = Tables.load(s, dir, "documents")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val baseDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      spanDedupSeed(base, baseDocs)
+      val nb = 4
+      (0 until nb).foreach { i =>
+        delta.filter(pmod(expr("doc_id div 5"), lit(nb)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
+      }
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, b: Long) =>
+          spanDedupBatch(s, base, batch, b)
+          batches.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(batches.get() >= 2L,
+        s"graft: s_dedup_spans stream produced ${batches.get()} batches " +
+          "— the multi-batch property the key exists to exercise is gone")
+      val out = StreamQueries
+        .readChainBelow(s, s"$base/ledger", "x", Long.MaxValue)
+        .orderBy(col("doc_id"), col("span_start"))
+        .localCheckpoint(eager = true)
+      docs.unpersist()
+      out
+    },
+    oracle = Some(s"""
+      WITH $winSql,
+      bn AS (
+        SELECT doc_id, p, endp, g,
+               CASE WHEN doc_id % 5 = 4
+                    THEN CAST((doc_id // 5) % 4 AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS bno
+        FROM e),
+      seen AS (SELECT g, min(bno) AS first_bno FROM bn GROUP BY g),
+      dup AS (
+        SELECT DISTINCT a.doc_id, a.p, a.endp
+        FROM bn a JOIN seen s ON s.g = a.g AND s.first_bno < a.bno
+        WHERE a.bno >= 0),
+      $islandSql
+      SELECT doc_id, span_start, span_end, span_tokens, n_windows
+      FROM spans
+      ORDER BY doc_id, span_start"""))
 
   val defs: Map[String, QueryDef] = Map(
     "d_dedup_spans" -> dDedupSpans,
     "d_dedup_spans_stats" -> dDedupSpansStats,
-    "d_dedup_spans_clean" -> dDedupSpansClean)
+    "d_dedup_spans_clean" -> dDedupSpansClean,
+    "t_decontaminate" -> tDecontaminate,
+    "s_dedup_spans" -> sDedupSpans)
 }

@@ -88,6 +88,78 @@ class SpanSpec extends SparkSpec {
     assert(out(5L) === ((5L, 5L, "solo unique tokens only here")))
   }
 
+  test("decontamination excises benchmark overlap; self-matches never fire") {
+    val bench = (1 to 8).map(i => s"q$i").mkString(" ")
+    val docs = docsOf(
+      1L -> (bench + " " + (1 to 8).map(i => s"x$i").mkString(" ")), // benchmark doc
+      10L -> ((1 to 8).map(i => s"a$i").mkString(" ") + " " + bench), // contaminated
+      11L -> (1 to 8).map(i => s"u$i").mkString(" "))                 // clean
+    val spans = Spans.contaminationSpansOf(docs, benchMaxId = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 10 loses tokens 9-16; doc 1's own window is a self-match
+    // (excluded), so the benchmark doc keeps its text
+    assert(spans === Set((10L, 9L, 16L)))
+  }
+
+  test("two benchmark docs sharing a run decontaminate each other") {
+    val shared = (1 to 8).map(i => s"q$i").mkString(" ")
+    val docs = docsOf(
+      1L -> (shared + " " + (1 to 8).map(i => s"x$i").mkString(" ")),
+      2L -> (shared + " " + (1 to 8).map(i => s"y$i").mkString(" ")))
+    val spans = Spans.contaminationSpansOf(docs, benchMaxId = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 1L, 8L), (2L, 1L, 8L)))
+  }
+
+  // --- s_dedup_spans batch step: first-seen-wins at span granularity ---
+
+  private def freshSpanBase(baseDocs: DataFrame): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sspan_spec"
+    deleteRecursively(new java.io.File(base))
+    Spans.spanDedupSeed(base, baseDocs)
+    base
+  }
+
+  private def ledger(base: String, b: Long): Set[(Long, Long, Long)] =
+    spark.read.parquet(s"$base/ledger/x$b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private val run = (1 to 8).map(i => s"s$i").mkString(" ")
+  private def novel(tag: String) = (1 to 8).map(i => s"$tag$i").mkString(" ")
+
+  test("streamed arrival carrying base text gets exactly that span; novel text passes") {
+    val base = freshSpanBase(docsOf(1L -> (run + " " + novel("b"))))
+    Spans.spanDedupBatch(spark, base,
+      docsOf(100L -> (novel("a") + " " + run), 101L -> novel("u")), b = 0L)
+    assert(ledger(base, 0L) === Set((100L, 9L, 16L)))
+  }
+
+  test("a later batch sees an earlier batch's grams; within-batch recurrence is out of scope") {
+    val base = freshSpanBase(docsOf(1L -> novel("b")))
+    // batch 0: two docs share a novel run — NOT flagged (within-batch)
+    Spans.spanDedupBatch(spark, base,
+      docsOf(100L -> (novel("x") + " " + novel("w")),
+             101L -> (novel("y") + " " + novel("w"))), b = 0L)
+    assert(ledger(base, 0L) === Set.empty[(Long, Long, Long)])
+    // batch 1: an arrival carrying batch 0's run IS flagged
+    Spans.spanDedupBatch(spark, base,
+      docsOf(200L -> (novel("w") + " " + novel("z"))), b = 1L)
+    assert(ledger(base, 1L) === Set((200L, 1L, 8L)))
+  }
+
+  test("redelivery replays the identical ledger link (below-b chain view)") {
+    val base = freshSpanBase(docsOf(1L -> run))
+    Spans.spanDedupBatch(spark, base, docsOf(100L -> (run + " " + novel("q"))), b = 0L)
+    Spans.spanDedupBatch(spark, base, docsOf(200L -> (novel("q") + " " + novel("r"))), b = 1L)
+    val first = ledger(base, 0L)
+    // redeliver batch 0: batch 1's grams (strictly above) stay invisible,
+    // so the link rewrites byte-identically
+    Spans.spanDedupBatch(spark, base, docsOf(100L -> (run + " " + novel("q"))), b = 0L)
+    assert(ledger(base, 0L) === first)
+    assert(first === Set((100L, 1L, 8L)))
+    assert(ledger(base, 1L) === Set((200L, 1L, 8L)))
+  }
+
   test("stats cover zero-span docs and the per-mille is exact") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")
     val stats = Spans.spanStatsOf(docsOf(
