@@ -548,6 +548,132 @@ object Selection {
       FROM i LEFT JOIN k USING (doc_id)
       ORDER BY i.doc_id"""))
 
+  /** The "curated seed" sources for the supervised quality filter —
+    * the stand-in for the wiki/books/reference positive class every
+    * production quality classifier trains against. */
+  private val SeedSources = Seq("src0", "src1", "src2", "src3")
+
+  /** Per-token log-likelihood-ratio model + per-doc scores for
+    * [[tClassifyNb]]: Naive Bayes with add-one smoothing, each class
+    * log-prob floored to integer 1e-4 nats BEFORE the subtraction and
+    * the count-weighted doc sum (the t_perplexity discipline: the
+    * aggregate is a BIGINT sum immune to float order; the one ln per
+    * (token, class) runs on an identical integer quotient in both
+    * engines). Returns (doc_id, n_tokens, llr4_sum, keep). */
+  private[graft] def nbScores(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      col("source").isin(SeedSources.map(x => x: Any): _*)
+        .cast("int").as("y"),
+      explode(split(trim(col("text")), "\\s+")).as("w"))
+    val cls = toks.groupBy(col("w")).agg(
+      sum(col("y")).as("cp"),
+      sum(lit(1) - col("y")).as("cn"))
+    val tot = cls.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    val model = cls.crossJoin(broadcast(tot)).select(col("w"),
+      (floor(log((col("cp") + lit(1.0)) / (col("np") + col("v"))) * 10000) -
+       floor(log((col("cn") + lit(1.0)) / (col("nn") + col("v"))) * 10000))
+        .as("llr4"))
+    val perdoc = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val agg = perdoc.join(model, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") * col("llr4")).as("llr4_sum"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("llr4_sum"), lit(0L)).as("llr4_sum"),
+        (coalesce(col("llr4_sum"), lit(0L)) > 0).cast("bigint").as("keep"))
+  }
+
+  /** Shared oracle CTEs mirroring [[nbScores]] (DuckDB dialect; every
+    * sum CAST to BIGINT — DuckDB widens sum() to HUGEINT, which the
+    * driver's type-sensitive hash flags). Ends in `scored`. */
+  private val nbSql: String = {
+    val seeds = SeedSources.map(s => s"'$s'").mkString(", ")
+    s"""toks AS (
+        SELECT doc_id,
+               CASE WHEN source IN ($seeds) THEN 1 ELSE 0 END AS y,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents),
+      cls AS (
+        SELECT w, sum(y) AS cp, sum(1 - y) AS cn FROM toks GROUP BY w),
+      tot AS (
+        SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM cls),
+      model AS (
+        SELECT w,
+               CAST(floor(ln((cp + 1.0)/(np + v)) * 10000) AS BIGINT)
+             - CAST(floor(ln((cn + 1.0)/(nn + v)) * 10000) AS BIGINT) AS llr4
+        FROM cls CROSS JOIN tot),
+      perdoc AS (
+        SELECT doc_id, w, count(*) AS k FROM toks GROUP BY doc_id, w),
+      agg AS (
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+               CAST(sum(k * llr4) AS BIGINT) AS llr4_sum
+        FROM perdoc JOIN model USING (w) GROUP BY doc_id),
+      scored AS (
+        SELECT d.doc_id,
+               coalesce(n_tokens, 0) AS n_tokens,
+               coalesce(llr4_sum, 0) AS llr4_sum,
+               CAST(coalesce(llr4_sum, 0) > 0 AS BIGINT) AS keep
+        FROM documents d LEFT JOIN agg USING (doc_id))"""
+  }
+
+  /** t_classify_nb — SUPERVISED quality classification, the
+    * fastText-shaped filter step of CCNet / the GPT-3 data pipeline
+    * (train a linear classifier on a curated seed vs the crawl, keep
+    * documents the classifier scores seed-like) — the signal the
+    * HEURISTIC quality ops (t_quality, t_gopher) cannot produce:
+    * "does this read like the reference corpus", learned from data.
+    * Naive Bayes with add-one smoothing (the all-integer-replayable
+    * member of the linear-classifier family): per-token
+    * log-likelihood ratio of the seed class ([[SeedSources]]) vs the
+    * rest, per-doc score = count-weighted BIGINT sum of 1e-4-floored
+    * ratios, keep = score > 0 (sign only — no integer division, whose
+    * negative-operand semantics diverge across engines). Train and
+    * score come out of ONE declarative plan: class counts are
+    * map-side-combined token aggregations, totals ride a 1-row
+    * broadcast, scoring joins per-doc DISTINCT tokens against the
+    * vocab-sized model — token-keyed, AQE-splittable, with t_rarity's
+    * Zipf-head broadcast remedy at 100 TB. Production splits train
+    * (labeled sample) from score (full corpus); both are filters on
+    * this same plan. */
+  val tClassifyNb: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      nbScores(Tables.load(s, dir, "documents")).orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH $nbSql
+      SELECT doc_id, n_tokens, llr4_sum, keep
+      FROM scored ORDER BY doc_id"""))
+
+  /** t_classify_eval — the confusion matrix behind [[tClassifyNb]]:
+    * keep decision vs the seed label, the
+    * did-the-filter-learn-anything check a pipeline runs before
+    * trusting a classifier with data loss (t_langid_confusion's shape
+    * for the supervised filter). Bounded output (≤4 rows), exact
+    * integer counts. */
+  val tClassifyEval: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      nbScores(docs)
+        .join(docs.select(col("doc_id"),
+          col("source").isin(SeedSources.map(x => x: Any): _*)
+            .cast("bigint").as("label")), Seq("doc_id"))
+        .groupBy(col("label"), col("keep"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("keep"))
+    },
+    oracle = Some(s"""
+      WITH $nbSql,
+      lab AS (
+        SELECT s.doc_id, s.keep,
+               CASE WHEN d.source IN (${SeedSources.map(x => s"'$x'").mkString(", ")})
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS label
+        FROM scored s JOIN documents d USING (doc_id))
+      SELECT label, keep, CAST(count(*) AS BIGINT) AS n
+      FROM lab GROUP BY label, keep ORDER BY label, keep"""))
+
   val defs: Map[String, QueryDef] = Map(
     "t_gopher" -> tGopher,
     "t_normalize" -> tNormalize,
@@ -555,5 +681,7 @@ object Selection {
     "t_split_leakfree" -> tSplitLeakfree,
     "t_boilerplate" -> tBoilerplate,
     "t_urlnorm" -> tUrlnorm,
-    "t_line_dedup" -> tLineDedup)
+    "t_line_dedup" -> tLineDedup,
+    "t_classify_nb" -> tClassifyNb,
+    "t_classify_eval" -> tClassifyEval)
 }
