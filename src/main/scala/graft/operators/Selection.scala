@@ -560,31 +560,67 @@ object Selection {
     * aggregate is a BIGINT sum immune to float order; the one ln per
     * (token, class) runs on an identical integer quotient in both
     * engines). Returns (doc_id, n_tokens, llr4_sum, keep). */
-  private[graft] def nbScores(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+  /** (doc_id, y, w): every token instance with its class label
+    * (y = 1 iff the doc's source is in [[SeedSources]]). */
+  private def nbToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       col("source").isin(SeedSources.map(x => x: Any): _*)
         .cast("int").as("y"),
       explode(split(trim(col("text")), "\\s+")).as("w"))
-    val cls = toks.groupBy(col("w")).agg(
+
+  /** Per-token class counts (w, cp, cn) — the NB model's sufficient
+    * statistics, MERGEABLE by plain summation (what makes the model
+    * incrementally maintainable, [[tClassifyDelta]]). */
+  private[graft] def nbCounts(docs: DataFrame): DataFrame =
+    nbToks(docs).groupBy(col("w")).agg(
       sum(col("y")).as("cp"),
       sum(lit(1) - col("y")).as("cn"))
+
+  /** Integer-LLR model (w, cp, cn, llr4) from class counts: each
+    * class log-prob floored to 1e-4 nats BEFORE the subtraction. */
+  private[graft] def nbLlr4(cls: DataFrame): DataFrame = {
     val tot = cls.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
       count(lit(1)).as("v"))
-    val model = cls.crossJoin(broadcast(tot)).select(col("w"),
+    cls.crossJoin(broadcast(tot)).select(col("w"),
+      col("cp").cast("long").as("cp"), col("cn").cast("long").as("cn"),
       (floor(log((col("cp") + lit(1.0)) / (col("np") + col("v"))) * 10000) -
        floor(log((col("cn") + lit(1.0)) / (col("nn") + col("v"))) * 10000))
         .as("llr4"))
-    val perdoc = toks.groupBy(col("doc_id"), col("w"))
+  }
+
+  /** The unseen-token LLR constant (cp = cn = 0 in the same smoothed
+    * formula) as a 1-row (np, nn, v, unseen4) meta relation — stored
+    * WITH the model so the serving side scores out-of-vocabulary
+    * tokens exactly as retraining would. */
+  private[graft] def nbMeta(cls: DataFrame): DataFrame =
+    cls.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+        count(lit(1)).as("v"))
+      .select(col("np"), col("nn"), col("v"),
+        (floor(log(lit(1.0) / (col("np") + col("v"))) * 10000) -
+         floor(log(lit(1.0) / (col("nn") + col("v"))) * 10000))
+          .as("unseen4"))
+
+  /** Score docs against a (w, llr4) model + its unseen4 meta:
+    * (doc_id, n_tokens, llr4_sum, keep), every input doc present. */
+  private[graft] def nbScoreAgainst(docs: DataFrame, model: DataFrame,
+      meta: DataFrame): DataFrame = {
+    val perdoc = nbToks(docs).groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("k"))
-    val agg = perdoc.join(model, Seq("w"))
+    val agg = perdoc.join(model.select(col("w"), col("llr4")), Seq("w"), "left")
+      .crossJoin(broadcast(meta.select(col("unseen4"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_tokens"),
-        sum(col("k") * col("llr4")).as("llr4_sum"))
+        sum(col("k") * coalesce(col("llr4"), col("unseen4"))).as("llr4_sum"))
     docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("llr4_sum"), lit(0L)).as("llr4_sum"),
         (coalesce(col("llr4_sum"), lit(0L)) > 0).cast("bigint").as("keep"))
+  }
+
+  private[graft] def nbScores(docs: DataFrame): DataFrame = {
+    val cls = nbCounts(docs)
+    nbScoreAgainst(docs, nbLlr4(cls), nbMeta(cls))
   }
 
   /** Shared oracle CTEs mirroring [[nbScores]] (DuckDB dialect; every
@@ -674,6 +710,162 @@ object Selection {
       SELECT label, keep, CAST(count(*) AS BIGINT) AS n
       FROM lab GROUP BY label, keep ORDER BY label, keep"""))
 
+  /** t_classify_delta — INCREMENTAL classifier maintenance, the
+    * q_mv_incremental shape applied to an ML model: the NB model's
+    * sufficient statistics (per-token class counts) are mergeable by
+    * plain summation, so a delta batch updates the model WITHOUT
+    * rescanning the corpus — base counts come from a PERSISTED
+    * parquet artifact (written and read back, the real store shape),
+    * the delta contributes one |delta|-scan, and one token-keyed
+    * re-aggregation merges them. Output is the merged model itself
+    * (w, cp, cn, llr4); the oracle retrains FROM SCRATCH over all
+    * documents, so the hash match PROVES merged ≡ full retrain —
+    * model freshness at 100 TB costs a delta scan, not a corpus
+    * scan. */
+  val tClassifyDelta: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_nbm/" +
+        s"${new java.io.File(dir).getName}_$dirTag"
+      rmTree(new java.io.File(base))
+      val docs = Tables.load(s, dir, "documents")
+      val baseDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      nbCounts(baseDocs).write.mode("overwrite").parquet(s"$base/counts")
+      val stored = s.read.parquet(s"$base/counts")
+      val merged = stored.unionByName(nbCounts(delta))
+        .groupBy(col("w"))
+        .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+      nbLlr4(merged).orderBy(col("w"))
+    },
+    oracle = Some(s"""
+      WITH toks AS (
+        SELECT CASE WHEN source IN (${SeedSources.map(x => s"'$x'").mkString(", ")})
+                    THEN 1 ELSE 0 END AS y,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents),
+      cls AS (SELECT w, sum(y) AS cp, sum(1 - y) AS cn FROM toks GROUP BY w),
+      tot AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM cls)
+      SELECT w, CAST(cp AS BIGINT) AS cp, CAST(cn AS BIGINT) AS cn,
+             CAST(floor(ln((cp + 1.0)/(np + v)) * 10000) AS BIGINT)
+           - CAST(floor(ln((cn + 1.0)/(nn + v)) * 10000) AS BIGINT) AS llr4
+      FROM cls CROSS JOIN tot ORDER BY w"""))
+
+  /** Seed the [[sClassify]] store: model + meta parquet trained on
+    * the base corpus, plus an empty ledger anchor. */
+  private[graft] def classifySeed(base: String, baseDocs: DataFrame): Unit = {
+    val cls = nbCounts(baseDocs)
+    nbLlr4(cls).write.mode("overwrite").parquet(s"$base/model")
+    nbMeta(cls).write.mode("overwrite").parquet(s"$base/meta")
+    nbScoreAgainst(baseDocs.filter(lit(false)), nbLlr4(cls), nbMeta(cls))
+      .write.mode("overwrite").parquet(s"$base/ledger/v0")
+    ()
+  }
+
+  /** One [[sClassify]] micro-batch: score arrivals against the STORED
+    * model (never retrained in-stream — the decisions depend only on
+    * the static artifact, so redelivery is idempotent by
+    * construction), ledger appended batchId-keyed. */
+  private[graft] def classifyBatch(s: org.apache.spark.sql.SparkSession,
+      base: String, batch: DataFrame, b: Long): Unit = {
+    nbScoreAgainst(batch, s.read.parquet(s"$base/model"),
+        s.read.parquet(s"$base/meta"))
+      .write.mode("overwrite").parquet(s"$base/ledger/x$b")
+    ()
+  }
+
+  /** s_classify — STREAMING quality filtering, the serve-online leg
+    * of [[tClassifyNb]] (the production deployment: the classifier
+    * trains once on the curated seed, then gates the ingest stream):
+    * model + unseen-token meta persisted from the base corpus,
+    * arrivals scored per micro-batch against the store — one
+    * token-keyed left join per batch, out-of-vocabulary tokens get
+    * the stored unseen4 constant (exactly what retraining-with-zero-
+    * counts would assign), decisions appended as a batchId-keyed
+    * ledger. Arrival order is a pure function of doc_id (the
+    * replica-stable split device), so the full streamed ledger is
+    * SQL-replayable: the oracle trains on the base in SQL and scores
+    * the delta, hash-matched row for row. Per-batch cost:
+    * |batch| tokens map-side + one vocab-sized join — never a
+    * corpus scan, never a retrain. */
+  val sClassify: QueryDef = QueryDef(
+    fn = (s, dir) => {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      val dirTag = java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(dir.getBytes("UTF-8")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_scls/" +
+        s"${new java.io.File(dir).getName}_$dirTag"
+      rmTree(new java.io.File(base))
+      val docs = Tables.load(s, dir, "documents")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val baseDocs = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+      val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+      classifySeed(base, baseDocs)
+      val nb = 4
+      (0 until nb).foreach { i =>
+        delta.filter(pmod(expr("doc_id div 5"), lit(nb)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
+      }
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, b: Long) =>
+          classifyBatch(s, base, batch, b)
+          batches.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(batches.get() >= 2L,
+        s"graft: s_classify stream produced ${batches.get()} batches " +
+          "— the multi-batch property the key exists to exercise is gone")
+      val out = StreamQueries
+        .readChainBelow(s, s"$base/ledger", "x", Long.MaxValue)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(eager = true)
+      docs.unpersist()
+      out
+    },
+    oracle = Some(s"""
+      WITH btoks AS (
+        SELECT CASE WHEN source IN (${SeedSources.map(x => s"'$x'").mkString(", ")})
+                    THEN 1 ELSE 0 END AS y,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents WHERE doc_id % 5 <> 4),
+      cls AS (SELECT w, sum(y) AS cp, sum(1 - y) AS cn FROM btoks GROUP BY w),
+      tot AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM cls),
+      model AS (
+        SELECT w,
+               CAST(floor(ln((cp + 1.0)/(np + v)) * 10000) AS BIGINT)
+             - CAST(floor(ln((cn + 1.0)/(nn + v)) * 10000) AS BIGINT) AS llr4
+        FROM cls CROSS JOIN tot),
+      meta AS (
+        SELECT CAST(floor(ln(1.0/(np + v)) * 10000) AS BIGINT)
+             - CAST(floor(ln(1.0/(nn + v)) * 10000) AS BIGINT) AS unseen4
+        FROM tot),
+      delta AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+      dtoks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM delta),
+      perdoc AS (SELECT doc_id, w, count(*) AS k FROM dtoks GROUP BY doc_id, w),
+      agg AS (
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+               CAST(sum(k * coalesce(llr4, unseen4)) AS BIGINT) AS llr4_sum
+        FROM perdoc LEFT JOIN model USING (w) CROSS JOIN meta
+        GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+             coalesce(llr4_sum, 0) AS llr4_sum,
+             CAST(coalesce(llr4_sum, 0) > 0 AS BIGINT) AS keep
+      FROM delta d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""))
+
   val defs: Map[String, QueryDef] = Map(
     "t_gopher" -> tGopher,
     "t_normalize" -> tNormalize,
@@ -683,5 +875,7 @@ object Selection {
     "t_urlnorm" -> tUrlnorm,
     "t_line_dedup" -> tLineDedup,
     "t_classify_nb" -> tClassifyNb,
-    "t_classify_eval" -> tClassifyEval)
+    "t_classify_eval" -> tClassifyEval,
+    "t_classify_delta" -> tClassifyDelta,
+    "s_classify" -> sClassify)
 }

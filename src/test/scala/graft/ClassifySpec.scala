@@ -51,4 +51,61 @@ class ClassifySpec extends SparkSpec {
     assert(out(1L) === ((1L, 6932L, 1L)))
     assert(out(2L) === ((1L, -6932L, 0L)))
   }
+
+  // --- the stored model: serve-online scoring + incremental retrain ---
+
+  // base: cls(good)=(2,0), cls(bad)=(0,1); np=2 nn=1 v=2
+  // llr4(good) = floor(ln(3/4)e4) - floor(ln(1/3)e4) = -2877+10987 =  8110
+  // unseen4    = floor(ln(1/4)e4) - floor(ln(1/3)e4) = -13863+10987 = -2876
+  private def baseDocs = docsOf((1L, "src0", "good good"), (2L, "src9", "bad"))
+
+  private def freshClsBase(): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_scls_spec"
+    deleteRecursively(new java.io.File(base))
+    Selection.classifySeed(base, baseDocs)
+    base
+  }
+
+  private def ledger(base: String, b: Long): Map[Long, (Long, Long, Long)] =
+    spark.read.parquet(s"$base/ledger/x$b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("stored model scores arrivals; unseen tokens get the stored constant") {
+    val base = freshClsBase()
+    Selection.classifyBatch(spark, base, docsOf(
+      (100L, "srcX", "novel"),       // OOV -> unseen4 = -2876, drop
+      (101L, "srcX", "good"),        // 8110, keep
+      (102L, "srcX", "good novel")), // 8110 - 2876 = 5234, keep
+      b = 0L)
+    val out = ledger(base, 0L)
+    assert(out(100L) === ((1L, -2876L, 0L)))
+    assert(out(101L) === ((1L, 8110L, 1L)))
+    assert(out(102L) === ((2L, 5234L, 1L)))
+  }
+
+  test("redelivery replays identical decisions (static model)") {
+    val base = freshClsBase()
+    val batch = docsOf((100L, "srcX", "good novel"))
+    Selection.classifyBatch(spark, base, batch, b = 0L)
+    val first = ledger(base, 0L)
+    Selection.classifyBatch(spark, base, batch, b = 0L)
+    assert(ledger(base, 0L) === first)
+  }
+
+  test("delta-merged counts retrain to the identical model as from-scratch") {
+    import org.apache.spark.sql.functions._
+    val all = docsOf((1L, "src0", "good good"), (2L, "src9", "bad"),
+      (3L, "src9", "good new"), (4L, "src0", "bad new"))
+    val base = docsOf((1L, "src0", "good good"), (2L, "src9", "bad"))
+    val delta = docsOf((3L, "src9", "good new"), (4L, "src0", "bad new"))
+    val merged = Selection.nbCounts(base)
+      .unionByName(Selection.nbCounts(delta))
+      .groupBy(col("w")).agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+    val inc = Selection.nbLlr4(merged).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Selection.nbLlr4(Selection.nbCounts(all)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inc === full)
+  }
 }
