@@ -662,6 +662,54 @@ object Pipeline {
              tot_tokens
       FROM top, tot ORDER BY rnk"""))
 
+  /** Per-source vocabulary coverage vs the corpus top-200 vocab — the
+    * "does this vocab fit every domain" audit (OOV-rate per source)
+    * run before a vocab is committed to a training run: a source
+    * whose oov_rate is an outlier is under-served by the tokenizer
+    * (t_vocab picks the vocab; this key grades it per domain).
+    *
+    * Scale shape: the vocab is bounded (top-V) and BROADCASTS back;
+    * the corpus side is one explode + two map-side-combinable
+    * aggregates (global top-V, then per-source counts) — the corpus
+    * never shuffles on a high-cardinality key. */
+  private[graft] def vocabCoverageOf(docs: DataFrame,
+      topV: Int = 200): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(TF.tokens(col("text"))).as("token"))
+    val top = tok.groupBy(col("token")).agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token")).limit(topV)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(top), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      .select(col("source"), col("n_tokens"), col("n_in_vocab"),
+        (floor((col("n_tokens") - col("n_in_vocab")).cast("double")
+          / col("n_tokens") * 10000) / 10000).as("oov_rate"))
+  }
+
+  val tVocabCoverage: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      vocabCoverageOf(Tables.load(s, dir, "documents")).orderBy(col("source")),
+    oracle = Some("""
+      WITH tok AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        FROM documents),
+      top AS (
+        SELECT token FROM (
+          SELECT token, count(*) AS n_occ FROM tok GROUP BY token)
+        ORDER BY n_occ DESC, token LIMIT 200),
+      j AS (
+        SELECT t.source,
+               CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS inv
+        FROM tok t LEFT JOIN top v ON t.token = v.token)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(inv) AS BIGINT) AS n_in_vocab,
+             floor(CAST(count(*) - sum(inv) AS DOUBLE) / count(*) * 10000)
+               / 10000 AS oov_rate
+      FROM j GROUP BY source ORDER BY source"""))
+
   /** Per-source length-outlier flags — the "weird documents" audit
     * before training (truncated docs, concatenation accidents, spam
     * runs). A doc is an outlier when its token count deviates from
@@ -907,6 +955,68 @@ object Pipeline {
              coalesce(a.n_sampled, 0) AS n_sampled
       FROM r LEFT JOIN a ON r.source = a.source
       ORDER BY r.source"""))
+
+  /** Token-budget allocation — the "data recipe" table of a
+    * Llama-style training run: given a token budget (2x the corpus
+    * here) and sqrt-mix target weights (t_mix's convention), each
+    * source gets epochs = budget_share / own_tokens CAPPED at 4.0 —
+    * small high-quality sources repeat up to the cap (multi-epoch
+    * oversampling), huge sources train under one epoch, and the
+    * capped sources' unused budget is REPORTED per row
+    * (alloc_tokens vs the uncapped share), not silently re-spread —
+    * redistribution policy is the recipe author's call.
+    *
+    * Scale shape: one map-side token-count aggregate to a bounded
+    * per-source table; everything downstream is bounded-row algebra
+    * (the crossJoin is against a ONE-row global total). Doubles are
+    * 4dp-floored at every emitted value (the t_mix discipline);
+    * alloc_tokens = floor(epochs4 * n_tokens) stays exact while
+    * epochs4 * n_tokens < 2^53 — at a true 100-TB corpus widen to
+    * DECIMAL, the tOutlier note. */
+  private[graft] def recipeOf(docs: DataFrame,
+      budgetFactor: Double = 2.0, maxEpochs: Double = 4.0): DataFrame = {
+    val d = docs
+      .select(col("source"), TF.tokenCountWs(col("text")).as("n_toks"))
+    val bySrc = d.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("n_tokens"))
+    val tot = bySrc.agg(sum(col("n_tokens")).cast("double").as("tot"),
+      sum(sqrt(col("n_tokens").cast("double"))).as("ssq"))
+    val w = sqrt(col("n_tokens").cast("double")) / col("ssq")
+    val epochs4 = floor(least(lit(maxEpochs),
+      lit(budgetFactor) * col("tot") * w / col("n_tokens")) * 10000) / 10000
+    bySrc.crossJoin(tot)
+      .select(col("source"), col("n_tokens"),
+        (floor(w * 10000) / 10000).as("weight"),
+        epochs4.as("epochs"),
+        floor(epochs4 * col("n_tokens")).cast("long").as("alloc_tokens"))
+  }
+
+  val tRecipe: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      recipeOf(Tables.load(s, dir, "documents")).orderBy(col("source")),
+    oracle = Some("""
+      WITH d AS (
+        SELECT source,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        FROM documents),
+      s AS (
+        SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source),
+      t AS (
+        SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+               sum(sqrt(CAST(n_tokens AS DOUBLE))) AS ssq
+        FROM s),
+      r AS (
+        SELECT source, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) / ssq AS w,
+               floor(least(4.0, 2.0 * tot * (sqrt(CAST(n_tokens AS DOUBLE)) / ssq)
+                                 / n_tokens) * 10000) / 10000 AS epochs
+        FROM s, t)
+      SELECT source, n_tokens,
+             floor(w * 10000) / 10000 AS weight,
+             epochs,
+             CAST(floor(epochs * n_tokens) AS BIGINT) AS alloc_tokens
+      FROM r ORDER BY source"""))
 
   /** Gopher-style repetition signals: repeated-token fraction and the
     * share of all word 2-grams taken by the most frequent one — the
@@ -1626,6 +1736,71 @@ object Pipeline {
              src = least(src, min(dst)) AS is_canonical
       FROM reach GROUP BY src
       ORDER BY id"""))
+
+  /** Quality-aware keeper selection over near-dup clusters — the
+    * production keep policy (the FineWeb/Dolma convention): within
+    * each near-dup cluster keep the HIGHEST-QUALITY member, not the
+    * minimum id. min-id keep (d_dedup_clusters' is_canonical) is the
+    * right CANONICAL label but the wrong DATA decision — a boilerplate
+    * mirror with a lower id would displace the clean original. Emits
+    * the full audit table (doc, cluster, quality, keeper, kept);
+    * the kept corpus is `filter(kept)`.
+    *
+    * Scale shape: the per-cluster argmax is a map-side-combinable
+    * `max(struct(quality, -id))` aggregate plus a keyed join back —
+    * NEVER a window over cluster_id, whose per-cluster sort would
+    * put a corpus-hot boilerplate cluster on one reducer (the same
+    * skew class the span family's groupBy-vs-window note covers).
+    * Singletons ride [[Dedup.clusters]]' universe anti-join and keep
+    * themselves. Oracle: recursive transitive closure over the
+    * brute-force pair list + the 4dp quality formula + the same
+    * argmax (quality DESC, id ASC tiebreak). */
+  private[graft] def keepByQuality(docs: DataFrame): DataFrame = {
+    val lab = Dedup.clusters(
+      Dedup.minhashPairs(docs, "text", "doc_id", numHashes = 64, bands = 16),
+      universe = Some(docs.select(col("doc_id"))))
+    val scored = lab.join(
+      docs.select(col("doc_id").as("id"),
+        TF.qualityScore(col("text")).as("quality")), "id")
+    val keepers = scored.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), (-col("best").getField("nid")).as("keeper_id"))
+    scored.join(keepers, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("quality"),
+        col("keeper_id"), (col("id") === col("keeper_id")).as("kept"))
+  }
+
+  val dDedupKeepQuality: QueryDef = QueryDef(
+    fn = (s, dir) =>
+      keepByQuality(Tables.load(s, dir, "documents")).orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH RECURSIVE $shinglePairsSql,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+                UNION SELECT id_b, id_a FROM jpairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+      lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src),
+      alllab AS (
+        SELECT id, cluster_id FROM lab
+        UNION ALL
+        SELECT doc_id, doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM lab)),
+      q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+      kq AS (SELECT a.id, a.cluster_id, q.quality
+             FROM alllab a JOIN q ON q.doc_id = a.id),
+      keep AS (
+        SELECT cluster_id, id AS keeper_id FROM (
+          SELECT cluster_id, id,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY quality DESC, id) AS rn
+          FROM kq) WHERE rn = 1)
+      SELECT kq.id AS doc_id, kq.cluster_id, kq.quality,
+             keep.keeper_id, kq.id = keep.keeper_id AS kept
+      FROM kq JOIN keep USING (cluster_id)
+      ORDER BY doc_id"""))
 
   /** The streaming ingest-dedup pipeline's BATCH leg, driver-checked:
     * decode the documents topic, exact-dedup keep-first (deterministic
@@ -4951,12 +5126,14 @@ object Pipeline {
     "t_diversity" -> tDiversity,
     "t_stats" -> tStats,
     "t_vocab" -> tVocab,
+    "t_vocab_coverage" -> tVocabCoverage,
     "t_outlier" -> tOutlier,
     "t_colloc" -> tColloc,
     "t_decile" -> tDecile,
     "d_overlap" -> dOverlap,
     "t_curate" -> tCurate,
     "t_mix" -> tMix,
+    "t_recipe" -> tRecipe,
     "t_pack" -> tPack,
     "t_pack_split" -> tPackSplit,
     "t_redact" -> tRedact,
@@ -4978,6 +5155,7 @@ object Pipeline {
     "d_dedup_ngram" -> dDedupNgram,
     "d_dedup_window" -> dDedupWindow,
     "d_dedup_clusters" -> dDedupClusters,
+    "d_dedup_keep_quality" -> dDedupKeepQuality,
     "s_ingest_dedup" -> sIngestDedup,
     "d_dedup_embed" -> dDedupEmbed,
     "d_contamination_embed" -> dContaminationEmbed,
