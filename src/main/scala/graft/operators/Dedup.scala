@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import graft.plans.{BroadcastCentroids, CdcChunkStrings, CentroidCosines, CosineSim, HashedCharNgrams, HashedWordShingles, HyperplaneSig, JaccardLong, MinHashBandKeys, SimHash128, SimHash64}
+import graft.plans.{BroadcastCentroids, CdcChunkStrings, CentroidCosines, CosineSim, HashedCharNgrams, HashedWordShingles, HyperplaneSig, JaccardLong, MinHashBandKeys, SimHash128, SimHash64, TopProbeCells}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -483,12 +483,21 @@ object Dedup {
       "reliableCheckpoint=Some(true) requires sparkContext.setCheckpointDir(...)")
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint(true)
+    // materialize the (narrow, pair-count-sized) id pairs ONCE before
+    // fanning out: allIds and edges below each re-evaluate their input
+    // lineage, and `pairs` is typically an EXPENSIVE candidate join
+    // (banded minhash, multi-probe semantic cells) — without this cut
+    // the whole pair pipeline ran twice per clusters() call (measured
+    // 440 s for clusters-over-semanticPairs at the 100x replica under
+    // the old pair shape — the doubled 267 s pair join plus CC; 48 s
+    // after this cut + the pair-side fixes)
+    val p = cut(pairs.select(col(idA), col(idB)))
     // every id that appears in `pairs` — self-paired ids survive here
     // even though the self-loop edge itself is dropped below
-    val allIds = cut(pairs.select(col(idA).as("id"))
-      .union(pairs.select(col(idB).as("id"))).distinct())
+    val allIds = cut(p.select(col(idA).as("id"))
+      .union(p.select(col(idB).as("id"))).distinct())
     // canonical (hi > lo) edge orientation, self-loops dropped
-    var edges = cut(pairs
+    var edges = cut(p
       .select(greatest(col(idA), col(idB)).as("hi"),
         least(col(idA), col(idB)).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct())
@@ -702,15 +711,11 @@ object Dedup {
     * [[CentroidCosines]] projection + top-p slice; no shuffle. */
   private[graft] def probeAssign(df: DataFrame, vecCol: String,
       idCol: String, centRef: BroadcastCentroids, nlist: Int,
-      probes: Int): DataFrame = {
-    val ranked = slice(reverse(array_sort(arrays_zip(
-      transform(Bridge.column(CentroidCosines(
-        Bridge.expression(col(vecCol)), centRef)), c => round(c, 4)).as("c"),
-      transform(sequence(lit(0), lit(nlist - 1)), i => -i).as("nlid")))),
-      1, math.min(probes, nlist))
-    df.select(col(idCol).as("vec_id"), explode(ranked).as("pr"))
-      .select(col("vec_id"), (-col("pr.nlid")).as("lid"))
-  }
+      probes: Int): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      explode(Bridge.column(TopProbeCells(
+        Bridge.expression(col(vecCol)), centRef,
+        math.min(probes, nlist)))).as("lid"))
 
   def semanticPairs(df: DataFrame, vecCol: String, idCol: String,
       k: Int = -1, tau: Double = 0.35,
@@ -763,30 +768,49 @@ object Dedup {
       val centRef = BroadcastCentroids(
         df.sparkSession.sparkContext.broadcast(cents.map(_.toArray)))
       val nlist = cents.length
-      // same two-phase shape as [[embeddingPairs]]: the cluster join
-      // moves (id, lid) rows, never embeddings; candidate pairs are
-      // deduped (min shared lid) before vectors join back and the
-      // cosine kernel runs once per distinct pair
-      val assigned = probeAssign(df, vecCol, idCol, centRef, nlist, probes)
-      val cand = assigned.as("l")
-        .join(assigned.as("r"),
+      // vectors RIDE the cell join and the cosine streams INLINE in
+      // the join output, with the (id_a, id_b) dedup AFTER the tau
+      // filter — not embeddingPairs' dedup-candidates-first shape.
+      // At this path's probe density the dedup-first shape is the
+      // pessimization: candidate mass is ~occupancy x probes per row
+      // (512/row at autoNlistPairs occupancy 64, probes 4), so
+      // deduping before the vectors join back moved THREE
+      // pair-mass-sized shuffles (the dedup groupBy + two vector
+      // joins onto ~100M rows) — measured 267 s at the 100x replica
+      // vs 29 s for this shape + the TopProbeCells kernel (79 s with
+      // this shape under the old sort-chain probe assignment — the
+      // per-row nlist-struct sort was the next term once the shuffles
+      // fell). Here both join inputs are the SAME
+      // n·probes-row frame (one exchange, reused), a shared-cell
+      // duplicate costs only a repeated in-join cosine (<= probes
+      // repeats, typically 1-2), and only tau-survivors — output-
+      // sized, not candidate-sized — reach a shuffle. embeddingPairs
+      // keeps dedup-first: at 24 LSH tables its duplication factor
+      // (up to 24x) flips the trade the other way.
+      val withVec = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        explode(Bridge.column(TopProbeCells(
+          Bridge.expression(col(vecCol)), centRef,
+          math.min(probes, nlist)))).as("lid"))
+      val scored = withVec.as("l")
+        .join(withVec.as("r"),
           col("l.lid") === col("r.lid") && col("l.vec_id") < col("r.vec_id"))
-        .groupBy(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
-        .agg(min(col("l.lid")).as("lid"))
+        .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+          col("l.lid").as("lid"),
+          round(cosine(col("l.v"), col("r.v")), 4).as("cos"))
+        .filter(col("cos") >= tau)
+      // dedup to the min SHARED lid (the cos is identical across a
+      // pair's duplicate cells — max is a deterministic pick of it)
+      val dedup = scored.groupBy(col("id_a"), col("id_b"))
+        .agg(min(col("lid")).as("lid"), max(col("cos")).as("cos"))
       // lid -> seed_id via a broadcast k-row join, NOT a literal map
       // expression: at the autoK clamp (4096) a CreateMap literal is
       // thousands of plan nodes and an O(k) scan per candidate row
       import df.sparkSession.implicits._
       val lidToSeed = broadcast(seedIds.zipWithIndex
         .map { case (sid, i) => (i, sid) }.toSeq.toDF("lid", "cluster_id"))
-      val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      cand
+      dedup
         .join(lidToSeed, "lid")
-        .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-        .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
-        .select(col("id_a"), col("id_b"), col("cluster_id"),
-          round(cosine(col("va"), col("vb")), 4).as("cos"))
-        .filter(col("cos") >= tau)
+        .select(col("id_a"), col("id_b"), col("cluster_id"), col("cos"))
     }
   }
 

@@ -106,6 +106,46 @@ object VectorOps {
       math.sqrt(s)
     }
 
+  /** Top-`probes` centroid indices of `v` by cosine, best-first, ties
+    * to the LOWER index — one O(nlist·probes) insertion-selection
+    * pass over the matrix, no nlist-element array materialized. */
+  def topProbeCells(v: ArrayData, cents: Array[Array[Float]],
+      centNorms: Array[Double], probes: Int): ArrayData = {
+    val dim = v.numElements()
+    val x = new Array[Double](dim)
+    var nv = 0.0
+    var i = 0
+    while (i < dim) { val e = v.getFloat(i).toDouble; x(i) = e; nv += e * e; i += 1 }
+    nv = math.sqrt(nv)
+    val p = math.min(probes, cents.length)
+    val topC = new Array[Double](p)
+    val topI = new Array[Int](p)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(dim, cv.length)
+      var dp = 0.0
+      var j = 0
+      while (j < n) { dp += x(j) * cv(j); j += 1 }
+      val d = nv * centNorms(c)
+      val cos = if (d == 0.0) 0.0 else dp / d
+      if (filled < p || cos > topC(p - 1)) {
+        // strict > while shifting: an equal cosine never displaces an
+        // earlier (lower-index) centroid — the tie rule
+        var k = if (filled < p) filled else p - 1
+        while (k > 0 && topC(k - 1) < cos) {
+          topC(k) = topC(k - 1); topI(k) = topI(k - 1); k -= 1
+        }
+        topC(k) = cos; topI(k) = c
+        if (filled < p) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(topI, filled))
+  }
+
   /** Product-quantization encode: split `v` into `books.length` equal
     * subspaces, code m = index of the L2-nearest centroid of codebook
     * m (L2, not cosine — subvector magnitudes matter for
@@ -382,6 +422,34 @@ case class NearestCentroid(child: Expression, centroids: CentroidRef)
 object NearestCentroid {
   def apply(child: Expression, rows: Seq[Seq[Float]]): NearestCentroid =
     NearestCentroid(child, InlineCentroids(rows))
+}
+
+/** Top-`probes` centroid cells of a vector by cosine — `array<int>`,
+  * best-first, ties to the lower index. The multi-probe assignment
+  * primitive: replaces a zip/sort/reverse/slice chain over
+  * [[CentroidCosines]] that materialized and SORTED an nlist-element
+  * struct array per row (at nlist in the thousands that sort, not the
+  * cosines, dominated assignment cost); this is one O(nlist·probes)
+  * selection pass. Comparison is on the UNROUNDED cosine — the old
+  * chain's round(c,4) existed only to stabilize the struct sort, and
+  * a raw-double order with the index tiebreak is already
+  * deterministic. */
+case class TopProbeCells(child: Expression, centroids: CentroidRef,
+    probes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_top_probe_cells"
+  @transient private lazy val mat: Array[Array[Float]] = centroids.matrix
+  @transient private lazy val matNorms: Array[Double] = VectorOps.norms(mat)
+  def kernel(v: ArrayData): ArrayData =
+    VectorOps.topProbeCells(v, mat, matNorms, probes)
+  override protected def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topProbeCells", this, classOf[TopProbeCells].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.kernel($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): TopProbeCells =
+    copy(child = c)
 }
 
 /** dot(array<float>, array<float>) -> double, whole-stage-codegen'd. */
