@@ -1074,20 +1074,26 @@ object StreamQueries {
     val curKeep = readChainBelow(s, s"$base/keep", "k", b)
     val curPost = readChainBelow(s, s"$base/post", "p", b)
     // leg 1: drop arrivals an accumulated keeper already covers —
-    // candidates are (arrival, keeper) pairs sharing a probed cell
-    // (the two-phase semanticPairs shape: the cell join moves
-    // (id, lid) rows, vectors join back once per DISTINCT candidate
-    // pair), verified by exact cosine
-    val cand = Dedup.probeAssign(batch, "embedding", "vec_id",
-        centRef, nlist, arrivalProbes)
-      .join(curPost.select(col("lid"), col("vec_id").as("kid")),
-        Seq("lid"))
-      .select(col("vec_id"), col("kid")).distinct()
-    val idxDrops = cand
-      .join(broadcast(batch.select(col("vec_id"),
-        col("embedding").as("va"))), Seq("vec_id"))
+    // candidates are (arrival, keeper) pairs sharing a probed cell,
+    // verified by exact cosine. Vectors ride BOTH join inputs and the
+    // cosine streams inline in the cell join (the semanticPairs
+    // multi-probe shape): the keeper postings attach their vectors
+    // via one keeper-count-sized join, the arrival side (a micro-
+    // batch) broadcasts, and only cosm-survivors reach a shuffle —
+    // the previous dedup-candidates-first shape put the full
+    // candidate mass through a distinct AND a keeper-vector join. A
+    // pair sharing several cells just repeats its cosine (identical
+    // value, <= min(probes, arrivalProbes) times), and the max_by
+    // below is duplicate-stable.
+    val postVec = curPost.select(col("lid"), col("vec_id").as("kid"))
       .join(curKeep.select(col("vec_id").as("kid"),
         col("embedding").as("vb")), Seq("kid"))
+    val arrVec = broadcast(
+      Dedup.probeAssign(batch, "embedding", "vec_id",
+          centRef, nlist, arrivalProbes)
+        .join(batch.select(col("vec_id"), col("embedding").as("va")),
+          Seq("vec_id")))
+    val idxDrops = postVec.join(arrVec, Seq("lid"))
       .select(col("vec_id"), col("kid"),
         round(Similarity.cosine(col("va"), col("vb")) * 10000)
           .cast("long").as("cosm"))
