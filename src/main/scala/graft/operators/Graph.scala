@@ -719,7 +719,18 @@ object Graph {
         .agg(count(lit(1)).as("e2"), countDistinct(col("u")).as("nv"))
         .select(greatest(lit(2L), expr("(e2 div nv) div 2")).as("k"))
       var alive = und.select(col("u")).distinct()
-      for (_ <- 1 to KcoreRounds) {
+      // Early exit at the peeling fixpoint: alive sets are MONOTONE
+      // decreasing (round i+1's keys come from a semi-join against
+      // round i's set), so an unchanged COUNT means an unchanged SET,
+      // and every later round is the identity — the oracle's fixed
+      // 6-round unroll produces the same rows. The count reads the
+      // just-checkpointed node-sized RDD (trivial job); peeling
+      // converges in 1-3 rounds at every measured SF, so this skips
+      // 2-4 full-edge-list semi-join rounds — the same rounds saved
+      // at 100 TB, where each one is two corpus-sized semi-joins.
+      var aliveCount = -1L
+      var fixed = false
+      for (_ <- 1 to KcoreRounds if !fixed) {
         val deg = und
           .join(alive, Seq("u"), "left_semi")
           .join(alive.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
@@ -728,6 +739,9 @@ object Graph {
           .filter(col("deg") >= col("k"))
           .select(col("u"))
           .localCheckpoint(eager = true)
+        val c = alive.count()
+        fixed = c == aliveCount
+        aliveCount = c
       }
       val finalDeg = und
         .join(alive, Seq("u"), "left_semi")

@@ -735,11 +735,24 @@ object Similarity {
       graph: DataFrame, vecCol: String, idCol: String,
       seedCands: DataFrame, k: Int = 5,
       beam: Int = 16, rounds: Int = 4, cut: Boolean = true): DataFrame = {
-    val und = graph
+    // The undirected adjacency feeds EVERY round's expand join, and
+    // each round is its own job (the per-round lineage cut below), so
+    // a lazy `und` re-evaluates the whole graph lineage once per round
+    // — for a store-backed graph that is `rounds` parquet scans +
+    // distinct shuffles, and for a derived graph (bruteTopK base in
+    // the insert keys, a chain union in s_ann_ingest) it re-runs the
+    // entire graph build per round (measured: the two insert_recall
+    // keys spent ~2/3 of their time re-deriving the 400-node brute
+    // base graph 12x). Materialize it ONCE per search; at 2+ rounds
+    // the one extra job always beats rounds-1 re-evaluations. The
+    // edge list is index-sized — the same order as the shuffles the
+    // rounds already pay, never queries x corpus.
+    val undRaw = graph
       .select(col("query_id").as("v"), col("neighbor_id").as("u"))
       .union(graph
         .select(col("neighbor_id").as("v"), col("query_id").as("u")))
       .distinct()
+    val und = if (rounds >= 2) undRaw.localCheckpoint(true) else undRaw
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
@@ -906,11 +919,16 @@ object Similarity {
       graph: DataFrame, seedCands: DataFrame, vecCol: String,
       idCol: String, shardOf: (Column, Column) => Column, k: Int,
       beamPerShard: Int, rounds: Int): DataFrame = {
-    val und = graph
+    // materialized once per search, for the same reason as
+    // graphSearchTopKFrom: every round's expand join re-evaluates a
+    // lazy adjacency from scratch (store scan + distinct, or the full
+    // derived-graph lineage)
+    val undRaw = graph
       .select(col("query_id").as("v"), col("neighbor_id").as("u"))
       .union(graph
         .select(col("neighbor_id").as("v"), col("query_id").as("u")))
       .distinct()
+    val und = if (rounds >= 2) undRaw.localCheckpoint(true) else undRaw
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))
     val w = Window

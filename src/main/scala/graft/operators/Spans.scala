@@ -100,7 +100,13 @@ object Spans {
     * 1-based token position and endp = min(p+K-1, n) — the whole-doc
     * fallback window of a short document covers [1, n]. */
   private[operators] def duplicatedWindows(docs: DataFrame): DataFrame = {
-    val wins = positionalWindows(docs)
+    // Materialized once: `wins` feeds BOTH the recurrence groupBy and
+    // the semi-join probe side, and the two consumers share no
+    // exchange — a lazy plan evaluates the md5-per-window tokenize
+    // pass twice (the dominant map-side cost of every spans key).
+    // One job, token-count-sized rows — same order as the shuffle the
+    // groupBy already pays.
+    val wins = positionalWindows(docs).localCheckpoint(true)
     // recurrence via groupBy + semi-join, NOT count() OVER
     // (PARTITION BY g): with no df cap (deliberately — boilerplate
     // spans are exactly the output) a corpus-hot gram would land its
