@@ -36,4 +36,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Djava.awt.headless=true", // imageio media codec on a headless box
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // dev knob for config A/B runs: space-separated extra -D flags
+  // (SparkConf picks up spark.* system properties); unset = no-op
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

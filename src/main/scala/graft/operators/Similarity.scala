@@ -638,7 +638,8 @@ object Similarity {
   def graphSearchTopKAssigned(nodes: DataFrame, queries: DataFrame,
       graph: DataFrame, entries: DataFrame, cents: Array[Seq[Float]],
       vecCol: String, idCol: String, k: Int = 5,
-      beamPerShard: Int = 16, rounds: Int = 4): DataFrame = {
+      beamPerShard: Int = 16, rounds: Int = 4,
+      undPre: Option[DataFrame] = None): DataFrame = {
     // ONE centroid broadcast serves both the seed assignment and the
     // beam window's cell derivation (a second ref per call would
     // accumulate executor blocks across a stream's micro-batches —
@@ -652,7 +653,8 @@ object Similarity {
       .join(broadcast(entries), Seq("shard"))
       .select(col("query_id"), col("entry_id").as("cand"))
     shardedBeamLoop(nodes, queries, graph, seeds, vecCol, idCol,
-      (_, candVec) => shardOf(candVec), k, beamPerShard, rounds)
+      (_, candVec) => shardOf(candVec), k, beamPerShard, rounds,
+      undPre = undPre)
   }
 
   /** Search a [[buildGraphIndexRouted]] index: route each query to
@@ -731,10 +733,24 @@ object Similarity {
     * is a (query_id, cand) frame naming each query's own entry
     * points. This is the layering hook — an upper-layer search's
     * survivors become the base layer's entries (HNSW's descent). */
+  /** The undirected adjacency a beam search expands over: edge list ∪
+    * its reverse, deduped, MATERIALIZED (one job). Exposed so a caller
+    * that runs MANY searches against the SAME graph (s_ann_ingest's
+    * per-micro-batch inserts) can compute it once and pass it via
+    * `undPre` instead of once per search. */
+  private[operators] def undirectedOf(graph: DataFrame): DataFrame =
+    graph
+      .select(col("query_id").as("v"), col("neighbor_id").as("u"))
+      .union(graph
+        .select(col("neighbor_id").as("v"), col("query_id").as("u")))
+      .distinct()
+      .localCheckpoint(true)
+
   def graphSearchTopKFrom(nodes: DataFrame, queries: DataFrame,
       graph: DataFrame, vecCol: String, idCol: String,
       seedCands: DataFrame, k: Int = 5,
-      beam: Int = 16, rounds: Int = 4, cut: Boolean = true): DataFrame = {
+      beam: Int = 16, rounds: Int = 4, cut: Boolean = true,
+      undPre: Option[DataFrame] = None): DataFrame = {
     // The undirected adjacency feeds EVERY round's expand join, and
     // each round is its own job (the per-round lineage cut below), so
     // a lazy `und` re-evaluates the whole graph lineage once per round
@@ -746,13 +762,18 @@ object Similarity {
     // base graph 12x). Materialize it ONCE per search; at 2+ rounds
     // the one extra job always beats rounds-1 re-evaluations. The
     // edge list is index-sized — the same order as the shuffles the
-    // rounds already pay, never queries x corpus.
-    val undRaw = graph
-      .select(col("query_id").as("v"), col("neighbor_id").as("u"))
-      .union(graph
-        .select(col("neighbor_id").as("v"), col("query_id").as("u")))
-      .distinct()
-    val und = if (rounds >= 2) undRaw.localCheckpoint(true) else undRaw
+    // rounds already pay, never queries x corpus. (Cut CADENCE was
+    // re-probed after this fix: cutting only every 2nd round read
+    // 58.4 s vs 48.1 s on the 8-key graph subset, and an uncut upper
+    // layer 59.0 s — the per-round eager cut stays.)
+    val und = undPre.getOrElse {
+      val undRaw = graph
+        .select(col("query_id").as("v"), col("neighbor_id").as("u"))
+        .union(graph
+          .select(col("neighbor_id").as("v"), col("query_id").as("u")))
+        .distinct()
+      if (rounds >= 2) undRaw.localCheckpoint(true) else undRaw
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
@@ -814,7 +835,7 @@ object Similarity {
       graph: DataFrame, upperGraph: DataFrame, vecCol: String,
       idCol: String, k: Int = 5, beam: Int = 24, rounds: Int = 4,
       upperSeed: Long = 1L, upperBeam: Int = 8, upperRounds: Int = 1,
-      nEntry: Int = 4): DataFrame = {
+      nEntry: Int = 4, undPre: Option[DataFrame] = None): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"))
     val upperSeedCands = q.select(col("query_id"),
       lit(upperSeed).as("cand"))
@@ -823,7 +844,7 @@ object Similarity {
         k = nEntry, beam = upperBeam, rounds = upperRounds, cut = true)
       .select(col("query_id"), col("neighbor_id").as("cand"))
     graphSearchTopKFrom(nodes, queries, graph, vecCol, idCol,
-      entries, k, beam, rounds)
+      entries, k, beam, rounds, undPre = undPre)
   }
 
   /** The label post-filter + re-rank stage shared by every filtered
@@ -918,17 +939,21 @@ object Similarity {
   private def shardedBeamLoop(nodes: DataFrame, queries: DataFrame,
       graph: DataFrame, seedCands: DataFrame, vecCol: String,
       idCol: String, shardOf: (Column, Column) => Column, k: Int,
-      beamPerShard: Int, rounds: Int): DataFrame = {
+      beamPerShard: Int, rounds: Int,
+      undPre: Option[DataFrame] = None): DataFrame = {
     // materialized once per search, for the same reason as
     // graphSearchTopKFrom: every round's expand join re-evaluates a
     // lazy adjacency from scratch (store scan + distinct, or the full
-    // derived-graph lineage)
-    val undRaw = graph
-      .select(col("query_id").as("v"), col("neighbor_id").as("u"))
-      .union(graph
-        .select(col("neighbor_id").as("v"), col("query_id").as("u")))
-      .distinct()
-    val und = if (rounds >= 2) undRaw.localCheckpoint(true) else undRaw
+    // derived-graph lineage); undPre lets a multi-search caller share
+    // one materialization
+    val und = undPre.getOrElse {
+      val undRaw = graph
+        .select(col("query_id").as("v"), col("neighbor_id").as("u"))
+        .union(graph
+          .select(col("neighbor_id").as("v"), col("query_id").as("u")))
+        .distinct()
+      if (rounds >= 2) undRaw.localCheckpoint(true) else undRaw
+    }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))
     val w = Window

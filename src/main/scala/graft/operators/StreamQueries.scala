@@ -673,10 +673,14 @@ object StreamQueries {
       storeBase: String, baseNodes: org.apache.spark.sql.DataFrame,
       baseGraph: org.apache.spark.sql.DataFrame,
       baseUpper: org.apache.spark.sql.DataFrame, entry: Long,
-      batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      baseUnd: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+    // every batch searches the SAME base graph, so the caller passes
+    // the undirected adjacency materialized once (baseUnd) instead of
+    // paying one materialization per micro-batch
     Similarity.graphSearchTopKLayered(baseNodes, batch,
         baseGraph, baseUpper, "embedding", "vec_id", k = 12,
-        beam = 48, rounds = 6, upperSeed = entry)
+        beam = 48, rounds = 6, upperSeed = entry, undPre = baseUnd)
       .select(col("query_id"), col("neighbor_id"))
       .write.mode("overwrite").parquet(s"$storeBase/d$batchId")
   }
@@ -740,13 +744,16 @@ object StreamQueries {
           .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
       }
       val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      // one adjacency materialization serves all micro-batch inserts
+      val baseUnd = Similarity.undirectedOf(
+        baseGraph.select(col("query_id"), col("neighbor_id")))
       val q = s.readStream
         .schema(emb.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           insertAnnBatch(s"$base/store", baseNodes, baseGraph,
-            baseUpper, entry, batch, batchId)
+            baseUpper, entry, batch, batchId, Some(baseUnd))
           batches.incrementAndGet()
           ()
         }
@@ -801,10 +808,12 @@ object StreamQueries {
       baseGraph: org.apache.spark.sql.DataFrame,
       entries: org.apache.spark.sql.DataFrame,
       cents: Array[Seq[Float]],
-      batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      batch: org.apache.spark.sql.DataFrame, batchId: Long,
+      baseUnd: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
+    // shared one-shot adjacency across micro-batches, as insertAnnBatch
     Similarity.graphSearchTopKAssigned(baseNodes, batch, baseGraph,
         entries, cents, "embedding", "vec_id", k = 12,
-        beamPerShard = 24, rounds = 6)
+        beamPerShard = 24, rounds = 6, undPre = baseUnd)
       .select(col("query_id"), col("neighbor_id"))
       .write.mode("overwrite").parquet(s"$storeBase/d$batchId")
   }
@@ -860,13 +869,16 @@ object StreamQueries {
           .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
       }
       val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      // one adjacency materialization serves all micro-batch inserts
+      val baseUnd = Similarity.undirectedOf(
+        baseGraph.select(col("query_id"), col("neighbor_id")))
       val q = s.readStream
         .schema(emb.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           insertAnnBatchRouted(s"$base/store", baseNodes, baseGraph,
-            entries, cents, batch, batchId)
+            entries, cents, batch, batchId, Some(baseUnd))
           batches.incrementAndGet()
           ()
         }
