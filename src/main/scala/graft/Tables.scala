@@ -16,8 +16,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Schema cache: the star-schema files are immutable for a session's
+  // lifetime, but every spark.read.parquet() call re-infers the schema
+  // (a driver-side footer open per call — the suite makes ~1k load
+  // calls per bench pass). Caching the inferred StructType and passing
+  // it via .schema() skips the inference I/O; the DATA path is
+  // untouched (same scan, same pushdowns), and the cached schema was
+  // inferred under the same session confs (nanosAsLong). Keyed by
+  // session so a config change in a new session re-infers.
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    schemaCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate((spark, path),
+      spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") normalizeEventTs(df) else df
   }
 
