@@ -744,7 +744,8 @@ object Similarity {
       .union(graph
         .select(col("neighbor_id").as("v"), col("query_id").as("u")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   def graphSearchTopKFrom(nodes: DataFrame, queries: DataFrame,
       graph: DataFrame, vecCol: String, idCol: String,
@@ -772,7 +773,9 @@ object Similarity {
         .union(graph
           .select(col("neighbor_id").as("v"), col("query_id").as("u")))
         .distinct()
-      if (rounds >= 2) undRaw.localCheckpoint(true) else undRaw
+      if (rounds >= 2) undRaw.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else undRaw
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))
@@ -952,7 +955,9 @@ object Similarity {
         .union(graph
           .select(col("neighbor_id").as("v"), col("query_id").as("u")))
         .distinct()
-      if (rounds >= 2) undRaw.localCheckpoint(true) else undRaw
+      if (rounds >= 2) undRaw.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else undRaw
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))

@@ -105,8 +105,14 @@ object Spans {
     // exchange — a lazy plan evaluates the md5-per-window tokenize
     // pass twice (the dominant map-side cost of every spans key).
     // One job, token-count-sized rows — same order as the shuffle the
-    // groupBy already pays.
-    val wins = positionalWindows(docs).localCheckpoint(true)
+    // groupBy already pays. SERIALIZED storage is load-bearing, not a
+    // detail: at the 100x replica the default deserialized level
+    // measured 42.3 s (row objects thrash the heap) vs 34.8 s with no
+    // materialization at all vs 26.3 s serialized — the serialized
+    // checkpoint is the only variant that wins at BOTH scales
+    // (1x: 2.5 s vs 3.3 s unmaterialized).
+    val wins = positionalWindows(docs).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // recurrence via groupBy + semi-join, NOT count() OVER
     // (PARTITION BY g): with no df cap (deliberately — boilerplate
     // spans are exactly the output) a corpus-hot gram would land its
