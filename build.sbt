@@ -37,5 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // dev knob for config A/B runs: space-separated extra -D flags
-  // (SparkConf picks up spark.* system properties); unset = no-op
+  // (SparkConf picks up spark.* system properties); unset = no-op.
+  // CAUTION (ADVICE r16): this is injected into EVERY sbt-forked JVM
+  // — runMain graft.Verify / tests included, not just Bench — so an
+  // A/B flag left exported in the shell alters verification runs too;
+  // unset it before any oracle/correctness run. Values containing
+  // spaces are not supported (split on single spaces, by design —
+  // spark.* -D flags never need them).
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -274,10 +274,14 @@ object Bench {
     // the README/SURVEY claims no longer back.
     // SPARK_GRAFT_FULL_OUT names an explicit destination for the
     // full-precision record at ANY sfDir (the ~sf1 replica artifact);
-    // the implicit bench_full.json stays sf0.1-only so a replica run
-    // can never clobber the canonical sidecar.
+    // the implicit bench_full.json stays sf0.1-only AND default-cpus-only
+    // so neither a replica run nor the driver's low-core scaling run
+    // can clobber the canonical c32 sidecar (round 16's 8-core run did
+    // exactly that — the sfDir-only guard was incomplete).
+    val defaultCpus = sys.env.get("SPARK_GRAFT_CPUS").forall(_ == "32")
     val fullOut = sys.env.get("SPARK_GRAFT_FULL_OUT")
-      .orElse(if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
+      .orElse(if (only.isEmpty && defaultCpus &&
+        new java.io.File(sfDir).getName == "sf0.1")
         Some("bench_full.json") else None)
     fullOut.foreach { out =>
       val fullQs = timings.map { case (k, v) => "\"" + k + "\":" + v }

@@ -24,6 +24,13 @@ object Tables {
   // untouched (same scan, same pushdowns), and the cached schema was
   // inferred under the same session confs (nanosAsLong). Keyed by
   // session so a config change in a new session re-infers.
+  // INVARIANT (documented per ADVICE r16): $sfDir/$name.parquet must
+  // not be regenerated/swapped at the same path while a session that
+  // has loaded it is alive — the cached StructType would be applied
+  // to the new file silently. Every harness in this repo (Bench,
+  // Verify, probes) treats the testdata dirs as immutable, and
+  // ScaleProbe replicas write to fresh dirs. Stale-session keys are
+  // evicted by the filterInPlace below on the next load() call.
   private val schemaCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.types.StructType]
 

@@ -781,16 +781,33 @@ object Similarity {
     val vecs = nodes.select(col(idCol).as("cand"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosm").desc, col("cand"))
+    // FUSED round body (r17, guide §2.4/§3.1): the candidate set is
+    // |queries|·beam·(deg+1) rows — always tiny next to the corpus —
+    // but the checkpointed frames it derives from carry no stats, so
+    // the planner used to SMJ it against `vecs`, shuffling the
+    // corpus-sized vector table EVERY round, plus a distinct exchange
+    // and the window exchange (3 shuffles/round, one corpus-sized).
+    // Broadcasting the candidate side streams `vecs` map-side with no
+    // shuffle, and the distinct collapses into the window stage: for
+    // a fixed query a candidate's cosm is a pure function of (qv, cv),
+    // so duplicate (query_id, cand) rows are ADJACENT under the
+    // window's (cosm desc, cand) sort and one lag()-equality filter
+    // dedups them inside the exchange the ranking already pays.
+    // One candidate-sized exchange per round, zero corpus shuffles;
+    // result set identical (same dedup'd candidates, same cosm, same
+    // deterministic rank order).
     def topBeam(cands: DataFrame): DataFrame =
-      cands.distinct()
-        .join(vecs, Seq("cand"))
+      vecs.join(broadcast(cands), Seq("cand"))
         .join(broadcast(q), Seq("query_id"))
         .filter(col("cand") =!= col("query_id"))
         .select(col("query_id"), col("cand"),
           round(cosine(col("qv"), col("cv")) * 10000).cast("long")
             .as("cosm"))
+        .withColumn("prevc", lag(col("cand"), 1).over(w))
+        .filter(col("prevc").isNull || col("prevc") =!= col("cand"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= beam)
+        .drop("prevc")
     // each round's beam feeds BOTH the carry and the expansion, so an
     // uncut plan tree doubles per round (and re-scores every earlier
     // round exponentially often — measured 9.1 s for a 600-node demo,
@@ -807,8 +824,13 @@ object Similarity {
       if (cut) df.localCheckpoint(true) else df
     var cur = maybeCut(topBeam(seedCands.select(col("query_id"), col("cand"))))
     for (_ <- 1 to rounds) {
-      val expand = cur.select(col("query_id"), col("cand").as("v"))
-        .join(und, Seq("v"))
+      // broadcast the beam into the adjacency: the expand join used to
+      // SMJ, shuffling the index-sized edge list by v every round
+      // (the checkpointed adjacency is partitioned by (v,u) from its
+      // distinct, which does not satisfy a join on v)
+      val expand = und.join(
+          broadcast(cur.select(col("query_id"), col("cand").as("v"))),
+          Seq("v"))
         .select(col("query_id"), col("u").as("cand"))
       cur = maybeCut(
         topBeam(cur.select(col("query_id"), col("cand")).union(expand)))
@@ -964,15 +986,23 @@ object Similarity {
     val w = Window
       .partitionBy(col("query_id"), shardOf(col("cand"), col("cv")))
       .orderBy(col("cosm").desc, col("cand"))
+    // FUSED round body — same rewrite as graphSearchTopKFrom (r17):
+    // broadcast the query-bounded candidate side so `vecs` streams
+    // map-side instead of being shuffled per round, and dedup inside
+    // the window's own sort (duplicate (query_id, cand) rows share
+    // cosm AND shard — shardOf is a pure function of (cand, cv) — so
+    // they are adjacent under the per-shard (cosm desc, cand) order
+    // and one lag()-equality filter replaces the distinct exchange).
     def topBeam(cands: DataFrame, selfFilter: Boolean): DataFrame = {
-      val scored = cands.distinct()
-        .join(vecs, Seq("cand"))
+      val scored = vecs.join(broadcast(cands), Seq("cand"))
         .join(broadcast(q), Seq("query_id"))
       (if (selfFilter) scored.filter(col("cand") =!= col("query_id"))
        else scored)
         .select(col("query_id"), col("cand"), col("cv"),
           round(cosine(col("qv"), col("cv")) * 10000).cast("long")
             .as("cosm"))
+        .withColumn("prevc", lag(col("cand"), 1).over(w))
+        .filter(col("prevc").isNull || col("prevc") =!= col("cand"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= beamPerShard)
         .select(col("query_id"), col("cand"), col("cosm"))
@@ -980,8 +1010,9 @@ object Similarity {
     var cur = topBeam(seedCands.select(col("query_id"), col("cand")),
       selfFilter = false).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val expand = cur.select(col("query_id"), col("cand").as("v"))
-        .join(und, Seq("v"))
+      val expand = und.join(
+          broadcast(cur.select(col("query_id"), col("cand").as("v"))),
+          Seq("v"))
         .select(col("query_id"), col("u").as("cand"))
       cur = topBeam(cur.select(col("query_id"), col("cand")).union(expand),
           selfFilter = true)

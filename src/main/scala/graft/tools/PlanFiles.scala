@@ -12,6 +12,11 @@ import org.apache.spark.sql.execution.FormattedMode
   */
 object PlanFiles {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.tools.PlanFiles <outDir> <tag> <sfDir> <key>[,key...]")
+      sys.exit(2)
+    }
     val Array(outDir, tag, sfDir, keys) = args.take(4)
     val spark = GraftSession.local()
     new java.io.File(outDir).mkdirs()
