@@ -205,21 +205,23 @@ object StreamQueries {
     * same per-customer order aggregate, but the delta (1997+ orders)
     * arrives as a STREAM — five delivery-ordered micro-batch files
     * replayed through readStream + foreachBatch, each batch's partial
-    * aggregate MERGED into a persisted store seeded with the pre-1997
-    * base. The store is VERSION-CHAINED (batch b reads v(b), writes
-    * v(b+1) — the k_sink_stream rename-commit discipline: a retried
-    * batch rewrites its own version from the same input, so the merge
-    * is idempotent), and each merge is one keyed re-aggregate of
-    * store ∪ batch-partial — count/sum merge by sum, last-order by
-    * max, all integer/date algebra. The final store must equal the
-    * FULL RECOMPUTE of the view from all orders: the exact oracle the
-    * batch leg uses, now asserting that no micro-batch boundary,
-    * merge step, or store rewrite corrupted the view.
+    * aggregate written as one batchId-keyed APPEND-ONLY chain link
+    * next to the persisted pre-1997 anchor (the [[sAnnIngest]] chain
+    * device: a retried batch overwrites ITS OWN link from the same
+    * input, so delivery is idempotent; links are batch-disjoint by
+    * batchId). The merged view is ONE keyed re-aggregate over
+    * anchor ∪ links — exact because every MV measure is reassociable
+    * (count/sum merge by sum, last-order by max, all integer/date
+    * algebra) — and must equal the FULL RECOMPUTE of the view from
+    * all orders: the exact oracle the batch leg uses, now asserting
+    * that no micro-batch boundary or link write corrupted the view.
     *
-    * Scale: the store is customer-sized (dimension-sized, never
-    * fact-sized) and each batch merge touches store + batch only —
-    * the production foreachBatch-upsert shape; the file-split replay
-    * is test harnessing, exactly as in [[sScd2Held]]. */
+    * Scale: per-batch write cost is |batch-partial|-sized — NEVER
+    * store-sized (the pre-r17 version chain rewrote the whole
+    * customer-dimension store every micro-batch); the read-side
+    * re-aggregate is one pass over anchor + links, paid once. The
+    * file-split replay is test harnessing, exactly as in
+    * [[sScd2Held]]. */
   val sMv: QueryDef = QueryDef(
     fn = (s, dir) => {
       def rmTree(f: java.io.File): Unit = {
@@ -248,72 +250,93 @@ object StreamQueries {
           .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
       }
       bucketed.unpersist()
-      val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = s.readStream
         .schema(orders.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          // Version keyed by BATCH IDENTITY, not an in-memory counter:
-          // batch b reads v(b) and overwrites v(b+1), so a re-delivered
-          // batchId after a successful commit rewrites ITS OWN version
-          // from the same input — idempotent by construction, even if
-          // the driver-side counter were lost to a restart.
-          val cur = s.read.parquet(s"$base/store/v$batchId")
-          cur.unionByName(Relational.custAgg(batch))
-            .groupBy(col("o_custkey"))
-            .agg(sum(col("n_orders")).as("n_orders"),
-              sum(col("total_cents")).as("total_cents"),
-              max(col("last_order")).as("last_order"))
-            .write.mode("overwrite").parquet(s"$base/store/v${batchId + 1}")
-          lastVersion.updateAndGet(v => math.max(v, batchId + 1))
+          // APPEND-ONLY PARTIAL CHAIN (r17 — the insertAnnBatch
+          // device, VERDICT item 3): the link holds the BATCH's
+          // partial aggregate only, keyed by BATCH IDENTITY — a
+          // re-delivered batchId overwrites ITS OWN link from the
+          // same input (idempotent), and per-batch write cost is
+          // |batch-partial|-sized, never store-sized (the old
+          // read-v(b)-rewrite-v(b+1) chain rewrote the whole
+          // customer-dimension store every micro-batch — at scale the
+          // store dwarfs every batch). The merged view is ONE keyed
+          // re-aggregate over anchor ∪ links at read time — exact,
+          // because every MV measure is reassociable (count/sum merge
+          // by sum, last-order by max, all integer/date algebra).
+          Relational.custAgg(batch)
+            .write.mode("overwrite").parquet(s"$base/store/d$batchId")
           ()
         }
         .start()
       q.processAllAvailable(); q.stop()
-      s.read.parquet(s"$base/store/v${lastVersion.get()}")
+      // the merged view: anchor v0 ∪ every d* partial, one glob scan
+      // + one keyed re-aggregate (readAnnChain's shape)
+      s.read.parquet(s"$base/store/*")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"),
+          sum(col("total_cents")).as("total_cents"),
+          max(col("last_order")).as("last_order"))
         .orderBy(col("o_custkey"))
     },
     oracle = Relational.qMvIncremental.oracle)
 
-  /** One CDC micro-batch applied to the version-chained key-value
-    * store: read v(batchId), MERGE (evict keys present in the batch,
-    * append the batch — [[Relational.mergeUpsert]]'s NOT-IN +
-    * UNION-ALL plan), overwrite v(batchId+1). Versions are keyed by
-    * BATCH IDENTITY, so a re-delivered batch rewrites its own target
-    * version from the same store input — idempotent on redelivery by
+  /** One CDC micro-batch applied to the APPEND-ONLY chain store
+    * (r17 — the [[insertAnnBatch]] device, replacing the pre-r17
+    * read-v(b)-rewrite-v(b+1) version chain whose per-batch write
+    * was store-sized): the batch's change rows are written verbatim
+    * as one batchId-keyed link next to the v0 anchor. Links are
+    * keyed by BATCH IDENTITY, so a re-delivered batch overwrites its
+    * own link from the same input — idempotent on redelivery by
     * construction (StreamingSpec applies a batch twice and pins the
-    * identical result). Factored out so the spec drives the exact
-    * production code path. */
-  private[graft] def mergeCdcBatch(s: org.apache.spark.sql.SparkSession,
+    * identical merged view). Per-batch write cost is |batch|-sized,
+    * never store-sized. DEVICE CONTRACT (same as insertAnnBatch's
+    * disjoint-links argument): a change key appears in at most ONE
+    * batch of a run — the merged view applies all links against the
+    * anchor in one NOT-IN + UNION-ALL pass ([[readCdcChain]]), which
+    * is order-free exactly when links are key-disjoint. Factored out
+    * so the spec drives the exact production code path. */
+  private[graft] def mergeCdcBatch(
       storeBase: String,
-      batch: org.apache.spark.sql.DataFrame, batchId: Long,
-      key: String): Unit = {
-    val cur = s.read.parquet(s"$storeBase/v$batchId")
-    Relational.mergeUpsert(cur, batch, key)
-      .write.mode("overwrite").parquet(s"$storeBase/v${batchId + 1}")
-  }
+      batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$storeBase/d$batchId")
+
+  /** Read a [[mergeCdcBatch]] chain back as the merged table: anchor
+    * rows whose key no link touched, plus every link's rows — ONE
+    * [[Relational.mergeUpsert]] pass over anchor ∪ links (one glob
+    * scan of the links, the [[readAnnChain]] shape). */
+  private[graft] def readCdcChain(s: org.apache.spark.sql.SparkSession,
+      storeBase: String, key: String): org.apache.spark.sql.DataFrame =
+    Relational.mergeUpsert(
+      s.read.parquet(s"$storeBase/v0"),
+      s.read.parquet(s"$storeBase/d*"), key)
 
   /** s_merge — STREAMING CDC MERGE, the lambda-closing leg of
     * [[Relational.qMerge]] exactly as [[sMv]] closes it for
     * materialized views: the SAME change set (updates = status-U
     * orders with repriced totals, inserts = negated new keys) arrives
     * as a STREAM — four delivery-ordered micro-batch files replayed
-    * through readStream + foreachBatch — and each batch MERGEs into a
-    * persisted store seeded with the untouched base table via
-    * [[mergeCdcBatch]] (batchId-keyed version chain: idempotent
-    * redelivery, spec-pinned). The final store must equal the one-shot
-    * batch MERGE of all changes: q_merge's NOT-IN + UNION-ALL oracle
-    * verbatim, asserting no micro-batch boundary, eviction, or store
-    * rewrite corrupted the table. Change keys are unique across the
-    * whole delta (each key is either one update or one insert), so
-    * the file split is order-independent by construction.
+    * through readStream + foreachBatch — and each batch lands as one
+    * batchId-keyed APPEND-ONLY chain link next to the v0 anchor via
+    * [[mergeCdcBatch]] (idempotent redelivery, spec-pinned; the
+    * [[sAnnIngest]] chain device, replacing the pre-r17 full-store
+    * version rewrite). The merged view ([[readCdcChain]]: one NOT-IN
+    * + UNION-ALL pass over anchor ∪ links) must equal the one-shot
+    * batch MERGE of all changes: q_merge's oracle verbatim, asserting
+    * no micro-batch boundary, eviction, or link write corrupted the
+    * table. Change keys are unique across the whole delta (each key
+    * is either one update or one insert), so the file split is
+    * order-independent AND the single merged-view pass is exact — the
+    * chain device's documented contract.
     *
-    * Scale: each batch merge touches store + batch only — the
-    * production foreachBatch-upsert shape (Delta/Iceberg MERGE's
-    * eviction plan); the store rewrite is the bounded-dimension
-    * pattern, never fact-sized churn. File-split replay is test
-    * harnessing, as in [[sMv]]/[[sScd2Held]]. */
+    * Scale: per-batch write cost is |batch|-sized — never store-sized
+    * (the pre-r17 chain rewrote the whole table per micro-batch: at
+    * 100 TB that is fact-sized churn × batch count); the merge work
+    * is paid ONCE at read. File-split replay is test harnessing, as
+    * in [[sMv]]/[[sScd2Held]]. */
   val sMerge: QueryDef = QueryDef(
     fn = (s, dir) => {
       def rmTree(f: java.io.File): Unit = {
@@ -346,19 +369,17 @@ object StreamQueries {
           .coalesce(1).write.mode("overwrite").parquet(s"$base/in/f$i")
       }
       bucketed.unpersist()
-      val lastVersion = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = s.readStream
         .schema(orders.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          mergeCdcBatch(s, s"$base/store", batch, batchId, "o_orderkey")
-          lastVersion.updateAndGet(v => math.max(v, batchId + 1))
+          mergeCdcBatch(s"$base/store", batch, batchId)
           ()
         }
         .start()
       q.processAllAvailable(); q.stop()
-      s.read.parquet(s"$base/store/v${lastVersion.get()}")
+      readCdcChain(s, s"$base/store", "o_orderkey")
         .orderBy(col("o_orderkey"))
     },
     oracle = Relational.qMerge.oracle)

@@ -19,22 +19,28 @@ class StreamingSpec extends SparkSpec {
       .withColumn("o_orderkey", (col("o_orderkey") + 1) * -1)
       .withColumn("o_orderstatus", lit("N"))
     // two delivery batches; batch 1 gets REDELIVERED (a retry after a
-    // successful commit) — the batchId-keyed version chain must make
-    // the second application rewrite v2 identically, not double-merge
-    StreamQueries.mergeCdcBatch(spark, store, updates, 0L, "o_orderkey")
-    StreamQueries.mergeCdcBatch(spark, store, inserts, 1L, "o_orderkey")
-    val v2First = spark.read.parquet(s"$store/v2")
+    // successful commit) — the batchId-keyed link chain must make the
+    // second application rewrite ITS OWN link identically, so the
+    // merged view is unchanged, not double-merged
+    StreamQueries.mergeCdcBatch(store, updates, 0L)
+    StreamQueries.mergeCdcBatch(store, inserts, 1L)
+    val mergedFirst = StreamQueries.readCdcChain(spark, store, "o_orderkey")
       .orderBy(col("o_orderkey")).collect()
-    StreamQueries.mergeCdcBatch(spark, store, inserts, 1L, "o_orderkey")
-    val v2Again = spark.read.parquet(s"$store/v2")
+    StreamQueries.mergeCdcBatch(store, inserts, 1L)
+    val mergedAgain = StreamQueries.readCdcChain(spark, store, "o_orderkey")
       .orderBy(col("o_orderkey")).collect()
-    assert(v2Again.toSeq === v2First.toSeq,
-      "redelivered batch must rewrite its own version identically")
-    // and the chained store equals the one-shot batch MERGE
+    assert(mergedAgain.toSeq === mergedFirst.toSeq,
+      "redelivered batch must rewrite its own link identically")
+    // per-batch write is |batch|-sized, never store-sized: the link
+    // holds exactly the batch rows (the item-3 done-bar probe)
+    val linkRows = spark.read.parquet(s"$store/d1").count()
+    assert(linkRows === inserts.count(),
+      "chain link must hold the batch rows only, not a store rewrite")
+    // and the chained store's merged view equals the one-shot MERGE
     val oneShot = Relational.mergeUpsert(base,
         updates.unionByName(inserts), "o_orderkey")
       .orderBy(col("o_orderkey")).collect()
-    assert(v2Again.toSeq === oneShot.toSeq,
+    assert(mergedAgain.toSeq === oneShot.toSeq,
       "chained CDC merge must equal the one-shot batch merge")
   }
 
